@@ -1,10 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship record-linkage pipeline on sf0.001.
+``queries()`` — one named query per implemented operator from SURVEY.md §2
+plus the LLM-pipeline extension ops (§7/M7).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only for
+ops whose hash functions DuckDB lacks: MinHash/SimHash/LSH → rows-only).
+
+Column-name / type parity rules used throughout (driver hashes values with
+columns sorted by name):
+- every computed column aliased identically on both sides, lowercase snake;
+- doubles rounded (2 for money, 4 for ratios, 6 for similarities) on BOTH
+  sides — Spark and DuckDB may associate float sums differently;
+- timestamps emitted as '%Y-%m-%d %H:%M:%S' strings on both sides;
+- DuckDB SUM(integer) returns HUGEINT → cast to BIGINT in the oracle;
+- Spark row_number() returns int → cast to long on the Spark side;
+- the zero-pad idiom is RIGHT('000000'||id, 6) on both sides (T-SQL
+  semantics per reference shareOurStrengthSQLCodev4.sql:850-856 — keeps the
+  RIGHTMOST chars on over-long ids, unlike lpad).
 """
 
 from __future__ import annotations
@@ -12,27 +24,860 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.functions.fx import (
+    pad_key,
+    pround,
+    recode,
+    tsql_concat,
+)
+from data_engineering_capstone_project__spark.operators import dedup, similarity, text
+from data_engineering_capstone_project__spark.operators.relational import add_row_id
+from data_engineering_capstone_project__spark.plans.cleaner import (
+    apply_clean_plan,
+    build_clean_plan,
+)
+from data_engineering_capstone_project__spark.plans.qa import qa_compare
+from data_engineering_capstone_project__spark.sources.io import load_events
+from data_engineering_capstone_project__spark.streaming.windows import (
+    sessionize,
+    tumbling_agg,
+)
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+
+QA_ROWS_1 = [("A", "B"), ("A", "C"), ("A", "D"), ("B", "D"), ("B", "F")]
+QA_ROWS_2 = [("A", "B"), ("A", "C"), ("A", "D"), ("B", "D"), ("E", "F")]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship agg (A1/A4 surface): TPC-H Q1-shaped pricing summary."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            pround(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def s1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P1: projection reaches the parquet scan (ReadSchema pruning)."""
+    return _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+
+S1_SQL = "SELECT o_orderkey, o_totalprice FROM orders"
+
+
+def s6_literal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: literal-row table (reference :1097-1103)."""
+    return spark.createDataFrame(QA_ROWS_1, "field1 string, field2 string")
+
+
+S6_SQL = (
+    "SELECT * FROM (VALUES ('A','B'),('A','C'),('A','D'),('B','D'),('B','F'))"
+    " t(field1, field2)"
+)
+
+
+def s7_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: a table's column names as rows (reference sys.columns pivot :84)."""
+    df = _t(spark, sf_dir, "lineitem")
+    return spark.createDataFrame([(c,) for c in df.columns], "name string")
+
+
+S7_SQL = "SELECT * FROM (VALUES " + ",".join(f"('{c}')" for c in LINEITEM_COLS) + ") t(name)"
+
+
+def p2_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: IS NULL / OR / LIKE filter (reference :129-130)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isNull() | F.col("o_orderpriority").like("%URGENT%")
+    ).select("o_orderkey", "o_orderpriority")
+
+
+P2_SQL = (
+    "SELECT o_orderkey, o_orderpriority FROM orders "
+    "WHERE o_orderpriority IS NULL OR o_orderpriority LIKE '%URGENT%'"
+)
+
+
+def p3_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: HAVING-style filter on an aggregate (reference :172-178)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_size")
+        .agg(F.count("*").alias("cnt"))
+        .filter((F.col("cnt") >= 1) & (F.col("cnt") <= 10))
+    )
+
+
+P3_SQL = (
+    "SELECT p_size, COUNT(*) AS cnt FROM part GROUP BY p_size "
+    "HAVING COUNT(*) >= 1 AND COUNT(*) <= 10"
+)
+
+
+def p4_p5_clean_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5+J1+J3: dictionary-driven drop/rename through the cleaning
+    planner (reference :99-270 collapsed to one Project)."""
+    dict_schema = (
+        "raw_data_column string, raw_data_column_name string, "
+        "equivalent_clean_data_name string, notes string"
+    )
+    d1 = spark.createDataFrame(
+        [
+            ("c1", "c_custkey", "customer_key", None),
+            ("c2", "c_name", "customer_name", None),
+            ("c3", "c_mktsegment", "THIS COLUMN IS NOT USED", None),
+        ],
+        dict_schema,
+    )
+    d2 = spark.createDataFrame(
+        [("c4", "c_acctbal", "account_balance", None)], dict_schema
+    )
+    cust = _t(spark, sf_dir, "customer")
+    plan = build_clean_plan(cust.columns, d1, d2, prefer=1)
+    return apply_clean_plan(cust, plan)
+
+
+P4_SQL = (
+    "SELECT c_custkey AS customer_key, c_name AS customer_name, "
+    "c_acctbal AS account_balance FROM customer"
+)
+
+
+def p6_p7_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7: add constant column + conditional update intent
+    (reference :945-960, D9/D10)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isNull(), F.lit("17-18"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority_filled"),
+        F.lit(None).cast("string").alias("target_area"),
+    )
+
+
+P6_SQL = (
+    "SELECT o_orderkey, "
+    "CASE WHEN o_orderpriority IS NULL THEN '17-18' ELSE o_orderpriority END AS priority_filled, "
+    "CAST(NULL AS VARCHAR) AS target_area FROM orders"
+)
+
+
+def j1_dict_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: two left joins + NULL-coalescing across them (reference :99-107)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            "n_name",
+            "r_name",
+            F.coalesce(F.col("r_name"), F.col("n_name"), F.lit("UNKNOWN")).alias(
+                "resolved"
+            ),
+        )
+    )
+
+
+J1_SQL = """
+SELECT c_custkey, n_name, r_name,
+       COALESCE(r_name, n_name, 'UNKNOWN') AS resolved
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def j2_rowid_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: column stitching via surrogate-key self-join (reference :1048-1076
+    — kept as an operator even though idiomatic Spark avoids it)."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select("c_custkey", "c_name")
+    b = cust.select("c_custkey", "c_acctbal")
+    return a.join(b, "c_custkey").select(
+        "c_custkey", "c_name", pround("c_acctbal", 2).alias("acctbal")
+    )
+
+
+J2_SQL = (
+    "SELECT a.c_custkey, a.c_name, ROUND(b.c_acctbal, 2) AS acctbal "
+    "FROM customer a JOIN customer b ON a.c_custkey = b.c_custkey"
+)
+
+
+def j4_linkage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 flagship: record-linkage join on zero-padded expression keys +
+    DISTINCT (reference :1079-1089)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, pad_key(F.col("o_custkey")) == pad_key(F.col("c_custkey")))
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            pround("o_totalprice", 2).alias("total_price"),
+        )
+        .distinct()
+    )
+
+
+J4_SQL = """
+SELECT DISTINCT o_orderkey, c_custkey, c_name,
+       ROUND(o_totalprice, 2) AS total_price
+FROM orders JOIN customer
+  ON right('000000' || CAST(o_custkey AS VARCHAR), 6)
+   = right('000000' || CAST(c_custkey AS VARCHAR), 6)
+"""
+
+
+def j5_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: FULL JOIN (declared reference capability, PDF slide 28)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+J5_SQL = (
+    "SELECT c_custkey, o_orderkey FROM customer FULL JOIN orders "
+    "ON c_custkey = o_custkey"
+)
+
+
+def j5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: anti join — customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+J5_ANTI_SQL = (
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+)
+
+
+def j5_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: semi join — customers with at least one order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+J5_SEMI_SQL = (
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+)
+
+
+def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: global scalar aggregates (reference :141,:1093)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        pround(F.max("o_totalprice"), 2).alias("max_price"),
+        pround(F.min("o_totalprice"), 2).alias("min_price"),
+        F.date_format(F.min("o_orderdate"), TS_FMT_SPARK).alias("first_order"),
+    )
+
+
+A2_SQL = f"""
+SELECT COUNT(*) AS n_rows,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       strftime(MIN(o_orderdate), '{TS_FMT_DUCK}') AS first_order
+FROM orders
+"""
+
+
+def a3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: DISTINCT (reference :99,:1079)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+A3_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def a4_group_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: general groupBy().agg() surface (sum/avg/min/max/count_distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+A4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       ROUND(AVG(o_totalprice), 2) AS avg_price,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def w1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: global surrogate row id by total order — scalable two-phase
+    implementation (no single-partition window; SURVEY §7.4)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return add_row_id(o, ["o_orderkey"], num_partitions=16)
+
+
+W1_SQL = (
+    "SELECT o_orderkey, CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)"
+    " AS row_num FROM orders"
+)
+
+
+def w2_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: partitioned window functions (rank/lag — beyond-reference
+    surface, SURVEY §2.5)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        pround(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+    )
+
+
+W2_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       ROUND(LAG(o_totalprice) OVER w, 2) AS prev_price
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def e1_intersect_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: the reference's QA INTERSECT-count equivalence check
+    (:1116-1126) as an engine feature."""
+    t1 = spark.createDataFrame(QA_ROWS_1, "field1 string, field2 string")
+    t2 = spark.createDataFrame(QA_ROWS_2, "field1 string, field2 string")
+    return qa_compare(t1, t2)
+
+
+E1_SQL = """
+WITH t1 AS (SELECT * FROM (VALUES ('A','B'),('A','C'),('A','D'),('B','D'),('B','F')) t(field1, field2)),
+     t2 AS (SELECT * FROM (VALUES ('A','B'),('A','C'),('A','D'),('B','D'),('E','F')) t(field1, field2)),
+     c AS (SELECT (SELECT COUNT(*) FROM t1) AS count_a,
+                  (SELECT COUNT(*) FROM t2) AS count_b,
+                  (SELECT COUNT(*) FROM (SELECT * FROM t1 INTERSECT SELECT * FROM t2)) AS count_common)
+SELECT count_a, count_b, count_common,
+       (count_a = count_b AND count_b = count_common) AS equivalent
+FROM c
+"""
+
+
+def e2_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: UNION (set semantics) — beyond-reference surface."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    return r.union(n).distinct()
+
+
+E2_SQL = "SELECT r_name AS name FROM region UNION SELECT n_name FROM nation"
+
+
+def f_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F9 scalar-function suite: REPLACE, CONCAT (null-tolerant), LEN,
+    RIGHT-pad idiom, CASE recode, LIKE."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        pad_key(F.col("c_custkey")).alias("padded_key"),
+        F.regexp_replace(F.col("c_name"), "Customer", "Cust").alias("short_name"),
+        F.length("c_name").cast("long").alias("name_len"),
+        tsql_concat(F.col("c_name"), "|", F.col("c_mktsegment")).alias("concat_nt"),
+        recode(
+            "c_mktsegment",
+            {"BUILDING": "B", "AUTOMOBILE": "A", "MACHINERY": "M"},
+            default="OTHER",
+        ).alias("seg_code"),
+        F.col("c_name").like("%001%").alias("has_001"),
+    )
+
+
+F_SQL = """
+SELECT c_custkey,
+       right('000000' || CAST(c_custkey AS VARCHAR), 6) AS padded_key,
+       REPLACE(c_name, 'Customer', 'Cust') AS short_name,
+       CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+       COALESCE(c_name, '') || '|' || COALESCE(c_mktsegment, '') AS concat_nt,
+       CASE c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'AUTOMOBILE' THEN 'A'
+            WHEN 'MACHINERY' THEN 'M' ELSE 'OTHER' END AS seg_code,
+       c_name LIKE '%001%' AS has_001
+FROM customer
+"""
+
+
+def d_derived_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D4 analogues on lineitem: sum-of-parts measure + guarded ratio
+    (reference :873-887 — NULL propagation, NULLIF(denom,0))."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(revenue, 2).alias("revenue"),
+        pround(revenue * (1 + F.col("l_tax")), 2).alias("charge"),
+        pround(revenue / F.nullif(F.col("l_quantity"), F.lit(0.0)), 4).alias(
+            "price_per_unit"
+        ),
+    )
+
+
+D_MEASURES_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue,
+       ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+       ROUND(l_extendedprice * (1 - l_discount) / NULLIF(l_quantity, 0), 4) AS price_per_unit
+FROM lineitem
+"""
+
+
+def d_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13/D14 analogue: multi-branch categorical recode with NULL intent."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        recode(
+            "o_orderpriority",
+            {
+                "1-URGENT": "hot",
+                "2-HIGH": "hot",
+                "3-MEDIUM": "warm",
+                "4-NOT SPECIFIED": "cold",
+                "5-LOW": "cold",
+            },
+            default=None,
+            null_value="unknown",
+        ).alias("priority_class"),
+    )
+
+
+D_RECODE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+            WHEN o_orderpriority = '2-HIGH' THEN 'hot'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+            WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'cold'
+            WHEN o_orderpriority = '5-LOW' THEN 'cold'
+            WHEN o_orderpriority IS NULL THEN 'unknown'
+            ELSE NULL END AS priority_class
+FROM orders
+"""
+
+
+def d_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7+D8 analogue: concatenated unique key + zero-padded id
+    (reference :914-936)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        tsql_concat("WI", "-", "0", F.col("o_orderkey"), "-", F.col("o_custkey")).alias(
+            "unique_id"
+        ),
+        pad_key(F.col("o_custkey")).alias("nces_id"),
+    )
+
+
+D_UNIQUE_SQL = """
+SELECT o_orderkey,
+       'WI' || '-' || '0' || CAST(o_orderkey AS VARCHAR) || '-' || CAST(o_custkey AS VARCHAR) AS unique_id,
+       right('000000' || CAST(o_custkey AS VARCHAR), 6) AS nces_id
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extension ops (north star: LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "|".join(text.LANG_MARKERS["en"])
+
+
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, punctuation/stopword ratios, quality
+    score, md5 fingerprint — all JVM-side expressions."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.token_count(t).cast("long").alias("n_tokens"),
+        text.bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        pround(text.punct_ratio(t), 4).alias("punct_ratio"),
+        pround(text.stopword_ratio(t), 4).alias("stopword_ratio"),
+        text.quality_score(t).alias("quality"),
+        text.fingerprint(t).alias("fingerprint"),
+    )
+
+
+X_TEXT_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT)
+         END AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]{{1,8}}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0) AS punct_raw,
+         len(regexp_extract_all(LOWER(text), '\b({_STOP_EN})\b'))
+           / NULLIF(CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS DOUBLE), 0) AS stop_raw
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       ROUND(punct_raw, 4) AS punct_ratio,
+       ROUND(stop_raw, 4) AS stopword_ratio,
+       ROUND((LEAST(LENGTH(text) / 200.0, 1.0)
+            + GREATEST(0.0, 1.0 - COALESCE(punct_raw, 0) * 4)
+            + LEAST(COALESCE(stop_raw, 0) * 5, 1.0)) / 3, 4) AS quality,
+       md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM base
+"""
+
+
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language id: marker-word hit argmax (deterministic, so the
+    DuckDB oracle replicates it exactly)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_sql() -> str:
+    score_exprs = ",\n         ".join(
+        f"len(regexp_extract_all(LOWER(text), '\\b({'|'.join(words)})\\b')) AS s_{lang}"
+        for lang, words in text.LANG_MARKERS.items()
+    )
+    langs = list(text.LANG_MARKERS)
+    greatest = ", ".join(f"s_{l}" for l in langs)
+    whens = "\n       ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+WITH scores AS (
+  SELECT doc_id,
+         {score_exprs}
+  FROM documents
+), best AS (
+  SELECT doc_id, s_en, s_de, s_fr, s_es, GREATEST({greatest}) AS best FROM scores
+)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+       {whens}
+       ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+
+def x_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: survivor id + copy count per normalized fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+X_DEDUP_SQL = r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+"""
+
+
+def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard near-dup pairs (doc_id < 500 subset —
+    the oracle must do the same quadratic work)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.8)
+
+
+X_NGRAM_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 500
+), sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, 5) FOR i IN range(1, GREATEST(LENGTH(t) - 4, 1) + 1)]) AS s
+  FROM docs
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS n_inter,
+         CAST(len(a.s) + len(b.s) AS DOUBLE) AS n_sum
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(n_inter / (n_sum - n_inter), 6) AS jaccard
+FROM pairs
+WHERE ROUND(n_inter / (n_sum - n_inter), 6) >= 0.8
+"""
+
+
+def x_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only check: xxhash64 has no DuckDB
+    equivalent). Verified against exact Jaccard in tests/test_text_dedup.py."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return dedup.minhash_lsh_pairs(d, jaccard_threshold=0.8)
+
+
+def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only check — hash-function specific)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return dedup.simhash(d)
+
+
+def x_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on a bounded subset (oracle does the
+    same O(n²) work; the scale path is LSH-bucketed, see
+    operators/similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return dedup.embedding_near_dups(e, threshold=0.95)
+
+
+X_EMB_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
+"""
+
+
+def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for the vec_id=0 query vector."""
+    e = _t(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    return similarity.cosine_topk(e, q, k=10)
+
+
+X_ANN_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def x_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (10 min) per event type."""
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "10 minutes",
+        ["event_type"],
+        [F.count("*").alias("n"), pround(F.sum("value"), 2).alias("sum_value")],
+    )
+    return out.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+X_WINDOW_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): sessions + events per user."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", gap="30 minutes")
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+X_SESSION_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling: extract props.k as int."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+X_JSON_SQL = (
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val "
+    "FROM events"
+)
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "s1_scan_project": (s1_scan_project, S1_SQL),
+    "s6_literal_table": (s6_literal_table, S6_SQL),
+    "s7_catalog_columns": (s7_catalog_columns, S7_SQL),
+    "p2_filter_like": (p2_filter_like, P2_SQL),
+    "p3_agg_filter": (p3_agg_filter, P3_SQL),
+    "p4_p5_clean_rename": (p4_p5_clean_rename, P4_SQL),
+    "p6_p7_conditional": (p6_p7_conditional, P6_SQL),
+    "j1_dict_coalesce": (j1_dict_coalesce, J1_SQL),
+    "j2_rowid_stitch": (j2_rowid_stitch, J2_SQL),
+    "j4_linkage_join": (j4_linkage_join, J4_SQL),
+    "j5_full_outer": (j5_full_outer, J5_SQL),
+    "j5_anti": (j5_anti, J5_ANTI_SQL),
+    "j5_semi": (j5_semi, J5_SEMI_SQL),
+    "a2_global_agg": (a2_global_agg, A2_SQL),
+    "a3_distinct": (a3_distinct, A3_SQL),
+    "a4_group_aggs": (a4_group_aggs, A4_SQL),
+    "w1_row_number": (w1_row_number, W1_SQL),
+    "w2_window_funcs": (w2_window_funcs, W2_SQL),
+    "e1_intersect_qa": (e1_intersect_qa, E1_SQL),
+    "e2_union": (e2_union, E2_SQL),
+    "f_expressions": (f_expressions, F_SQL),
+    "d_derived_measures": (d_derived_measures, D_MEASURES_SQL),
+    "d_recode": (d_recode, D_RECODE_SQL),
+    "d_unique_id": (d_unique_id, D_UNIQUE_SQL),
+    "x_text_stats": (x_text_stats, X_TEXT_SQL),
+    "x_lang_id": (x_lang_id, _lang_sql()),
+    "x_exact_dedup": (x_exact_dedup, X_DEDUP_SQL),
+    "x_ngram_jaccard": (x_ngram_jaccard, X_NGRAM_SQL),
+    "x_minhash_pairs": (x_minhash_pairs, None),  # rows-only: hash-specific
+    "x_simhash": (x_simhash, None),  # rows-only: hash-specific
+    "x_embedding_near_dups": (x_embedding_near_dups, X_EMB_DUP_SQL),
+    "x_ann_topk": (x_ann_topk, X_ANN_SQL),
+    "x_window_tumbling": (x_window_tumbling, X_WINDOW_SQL),
+    "x_sessionize": (x_sessionize, X_SESSION_SQL),
+    "x_json_extract": (x_json_extract, X_JSON_SQL),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: the reference's record-linkage join shape (J4)
+    feeding derived measures — exercises scan, expression keys, join,
+    distinct, and rounding parity in one plan."""
+    return j4_linkage_join(spark, "/root/testdata/sf0.001")
+
+
+def _parity_round_sql(sql: str) -> str:
+    """Rewrite every ``ROUND(expr, k)`` in the oracle SQL to the
+    engine-parity formula ``FLOOR((expr) * 10^k.0 + 0.5) / 10^k.0`` so both
+    sides round identically (see ``fx.pround``)."""
+    out, i = [], 0
+    while True:
+        j = sql.find("ROUND(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        pos, depth, last_comma = j + 6, 1, -1
+        while depth > 0:
+            ch = sql[pos]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                last_comma = pos
+            pos += 1
+        expr = _parity_round_sql(sql[j + 6 : last_comma].strip())
+        scale = 10 ** int(sql[last_comma + 1 : pos - 1].strip())
+        out.append(f"FLOOR(({expr}) * {scale}.0 + 0.5) / {scale}.0")
+        i = pos
+    return "".join(out)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: _parity_round_sql(sql)
+        for name, (_, sql) in _REGISTRY.items()
+        if sql is not None
+    }

@@ -1,0 +1,290 @@
+"""Deduplication operators for LLM-pipeline data prep (north-star extension).
+
+Four tiers, cheapest-first — the standard large-corpus dedup ladder:
+
+1. exact       — hash-groupBy on a normalized fingerprint (one shuffle).
+2. MinHash+LSH — shingle → k minhashes → band buckets → bucket-join;
+                 candidate pairs verified by exact Jaccard. Scales as
+                 O(docs × shingles) + a self-join only *within* buckets.
+3. SimHash     — 64-bit sign-aggregated token-hash fingerprint; near-dups
+                 are fingerprints at small Hamming distance.
+4. n-gram Jaccard — exact character-shingle Jaccard for candidate pairs
+                 (the verifier for tiers 2/3; standalone for small data).
+
+Everything is built-in-function Spark (xxhash64, explode, groupBy) — no
+Python in the hot path. At 100 TB: the explode output is
+(docs × shingles_per_doc) rows; band bucketing keeps the candidate join
+quadratic only within a bucket, and a ``spark.sql.adaptive`` skew split
+handles pathological buckets (all-identical boilerplate docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.functions.fx import pround
+from data_engineering_capstone_project__spark.operators.text import fingerprint
+
+
+def _normalize(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-id row per normalized-text fingerprint.
+
+    One hash-shuffle on the fingerprint; map-side partial min makes the
+    shuffle payload one row per distinct doc per partition.
+    """
+    fp = fingerprint(F.col(text_col))
+    return (
+        df.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("_fp")
+    )
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Array of k-char shingles (distinct) of normalized text."""
+    norm = _normalize(text)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(norm, i, F.lit(k)))
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (distinct)."""
+    words = F.split(_normalize(text), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signature per doc: explode shingles, take min of k seeded
+    xxhash64 values. One explode + one groupBy; the k hash functions are k
+    aggregate expressions over the same exploded rows (single pass)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified by exact
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale path: docs sharing any band bucket become candidates; the
+    verification join touches only candidates. rows(bucket join) ≈
+    Σ_bucket n_b² — bounded by band width choice, not corpus size².
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    # long-form (doc, band_idx, bucket) then self-join per bucket
+    buckets = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return verify_jaccard(df, cand, id_col, text_col, shingle_k).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def verify_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
+
+    |A∩B| / |A∪B| via array_intersect on the shingle arrays — joined in,
+    not recomputed per pair."""
+    sh = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs — no approximation.
+
+    Candidate generation by shared-shingle join (docs sharing ≥1 shingle),
+    then exact Jaccard. Quadratic only within shingle groups; for 100 TB
+    use ``minhash_lsh_pairs`` and keep this as the verifier.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return verify_jaccard(df, cand, id_col, text_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc from word tokens.
+
+    Per token: 64-bit xxhash64. Per bit b: sum over tokens of ±1 by bit —
+    sign of the sum sets fingerprint bit b. Implemented as one explode +
+    one groupBy with 64 codegen'd aggregate expressions (no Python).
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(_normalize(F.col(text_col)), r"\s+")).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tokens.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: split the 64-bit fingerprint into
+    ``max_hamming+1`` blocks — pigeonhole guarantees any pair within the
+    distance shares at least one exact block. Join on (block_idx, block
+    value), then verify with bit_count(xor).
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    fps = simhash(df, id_col, text_col)
+    blocks = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                )
+                for i in range(nblocks)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    Brute-force within-join baseline; the LSH-bucketed scale path lives in
+    ``operators.similarity.lsh_bucket_pairs``.
+    """
+    from data_engineering_capstone_project__spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", pround(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

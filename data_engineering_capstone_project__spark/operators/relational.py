@@ -1,0 +1,125 @@
+"""Relational core (SURVEY.md §2.2–2.6).
+
+Each reference operator that took a WHILE loop + dynamic SQL collapses to a
+single lazy DataFrame transformation; Catalyst owns pushdown, pruning, join
+strategy, and partial aggregation. Nothing here materializes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.functions.fx import pad_key
+
+
+def drop_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P4: the reference's per-column ALTER TABLE DROP loop
+    (``shareOurStrengthSQLCodev4.sql:137-154``) is one ``drop`` call;
+    Catalyst's ColumnPruning then keeps dropped columns out of the scan."""
+    return df.drop(*cols)
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str], keep_unmapped: bool = True) -> DataFrame:
+    """P5: the reference's rename fold-join chain (``:202-270``, ~65 LoC,
+    one shuffle-join per column) is a single Project node.
+
+    With ``keep_unmapped=False`` this reproduces the reference exactly:
+    the fold carries *only* renamed columns (+ row id) forward.
+    """
+    if keep_unmapped:
+        return df.withColumnsRenamed(dict(mapping))
+    keep = [F.col(raw).alias(clean) for raw, clean in mapping.items() if raw in df.columns]
+    return df.select(*keep)
+
+
+def add_row_id(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    id_col: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W1: global 1-based row id by total order — scale-safely.
+
+    The reference uses ``ROW_NUMBER() OVER (ORDER BY k)`` (``:163,:412,:666``),
+    which in Spark would plan a single-partition window — a non-starter at
+    100 TB (SURVEY §7.4). Two-phase instead:
+
+    1. range-repartition on the order keys (total order across partitions),
+    2. per-partition local ``row_number`` (cheap: partition-local sort),
+    3. add the cumulative count of all earlier partitions (tiny driver-side
+       offset map, broadcast join on partition id).
+
+    Deterministic iff ``order_cols`` is a unique key (same caveat as the
+    reference's heap-order ROW_NUMBER, SURVEY §2.5).
+    """
+    cols = [F.col(c) for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # persist the range-partitioned data: the offsets job and the final job
+    # must see the SAME partition boundaries (RangePartitioner samples, so
+    # re-execution could draw different boundaries)
+    parted = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # partition sizes -> cumulative offsets (metadata-sized collect: one row per partition)
+    sizes = parted.groupBy("_pid").count().collect()
+    offsets, run = {}, 0
+    for row in sorted(sizes, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = run
+        run += row["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        parted.withColumn("_local", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(id_col, (F.col("_local") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def linkage_join(
+    left: DataFrame,
+    right: DataFrame,
+    exact_keys: Sequence[tuple[str, str]],
+    padded_keys: Sequence[tuple[str, str]] = (),
+    pad_width: int = 6,
+    how: str = "inner",
+    distinct: bool = True,
+) -> DataFrame:
+    """J4: multi-key record-linkage join with expression keys.
+
+    The reference's flagship "Join Scenario #1"
+    (``shareOurStrengthSQLCodev4.sql:1079-1089``): equi-join on exact columns
+    plus zero-padded id columns, then ``SELECT DISTINCT a.*, b.*``. Spark
+    plans this as a sort-merge join on the computed keys (still an equi-join,
+    so no theta-join blowup); AQE handles skewed linkage keys.
+    """
+    conds: list[Column] = [left[a] == right[b] for a, b in exact_keys]
+    conds += [
+        pad_key(left[a], pad_width) == pad_key(right[b], pad_width)
+        for a, b in padded_keys
+    ]
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    out = left.join(right, cond, how)
+    return out.distinct() if distinct else out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """W2 helper: classic windowed top-k (rank ≤ k per group)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (north-star extension).
+
+``embedding`` is ``array<float>``. Dot products / norms are built-in
+higher-order functions (``aggregate``/``zip_with`` — JVM-side, codegen'd);
+no Python in the scoring loop.
+
+Tiers:
+- ``cosine_topk``        — brute-force exact top-k (baseline; exact oracle).
+- ``lsh_bucket_pairs``   — random-hyperplane LSH bucketing: the 100 TB path
+                           (candidates only within a bucket).
+- ``ivf_topk``           — IVF: coarse k-means centroids (numpy, driver-side
+                           on a sample), probe the ``nprobe`` nearest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.functions.fx import pround
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine against one query vector.
+
+    One scan + a ``takeOrdered``-style global top-k (Spark's sort+limit is
+    optimized to a per-partition top-k + merge — no full sort shuffle).
+    """
+    q = _lit_vec(query_vec)
+    return (
+        df.select(F.col(id_col), pround(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k for a *set* of query vectors: broadcast the queries,
+    score every (vector, query) pair, windowed top-k per query."""
+    from pyspark.sql import Window as W
+
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        pround(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-of-projection LSH bucket id (random hyperplane / SRP-LSH).
+
+    bucket = Σ_p (dot(v, plane_p) > 0) << p — vectors in the same bucket
+    are likely cosine-similar. All codegen'd expressions.
+    """
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        proj = dot(vec_col, _lit_vec(list(plane)))
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def lsh_bucket_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int = 64,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-neighbor pairs via SRP-LSH bucketing + in-bucket verification.
+
+    The scale path for ``embedding_near_dups``: the self-join is equi on
+    bucket id, so cost is Σ_bucket n_b², not N²."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", pround(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse centroids for IVF via driver-side numpy k-means on a sample.
+
+    At 100 TB a ~10k-row uniform sample still estimates coarse cells fine;
+    training cost is independent of corpus size.
+    """
+    sample = np.array(
+        df.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(n_iter):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(0)
+    return centroids
+
+
+def assign_ivf_cell(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id as a codegen'd argmin expression."""
+    # distance to each centroid: ||v||² - 2<v,c> + ||c||²; ||v||² is common →
+    # argmin over (-2<v,c> + ||c||²), expressible with the dot() helper.
+    scores = []
+    for c in centroids:
+        cc = float((c * c).sum())
+        scores.append(F.lit(-2.0) * dot(vec_col, _lit_vec(list(c))) + F.lit(cc))
+    best = F.least(*scores)
+    cell = F.when(scores[0] == best, F.lit(0))
+    for idx in range(1, len(scores)):
+        cell = cell.when(scores[idx] == best, F.lit(idx))
+    return cell.otherwise(F.lit(-1))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the ``nprobe`` cells
+    nearest the query. With the corpus pre-partitioned by cell (see
+    ``write_parquet(partition_by=['ivf_cell'])``), the probe prunes
+    partitions at scan time."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(1)
+    probe_cells = [int(i) for i in d2.argsort()[:nprobe]]
+    cell = assign_ivf_cell(F.col(vec_col), centroids)
+    return (
+        df.withColumn("_cell", cell)
+        .filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), pround(cosine(F.col(vec_col), _lit_vec(query_vec)), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators for LLM-pipeline data prep (north-star extension;
+no analogue in the reference — its only string ops are REPLACE/CONCAT/CASE,
+SURVEY.md §2.7).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen). No Python UDFs anywhere in this module — at 100 TB a
+row-at-a-time UDF on a documents table is the difference between hours and
+days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.functions.fx import pround
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language id. Deterministic and SQL-expressible (regexp hit counts) so the
+# DuckDB oracle can replicate it exactly.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour"],
+    "es": ["el", "los", "las", "es", "una", "que", "por", "para"],
+}
+
+_WORD_RE = r"\s+"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, _WORD_RE))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word-pieces + digits + punctuation
+    runs (a regex proxy for subword tokenizers — deterministic, no vocab)."""
+    pieces = F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    return F.size(pieces)
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (NULL on empty)."""
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    return n_punct / F.nullif(F.length(text).cast("double"), F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Stopword hits / token count (English markers by default)."""
+    words = stopwords or LANG_MARKERS["en"]
+    pat = r"\b(" + "|".join(words) + r")\b"
+    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+    return hits / F.nullif(token_count(text).cast("double"), F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot × low punctuation
+    × stopword presence. Cheap, deterministic, codegen'd."""
+    n = F.length(text).cast("double")
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    punct = F.coalesce(punct_ratio(text), F.lit(0.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct * 4)
+    stop = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    stop_score = F.least(stop * 5, F.lit(1.0))
+    return pround((len_score + punct_score + stop_score) / 3, 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit count per language."""
+    out = {}
+    lowered = F.lower(text)
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0)))
+    return out
+
+
+def lang_id(text: Column, default: str = "und") -> Column:
+    """Heuristic language id: argmax of marker hits, ties broken by fixed
+    language order (en > de > fr > es), 'und' when all zero."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    best = F.greatest(*[scores[l] for l in langs])
+    expr = F.when(best == 0, F.lit(default))
+    for l in langs:
+        expr = expr.when(scores[l] == best, F.lit(l))
+    return expr.otherwise(F.lit(default))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text.
+
+    Used as the exact-dedup key; a content-defined rolling hash variant
+    lives in ``operators.dedup.simhash`` for near-dup.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis: counts, ratios, quality, lang id, fingerprint."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        char_count(t).alias("n_chars_computed"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        pround(punct_ratio(t), 4).alias("punct_ratio"),
+        pround(stopword_ratio(t), 4).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

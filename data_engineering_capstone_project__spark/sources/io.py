@@ -1,0 +1,122 @@
+"""Sources & sinks (SURVEY.md §2.1, S1–S7).
+
+The reference loads tab-delimited text with a header-probe + generated
+``CREATE TABLE`` + ``BULK INSERT`` dance (~40 lines per file,
+``shareOurStrengthSQLCodev4.sql:25-64``). Spark's CSV reader subsumes the
+whole mechanism: ``header=True`` is the schema probe, all-string loading is
+``inferSchema=False`` (the reference's "all columns are varchar(1000)"
+stance, ``:42``), and column-name sanitation is driver-side Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    sep: str = "\t",
+    header: bool = True,
+    sanitize: bool = True,
+) -> DataFrame:
+    """S1+S2+S3: delimited-file load, every column as string.
+
+    Mirrors the reference's BULK INSERT with ``FieldTerminator='\\t'``
+    (``shareOurStrengthSQLCodev4.sql:9-11``) and its header-derived
+    all-varchar schema (``:49-61``). ``sanitize`` reproduces the header
+    cleanup at ``:35`` (strip stray artifacts/quotes, trim whitespace).
+    """
+    df = spark.read.options(sep=sep, header=header, inferSchema=False).csv(path)
+    if sanitize:
+        cleaned = [c.strip().strip('"').replace("﻿", "") for c in df.columns]
+        if cleaned != df.columns:
+            df = df.toDF(*cleaned)
+    return df
+
+
+def probe_header(spark: SparkSession, path: str) -> list[str]:
+    """S2: header-only read (``FirstRow=1, LastRow=1``, ``:26-28``)."""
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        return []
+    return [c.strip().strip('"') for c in first[0][0].split("\t")]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, tolerating parquet TIMESTAMP(NANOS).
+
+    The driver testdata writes ``ts`` as nanosecond timestamps, which the
+    vectorized parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); read nanos
+    as long (session conf, safe to set at runtime) and convert to a
+    microsecond TimestampType column.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver testdata tables from ``sf_dir`` as a dict."""
+    return {
+        n: load_events(spark, sf_dir) if n == "events" else spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        for n in names
+    }
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """S4 durable sink. ``partition_by`` enables partition pruning on read —
+    the reference processes per-state files (``Read.md:1``); at 100 TB the
+    analogue is ``partition_by=['state']``."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def literal_table(
+    spark: SparkSession, rows: Sequence[tuple], schema: str
+) -> DataFrame:
+    """S6: literal-row table (``CREATE TABLE``+``INSERT VALUES``, ``:1097-1113``)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def columns_df(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """S7: catalog introspection — a table's column names as rows.
+
+    The reference pivots ``sys.columns`` into a joinable table
+    (``:84,:335,:586``) so headers can be dictionary-joined; in Spark the
+    schema is already driver-side metadata.
+    """
+    return spark.createDataFrame([(c,) for c in df.columns], "name string")

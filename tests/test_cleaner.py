@@ -1,0 +1,71 @@
+"""Cleaning-planner tests mirroring FIXTURES.md A1 coverage: name only in
+template 1, only in 2, in both (priority), NULL clean name, NOT USED, and a
+clean name mapped from two raw names (excluded from rename)."""
+
+from data_engineering_capstone_project__spark.plans.cleaner import (
+    apply_clean_plan,
+    build_clean_plan,
+)
+
+DICT_SCHEMA = (
+    "raw_data_column string, raw_data_column_name string, "
+    "equivalent_clean_data_name string, notes string"
+)
+
+
+def _dicts(spark):
+    d1 = spark.createDataFrame(
+        [
+            ("c1", "only_in_1", "Clean One", None),
+            ("c2", "in_both", "From T1", None),
+            ("c3", "null_clean", None, "no mapping"),
+            ("c4", "not_used_col", "THIS IS NOT USED HERE", None),
+            ("c5", "dup_a", "Duplicated Clean", None),
+            ("c6", "dup_b", "Duplicated Clean", None),
+        ],
+        DICT_SCHEMA,
+    )
+    d2 = spark.createDataFrame(
+        [
+            ("c7", "only_in_2", "Clean Two", None),
+            ("c8", "in_both", "From T2", None),
+        ],
+        DICT_SCHEMA,
+    )
+    return d1, d2
+
+
+def test_plan_rules(spark):
+    d1, d2 = _dicts(spark)
+    cols = [
+        "only_in_1", "only_in_2", "in_both", "null_clean",
+        "not_used_col", "dup_a", "dup_b", "undictionaried",
+    ]
+    plan = build_clean_plan(cols, d1, d2, prefer=1)
+    assert set(plan.drops) == {"null_clean", "not_used_col", "undictionaried"}
+    assert plan.renames == {
+        "only_in_1": "Clean One",
+        "only_in_2": "Clean Two",
+        "in_both": "From T1",  # prefer=1 wins
+    }
+    # dup_a/dup_b map to the same clean name -> kept but NOT renamed
+    assert "dup_a" not in plan.renames and "dup_a" not in plan.drops
+
+
+def test_prefer_template_2(spark):
+    d1, d2 = _dicts(spark)
+    plan = build_clean_plan(["in_both"], d1, d2, prefer=2)
+    assert plan.renames == {"in_both": "From T2"}
+
+
+def test_apply_plan_single_projection(spark):
+    d1, d2 = _dicts(spark)
+    cols = ["only_in_1", "null_clean", "dup_a", "dup_b", "row_num"]
+    df = spark.createDataFrame(
+        [("v1", "junk", "d", "e", 1)],
+        "only_in_1 string, null_clean string, dup_a string, dup_b string, row_num long",
+    )
+    plan = build_clean_plan(cols[:-1], d1, d2)
+    out = apply_clean_plan(df, plan, row_id_col="row_num")
+    assert out.columns == ["Clean One", "dup_a", "dup_b", "row_num"]
+    assert out.collect()[0]["Clean One"] == "v1"

@@ -1,0 +1,69 @@
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.operators.relational import (
+    add_row_id,
+    linkage_join,
+    rename_columns,
+    top_k_per_group,
+)
+from data_engineering_capstone_project__spark.plans.qa import qa_compare, qa_diff
+
+
+def test_add_row_id_matches_global_row_number(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = add_row_id(orders, ["o_orderkey"], num_partitions=8)
+    got = {r["o_orderkey"]: r["row_num"] for r in out.select("o_orderkey", "row_num").collect()}
+    keys = sorted(got)
+    assert [got[k] for k in keys] == list(range(1, len(keys) + 1))
+    assert out.count() == orders.count()
+
+
+def test_rename_columns_exact_mode(spark):
+    df = spark.createDataFrame([(1, "a", "x")], "row_num long, raw1 string, junk string")
+    out = rename_columns(df, {"raw1": "clean1", "row_num": "row_num"}, keep_unmapped=False)
+    assert out.columns == ["clean1", "row_num"]
+
+
+def test_linkage_join_padded_keys(spark):
+    left = spark.createDataFrame(
+        [("s1", "2017-10", "42"), ("s2", "2017-10", "123456")],
+        "`school name` string, `claim date` string, `district id` string",
+    )
+    right = spark.createDataFrame(
+        [("s1", "2017-10", "000042", "L"), ("s2", "2017-10", "123456", "M"),
+         ("s3", "2017-10", "7", "N")],
+        "sname string, cdate string, did string, extra string",
+    )
+    out = linkage_join(
+        left, right,
+        exact_keys=[("school name", "sname"), ("claim date", "cdate")],
+        padded_keys=[("district id", "did")],
+    )
+    rows = {(r["school name"], r["extra"]) for r in out.collect()}
+    assert rows == {("s1", "L"), ("s2", "M")}
+
+
+def test_qa_compare_reference_example(spark):
+    """The reference's own QA literal tables (:1097-1113): counts 5,5,4."""
+    t1 = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("A", "D"), ("B", "D"), ("B", "F")],
+        "field1 string, field2 string",
+    )
+    t2 = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("A", "D"), ("B", "D"), ("E", "F")],
+        "field1 string, field2 string",
+    )
+    row = qa_compare(t1, t2).collect()[0]
+    assert (row["count_a"], row["count_b"], row["count_common"]) == (5, 5, 4)
+    assert not row["equivalent"]
+    diff = qa_diff(t1, t2)
+    assert diff.count() == 2
+
+
+def test_top_k_per_group(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = top_k_per_group(
+        li, ["l_returnflag"], [F.col("l_extendedprice").desc()], k=3
+    )
+    counts = out.groupBy("l_returnflag").count().collect()
+    assert all(r["count"] == 3 for r in counts)

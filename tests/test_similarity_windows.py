@@ -1,0 +1,73 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.operators import similarity
+from data_engineering_capstone_project__spark.operators.dedup import embedding_near_dups
+from data_engineering_capstone_project__spark.sources.io import load_events
+from data_engineering_capstone_project__spark.streaming.windows import (
+    sessionize,
+    tumbling_agg,
+)
+
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    out = similarity.cosine_topk(emb, q, k=5).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0 and abs(out[0]["cosine"] - 1.0) < 1e-4
+    # numpy oracle
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qv = np.array(q)
+    sims = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+    best = ids[np.argsort(-sims)[:5]]
+    assert {r["vec_id"] for r in out} == set(best.tolist())
+
+
+def test_lsh_bucket_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_bucket_pairs(emb, n_planes=6, threshold=0.8).collect()
+    }
+    assert lsh <= brute
+    if brute:
+        assert len(lsh) / len(brute) > 0.3  # few planes -> partial recall ok
+
+
+def test_ivf_topk_probe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.kmeans_centroids(emb, n_centroids=4, n_iter=5, sample_rows=200)
+    qrow = emb.filter(F.col("vec_id") == 1).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    out = similarity.ivf_topk(emb, q, cents, k=3, nprobe=2).collect()
+    assert len(out) == 3
+    assert out[0]["vec_id"] == 1  # query vec itself lives in a probed cell
+
+
+def test_tumbling_agg_and_sessionize(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    out = tumbling_agg(
+        ev, "ts", "10 minutes", ["event_type"], [F.count("*").alias("n")]
+    )
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()
+
+    sess = sessionize(ev, "ts", "user_id", gap="30 minutes")
+    assert sess.count() == ev.count()
+    # session ids are 1..k per user, non-decreasing over time
+    one = (
+        sess.filter(F.col("user_id") == 1)
+        .orderBy("ts")
+        .select("session_id")
+        .collect()
+    )
+    vals = [r["session_id"] for r in one]
+    assert vals == sorted(vals) and vals[0] == 1

@@ -1,0 +1,59 @@
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.operators import dedup, text
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "The  quick brown fox jumps over the lazy dog"),  # ws/case dup of 1
+            (3, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+            (4, "completely different content about spark engines"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_count_and_quality(spark):
+    df = _docs(spark)
+    out = {r["doc_id"]: r for r in text.analyze(df).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[5]["n_tokens"] == 0
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert out[1]["fingerprint"] != out[3]["fingerprint"]
+    assert out[1]["lang_pred"] == "en"
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    out = dedup.exact_dedup(df)
+    assert out.count() == 4
+    copies = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert copies[1] == 2  # doc 2 collapsed into doc 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    df = _docs(spark).filter("doc_id != 5")
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    df = _docs(spark).filter("doc_id != 5")
+    pairs = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_pairs(spark):
+    df = _docs(spark).filter("doc_id != 5")
+    fps = dedup.simhash(df)
+    assert fps.count() == 4
+    pairs = dedup.simhash_pairs(df, max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # identical after normalization -> hamming 0
