@@ -33,7 +33,12 @@ from data_engineering_capstone_project__spark.functions.fx import (
     tsql_concat,
 )
 from data_engineering_capstone_project__spark.operators import dedup, similarity, text
-from data_engineering_capstone_project__spark.operators.relational import add_row_id
+from data_engineering_capstone_project__spark.operators.asof import asof_join, range_join
+from data_engineering_capstone_project__spark.operators.relational import (
+    add_row_id,
+    salted_group_count,
+    top_k_per_group,
+)
 from data_engineering_capstone_project__spark.plans.cleaner import (
     apply_clean_plan,
     build_clean_plan,
@@ -43,6 +48,12 @@ from data_engineering_capstone_project__spark.sources.io import load_events
 from data_engineering_capstone_project__spark.streaming.windows import (
     sessionize,
     tumbling_agg,
+)
+from data_engineering_capstone_project__spark.streaming.stream import (
+    run_stream_to_table,
+    stateful_running_count,
+    stream_events,
+    windowed_stream_agg,
 )
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -721,7 +732,7 @@ WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id
 SELECT vec_id,
        ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine
 FROM embeddings
-ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) DESC, vec_id
+ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) DESC, vec_id
 LIMIT 10
 """
 
@@ -792,6 +803,322 @@ X_JSON_SQL = (
 )
 
 
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the most recent 'signup' event of
+    the same user at-or-before its timestamp (union+window implementation,
+    one shuffle — see operators/asof.py)."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("sv")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(left, signups, ts_col="ts", by=["user_id"], right_value_cols=["sv"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        F.col("sv_r").alias("signup_value"),
+        F.date_format("ts_r", TS_FMT_SPARK).alias("signup_ts"),
+    )
+
+
+X_ASOF_SQL = f"""
+SELECT e.event_id, e.user_id, strftime(e.ts, '{TS_FMT_DUCK}') AS ts,
+       s.sv AS signup_value, strftime(s.ts, '{TS_FMT_DUCK}') AS signup_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, value AS sv FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketed equi-join: orders binned into price bands
+    (the O(n·m) theta join becomes bucket-local work)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(
+        [(i, float(i * 100_000), float((i + 1) * 100_000)) for i in range(7)],
+        "band_id int, lo double, hi double",
+    )
+    out = range_join(o, bands, "o_totalprice", "lo", "hi", bucket_width=50_000.0)
+    return out.select("o_orderkey", "band_id")
+
+
+X_RANGE_SQL = """
+WITH bands AS (
+  SELECT i AS band_id, i * 100000.0 AS lo, (i + 1) * 100000.0 AS hi
+  FROM range(7) t(i)
+)
+SELECT o_orderkey, CAST(band_id AS INTEGER) AS band_id
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user count of each event type as columns."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+X_PIVOT_SQL = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over lineitem flags."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+X_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide numeric columns → long (metric, val) form."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey_d"),
+    )
+    return o.unpivot(
+        ["o_orderkey"], ["o_totalprice", "o_custkey_d"], "metric", "val"
+    )
+
+
+X_UNPIVOT_SQL = """
+SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val FROM orders
+UNION ALL
+SELECT o_orderkey, 'o_custkey_d' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders
+"""
+
+
+def x_exceptall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference) — E2 surface."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.exceptAll(c)
+
+
+X_EXCEPTALL_SQL = (
+    "SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT c_custkey AS k FROM customer"
+)
+
+
+def x_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        pround(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        pround(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+X_PERCENTILE_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def x_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, approx quantile) — rows-only
+    check: approximation algorithms are engine-specific by design."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+    )
+
+
+def x_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (sort_array(collect_list) = deterministic)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+X_STRING_AGG_SQL = """
+SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group with deterministic tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = top_k_per_group(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_returnflag"],
+        [
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        k=3,
+    )
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+X_TOPK_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+FROM lineitem
+QUALIFY rn <= 3
+"""
+
+
+def x_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: per-month order counts and revenue."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), TS_FMT_SPARK).alias(
+            "month_start"
+        )
+    ).agg(
+        F.count("*").alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+X_DATE_TRUNC_SQL = f"""
+SELECT strftime(date_trunc('month', o_orderdate), '{TS_FMT_DUCK}') AS month_start,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def x_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted two-phase aggregation — result identical to a
+    plain groupBy().count() (which is the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_group_count(li, ["l_suppkey"], n_salts=16)
+
+
+X_SALTED_SQL = "SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey"
+
+
+def x_cosine_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched similarity search: top-5 neighbors for 3 query vectors
+    (broadcast queries + windowed per-query top-k)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.cosine_topk_many(e, queries_df, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+X_TOPK_MANY_SQL = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS raw
+  FROM embeddings e CROSS JOIN q
+)
+SELECT q_id, vec_id, ROUND(raw, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(raw, 6) DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
+def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (rows-only: probe set depends on
+    the engine's centroid sample)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(e, n_centroids=8, n_iter=5, sample_rows=500)
+    qrow = e.filter(F.col("vec_id") == 1).select("embedding").collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    return similarity.ivf_topk(e, q, cents, k=10, nprobe=3)
+
+
+def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation driven to completion
+    (memory sink, complete mode) — same oracle as the batch version."""
+    stream = stream_events(spark, sf_dir)
+    agg = windowed_stream_agg(
+        stream,
+        "ts",
+        "10 minutes",
+        ["event_type"],
+        [F.count("*").alias("n"), pround(F.sum("value"), 2).alias("sum_value")],
+        watermark="1 hour",
+    )
+    table = run_stream_to_table(agg, mode="complete")
+    return table.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def x_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user event counts; single-file source → one micro-batch → final
+    counts equal the batch groupBy (the oracle)."""
+    stream = stream_events(spark, sf_dir)
+    counts = stateful_running_count(stream, "user_id")
+    return run_stream_to_table(counts, mode="update")
+
+
+X_STREAM_STATEFUL_SQL = (
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"
+)
+
+
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only): deterministic inline media table →
+    Arrow-batched feature extraction via mapInPandas (fake decoder — media
+    libs not in this container; Spark-side schema/batching is real)."""
+    from data_engineering_capstone_project__spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    out = mm.extract_image_features(media, fake=True)
+    return out.select("media_id", "n_bytes", "sha256")
+
+
+X_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents WHERE doc_id < 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -833,6 +1160,23 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_window_tumbling": (x_window_tumbling, X_WINDOW_SQL),
     "x_sessionize": (x_sessionize, X_SESSION_SQL),
     "x_json_extract": (x_json_extract, X_JSON_SQL),
+    "x_asof_join": (x_asof_join, X_ASOF_SQL),
+    "x_range_join": (x_range_join, X_RANGE_SQL),
+    "x_pivot": (x_pivot, X_PIVOT_SQL),
+    "x_cube": (x_cube, X_CUBE_SQL),
+    "x_unpivot": (x_unpivot, X_UNPIVOT_SQL),
+    "x_exceptall": (x_exceptall, X_EXCEPTALL_SQL),
+    "x_percentile": (x_percentile, X_PERCENTILE_SQL),
+    "x_approx_stats": (x_approx_stats, None),  # rows-only: approx algos differ
+    "x_string_agg": (x_string_agg, X_STRING_AGG_SQL),
+    "x_topk_per_group": (x_topk_per_group, X_TOPK_SQL),
+    "x_date_trunc": (x_date_trunc, X_DATE_TRUNC_SQL),
+    "x_salted_count": (x_salted_count, X_SALTED_SQL),
+    "x_cosine_topk_many": (x_cosine_topk_many, X_TOPK_MANY_SQL),
+    "x_ivf_topk": (x_ivf_topk, None),  # rows-only: centroid sample is engine-side
+    "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
+    "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
+    "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
 }
 
 

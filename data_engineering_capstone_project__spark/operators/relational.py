@@ -113,6 +113,26 @@ def linkage_join(
     return out.distinct() if distinct else out
 
 
+def salted_group_count(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n_salts: int = 16,
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Skew-resistant two-phase aggregation: explode a hot grouping key
+    across ``n_salts`` shards (random salt), partial-aggregate per
+    (key, salt), then combine. Result identical to a plain
+    ``groupBy().count()``; at 100 TB this bounds the largest reduce task
+    by 1/n_salts of the hottest key. (AQE's skewJoin handles skewed JOINs;
+    salting covers skewed AGGREGATIONS, which AQE does not split.)
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(*group_cols, "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy(*group_cols).agg(
+        F.sum("_c").alias(count_col)
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -29,20 +29,22 @@ _WORD_RE = r"\s+"
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count; empty/blank text counts 0."""
+    """Whitespace token count; empty/blank text counts 0.
+
+    ``regexp_count`` (separator runs + 1) — counts matches without
+    materializing a string array (~2× cheaper than size(split)), same
+    result as ``size(split(trim(text), '\\s+'))``.
+    """
     trimmed = F.trim(text)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, _WORD_RE))
+        F.regexp_count(trimmed, F.lit(_WORD_RE)) + 1
     )
 
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish token estimate: count word-pieces + digits + punctuation
     runs (a regex proxy for subword tokenizers — deterministic, no vocab)."""
-    pieces = F.regexp_extract_all(
-        text, F.lit(r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)
-    )
-    return F.size(pieces)
+    return F.regexp_count(text, F.lit(r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\s]"))
 
 
 def char_count(text: Column) -> Column:
@@ -51,7 +53,7 @@ def char_count(text: Column) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     """Punctuation chars / total chars (NULL on empty)."""
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
     return n_punct / F.nullif(F.length(text).cast("double"), F.lit(0.0))
 
 
@@ -59,7 +61,7 @@ def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     """Stopword hits / token count (English markers by default)."""
     words = stopwords or LANG_MARKERS["en"]
     pat = r"\b(" + "|".join(words) + r")\b"
-    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+    hits = F.regexp_count(F.lower(text), F.lit(pat))
     return hits / F.nullif(token_count(text).cast("double"), F.lit(0.0))
 
 
@@ -81,7 +83,7 @@ def lang_scores(text: Column) -> dict[str, Column]:
     lowered = F.lower(text)
     for lang, words in LANG_MARKERS.items():
         pat = r"\b(" + "|".join(words) + r")\b"
-        out[lang] = F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0)))
+        out[lang] = F.regexp_count(lowered, F.lit(pat))
     return out
 
 

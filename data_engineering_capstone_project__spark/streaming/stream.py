@@ -1,0 +1,106 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — absent in the reference;
+provided as engine capability for event streams).
+
+Batch expressions from ``streaming.windows`` are reused verbatim — the same
+``F.window`` aggregation runs under ``readStream`` with a watermark. For
+tests/smoke, a parquet directory drives the stream and a memory sink +
+``processAllAvailable()`` makes execution synchronous and deterministic.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (nanos ts handled as in
+    ``sources.io.load_events``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # readStream needs a directory source; glob-filter to the events file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
+def windowed_stream_agg(
+    stream: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation on a stream — identical
+    expression shape to the batch ``tumbling_agg``."""
+    win = F.window(F.col(ts_col), duration)
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *group_cols)
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
+def run_stream_to_table(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a (bounded) stream to completion into a memory sink and return
+    the result as a batch DataFrame. Synchronous; for tests and the driver
+    contract's rows-only streaming checks."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def stateful_running_count(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    out_schema: str = "user_id long, n_events long",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-key event count across micro-batches (the canonical shape for
+    custom streaming state — replace the update body for richer state)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
