@@ -123,6 +123,122 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filtered agg + top-10 by revenue.
+
+    Exercises: predicate pushdown on dates, broadcast of the filtered
+    customer side, partial aggregation, global top-k (sort+limit planned as
+    per-partition top-k + merge)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+       o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region→nation→customer/supplier→
+    orders→lineitem) with the local-supplier predicate, grouped revenue."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg (everything pushes to the
+    parquet scan; single global sum)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
 def s1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+P1: projection reaches the parquet scan (ReadSchema pruning)."""
     return _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -1119,12 +1235,218 @@ FROM documents WHERE doc_id < 100
 """
 
 
+_DICT_SCHEMA = (
+    "raw_data_column string, raw_data_column_name string, "
+    "equivalent_clean_data_name string, notes string"
+)
+
+_LUNCH_RAW_SCHEMA = (
+    "SCHOOL_NAME string, CLAIM_DATE string, DISTRICT_ID string, "
+    "`PUBLIC` string, `SCHOOL TYPE` string, LUNCH_FREE string, LUNCH_RED string, "
+    "LUNCH_PAID string, DAYS_LUNCH string, ENR_FREE string, ENR_RED string, "
+    "ENR_TOT string, CEP_FLAG string, SCHOOL_ID string, SCHOOL_LEVEL string, "
+    "JUNK_A string, LEGACY_COL string"
+)
+
+_LUNCH_ROWS = [
+    ("Alpha Elem", "2017-10", "42", "YES", "REGULAR", "100", "20", "30", "20",
+     "150", "25", "200", "N", "7", "Elementary School", "x", "y"),
+    ("Beta High", "2017-10", "123456", "NO", "RCCI", "50", None, "10", "18",
+     "80", "10", "100", "Y", "8", "High School", "x", "y"),
+    ("Gamma Mid", "2017-11", "99", "YES", "REGULAR", "60", "40", "20", "16",
+     "90", "30", "150", "N", "9", "Middle School", "x", "y"),
+    ("Delta Only", "2017-11", "7", "NO", "REGULAR", "10", "5", "5", "10",
+     "20", "5", "50", "X", "10", "Junior H.S", "x", "y"),
+]
+
+_BRKF_RAW_SCHEMA = (
+    "SCHOOL_NAME string, CLAIM_DATE string, DISTRICT_ID string, "
+    "TRADITIONAL_MODEL string, MID_MORNING_MODEL string, CLASSROOM_MODEL string, "
+    "REDUCED_PRICE_MODEL string, GRAB_N_GO_MODEL string, FREE_MODEL string, "
+    "BRKF_FREE string, BRKF_RED string, DAYS_BRKF string, SCHOOL_YEAR string, "
+    "JUNK_B string"
+)
+
+_BRKF_ROWS = [
+    ("Alpha Elem", "2017-10", "000042", "Y", None, "N", "Y", "N", "Y",
+     "60", "15", "20", None, "z"),
+    ("Beta High", "2017-10", "123456", "N", "N", "N", "N", "N", "N",
+     "30", "5", "18", "17-18", "z"),
+    ("Gamma Mid", "2017-11", "000099", "Y", "Y", "N", "N", "Y", "N",
+     "45", "12", "15", "16-17", "z"),
+    ("Omega None", "2017-11", "55", "N", "N", "N", "N", "N", "N",
+     "1", "1", "1", None, "z"),
+]
+
+_LUNCH_DICT = [
+    ("l1", "SCHOOL_NAME", "school name", None),
+    ("l2", "CLAIM_DATE", "claim date", None),
+    ("l3", "DISTRICT_ID", "district id", None),
+    ("l4", "PUBLIC", "PUBLIC", None),
+    ("l5", "SCHOOL TYPE", "SCHOOL TYPE", None),
+    ("l6", "LUNCH_FREE", "Lunch Meals-Free", None),
+    ("l7", "LUNCH_RED", "Lunch Meals-Reduced", None),
+    ("l8", "LUNCH_PAID", "Lunch Meals-Paid", None),
+    ("l9", "DAYS_LUNCH", "Operating Days-Lunch Only", None),
+    ("l10", "ENR_FREE", "Enrollment-Free", None),
+    ("l11", "ENR_RED", "Enrollment-Reduced", None),
+    ("l12", "ENR_TOT", "Enrollment-Total", None),
+    ("l13", "CEP_FLAG", "CEP (Y/N)", None),
+    ("l14", "SCHOOL_ID", "School ID", None),
+    ("l15", "SCHOOL_LEVEL", "School Level-Original", None),
+    ("l16", "LEGACY_COL", "OLD COLUMN NOT USED", None),
+]
+
+_BRKF_DICT = [
+    ("b1", "SCHOOL_NAME", "school name", None),
+    ("b2", "CLAIM_DATE", "claim date", None),
+    ("b3", "DISTRICT_ID", "district id", None),
+    ("b4", "TRADITIONAL_MODEL", "TRADITIONAL_MODEL", None),
+    ("b5", "MID_MORNING_MODEL", "MID_MORNING_MODEL", None),
+    ("b6", "CLASSROOM_MODEL", "CLASSROOM_MODEL", None),
+    ("b7", "REDUCED_PRICE_MODEL", "REDUCED_PRICE_MODEL", None),
+    ("b8", "GRAB_N_GO_MODEL", "GRAB_N_GO_MODEL", None),
+    ("b9", "FREE_MODEL", "FREE_MODEL", None),
+    ("b10", "BRKF_FREE", "Breakfast Meals-Free", None),
+    ("b11", "BRKF_RED", "Breakfast Meals-Reduced", None),
+    ("b12", "DAYS_BRKF", "Operating Days-Breakfast Only", None),
+    ("b13", "SCHOOL_YEAR", "School Year", None),
+]
+
+
+def ref_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE pipeline end-to-end on inline fixtures
+    (FIXTURES.md A1-A3 shapes): dictionary-driven clean (drop undictionaried
+    + NOT-USED columns, 1:1 rename), derived columns D1-D14, record-linkage
+    assembly on (school name, claim date, zero-padded district id) +
+    DISTINCT — shareOurStrengthSQLCodev4.sql's full flow
+    (:25-1089) as one lazy Spark plan. The oracle replicates the arithmetic
+    in SQL on the cleaned values."""
+    from data_engineering_capstone_project__spark.plans.derive import (
+        assemble_final,
+        derive_breakfast,
+        derive_lunch,
+    )
+
+    d1 = spark.createDataFrame(_LUNCH_DICT, _DICT_SCHEMA)
+    d2 = spark.createDataFrame(_BRKF_DICT, _DICT_SCHEMA)
+    lunch_raw = spark.createDataFrame(_LUNCH_ROWS, _LUNCH_RAW_SCHEMA)
+    brkf_raw = spark.createDataFrame(_BRKF_ROWS, _BRKF_RAW_SCHEMA)
+
+    lunch_plan = build_clean_plan(lunch_raw.columns, d1, d2, prefer=1)
+    brkf_plan = build_clean_plan(brkf_raw.columns, d1, d2, prefer=2)
+    lunch = derive_lunch(apply_clean_plan(lunch_raw, lunch_plan))
+    brkf = derive_breakfast(apply_clean_plan(brkf_raw, brkf_plan))
+    final = assemble_final(lunch, brkf)
+    return final.select(
+        F.col("school name").alias("school_name"),
+        F.col("claim date").alias("claim_date"),
+        F.col("School Type-Original").alias("school_type_original"),
+        F.col("FR Lunch Meals").alias("fr_lunch_meals"),
+        F.col("FR Lunch ADP").alias("fr_lunch_adp"),
+        F.col("Unique ID").alias("unique_id"),
+        F.col("NCES ID").alias("nces_id"),
+        F.col("FR Enrollment").alias("fr_enrollment"),
+        F.col("FR Enrollment Percentage").alias("fr_enrollment_pct"),
+        F.col("School Level-Standardized").alias("school_level_std"),
+        F.col("School Type-Standardized").alias("school_type_std"),
+        F.col("Breakfast Delivery Model from State Agency-Original").alias(
+            "delivery_model"
+        ),
+        F.col("FR Breakfast Meals").alias("fr_breakfast_meals"),
+        F.col("FR Breakfast ADP").alias("fr_breakfast_adp"),
+        F.col("School_Year").alias("school_year_filled"),
+        F.col("Target Area").alias("target_area"),
+    )
+
+
+def _values_sql(rows: list[tuple], cols: list[str], drop: set[str]) -> str:
+    keep_idx = [i for i, c in enumerate(cols) if c not in drop]
+    body = ",".join(
+        "(" + ",".join(
+            "NULL" if r[i] is None else "'" + str(r[i]) + "'" for i in keep_idx
+        ) + ")"
+        for r in rows
+    )
+    return body
+
+
+REF_PIPELINE_SQL = f"""
+WITH lunch(school_name, claim_date, district_id, pub, stype, lf, lr, lp, days_l,
+           ef, er, et, cep, school_id, lvl) AS (
+  VALUES {_values_sql(_LUNCH_ROWS, [c.split()[0].strip('`') for c in _LUNCH_RAW_SCHEMA.split(', ')], {'JUNK_A', 'LEGACY_COL'})}
+),
+brkf(school_name, claim_date, district_id, tm, mm, cm, rm, gm, fm, bf, br,
+     days_b, school_year) AS (
+  VALUES {_values_sql(_BRKF_ROWS, [c.split()[0].strip('`') for c in _BRKF_RAW_SCHEMA.split(', ')], {'JUNK_B'})}
+),
+dl AS (
+  SELECT *,
+    CASE WHEN pub='YES' AND stype<>'RCCI' THEN 'Public'
+         WHEN pub='NO' AND stype<>'RCCI' THEN 'Nonpublic'
+         WHEN pub='YES' AND stype='RCCI' THEN 'Public RCCI'
+         WHEN pub='NO' AND stype='RCCI' THEN 'Nonpublic RCCI' END AS school_type_original,
+    TRY_CAST(lf AS DOUBLE) + TRY_CAST(lr AS DOUBLE) AS fr_lunch_meals,
+    (TRY_CAST(lf AS DOUBLE) + TRY_CAST(lr AS DOUBLE))
+      / NULLIF(TRY_CAST(days_l AS DOUBLE), 0) AS fr_lunch_adp,
+    'WI' || '-' || '0' || COALESCE(school_id,'') || '-' || COALESCE(district_id,'') AS unique_id,
+    right('000000' || district_id, 6) AS nces_id,
+    TRY_CAST(ef AS DOUBLE) + TRY_CAST(er AS DOUBLE) AS fr_enrollment,
+    CASE WHEN cep='N' THEN (TRY_CAST(ef AS DOUBLE) + TRY_CAST(er AS DOUBLE))
+                            / NULLIF(TRY_CAST(et AS DOUBLE), 0)
+         WHEN cep='Y' THEN TRY_CAST(lf AS DOUBLE)
+                            / NULLIF(TRY_CAST(lf AS DOUBLE) + TRY_CAST(lp AS DOUBLE), 0)
+         ELSE NULL END AS fr_enrollment_pct,
+    CASE WHEN lvl IS NULL THEN 'Unknown'
+         WHEN lvl='High School' THEN 'High'
+         WHEN lvl='Elementary/Sec Combined' THEN 'Other'
+         WHEN lvl='RCCI' THEN 'Other'
+         WHEN lvl='Unknown' THEN 'Unknown'
+         WHEN lvl='Elementary School' THEN 'Primary'
+         WHEN lvl='Junior H.S' THEN 'Middle/High'
+         WHEN lvl='Middle School' THEN 'Middle'
+         ELSE NULL END AS school_level_std
+  FROM lunch
+),
+dl2 AS (
+  SELECT *,
+    CASE WHEN school_type_original='Public' THEN 'Public'
+         WHEN school_type_original='Nonpublic' THEN 'Nonpublic'
+         WHEN school_type_original='Public RCCI' THEN 'Other'
+         ELSE NULL END AS school_type_std
+  FROM dl
+),
+db AS (
+  SELECT *,
+    'O=' || COALESCE(tm,'') || ', P=' || COALESCE(mm,'') || ', Q=' || COALESCE(cm,'')
+     || ', R=' || COALESCE(rm,'') || ', S=' || COALESCE(gm,'') || ', T=' || COALESCE(fm,'') AS delivery_model,
+    TRY_CAST(bf AS DOUBLE) + TRY_CAST(br AS DOUBLE) AS fr_breakfast_meals,
+    (TRY_CAST(bf AS DOUBLE) + TRY_CAST(br AS DOUBLE))
+      / NULLIF(TRY_CAST(days_b AS DOUBLE), 0) AS fr_breakfast_adp,
+    CASE WHEN school_year IS NULL THEN '17-18' ELSE school_year END AS school_year_filled,
+    CAST(NULL AS VARCHAR) AS target_area
+  FROM brkf
+)
+SELECT DISTINCT l.school_name, l.claim_date, l.school_type_original,
+       l.fr_lunch_meals, l.fr_lunch_adp, l.unique_id, l.nces_id,
+       l.fr_enrollment, l.fr_enrollment_pct, l.school_level_std,
+       l.school_type_std, b.delivery_model, b.fr_breakfast_meals,
+       b.fr_breakfast_adp, b.school_year_filled, b.target_area
+FROM dl2 l JOIN db b
+  ON l.school_name = b.school_name AND l.claim_date = b.claim_date
+ AND right('000000' || l.district_id, 6) = right('000000' || b.district_id, 6)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_revenue_forecast": (q6_revenue_forecast, Q6_SQL),
     "s1_scan_project": (s1_scan_project, S1_SQL),
     "s6_literal_table": (s6_literal_table, S6_SQL),
     "s7_catalog_columns": (s7_catalog_columns, S7_SQL),
@@ -1177,6 +1499,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
+    "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),
 }
 
 

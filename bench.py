@@ -23,6 +23,9 @@ from data_engineering_capstone_project__spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
     "j4_linkage_join",
     "j1_dict_coalesce",
     "a4_group_aggs",
@@ -35,6 +38,9 @@ HEADLINE = [
     "x_sessionize",
     "x_json_extract",
     "x_ann_topk",
+    "x_asof_join",
+    "x_topk_per_group",
+    "x_pivot",
 ]
 
 
