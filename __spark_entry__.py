@@ -1235,6 +1235,84 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def x_intersectall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection) — E1/E2 surface."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.intersectAll(c)
+
+
+X_INTERSECTALL_SQL = (
+    "SELECT o_custkey AS k FROM orders INTERSECT ALL SELECT c_custkey AS k FROM customer"
+)
+
+
+def x_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: day diffs, month shifts, year/quarter extraction."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_epoch_end"),
+        F.date_format(F.add_months(F.col("o_orderdate"), 3), "yyyy-MM-dd").alias(
+            "plus_3m"
+        ),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    )
+
+
+X_DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_epoch_end,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+FROM orders
+"""
+
+
+def x_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector column statistics via higher-order functions (no UDF):
+    L2 norm and component mean per embedding."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    sumsq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return e.select(
+        "vec_id",
+        pround(F.sqrt(sumsq), 6).alias("l2_norm"),
+        pround(total / F.size("embedding"), 6).alias("mean_val"),
+    )
+
+
+X_VECTOR_SQL = """
+SELECT vec_id,
+       ROUND(sqrt(list_aggregate([x * x FOR x IN CAST(embedding AS DOUBLE[])], 'sum')), 6) AS l2_norm,
+       ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') / len(embedding), 6) AS mean_val
+FROM embeddings
+"""
+
+
+def x_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction (F1 surface beyond REPLACE)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"\b([a-z]{6,})\b", 1).alias("first_long_word"),
+        F.regexp_replace(F.col("text"), r"\d+", "#").alias("masked"),
+    )
+
+
+X_REGEX_SQL = r"""
+SELECT doc_id,
+       COALESCE(regexp_extract(text, '\b([a-z]{6,})\b', 1), '') AS first_long_word,
+       regexp_replace(text, '\d+', '#', 'g') AS masked
+FROM documents
+"""
+
+
 _DICT_SCHEMA = (
     "raw_data_column string, raw_data_column_name string, "
     "equivalent_clean_data_name string, notes string"
@@ -1500,6 +1578,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),
+    "x_intersectall": (x_intersectall, X_INTERSECTALL_SQL),
+    "x_date_arith": (x_date_arith, X_DATE_ARITH_SQL),
+    "x_vector_stats": (x_vector_stats, X_VECTOR_SQL),
+    "x_regex_extract": (x_regex_extract, X_REGEX_SQL),
 }
 
 

