@@ -37,6 +37,7 @@ from data_engineering_capstone_project__spark.operators.asof import asof_join, r
 from data_engineering_capstone_project__spark.operators.relational import (
     add_row_id,
     salted_group_count,
+    spread,
     top_k_per_group,
 )
 from data_engineering_capstone_project__spark.plans.cleaner import (
@@ -697,7 +698,7 @@ _STOP_EN = "|".join(text.LANG_MARKERS["en"])
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, punctuation/stopword ratios, quality
     score, md5 fingerprint — all JVM-side expressions."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -737,7 +738,7 @@ FROM base
 def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language id: marker-word hit argmax (deterministic, so the
     DuckDB oracle replicates it exactly)."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
 
 

@@ -31,6 +31,11 @@ def _normalize(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+from data_engineering_capstone_project__spark.operators.relational import (
+    spread as _spread,
+)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest-id row per normalized-text fingerprint.
 
@@ -76,7 +81,7 @@ def minhash_signatures(
     """MinHash signature per doc: explode shingles, take min of k seeded
     xxhash64 values. One explode + one groupBy; the k hash functions are k
     aggregate expressions over the same exploded rows (single pass)."""
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
     aggs = [
@@ -102,7 +107,9 @@ def minhash_lsh_pairs(
     verification join touches only candidates. rows(bucket join) ≈
     Σ_bucket n_b² — bounded by band width choice, not corpus size².
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # one row per doc (num_hashes longs) — persisting avoids recomputing the
+    # shingle explode + k-hash aggregation for every downstream join branch
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
     rows_per_band = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -147,9 +154,10 @@ def verify_jaccard(
 
     |A∩B| / |A∪B| via array_intersect on the shingle arrays — joined in,
     not recomputed per pair."""
-    sh = df.select(
+    # joined twice (a-side and b-side) — persist so shingling runs once
+    sh = _spread(df).select(
         F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
+    ).persist()
     out = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -179,7 +187,7 @@ def ngram_jaccard_pairs(
     then exact Jaccard. Quadratic only within shingle groups; for 100 TB
     use ``minhash_lsh_pairs`` and keep this as the verifier.
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
     a, b = sh.alias("a"), sh.alias("b")
@@ -200,7 +208,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     sign of the sum sets fingerprint bit b. Implemented as one explode +
     one groupBy with 64 codegen'd aggregate expressions (no Python).
     """
-    tokens = df.select(
+    tokens = _spread(df).select(
         F.col(id_col), F.explode(F.split(_normalize(F.col(text_col)), r"\s+")).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     aggs = [

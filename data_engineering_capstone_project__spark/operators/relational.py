@@ -15,6 +15,20 @@ from pyspark.sql import functions as F
 from data_engineering_capstone_project__spark.functions.fx import pad_key
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row work is spread across the cluster.
+
+    A small parquet file (single row group) scans as ONE partition — every
+    downstream regex/shingle/hash expression then runs single-threaded no
+    matter how many cores exist. One cheap round-robin repartition fixes
+    it; skipped when the scan is already parallel.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        return df.repartition(parallelism)
+    return df
+
+
 def drop_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """P4: the reference's per-column ALTER TABLE DROP loop
     (``shareOurStrengthSQLCodev4.sql:137-154``) is one ``drop`` call;
