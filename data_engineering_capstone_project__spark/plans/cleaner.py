@@ -86,21 +86,28 @@ def build_clean_plan(
 
 
 def _like(value: str, pattern: str) -> bool:
-    """SQL LIKE with only %-wildcards (what the reference uses)."""
+    """SQL LIKE with only %-wildcards (what the reference uses).
+
+    Greedy chunk matching: anchor the first chunk as prefix and the last as
+    suffix, then find the middle chunks left-to-right strictly between them.
+    """
     parts = pattern.split("%")
-    s, pos = value, 0
-    if not pattern.startswith("%"):
-        if not s.startswith(parts[0]):
+    if not value.startswith(parts[0]):
+        return False
+    if len(parts) == 1:
+        return value == parts[0]
+    if not value.endswith(parts[-1]):
+        return False
+    pos = len(parts[0])
+    end_limit = len(value) - len(parts[-1])
+    for mid in parts[1:-1]:
+        if not mid:
+            continue
+        idx = value.find(mid, pos)
+        if idx < 0 or idx + len(mid) > end_limit:
             return False
-        pos = len(parts[0])
-    for part in [p for p in parts if p]:
-        idx = s.find(part, pos)
-        if idx < 0:
-            return False
-        pos = idx + len(part)
-    if not pattern.endswith("%") and parts[-1]:
-        return s.endswith(parts[-1])
-    return True
+        pos = idx + len(mid)
+    return pos <= end_limit
 
 
 def apply_clean_plan(df: DataFrame, plan: CleanPlan, row_id_col: str | None = None) -> DataFrame:

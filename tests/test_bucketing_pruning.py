@@ -1,0 +1,56 @@
+"""Physical-plan guarantees at scale: bucketed joins shuffle nothing,
+partitioned writes prune at the scan."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.sources.io import (
+    write_bucketed,
+    write_parquet,
+)
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "cust_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_bucketed(orders, "orders_b", ["o_custkey"], n_buckets=8)
+    write_bucketed(customer, "cust_b", ["c_custkey"], n_buckets=8)
+    o = spark.table("orders_b")
+    c = spark.table("cust_b")
+    joined = o.join(
+        c.hint("merge"), o.o_custkey == c.c_custkey
+    )  # force SMJ so broadcast doesn't mask the bucketing
+    plan = _physical_plan(joined)
+    assert "Exchange" not in plan, plan
+    assert joined.count() == orders.count()
+
+
+def test_partitioned_write_prunes(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="part_events_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        write_parquet(li, out, partition_by=["l_returnflag"])
+        flags = [r[0] for r in li.select("l_returnflag").distinct().collect()]
+        back = spark.read.parquet(out).filter(F.col("l_returnflag") == flags[0])
+        plan = _physical_plan(back)
+        # partition filter reaches the scan; no row-level filter needed
+        assert "PartitionFilters: [isnotnull(l_returnflag" in plan, plan
+        expect = li.filter(F.col("l_returnflag") == flags[0]).count()
+        assert back.count() == expect
+        # only the matching partition directory is listed
+        dirs = [d for d in os.listdir(out) if d.startswith("l_returnflag=")]
+        assert len(dirs) == len(flags)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the parity-critical helpers.
+
+Pure-Python properties run with full example counts; Spark-evaluated
+properties batch all examples into one job to keep the suite fast.
+"""
+
+import math
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from data_engineering_capstone_project__spark.plans.cleaner import _like
+
+
+def _like_re(pattern: str) -> re.Pattern:
+    return re.compile(
+        "^" + "".join(".*" if c == "%" else re.escape(c) for c in pattern) + "$",
+        re.DOTALL,
+    )
+
+
+@given(
+    st.text(alphabet=st.characters(blacklist_characters="%"), max_size=30),
+    st.lists(st.text(alphabet="abcN ", max_size=5), min_size=0, max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_like_matches_regex_semantics(value, parts):
+    pattern = "%".join(parts) if parts else ""
+    if not pattern:
+        pattern = "%"
+    assert _like(value, pattern) == bool(_like_re(pattern).match(value))
+
+
+def _pround_py(x: float, k: int) -> float:
+    scale = float(10**k)
+    return math.floor(x * scale + 0.5) / scale
+
+
+def test_pround_and_pad_batch(spark):
+    """Spark pround/pad_key agree with their Python reference on a batch of
+    adversarial values (decimal-boundary doubles, odd-length ids)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.functions.fx import pad_key, pround
+
+    doubles = [
+        16038.691649999999, 0.125, 2.675, -1.005, 0.0, 123456.789,
+        1e-9, 99999999.995, 0.49999999999999994, 3.14159,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(doubles)], "i int, v double")
+    got = {
+        r["i"]: (r["r2"], r["r4"])
+        for r in df.select(
+            "i", pround("v", 2).alias("r2"), pround("v", 4).alias("r4")
+        ).collect()
+    }
+    for i, v in enumerate(doubles):
+        assert got[i] == (_pround_py(v, 2), _pround_py(v, 4)), (i, v)
+
+    ids = ["", "1", "42", "123456", "1234567", "999999999", "abc"]
+    df2 = spark.createDataFrame([(i, v) for i, v in enumerate(ids)], "i int, s string")
+    gp = {r["i"]: r["p"] for r in df2.select("i", pad_key("s").alias("p")).collect()}
+    for i, v in enumerate(ids):
+        assert gp[i] == ("000000" + v)[-6:], (i, v)
+
+
+def test_clean_plan_partition_invariants(spark):
+    """build_clean_plan invariants on an adversarial dictionary: every input
+    column is dropped XOR renamed XOR kept-raw; rename targets are unique;
+    NOT-USED and NULL-mapped columns always drop."""
+    from data_engineering_capstone_project__spark.plans.cleaner import build_clean_plan
+
+    schema = (
+        "raw_data_column string, raw_data_column_name string, "
+        "equivalent_clean_data_name string, notes string"
+    )
+    d1 = spark.createDataFrame(
+        [
+            ("x", "col_a", "Clean A", None),
+            ("x", "col_b", None, None),
+            ("x", "col_c", "marked NOT USED here", None),
+            ("x", "col_d", "Shared Clean", None),
+            ("x", "col_e", "Shared Clean", None),
+            ("x", "col_f", "From D1", None),
+        ],
+        schema,
+    )
+    d2 = spark.createDataFrame(
+        [("y", "col_f", "From D2", None), ("y", "col_g", "Clean G", None)], schema
+    )
+    for prefer in (1, 2):
+        cols = ["col_a", "col_b", "col_c", "col_d", "col_e", "col_f", "col_g", "col_z"]
+        plan = build_clean_plan(cols, d1, d2, prefer=prefer)
+        for c in cols:
+            dropped, renamed = c in plan.drops, c in plan.renames
+            assert not (dropped and renamed), c
+        assert {"col_b", "col_c", "col_z"} <= set(plan.drops)
+        # duplicate clean target -> kept raw, not renamed
+        assert "col_d" not in plan.renames and "col_e" not in plan.renames
+        # rename targets unique
+        vals = list(plan.renames.values())
+        assert len(vals) == len(set(vals))
+        assert plan.renames["col_f"] == ("From D1" if prefer == 1 else "From D2")
