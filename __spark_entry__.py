@@ -920,6 +920,32 @@ X_JSON_SQL = (
 )
 
 
+def x_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 10-minute windows every 5
+    minutes — each event lands in two windows."""
+    from data_engineering_capstone_project__spark.streaming.windows import sliding_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_agg(
+        ev, "ts", "10 minutes", "5 minutes", ["event_type"],
+        [F.count("*").alias("n"), pround(F.sum("value"), 2).alias("sum_value")],
+    )
+    return out.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+X_SLIDING_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts) - to_minutes(5 * i), '{TS_FMT_DUCK}') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) o(i)
+GROUP BY 1, 2
+"""
+
+
 def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks up the most recent 'signup' event of
     the same user at-or-before its timestamp (union+window implementation,
@@ -1561,6 +1587,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_window_tumbling": (x_window_tumbling, X_WINDOW_SQL),
     "x_sessionize": (x_sessionize, X_SESSION_SQL),
     "x_json_extract": (x_json_extract, X_JSON_SQL),
+    "x_window_sliding": (x_window_sliding, X_SLIDING_SQL),
     "x_asof_join": (x_asof_join, X_ASOF_SQL),
     "x_range_join": (x_range_join, X_RANGE_SQL),
     "x_pivot": (x_pivot, X_PIVOT_SQL),

@@ -50,6 +50,14 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert not any(4 in p for p in got)
 
 
+def test_word_shingles(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = df.select(dedup.word_shingles(F.col("text"), k=3).alias("sh")).collect()
+    assert out[0]["sh"] == ["a b c", "b c d"]
+
+
 def test_simhash_pairs(spark):
     df = _docs(spark).filter("doc_id != 5")
     fps = dedup.simhash(df)
