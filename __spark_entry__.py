@@ -240,6 +240,72 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 """
 
 
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape via the SQL API (temp views + spark.sql): correlated
+    scalar subquery — Catalyst decorrelates it into an aggregate + join."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    # literal suffix D: Spark SQL parses bare 7.0 as DECIMAL(2,1), which
+    # would make the whole chain decimal (DuckDB stays double)
+    return spark.sql(
+        """
+        SELECT FLOOR((SUM(l_extendedprice) / 7.0D) * 100.0D + 0.5D) / 100.0D AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.5D * AVG(l_quantity) FROM v_lineitem li2
+            WHERE li2.l_partkey = v_part.p_partkey
+          )
+        """
+    )
+
+
+Q17_SQL = """
+SELECT FLOOR((SUM(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l_quantity) FROM lineitem li2
+    WHERE li2.l_partkey = part.p_partkey
+  )
+"""
+
+
+def x_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert: updated balances for a slice of customers +
+    brand-new rows, applied over the base table."""
+    from data_engineering_capstone_project__spark.operators.relational import upsert
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(" (updated)")).alias("c_name"),
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+    )
+    new_rows = spark.createDataFrame(
+        [(9_000_001, "Customer#new1", 1.0), (9_000_002, "Customer#new2", 2.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    return upsert(c, updates.unionByName(new_rows), keys=["c_custkey"])
+
+
+X_UPSERT_SQL = """
+WITH updates AS (
+  SELECT c_custkey, c_name || ' (updated)' AS c_name, c_acctbal + 1000.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT * FROM (VALUES (9000001, 'Customer#new1', 1.0),
+                        (9000002, 'Customer#new2', 2.0)) t(c_custkey, c_name, c_acctbal)
+)
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = customer.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal FROM updates
+"""
+
+
 def s1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+P1: projection reaches the parquet scan (ReadSchema pruning)."""
     return _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -1552,6 +1618,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_revenue_forecast": (q6_revenue_forecast, Q6_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "x_upsert": (x_upsert, X_UPSERT_SQL),
     "s1_scan_project": (s1_scan_project, S1_SQL),
     "s6_literal_table": (s6_literal_table, S6_SQL),
     "s7_catalog_columns": (s7_catalog_columns, S7_SQL),

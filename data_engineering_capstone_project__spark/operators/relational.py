@@ -147,6 +147,21 @@ def salted_group_count(
     )
 
 
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """MERGE-style upsert without a transactional table format: rows from
+    ``updates`` replace same-key rows in ``base``; unmatched update rows are
+    inserted. (With Delta/Iceberg on the classpath this becomes MERGE INTO;
+    the anti-join + union shape is the format-free equivalent and plans as
+    one shuffle per side on the key.)
+    """
+    kept = base.join(updates.select(*keys), keys, "left_anti")
+    return kept.unionByName(updates)
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],
