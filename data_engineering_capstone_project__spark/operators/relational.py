@@ -68,24 +68,41 @@ def add_row_id(
 
     Deterministic iff ``order_cols`` is a unique key (same caveat as the
     reference's heap-order ROW_NUMBER, SURVEY §2.5).
+
+    Fast path (single numeric key): partition boundaries come from
+    ``approxQuantile`` over just the key column, so the pid assignment is a
+    deterministic EXPRESSION — the offsets job and the final job agree with
+    no caching of O(table) data (two column-pruned scans + one full scan).
+    Fallback (multi-column / non-numeric keys): range-repartition + persist,
+    because RangePartitioner's sampled boundaries differ across re-executions.
     """
     cols = [F.col(c) for c in order_cols]
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # persist the range-partitioned data: the offsets job and the final job
-    # must see the SAME partition boundaries (RangePartitioner samples, so
-    # re-execution could draw different boundaries)
-    parted = (
-        df.repartitionByRange(n, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+
+    numeric = {"int", "bigint", "smallint", "tinyint", "double", "float", "date", "timestamp"}
+    dtypes = dict(df.dtypes)
+    if len(order_cols) == 1 and dtypes[order_cols[0]] in numeric:
+        key = order_cols[0]
+        kc = F.col(key).cast("double")
+        probs = [i / n for i in range(1, n)]
+        bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
+        pid = F.lit(0)
+        for b in bounds:
+            pid = pid + F.when(kc > F.lit(float(b)), 1).otherwise(0)
+        parted = df.withColumn("_pid", pid)
+    else:
+        parted = (
+            df.repartitionByRange(n, *cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
     # partition sizes -> cumulative offsets (metadata-sized collect: one row per partition)
     sizes = parted.groupBy("_pid").count().collect()
     offsets, run = {}, 0
     for row in sorted(sizes, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = run
         run += row["count"]
-    spark = df.sparkSession
     off_df = spark.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
     )
