@@ -71,6 +71,9 @@ QA_ROWS_2 = [("A", "B"), ("A", "C"), ("A", "D"), ("B", "D"), ("E", "F")]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver owns the session; pin UTC so date_format output matches the
+    # (UTC-naive) DuckDB oracle regardless of host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -879,26 +882,68 @@ def x_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, jaccard_threshold=0.8)
 
 
+def x_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH bucketing over base + planted
+    duplicates (the 100 TB path — candidates only within a hyperplane-sign
+    bucket; recall < 100% by design). Rows-only: bucket membership depends
+    on engine-side seeded random hyperplanes."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return similarity.lsh_bucket_pairs(
+        _with_perturbed_dups(e), n_planes=10, threshold=0.99
+    )
+
+
 def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only check — hash-function specific)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return dedup.simhash(d)
 
 
+def _with_perturbed_dups(e: DataFrame) -> DataFrame:
+    """Base vectors (as double arrays) unioned with near-duplicate copies:
+    id+100000, first component shifted by +0.01 → cosine ≈ 0.999. The
+    synthetic corpus has no natural high-cosine pairs (max ≈ 0.51), so the
+    near-dup operators are demonstrated on planted dups — deterministic and
+    mirrored exactly in the oracle SQL."""
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dup)
+
+
+_EMB_DUP_CORPUS_SQL = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings WHERE vec_id < 300
+  UNION ALL
+  SELECT vec_id + 100000,
+         [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.01
+               ELSE CAST(embedding[i] AS DOUBLE) END
+          FOR i IN range(1, len(embedding) + 1)]
+  FROM embeddings WHERE vec_id < 300
+"""
+
+
 def x_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs on a bounded subset (oracle does the
-    same O(n²) work; the scale path is LSH-bucketed, see
-    operators/similarity.py)."""
+    """Embedding-cosine near-dup pairs over base + planted duplicates
+    (oracle does the same O(n²) work; the scale path is LSH-bucketed)."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return dedup.embedding_near_dups(e, threshold=0.95)
+    return dedup.embedding_near_dups(_with_perturbed_dups(e), threshold=0.99)
 
 
-X_EMB_DUP_SQL = """
+X_EMB_DUP_SQL = f"""
+WITH corpus AS ({_EMB_DUP_CORPUS_SQL})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 300 AND b.vec_id < 300
-  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
 """
 
 
@@ -1650,6 +1695,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_ngram_jaccard": (x_ngram_jaccard, X_NGRAM_SQL),
     "x_minhash_pairs": (x_minhash_pairs, None),  # rows-only: hash-specific
     "x_simhash": (x_simhash, None),  # rows-only: hash-specific
+    "x_lsh_near_dups": (x_lsh_near_dups, None),  # rows-only: seeded hyperplanes
     "x_embedding_near_dups": (x_embedding_near_dups, X_EMB_DUP_SQL),
     "x_ann_topk": (x_ann_topk, X_ANN_SQL),
     "x_window_tumbling": (x_window_tumbling, X_WINDOW_SQL),

@@ -63,6 +63,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON lines source; pass an explicit schema in production — inference
+    costs an extra pass and types drift with the data."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the events table, tolerating parquet TIMESTAMP(NANOS).
 
