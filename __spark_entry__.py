@@ -804,6 +804,28 @@ FROM base
 """
 
 
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ingest chunking: overlapping 32-token windows (stride 24)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return text.chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+X_CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 200
+), c AS (
+  SELECT doc_id, toks,
+         CAST(unnest(generate_series(0, GREATEST(len(toks) - 8 - 1, 0) // 24)) AS BIGINT) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+       CAST(LEAST(len(toks) - chunk_id * 24, 32) AS BIGINT) AS chunk_len
+FROM c
+"""
+
+
 def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language id: marker-word hit argmax (deterministic, so the
     DuckDB oracle replicates it exactly)."""
@@ -1692,6 +1714,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_text_stats": (x_text_stats, X_TEXT_SQL),
     "x_lang_id": (x_lang_id, _lang_sql()),
     "x_exact_dedup": (x_exact_dedup, X_DEDUP_SQL),
+    "x_chunk_documents": (x_chunk_documents, X_CHUNK_SQL),
     "x_ngram_jaccard": (x_ngram_jaccard, X_NGRAM_SQL),
     "x_minhash_pairs": (x_minhash_pairs, None),  # rows-only: hash-specific
     "x_simhash": (x_simhash, None),  # rows-only: hash-specific

@@ -164,6 +164,27 @@ def salted_group_count(
     )
 
 
+def train_test_split(
+    df: DataFrame,
+    test_fraction: float = 0.1,
+    id_col: str | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic train/test split for dataset prep.
+
+    With ``id_col``: hash-based assignment (xxhash64(id, seed) mod) — stable
+    across runs AND across engines, rows never switch sides when the data
+    grows (the property training pipelines need). Without: Spark's
+    ``randomSplit`` (seeded, but partition-layout dependent).
+    """
+    if id_col is None:
+        train, test = df.randomSplit([1 - test_fraction, test_fraction], seed=seed)
+        return train, test
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    is_test = bucket < int(test_fraction * 1_000_000)
+    return df.filter(~is_test), df.filter(is_test)
+
+
 def upsert(
     base: DataFrame,
     updates: DataFrame,

@@ -109,6 +109,47 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the standard
+    LLM-ingest shape: stride = chunk_tokens - overlap).
+
+    Pure built-ins: tokenize once, generate chunk starts with ``sequence``,
+    slice + rejoin per chunk. One explode, no shuffle, no Python; at 100 TB
+    output rows ≈ docs × ceil(tokens/stride), each independent — perfectly
+    parallel.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), _WORD_RE)
+    n = F.size(toks)
+    last_chunk = F.floor(
+        F.greatest((n - overlap - 1), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), last_chunk)
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_s"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+        ).alias("chunk_text"),
+        F.least(
+            F.size("_toks") - F.col("chunk_id") * stride, F.lit(chunk_tokens)
+        ).cast("long").alias("chunk_len"),
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis: counts, ratios, quality, lang id, fingerprint."""
     t = F.col(text_col)

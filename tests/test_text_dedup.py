@@ -50,6 +50,49 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert not any(4 in p for p in got)
 
 
+def test_chunk_documents(spark):
+    toks = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, toks), (2, "a b")], "doc_id long, text string")
+    out = text.chunk_documents(df, chunk_tokens=40, overlap=10)  # stride 30
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"]), (r["chunk_len"], r["chunk_text"]))
+        for r in out.collect()
+    )
+    by_key = dict(rows)
+    # doc 1: starts at 0,30,60 — the window at 60 reaches the end, so no
+    # 4th (fully-redundant) chunk is emitted
+    assert [k for k in by_key if k[0] == 1] == [(1, 0), (1, 1), (1, 2)]
+    assert by_key[(1, 0)][0] == 40
+    assert by_key[(1, 0)][1].startswith("w0 w1 ") and by_key[(1, 0)][1].endswith("w39")
+    assert by_key[(1, 1)][1].startswith("w30 ")  # overlap of 10
+    assert by_key[(1, 2)] == (40, " ".join(f"w{i}" for i in range(60, 100)))
+    # short doc: one whole-text chunk
+    assert by_key[(2, 0)] == (2, "a b")
+
+
+def test_train_test_split_stability(spark, sf_dir):
+    from data_engineering_capstone_project__spark.operators.relational import (
+        train_test_split,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    train, test = train_test_split(c, test_fraction=0.2, id_col="c_custkey")
+    n, nt, ns = c.count(), train.count(), test.count()
+    assert nt + ns == n
+    assert 0 < ns < n
+    # hash assignment is stable: same ids land on the same side every run
+    _, test2 = train_test_split(c, test_fraction=0.2, id_col="c_custkey")
+    assert {r["c_custkey"] for r in test.collect()} == {
+        r["c_custkey"] for r in test2.collect()
+    }
+    # growing the data never flips existing rows
+    half = c.filter("c_custkey % 2 = 0")
+    _, test_half = train_test_split(half, test_fraction=0.2, id_col="c_custkey")
+    full_ids = {r["c_custkey"] for r in test.collect()}
+    half_ids = {r["c_custkey"] for r in test_half.collect()}
+    assert half_ids == {i for i in full_ids if i % 2 == 0}
+
+
 def test_word_shingles(spark):
     from pyspark.sql import functions as F
 
