@@ -1,7 +1,15 @@
+from data_engineering_capstone_project__spark.operators.asof import (  # noqa: F401
+    asof_join,
+    range_join,
+)
 from data_engineering_capstone_project__spark.operators.relational import (  # noqa: F401
     add_row_id,
     drop_columns,
     linkage_join,
     rename_columns,
+    salted_group_count,
+    spread,
     top_k_per_group,
+    train_test_split,
+    upsert,
 )

@@ -110,16 +110,32 @@ def _like(value: str, pattern: str) -> bool:
     return pos <= end_limit
 
 
-def apply_clean_plan(df: DataFrame, plan: CleanPlan, row_id_col: str | None = None) -> DataFrame:
+def apply_clean_plan(
+    df: DataFrame,
+    plan: CleanPlan,
+    row_id_col: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
     """Apply drop+rename as a single Project (the reference's drop loop
     ``:143-154`` + rename fold ``:208-270`` + final copy ``:263-270``).
 
-    Columns renamed keep their clean name; un-dropped un-renamed columns are
-    carried under their raw name; ``row_id_col`` (if present) is carried.
+    Default mode: renamed columns get their clean name; un-dropped
+    un-renamed columns are carried under their raw name; ``row_id_col``
+    (if present) is carried.
+
+    ``strict=True`` reproduces the reference fold exactly (SURVEY §2.2 P5):
+    the output carries ONLY the renamed columns (+ row id) — columns that
+    survived the drop but weren't 1:1-renamed are NOT carried forward.
     """
     exprs = []
     for c in df.columns:
-        if c in plan.drops and c != row_id_col:
+        if c == row_id_col:
+            exprs.append(F.col(c))
             continue
-        exprs.append(F.col(c).alias(plan.renames.get(c, c)))
+        if c in plan.drops:
+            continue
+        if c in plan.renames:
+            exprs.append(F.col(c).alias(plan.renames[c]))
+        elif not strict:
+            exprs.append(F.col(c))
     return df.select(*exprs)

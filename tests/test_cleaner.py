@@ -58,6 +58,28 @@ def test_prefer_template_2(spark):
     assert plan.renames == {"in_both": "From T2"}
 
 
+def test_apply_plan_strict_reference_mode(spark):
+    """strict=True carries ONLY renamed columns + row id (the reference's
+    fold-join semantics, SURVEY §2.2 P5)."""
+    d1, d2 = _dicts(spark)
+    cols = ["only_in_1", "dup_a", "dup_b"]
+    df = spark.createDataFrame(
+        [("v1", "d", "e", 1)],
+        "only_in_1 string, dup_a string, dup_b string, row_num long",
+    )
+    plan = build_clean_plan(cols, d1, d2)
+    out = apply_clean_plan(df, plan, row_id_col="row_num", strict=True)
+    assert out.columns == ["Clean One", "row_num"]
+
+
+def test_probe_header(spark, tmp_path):
+    from data_engineering_capstone_project__spark.sources.io import probe_header
+
+    p = tmp_path / "probe.tsv"
+    p.write_text('"col a"\tcol_b\tcol c\nv1\tv2\tv3\n')
+    assert probe_header(spark, str(p)) == ["col a", "col_b", "col c"]
+
+
 def test_apply_plan_single_projection(spark):
     d1, d2 = _dicts(spark)
     cols = ["only_in_1", "null_clean", "dup_a", "dup_b", "row_num"]
