@@ -910,6 +910,44 @@ FROM base
 """
 
 
+def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any 8-word shingle with
+    a benchmark set (here: the texts of docs 0-4, simulating eval leakage,
+    plus one novel prompt)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = [
+        r["text"]
+        for r in d.filter(F.col("doc_id") < 5).orderBy("doc_id").collect()
+    ] + ["totally novel benchmark prompt that matches nothing"]
+    return dedup.contamination_check(d, bench, ngram_words=8)
+
+
+X_CONTAM_SQL = r"""
+WITH bench AS (
+  SELECT regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 5
+  UNION ALL SELECT 'totally novel benchmark prompt that matches nothing'
+), bsh AS (
+  SELECT DISTINCT unnest(list_distinct(
+           [array_to_string(ws[i+1:i+8], ' ')
+            FOR i IN range(0, GREATEST(len(ws) - 8, 0) + 1)])) AS sh
+  FROM (SELECT regexp_split_to_array(t, '\s+') AS ws FROM bench)
+), dsh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(ws[i+1:i+8], ' ')
+            FOR i IN range(0, GREATEST(len(ws) - 8, 0) + 1)])) AS sh
+  FROM (SELECT doc_id,
+               regexp_split_to_array(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'), '\s+') AS ws
+        FROM documents)
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM dsh JOIN bsh USING (sh) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(hits.n, 0) AS n_contaminated_ngrams,
+       COALESCE(hits.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
 def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-ingest chunking: overlapping 32-token windows (stride 24)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -1825,6 +1863,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_lang_id": (x_lang_id, _lang_sql()),
     "x_exact_dedup": (x_exact_dedup, X_DEDUP_SQL),
     "x_chunk_documents": (x_chunk_documents, X_CHUNK_SQL),
+    "x_contamination": (x_contamination, X_CONTAM_SQL),
     "x_ngram_jaccard": (x_ngram_jaccard, X_NGRAM_SQL),
     "x_minhash_pairs": (x_minhash_pairs, None),  # rows-only: hash-specific
     "x_simhash": (x_simhash, None),  # rows-only: hash-specific

@@ -275,6 +275,47 @@ def simhash_pairs(
     )
 
 
+def contamination_check(
+    df: DataFrame,
+    benchmark_texts: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_words: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    ``ngram_words``-word shingle with a benchmark/eval set.
+
+    The standard pretraining-hygiene check: explode word shingles of the
+    corpus, semi-join against the (broadcast) benchmark shingle set, count
+    hits per doc. Returns (id, n_contaminated_ngrams, contaminated).
+    At 100 TB: benchmark shingles are small (broadcast); the corpus side is
+    one explode + one map-side-combined groupBy — no full shuffle of text.
+    """
+    spark = df.sparkSession
+    bench = spark.createDataFrame([(t,) for t in benchmark_texts], "text string")
+    bench_sh = (
+        bench.select(F.explode(word_shingles(F.col("text"), ngram_words)).alias("sh"))
+        .distinct()
+    )
+    doc_sh = _spread(df).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), ngram_words)).alias("sh")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -93,6 +93,24 @@ def test_train_test_split_stability(spark, sf_dir):
     assert half_ids == {i for i in full_ids if i % 2 == 0}
 
 
+def test_contamination_check(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "unrelated words entirely different from everything else here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = ["ALPHA beta  gamma delta epsilon zeta eta theta"]  # 8 words, case/ws-noisy
+    out = {
+        r["doc_id"]: (r["n_contaminated_ngrams"], r["contaminated"])
+        for r in dedup.contamination_check(docs, bench, ngram_words=8).collect()
+    }
+    assert out[1][1] and out[1][0] >= 1  # shares the 8-gram after normalization
+    assert out[2] == (0, False) and out[3] == (0, False)
+
+
 def test_word_shingles(spark):
     from pyspark.sql import functions as F
 
