@@ -38,6 +38,11 @@ def asof_join(
     forward (``last(..., ignorenulls=True)``). One shuffle total; both
     sides stay columnar. Right rows sort before left rows at equal ts, so
     an exactly-simultaneous right row IS matched (merge_asof semantics).
+
+    When several right rows share the same (by, ts) the winner is decided
+    by a stable hash of the right value columns (backward: max hash;
+    forward: min hash) — arbitrary but deterministic across runs and
+    partitionings.
     """
     if right_value_cols is None:
         right_value_cols = [
@@ -60,11 +65,13 @@ def asof_join(
     # the right side's ts rides in ts_col for ordering purposes
     tagged_right = tagged_right.withColumn(ts_col, F.col(f"{ts_col}{suffix}"))
 
-    unioned = tagged_left.unionByName(tagged_right)
+    unioned = tagged_left.unionByName(tagged_right).withColumn(
+        "_tie", F.xxhash64(*[F.col(f"{c}{suffix}") for c in right_value_cols])
+    )
     if direction == "backward":
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tie").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = unioned.select(
@@ -77,7 +84,7 @@ def asof_join(
     elif direction == "forward":
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+            .orderBy(F.col(ts_col).asc(), F.col("_side").desc(), F.col("_tie").asc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
         filled = unioned.select(

@@ -6,4 +6,5 @@ from data_engineering_capstone_project__spark.plans.cleaner import (  # noqa: F4
 from data_engineering_capstone_project__spark.plans.qa import (  # noqa: F401
     qa_compare,
     qa_diff,
+    qa_vs_golden,
 )

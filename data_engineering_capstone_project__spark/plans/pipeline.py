@@ -30,7 +30,7 @@ from data_engineering_capstone_project__spark.plans.derive import (
     derive_breakfast,
     derive_lunch,
 )
-from data_engineering_capstone_project__spark.plans.qa import qa_compare
+from data_engineering_capstone_project__spark.plans.qa import qa_vs_golden
 from data_engineering_capstone_project__spark.sources.io import read_tsv, write_parquet
 
 
@@ -75,7 +75,7 @@ def run_reference_pipeline(
     qa = None
     if golden_path:
         golden = spark.read.parquet(golden_path)
-        qa = qa_compare(final.select(*golden.columns), golden)
+        qa = qa_vs_golden(final, golden)
     return final, qa
 
 
@@ -101,9 +101,10 @@ def main(argv: list[str] | None = None) -> int:
     final.show(args.show, truncate=False)
     if qa is not None:
         row = qa.collect()[0]
+        note = f" note={row['note']}" if row["note"] else ""
         print(
             f"QA: count_a={row['count_a']} count_b={row['count_b']} "
-            f"common={row['count_common']} equivalent={row['equivalent']}"
+            f"common={row['count_common']} equivalent={row['equivalent']}{note}"
         )
         return 0 if row["equivalent"] else 2
     return 0

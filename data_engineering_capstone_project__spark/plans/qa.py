@@ -31,6 +31,39 @@ def qa_compare(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def qa_vs_golden(produced: DataFrame, golden: DataFrame) -> DataFrame:
+    """``qa_compare`` hardened for user-supplied golden files: a golden
+    whose columns don't exist in the output (or carry different types)
+    yields a clean non-equivalent report with the mismatch in ``note``
+    instead of an AnalysisException mid-job.
+
+    Comparison is on the golden's column set (the produced table may carry
+    extra derived columns, mirroring the reference QA which compares the
+    sponsor's narrower hand-cleaned file).
+    """
+    spark = produced.sparkSession
+    missing = [c for c in golden.columns if c not in produced.columns]
+    p_types = dict(produced.dtypes)
+    mistyped = [
+        f"{c} ({p_types[c]} vs {t})"
+        for c, t in golden.dtypes
+        if c in p_types and p_types[c] != t
+    ]
+    if missing or mistyped:
+        notes = []
+        if missing:
+            notes.append(f"golden columns missing from output: {missing}")
+        if mistyped:
+            notes.append(f"column type mismatches: {mistyped}")
+        return spark.createDataFrame(
+            [(produced.count(), golden.count(), 0, False, "; ".join(notes))],
+            "count_a long, count_b long, count_common long, "
+            "equivalent boolean, note string",
+        )
+    report = qa_compare(produced.select(*golden.columns), golden)
+    return report.withColumn("note", F.lit(""))
+
+
 def qa_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     """Multiset diff with a side marker: rows only in A ('A') / only in B
     ('B'). Empty result ⇒ multiset-equal (stronger than the reference's

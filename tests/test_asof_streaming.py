@@ -38,6 +38,31 @@ def test_asof_join_backward_and_forward(spark):
     assert fwd == {1: "a", 2: None, 3: "a", 4: "c"}
 
 
+def test_asof_join_tie_determinism(spark):
+    """Several right rows at the SAME (by, ts): the match must be stable
+    across runs and input partitionings (hash tiebreak, not heap order)."""
+    left = spark.createDataFrame(
+        [(1, "u", 15.0), (2, "u", 20.0)], "id long, k string, t double"
+    )
+    dup_rows = [("u", 10.0, f"v{i}") for i in range(8)] + [("u", 20.0, "w0"), ("u", 20.0, "w1")]
+    right1 = spark.createDataFrame(dup_rows, "k string, t double, val string")
+    right2 = spark.createDataFrame(
+        list(reversed(dup_rows)), "k string, t double, val string"
+    ).repartition(7)
+    pick1 = {r["id"]: r["val_r"] for r in asof_join(left, right1, "t", ["k"]).collect()}
+    pick2 = {r["id"]: r["val_r"] for r in asof_join(left, right2, "t", ["k"]).collect()}
+    assert pick1 == pick2
+    fwd1 = {
+        r["id"]: r["val_r"]
+        for r in asof_join(left, right1, "t", ["k"], direction="forward").collect()
+    }
+    fwd2 = {
+        r["id"]: r["val_r"]
+        for r in asof_join(left, right2, "t", ["k"], direction="forward").collect()
+    }
+    assert fwd1 == fwd2
+
+
 def test_range_join_buckets(spark):
     pts = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 99.0)], "id long, x double")
     ivs = spark.createDataFrame(

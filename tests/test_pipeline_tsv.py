@@ -127,3 +127,30 @@ def test_pipeline_over_tsv_files(spark, tsv_fixture_dir):
     )
     row = qa2.collect()[0]
     assert row["equivalent"] and row["count_common"] == 2
+
+
+def test_pipeline_golden_schema_mismatch(spark, tsv_fixture_dir):
+    """A golden file whose columns don't exist in the output must yield a
+    clean non-equivalent QA report (with the mismatch in `note`), not an
+    AnalysisException mid-job."""
+    from data_engineering_capstone_project__spark.plans.pipeline import (
+        run_reference_pipeline,
+    )
+
+    d = tsv_fixture_dir
+    bogus_golden = os.path.join(d, "bogus_golden_parquet")
+    spark.createDataFrame(
+        [("x", 1.5)], "no_such_column string, also_missing double"
+    ).write.parquet(bogus_golden)
+    _, qa = run_reference_pipeline(
+        spark,
+        lunch_path=os.path.join(d, "lunch.tsv"),
+        breakfast_path=os.path.join(d, "breakfast.tsv"),
+        dict1_path=os.path.join(d, "dict1.tsv"),
+        dict2_path=os.path.join(d, "dict2.tsv"),
+        golden_path=bogus_golden,
+    )
+    row = qa.collect()[0]
+    assert not row["equivalent"]
+    assert row["count_common"] == 0
+    assert "no_such_column" in row["note"]
