@@ -2174,6 +2174,107 @@ FROM documents
 """
 
 
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (id, comp): the clustering
+    step between candidate generation and corpus purge. Spark side is
+    iterative min-label propagation; the oracle computes reachability with
+    a recursive CTE."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    pairs = dedup.embedding_near_dups(_with_perturbed_dups(e), threshold=0.99)
+    return dedup.connected_components(pairs).select(
+        F.col("id").alias("vec_id"), F.col("comp").cast("long").alias("comp")
+    )
+
+
+X_CLUSTER_SQL = f"""
+WITH RECURSIVE corpus AS ({_EMB_DUP_CORPUS_SQL}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+walk(id, reach) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+SELECT id AS vec_id, CAST(MIN(reach) AS BIGINT) AS comp
+FROM walk GROUP BY id
+"""
+
+
+def x_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF over the documents table (explode → two
+    aggs → term join + broadcast scalar)."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    return text.tf_idf(d)
+
+
+X_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf,
+       ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df_t), 6) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+"""
+
+
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: doc → (stream, pack_bin) under a
+    512-token budget, 32 parallel streams."""
+    d = _t(spark, sf_dir, "documents")
+    return text.pack_sequences(d, budget=512, num_streams=32)
+
+
+X_PACK_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens,
+         doc_id % 32 AS stream
+  FROM documents)
+SELECT doc_id, n_tokens, stream,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY stream ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+         AS pack_bin
+FROM base
+"""
+
+
+def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-prefix sampling of orders at 25%, summarized per
+    priority (stable under growth; engine-portable — no RNG seeds)."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        sample_by_hash,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        sample_by_hash(o, "o_orderkey", 0.25, salt="s1")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+X_HASH_SAMPLE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_sampled,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || 's1'), 1, 4) < '4000'
+GROUP BY o_orderpriority
+"""
+
+
 _DICT_SCHEMA = (
     "raw_data_column string, raw_data_column_name string, "
     "equivalent_clean_data_name string, notes string"
@@ -2462,6 +2563,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),
+    "x_dedup_clusters": (x_dedup_clusters, X_CLUSTER_SQL),
+    "x_tf_idf": (x_tf_idf, X_TFIDF_SQL),
+    "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
+    "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),
     "x_intersectall": (x_intersectall, X_INTERSECTALL_SQL),
     "x_date_arith": (x_date_arith, X_DATE_ARITH_SQL),
     "x_vector_stats": (x_vector_stats, X_VECTOR_SQL),

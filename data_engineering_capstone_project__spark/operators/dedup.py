@@ -337,3 +337,81 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup pairs → clusters: connected components of the pair graph
+    as (id, comp), comp = smallest id reachable from the node.
+
+    Iterative min-label propagation (the "small-star" fixpoint): each round
+    every node takes the min label among itself and its neighbours; stops
+    when no label changes. Rounds needed = graph diameter — tiny for dup
+    clusters (near-cliques), so a handful of shuffles on the edge list.
+    ``localCheckpoint`` cuts the lineage each round so the plan stays flat.
+    At 100 TB the edge list is the small side (pairs that survived LSH +
+    verification), not the corpus.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "_new")
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Purge near-duplicates: keep one representative (the smallest id) per
+    connected cluster of ``pairs``, plus every row not in any pair.
+
+    This is the step after candidate generation (MinHash-LSH / SimHash /
+    embedding cosine) that actually shrinks the corpus: pairs → clusters →
+    anti-join the non-representatives. The anti join broadcasts when the
+    loser set is small (the common case after verification).
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

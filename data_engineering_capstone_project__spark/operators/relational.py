@@ -210,3 +210,26 @@ def top_k_per_group(
     """W2 helper: classic windowed top-k (rank ≤ k per group)."""
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash sample: keep rows whose md5(key|salt) prefix
+    falls below the fraction threshold.
+
+    Unlike ``df.sample`` this is stable under data growth and re-runs (a
+    key is in or out forever, per salt), reproducible across engines (md5
+    everywhere — no seed plumbing), and needs no shuffle: a codegen'd
+    filter at the scan. Granularity is 1/65536.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    thresh = format(int(round(fraction * 16 ** 4)), "04x")
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))), 1, 4
+    )
+    return df.filter(h < F.lit(thresh))

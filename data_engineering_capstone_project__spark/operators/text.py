@@ -10,7 +10,7 @@ days.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_capstone_project__spark.functions.fx import pround
@@ -163,4 +163,75 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF over whitespace tokens of lowercased text:
+    ``tf * ln(n_docs / df_term)``.
+
+    Explode → two hash aggregations (term frequency, document frequency)
+    → join on term + broadcast of the scalar corpus size. All built-ins;
+    the explode output (docs × tokens) is the only big intermediate and it
+    never leaves the JVM.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WORD_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n = df.agg(F.count("*").alias("_n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            pround(
+                F.col("tf") * F.log(F.col("_n_docs").cast("double") / F.col("df_t")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    num_streams: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM training: documents are
+    laid end-to-end in id order within ``num_streams`` independent streams
+    (``id % num_streams``); each doc's pack is the budget-window its first
+    token lands in.
+
+    Returns (id, n_tokens, stream, pack_bin). One window per stream —
+    parallel across streams with no global sort, so throughput scales with
+    the stream count, not corpus size. Deterministic for a given corpus.
+    """
+    w = (
+        Window.partitionBy("_stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        (F.col(id_col) % num_streams).alias("stream"),
+    ).withColumn("_stream", F.col("stream"))
+    return base.select(
+        id_col,
+        "n_tokens",
+        "stream",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
+        ).cast("long").alias("pack_bin"),
     )

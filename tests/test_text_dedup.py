@@ -126,3 +126,82 @@ def test_simhash_pairs(spark):
     pairs = dedup.simhash_pairs(df, max_hamming=8).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in got  # identical after normalization -> hamming 0
+
+
+def test_connected_components_and_purge(spark):
+    """Pairs (1-2, 2-3) and (10-11) -> two clusters; purge keeps min-id
+    representative per cluster plus untouched docs."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 7, 10, 11)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_by_clusters(docs, pairs).collect()
+    )
+    assert kept == [1, 7, 10]
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph 0-1-2-...-9 needs multiple propagation rounds; all
+    nodes must still converge to component 0."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(10)}
+
+
+def test_pack_sequences_budget(spark):
+    """Within each stream, any pack except the last must have filled or
+    overflowed the budget before the next pack starts (concat-and-chunk)."""
+    from data_engineering_capstone_project__spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (20 + 7 * (i % 13)))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget=100, num_streams=4).collect()
+    by_stream: dict = {}
+    for r in sorted(out, key=lambda r: (r["stream"], r["doc_id"])):
+        by_stream.setdefault(r["stream"], []).append(r)
+    for rows in by_stream.values():
+        offset = 0
+        for r in rows:
+            assert r["pack_bin"] == offset // 100
+            offset += r["n_tokens"]
+
+
+def test_sample_by_hash_stability(spark):
+    """Sampled key set is identical across re-runs and under data growth,
+    and the rate is near the requested fraction."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        sample_by_hash,
+    )
+
+    small = spark.range(0, 2000).withColumnRenamed("id", "k")
+    big = spark.range(0, 4000).withColumnRenamed("id", "k")
+    s_small = {r["k"] for r in sample_by_hash(small, "k", 0.3, salt="z").collect()}
+    s_big = {r["k"] for r in sample_by_hash(big, "k", 0.3, salt="z").collect()}
+    assert s_small == {k for k in s_big if k < 2000}  # growth-stable
+    assert 0.25 < len(s_big) / 4000 < 0.35
+
+
+def test_tf_idf_values(spark):
+    """Term in every doc -> idf 0; rarer terms weigh more."""
+    from data_engineering_capstone_project__spark.operators.text import tf_idf
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"), (3, "apple date")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["term"]): r for r in tf_idf(docs).collect()}
+    assert rows[(1, "apple")]["tf"] == 2
+    assert rows[(1, "apple")]["tfidf"] == 0.0  # df=3, n=3 -> ln(1)=0
+    assert rows[(2, "cherry")]["tfidf"] > 0
