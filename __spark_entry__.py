@@ -2068,6 +2068,51 @@ X_STREAM_STATEFUL_SQL = (
 )
 
 
+def x_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: purchases within 10 minutes after a click by
+    the same user, with watermark-bounded state. Driven to completion over
+    the bounded source; the oracle is the equivalent batch interval join."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        stream_stream_join,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = stream_stream_join(
+        clicks, purchases, key="user_id",
+        ts_left="click_ts", ts_right="purchase_ts",
+        within="10 minutes", watermark="1 hour",
+    )
+    out = run_stream_to_table(joined, mode="append")
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("purchase_ts", TS_FMT_SPARK).alias("purchase_ts"),
+    )
+
+
+X_STREAM_JOIN_SQL = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts,
+       strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+"""
+
+
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only): deterministic inline media table →
     Arrow-batched feature extraction via mapInPandas (fake decoder — media
@@ -2561,6 +2606,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_ivf_topk": (x_ivf_topk, None),  # rows-only: centroid sample is engine-side
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
+    "x_stream_join": (x_stream_join, X_STREAM_JOIN_SQL),
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),
     "x_dedup_clusters": (x_dedup_clusters, X_CLUSTER_SQL),

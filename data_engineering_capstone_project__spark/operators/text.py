@@ -174,20 +174,21 @@ def tf_idf(
     """Per-(doc, term) TF-IDF over whitespace tokens of lowercased text:
     ``tf * ln(n_docs / df_term)``.
 
-    Explode → two hash aggregations (term frequency, document frequency)
-    → join on term + broadcast of the scalar corpus size. All built-ins;
-    the explode output (docs × tokens) is the only big intermediate and it
-    never leaves the JVM.
+    One explode, then term frequency by hash aggregation and document
+    frequency as a COUNT window over the (already one-row-per-doc-term)
+    aggregate — a single pass, no self-join, so the token explosion is
+    scanned exactly once (a tf⋈dfreq join would re-run the explode: Spark
+    shares no subplans across join branches). All built-ins, JVM-side.
     """
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WORD_RE)).alias("term"),
     ).filter(F.col("term") != "")
     tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n = df.agg(F.count("*").alias("_n_docs"))
+    w = Window.partitionBy("term")
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("df_t", F.count("*").over(w))
         .join(F.broadcast(n))
         .select(
             id_col,

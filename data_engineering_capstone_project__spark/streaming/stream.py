@@ -104,3 +104,32 @@ def stateful_running_count(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_left: str,
+    ts_right: str,
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with the time-range bound
+    ``left.ts <= right.ts <= left.ts + within``.
+
+    Both sides carry watermarks so the state store can evict rows once
+    they can no longer match (state is bounded by watermark + within —
+    the property that makes stream-stream joins feasible on unbounded
+    input). Column names must be disjoint apart from ``key``; rename
+    before calling.
+    """
+    l = left.withWatermark(ts_left, watermark)
+    r = right.withWatermark(ts_right, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(ts_right) >= F.col(ts_left))
+        & (F.col(ts_right) <= F.col(ts_left) + F.expr(f"interval {within}"))
+    )
+    return l.join(r, cond, how).drop(r[key])

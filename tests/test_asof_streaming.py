@@ -106,3 +106,62 @@ def test_stream_stateful_counts(spark, sf_dir):
     expect = {r["user_id"]: r["count"] for r in ev.groupBy("user_id").count().collect()}
     final = {r["user_id"]: r["n_events"] for r in got.collect()}
     assert final == expect
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 5-min watermark: an event arriving
+    after its window was finalized must be dropped, not re-counted."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+
+    def write_file(name, ts_list):
+        tbl = pa.table({
+            "ts": pa.array([datetime(2024, 1, 1, 10, m, s) for m, s in ts_list],
+                           type=pa.timestamp("us")),
+            "k": pa.array(["u"] * len(ts_list)),
+        })
+        pq.write_table(tbl, os.path.join(src, name))
+
+    # batch 1: two events in [10:00,10:10)
+    write_file("f1.parquet", [(0, 30), (1, 0)])
+    _time.sleep(1.1)  # file source orders batches by modification time
+    # batch 2: pushes max event time to 10:16 -> watermark 10:11 after it
+    write_file("f2.parquet", [(16, 0)])
+    _time.sleep(1.1)
+    # batch 3: runs with watermark 10:11 > window end 10:10 -> the 10:00
+    # window is emitted (count 2) and its state evicted
+    write_file("f3.parquet", [(17, 0)])
+    _time.sleep(1.1)
+    # batch 4: a LATE event for the already-emitted 10:00 window + a fresh
+    # one; the late event must not resurrect the window
+    write_file("f4.parquet", [(1, 30), (22, 0)])
+
+    from pyspark.sql import functions as F
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        run_stream_to_table,
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("start"), "n")
+    )
+    rows = {
+        r["start"]: r["n"] for r in run_stream_to_table(agg, mode="append").collect()
+    }
+    # only the finalized 10:00 window is emitted, and the late event did
+    # NOT inflate it from 2 to 3
+    assert rows == {"2024-01-01 10:00:00": 2}

@@ -54,3 +54,38 @@ def test_partitioned_write_prunes(spark, sf_dir):
         assert len(dirs) == len(flags)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_q13_aggregates_before_join(spark, sf_dir):
+    """Q13's plan must collapse orders to one row per customer BEFORE the
+    customer join (shuffle ∝ customers, not orders)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q13_order_distribution"](spark, sf_dir)
+    plan = _physical_plan(df)
+    join_pos = plan.find("Join")
+    assert join_pos > 0, plan
+    # an aggregate must appear below (after, in toString order) the join
+    assert "HashAggregate" in plan[join_pos:], plan
+
+
+def test_q7_filters_reach_scans_and_dims_broadcast(spark, sf_dir):
+    """Q7: ship-date range is pushed to the lineitem scan; the
+    nation-filtered supplier and customer sides broadcast."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q7_volume_shipping"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tf_idf_single_explode_no_python(spark, sf_dir):
+    """TF-IDF plan stays JVM-side: one Generate (explode), no
+    Python/Arrow eval nodes."""
+    from data_engineering_capstone_project__spark.operators.text import tf_idf
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical_plan(tf_idf(d))
+    assert plan.count("Generate") == 1, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
