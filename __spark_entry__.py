@@ -1429,17 +1429,43 @@ _STOP_EN = "|".join(text.LANG_MARKERS["en"])
 
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, punctuation/stopword ratios, quality
-    score, md5 fingerprint — all JVM-side expressions."""
+    score, md5 fingerprint — all JVM-side expressions. Staged select: each
+    regex runs once, ratios and quality derive from the counted columns
+    (halves the codegen'd expression tree vs recomputing per output)."""
     d = spread(_t(spark, sf_dir, "documents"))
     t = F.col("text")
-    return d.select(
+    counted = d.select(
         "doc_id",
         text.token_count(t).cast("long").alias("n_tokens"),
         text.bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
-        pround(text.punct_ratio(t), 4).alias("punct_ratio"),
-        pround(text.stopword_ratio(t), 4).alias("stopword_ratio"),
-        text.quality_score(t).alias("quality"),
+        F.regexp_count(t, F.lit(r"[^\w\s]")).alias("_n_punct"),
+        F.regexp_count(
+            F.lower(t), F.lit(r"\b(" + _STOP_EN + r")\b")
+        ).alias("_n_stop"),
+        F.length(t).alias("_n_chars"),
         text.fingerprint(t).alias("fingerprint"),
+    )
+    punct_raw = F.col("_n_punct") / F.nullif(
+        F.col("_n_chars").cast("double"), F.lit(0.0)
+    )
+    stop_raw = F.col("_n_stop") / F.nullif(
+        F.col("_n_tokens_d"), F.lit(0.0)
+    )
+    len_score = F.least(F.col("_n_chars") / F.lit(200.0), F.lit(1.0))
+    punct_score = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.coalesce(punct_raw, F.lit(0.0)) * 4
+    )
+    stop_score = F.least(F.coalesce(stop_raw, F.lit(0.0)) * 5, F.lit(1.0))
+    return counted.withColumn(
+        "_n_tokens_d", F.col("n_tokens").cast("double")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        pround(punct_raw, 4).alias("punct_ratio"),
+        pround(stop_raw, 4).alias("stopword_ratio"),
+        pround((len_score + punct_score + stop_score) / 3, 4).alias("quality"),
+        "fingerprint",
     )
 
 

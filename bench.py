@@ -41,6 +41,12 @@ HEADLINE = [
     "x_asof_join",
     "x_topk_per_group",
     "x_pivot",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "x_tf_idf",
+    "x_pack_sequences",
+    "x_hash_sample",
 ]
 
 

@@ -23,8 +23,31 @@ def spread(df: DataFrame) -> DataFrame:
     matter how many cores exist. One cheap round-robin repartition fixes
     it; skipped when the scan is already parallel.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    floor = max(2, parallelism // 2)
+    files = df.inputFiles()
+    if files:
+        # estimate scan partitions from file sizes (driver-side metadata —
+        # avoids the df.rdd conversion, which costs ~0.5 s per call)
+        import os
+
+        max_pb = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            .lower()
+            .removesuffix("b")
+        )
+        est = 0
+        for f in files:
+            path = f.removeprefix("file:")
+            try:
+                est += -(-os.path.getsize(path) // max_pb)
+            except OSError:
+                return df  # non-local storage: assume the scan is parallel
+        if est < floor:
+            return df.repartition(parallelism)
+        return df
+    if df.rdd.getNumPartitions() < floor:
         return df.repartition(parallelism)
     return df
 
