@@ -163,3 +163,63 @@ def columns_df(spark: SparkSession, df: DataFrame) -> DataFrame:
     schema is already driver-side metadata.
     """
     return spark.createDataFrame([(c,) for c in df.columns], "name string")
+
+
+def read_delimited_robust(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = "\t",
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Typed delimited ingest that never aborts on dirty rows: PERMISSIVE
+    parse captures unparseable lines whole in ``corrupt_col``. Returns
+    (good_rows_without_corrupt_col, quarantine_rows).
+
+    At 100 TB a single malformed line must not kill a multi-hour job
+    (FAILFAST) or silently vanish (DROPMALFORMED); the quarantine frame
+    makes bad input inspectable and re-processable. The parsed frame is
+    cached: Spark forbids filtering on the corrupt column alone on the raw
+    scan, and the cache also makes the good/bad split one parse pass.
+    """
+    full = spark.read.options(
+        sep=sep,
+        header=header,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+    ).schema(f"{schema}, {corrupt_col} string").csv(path).cache()
+    good = full.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = full.filter(F.col(corrupt_col).isNotNull())
+    return good, bad
+
+
+def write_parquet_observed(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Durable sink + free row count: an ``observe`` metric rides the write
+    job, so no second count() pass over the data (at 100 TB a post-write
+    count re-reads everything). Returns the rows written."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    w = observed.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return int(obs.get["rows"])
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = "\t",
+    header: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Delimited export (the reference's world is TSV in, so TSV out)."""
+    df.write.mode(mode).options(sep=sep, header=header).csv(path)

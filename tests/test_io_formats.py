@@ -24,3 +24,54 @@ def test_json_and_orc_round_trip(spark, sf_dir):
         a = sorted(tuple(r) for r in nation.collect())
         assert sorted(tuple(r) for r in back_j.select(*nation.columns).collect()) == a
         assert sorted(tuple(r) for r in back_o.select(*nation.columns).collect()) == a
+
+
+def test_read_delimited_robust_quarantine(spark, tmp_path):
+    """Malformed rows land in the quarantine frame, not in the output and
+    not as a job failure."""
+    from data_engineering_capstone_project__spark.sources.io import (
+        read_delimited_robust,
+    )
+
+    p = tmp_path / "dirty.tsv"
+    p.write_text(
+        "id\tamount\tname\n"
+        "1\t10.5\talpha\n"
+        "2\tNOT_A_NUMBER\tbeta\n"   # bad double
+        "3\t7.25\tgamma\n"
+    )
+    good, bad = read_delimited_robust(
+        spark, str(p), "id int, amount double, name string"
+    )
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    assert "_corrupt_record" not in good.columns
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert "NOT_A_NUMBER" in quarantined[0]["_corrupt_record"]
+
+
+def test_write_parquet_observed_counts_without_second_pass(spark, tmp_path):
+    from data_engineering_capstone_project__spark.sources.io import (
+        write_parquet_observed,
+    )
+
+    df = spark.range(0, 1234).withColumnRenamed("id", "k")
+    out = str(tmp_path / "obs_out")
+    n = write_parquet_observed(df, out)
+    assert n == 1234
+    assert spark.read.parquet(out).count() == 1234
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    from data_engineering_capstone_project__spark.sources.io import (
+        read_tsv,
+        write_csv,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "name string, val string"
+    )
+    out = str(tmp_path / "csv_out")
+    write_csv(df, out)
+    back = read_tsv(spark, out)
+    assert {(r["name"], r["val"]) for r in back.collect()} == {("a", "1"), ("b", "2")}
