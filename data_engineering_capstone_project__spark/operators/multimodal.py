@@ -45,6 +45,8 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     when the libs exist. Keeps tests meaningful: stable, content-derived.
     """
     h = hashlib.sha256(payload or b"").digest()
+    while len(h) < dim * 4:  # extend for dims beyond 8 (sha256 is 32 bytes)
+        h += hashlib.sha256(h).digest()
     return np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float32) / 2**32
 
 
@@ -117,4 +119,66 @@ def sample_video_frames(
 
     return df.filter(F.col("kind") == "video").mapInPandas(
         batches, schema="media_id long, frame_ts_ms long, sha256 string"
+    )
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: payload → payload at (target_w, target_h).
+
+    The stub keeps the payload bytes and rewrites the size metadata +
+    content hash deterministically; a real implementation decodes,
+    resamples, and re-encodes inside the same batch loop. Output schema is
+    again MEDIA-shaped so resize composes with the other operators.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError("image resize requires Pillow; fake=True")
+            out = pdf.copy()
+            out["width"] = np.int32(target_w)
+            out["height"] = np.int32(target_h)
+            out["resize_sha256"] = [
+                hashlib.sha256(
+                    (p or b"") + f"{target_w}x{target_h}".encode()
+                ).hexdigest()
+                for p in pdf["payload"]
+            ]
+            yield out
+
+    schema = (
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long, resize_sha256 string"
+    )
+    return df.filter(F.col("kind") == "image").mapInPandas(batches, schema=schema)
+
+
+def extract_audio_features(
+    df: DataFrame, window_ms: int = 500, fake: bool = True
+) -> DataFrame:
+    """Windowed audio features: one row per ``window_ms`` slice with a
+    16-dim feature vector (MFCC-shaped; stub derives it from the content
+    hash + window index so values are stable and content-dependent)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                if not fake:
+                    raise NotImplementedError("audio decode requires librosa; fake=True")
+                dur = int(r["duration_ms"] or 0)
+                payload = r["payload"] or b""
+                for i, _start in enumerate(range(0, max(dur, 1), window_ms)):
+                    feat = _fake_decode(payload + i.to_bytes(4, "big"), dim=16)
+                    rows.append(
+                        (int(r["media_id"]), i * window_ms, feat.tolist())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_start_ms", "feat"]
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        batches, schema="media_id long, window_start_ms long, feat array<float>"
     )
