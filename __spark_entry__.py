@@ -1780,6 +1780,81 @@ X_JSON_SQL = (
 )
 
 
+def x_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema → struct
+    column (vs the stringly get_json_object path in x_json_extract)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k int").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_val"),
+        (F.col("p.k") % 10 == 0).alias("k_round"),
+    )
+
+
+X_JSON_STRUCT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0 AS k_round
+FROM events
+"""
+
+
+def x_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (the reference's join scenario with dirty
+    keys): block on nation, Levenshtein-match names against a typo'd copy
+    of the customer table. Blocking bounds candidates to within-block
+    pairs — the standard scale shape for edit-distance linkage."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        fuzzy_linkage_join,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    dirty = c.select(
+        (F.col("c_custkey") + 1000000).alias("dirty_id"),
+        F.regexp_replace("c_name", "Customer", "Custmer").alias("dirty_name"),
+        F.col("c_nationkey").alias("dirty_nk"),
+    )
+    out = fuzzy_linkage_join(
+        c.select("c_custkey", "c_name", "c_nationkey"),
+        dirty,
+        block_keys=[("c_nationkey", "dirty_nk")],
+        fuzzy_keys=[("c_name", "dirty_name")],
+        max_distance=1,
+    )
+    return out.select(
+        "c_custkey",
+        "dirty_id",
+        F.levenshtein("c_name", "dirty_name").alias("dist"),
+    )
+
+
+X_FUZZY_SQL = """
+SELECT c.c_custkey, c2.c_custkey + 1000000 AS dirty_id,
+       levenshtein(c.c_name, replace(c2.c_name, 'Customer', 'Custmer')) AS dist
+FROM customer c JOIN customer c2 ON c.c_nationkey = c2.c_nationkey
+WHERE levenshtein(c.c_name, replace(c2.c_name, 'Customer', 'Custmer')) <= 1
+"""
+
+
+def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (hierarchical subtotals)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+X_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def x_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) event-time windows: 10-minute windows every 5
     minutes — each event lands in two windows."""
@@ -2615,6 +2690,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_window_tumbling": (x_window_tumbling, X_WINDOW_SQL),
     "x_sessionize": (x_sessionize, X_SESSION_SQL),
     "x_json_extract": (x_json_extract, X_JSON_SQL),
+    "x_json_struct": (x_json_struct, X_JSON_STRUCT_SQL),
+    "x_fuzzy_linkage": (x_fuzzy_linkage, X_FUZZY_SQL),
+    "x_rollup": (x_rollup, X_ROLLUP_SQL),
     "x_window_sliding": (x_window_sliding, X_SLIDING_SQL),
     "x_asof_join": (x_asof_join, X_ASOF_SQL),
     "x_range_join": (x_range_join, X_RANGE_SQL),

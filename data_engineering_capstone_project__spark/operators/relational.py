@@ -256,3 +256,29 @@ def sample_by_hash(
         F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))), 1, 4
     )
     return df.filter(h < F.lit(thresh))
+
+
+def fuzzy_linkage_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_keys: Sequence[tuple[str, str]],
+    fuzzy_keys: Sequence[tuple[str, str]],
+    max_distance: int = 2,
+    how: str = "inner",
+) -> DataFrame:
+    """Record linkage with dirty keys: exact equi-join on blocking keys,
+    then a Levenshtein filter on the fuzzy keys.
+
+    The blocking join keeps the plan an equi-join (SMJ/broadcast — never a
+    cross product); edit distance runs only within blocks, so candidate
+    work is Σ block² instead of N². The J4 linkage join is the exact-key
+    special case of this.
+    """
+    conds: list[Column] = [left[a] == right[b] for a, b in block_keys]
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    out = left.join(right, cond, how)
+    for a, b in fuzzy_keys:
+        out = out.filter(F.levenshtein(left[a], right[b]) <= max_distance)
+    return out
