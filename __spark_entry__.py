@@ -2421,6 +2421,96 @@ GROUP BY o_orderpriority
 """
 
 
+def x_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: plant a deterministic email + phone per document,
+    then mask both (regexp_replace chain — codegen'd, no Python)."""
+    d = _t(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or call +1 555-010-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return dirty.select("doc_id", text.mask_pii(F.col("text")).alias("masked"))
+
+
+X_PII_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id
+              || '@example.com or call +1 555-010-'
+              || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?\d[\d\s().-]{6,}\d', '<PHONE>', 'g') AS masked
+FROM dirty
+"""
+
+
+def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (1 - distinct/total 3-gram ratio —
+    the Gopher-style boilerplate/spam signal)."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        pround(text.repetition_score(F.col("text"), ngram_words=3), 6).alias(
+            "rep_score"
+        ),
+    )
+
+
+X_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id, len(words) - 2 AS total,
+         [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)] AS grams
+  FROM w)
+SELECT doc_id,
+       CASE WHEN total >= 1
+            THEN ROUND(1.0 - len(list_distinct(grams)) / CAST(total AS DOUBLE), 6)
+       END AS rep_score
+FROM g
+"""
+
+
+def x_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal: a footer line planted on every doc
+    crosses the 5%-of-docs threshold and is stripped; each doc's own text
+    survives. CCNet-style line dedup."""
+    d = _t(spark, sf_dir, "documents")
+    with_footer = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\nCopyright Footer 2024")).alias("text"),
+    )
+    return text.strip_boilerplate_lines(with_footer)
+
+
+X_BOILERPLATE_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, text || chr(10) || 'Copyright Footer 2024' AS text
+  FROM documents),
+arrs AS (SELECT doc_id, regexp_split_to_array(text, '\n') AS arr FROM docs),
+lines AS (
+  SELECT doc_id, i AS ln, arr[i] AS line, TRIM(arr[i]) AS key
+  FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)
+  WHERE LENGTH(TRIM(arr[i])) > 0),
+hot AS (
+  SELECT key FROM lines GROUP BY key
+  HAVING COUNT(DISTINCT doc_id) >= (
+    SELECT GREATEST(CAST(FLOOR(COUNT(*) * 0.05) AS INTEGER), 3) FROM documents)),
+kept AS (SELECT * FROM lines WHERE key NOT IN (SELECT key FROM hot))
+SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
 _DICT_SCHEMA = (
     "raw_data_column string, raw_data_column_name string, "
     "equivalent_clean_data_name string, notes string"
@@ -2714,6 +2804,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),
     "x_dedup_clusters": (x_dedup_clusters, X_CLUSTER_SQL),
+    "x_pii_mask": (x_pii_mask, X_PII_SQL),
+    "x_repetition": (x_repetition, X_REPETITION_SQL),
+    "x_boilerplate": (x_boilerplate, X_BOILERPLATE_SQL),
     "x_tf_idf": (x_tf_idf, X_TFIDF_SQL),
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),

@@ -236,3 +236,68 @@ def pack_sequences(
             F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
         ).cast("long").alias("pack_bin"),
     )
+
+
+def mask_pii(text: Column) -> Column:
+    """Redact common PII shapes (emails, long digit runs / phone-like
+    sequences) before training — pure regexp_replace chain, codegen'd."""
+    no_email = F.regexp_replace(
+        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    return F.regexp_replace(
+        no_email, r"\+?\d[\d\s().-]{6,}\d", "<PHONE>"
+    )
+
+
+def repetition_score(text: Column, ngram_words: int = 3) -> Column:
+    """Within-document repetition: 1 - distinct/total word n-grams (the
+    Gopher-style repetition signal; high = boilerplate/spam). NULL when the
+    doc has fewer than ``ngram_words`` words."""
+    words = F.split(F.lower(F.trim(text)), _WORD_RE)
+    n = F.size(words)
+    total = n - (ngram_words - 1)
+    idx = F.sequence(F.lit(0), F.greatest(total - 1, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, ngram_words))
+    )
+    return F.when(
+        total >= 1,
+        1.0 - F.size(F.array_distinct(grams)) / total.cast("double"),
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_frac: float = 0.05,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Line-level boilerplate removal (CCNet-style): drop lines that occur
+    in more than ``max_doc_frac`` of documents (and at least ``min_docs``),
+    then reassemble each document from its surviving lines in order.
+
+    Two shuffles: line-hash document frequency, then the per-doc
+    reassembly groupBy. The line-frequency table is the small side
+    (distinct lines) and broadcasts back onto the exploded lines.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_ln", "_line"),
+    )
+    norm = F.trim(F.col("_line"))
+    lines = lines.withColumn("_key", norm).filter(F.length("_key") > 0)
+    n_docs = df.count()
+    cutoff = max(int(n_docs * max_doc_frac), min_docs)
+    hot = (
+        lines.groupBy("_key")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= cutoff)
+        .select("_key")
+    )
+    kept = lines.join(F.broadcast(hot), "_key", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n", F.transform(F.array_sort(F.collect_list(F.struct("_ln", "_line"))), lambda s: s["_line"])
+        ).alias(text_col)
+    )

@@ -205,3 +205,49 @@ def test_tf_idf_values(spark):
     assert rows[(1, "apple")]["tf"] == 2
     assert rows[(1, "apple")]["tfidf"] == 0.0  # df=3, n=3 -> ln(1)=0
     assert rows[(2, "cherry")]["tfidf"] > 0
+
+
+def test_strip_boilerplate_lines(spark):
+    from data_engineering_capstone_project__spark.operators.text import (
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"unique line {i}\nSHARED FOOTER") for i in range(10)]
+        + [(99, "SHARED FOOTER")],  # all-boilerplate doc
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in strip_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out[0] == "unique line 0"
+    assert 99 not in out  # nothing survives for the footer-only doc
+    assert all("SHARED FOOTER" not in t for t in out.values())
+
+
+def test_repetition_score_and_pii(spark):
+    from pyspark.sql import functions as F
+    from data_engineering_capstone_project__spark.operators.text import (
+        mask_pii,
+        repetition_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all words here are fully distinct tokens"),
+            (3, "hi"),
+            (4, "write to bob.smith+x@mail.example.org or +1 (555) 123-4567 now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            repetition_score(F.col("text")).alias("rep"),
+            mask_pii(F.col("text")).alias("masked"),
+        ).collect()
+    }
+    assert rows[1]["rep"] == 0.75  # 4 identical 3-grams of 4 total -> 1 - 1/4
+    assert rows[2]["rep"] == 0.0
+    assert rows[3]["rep"] is None  # fewer words than the n-gram size
+    assert rows[4]["masked"] == "write to <EMAIL> or <PHONE> now"
