@@ -2511,6 +2511,89 @@ FROM kept GROUP BY doc_id
 """
 
 
+def x_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning pipeline end-to-end (lang filter → quality
+    floor → repetition ceiling → PII mask → exact dedup); train∪test =
+    the cleaned corpus, so the oracle needs no hash-split replica."""
+    from data_engineering_capstone_project__spark.plans.corpus import (
+        CorpusConfig,
+        clean_corpus,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    train, test, _report = clean_corpus(d, CorpusConfig())
+    return train.unionByName(test).select(
+        "doc_id",
+        "text",
+        F.col("_lang").alias("lang"),
+        F.col("_quality").alias("quality"),
+        F.col("_rep").alias("rep"),
+    )
+
+
+def _clean_corpus_sql() -> str:
+    """Oracle for x_clean_corpus: the same stage chain in SQL, assembled
+    from the per-operator oracle formulas (lang id, quality, repetition,
+    mask, fingerprint dedup)."""
+    score_exprs = ",\n         ".join(
+        f"len(regexp_extract_all(LOWER(text), '\\b({'|'.join(words)})\\b')) AS s_{lang}"
+        for lang, words in text.LANG_MARKERS.items()
+    )
+    langs = list(text.LANG_MARKERS)
+    greatest = ", ".join(f"s_{l}" for l in langs)
+    whens = "\n       ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    return rf"""
+WITH scores AS (
+  SELECT doc_id, {score_exprs}
+  FROM documents),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN GREATEST({greatest}) = 0 THEN 'und'
+         {whens.replace('= best', f'= GREATEST({greatest})')}
+         ELSE 'und' END AS lang
+  FROM scores),
+feats AS (
+  SELECT d.doc_id, d.text, lang.lang,
+         len(regexp_extract_all(d.text, '[^\w\s]'))
+           / NULLIF(CAST(LENGTH(d.text) AS DOUBLE), 0) AS punct_raw,
+         len(regexp_extract_all(LOWER(d.text), '\b({_STOP_EN})\b'))
+           / NULLIF(CAST(CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(TRIM(d.text), '\s+')) END AS DOUBLE), 0) AS stop_raw,
+         len(regexp_split_to_array(LOWER(TRIM(d.text)), '\s+')) - 2 AS g_total,
+         [array_to_string(w.words[i:i+2], ' ')
+          FOR i IN range(1, len(w.words) - 1)] AS grams
+  FROM documents d
+  JOIN lang ON d.doc_id = lang.doc_id
+  JOIN (SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents) w ON d.doc_id = w.doc_id),
+scored AS (
+  SELECT doc_id, text, lang,
+         ROUND((LEAST(LENGTH(text) / 200.0, 1.0)
+              + GREATEST(0.0, 1.0 - COALESCE(punct_raw, 0) * 4)
+              + LEAST(COALESCE(stop_raw, 0) * 5, 1.0)) / 3, 4) AS quality,
+         CASE WHEN g_total >= 1
+              THEN 1.0 - len(list_distinct(grams)) / CAST(g_total AS DOUBLE)
+         END AS rep
+  FROM feats),
+kept AS (
+  SELECT * FROM scored
+  WHERE lang = 'en' AND quality >= 0.3 AND COALESCE(rep, 0.0) <= 0.5),
+masked AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\+?\d[\d\s().-]{{6,}}\d', '<PHONE>', 'g') AS text,
+         lang, quality, rep
+  FROM kept),
+fp AS (
+  SELECT *, md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS f
+  FROM masked),
+surv AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f)
+SELECT doc_id, text, lang, quality, rep
+FROM fp JOIN surv ON fp.f = surv.f AND fp.doc_id = surv.keep_id
+"""
+
+
 _DICT_SCHEMA = (
     "raw_data_column string, raw_data_column_name string, "
     "equivalent_clean_data_name string, notes string"
@@ -2807,6 +2890,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_pii_mask": (x_pii_mask, X_PII_SQL),
     "x_repetition": (x_repetition, X_REPETITION_SQL),
     "x_boilerplate": (x_boilerplate, X_BOILERPLATE_SQL),
+    "x_clean_corpus": (x_clean_corpus, _clean_corpus_sql()),
     "x_tf_idf": (x_tf_idf, X_TFIDF_SQL),
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),

@@ -1,0 +1,101 @@
+"""Corpus-cleaning pipeline (north-star product surface): the standard
+LLM-pretraining data prep flow as ONE composable plan over a documents
+DataFrame.
+
+    raw docs
+      → language filter            (text.lang_id)
+      → quality floor              (text.quality_score)
+      → repetition ceiling         (text.repetition_score)
+      → PII masking                (text.mask_pii)
+      → exact dedup                (keep lowest id per fingerprint)
+      → near-dup purge [optional]  (MinHash-LSH pairs → clusters → purge)
+      → stable train/test split    (hash bucket)
+
+Each stage is an independently-tested operator; this module only chains
+them. Everything except the optional near-dup purge is a single lazy plan
+(no actions), so Catalyst fuses the filters into one pass over the corpus.
+At 100 TB the flow is: one full scan for the filter+mask project, one
+fingerprint shuffle for exact dedup, and the LSH pipeline's bounded
+shuffles for the near-dup stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.operators import dedup, text
+from data_engineering_capstone_project__spark.operators.relational import (
+    train_test_split,
+)
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    """Knobs for ``clean_corpus`` — defaults follow common practice
+    (quality floor, Gopher-style repetition ceiling, 1% eval holdout)."""
+
+    languages: tuple[str, ...] = ("en",)
+    min_quality: float = 0.3
+    max_repetition: float = 0.5
+    mask_pii: bool = True
+    near_dedup: bool = False
+    minhash_threshold: float = 0.8
+    test_fraction: float = 0.01
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+def clean_corpus(
+    df: DataFrame, config: CorpusConfig = CorpusConfig()
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run the cleaning flow; returns (train, test, report_columns).
+
+    The third frame is the per-stage survivor counts (one row), computed
+    with ``observe``-free aggregation only when collected — deriving it is
+    lazy and optional.
+    """
+    id_col, text_col = config.id_col, config.text_col
+    t = F.col(text_col)
+
+    staged = df.select(
+        id_col,
+        text_col,
+        text.lang_id(t).alias("_lang"),
+        text.quality_score(t).alias("_quality"),
+        text.repetition_score(t).alias("_rep"),
+    )
+    kept = staged.filter(
+        F.col("_lang").isin(*config.languages)
+        & (F.col("_quality") >= config.min_quality)
+        & (F.coalesce(F.col("_rep"), F.lit(0.0)) <= config.max_repetition)
+    )
+    if config.mask_pii:
+        kept = kept.withColumn(text_col, text.mask_pii(F.col(text_col)))
+
+    # exact dedup keeping the full row of the lowest-id survivor
+    survivors = dedup.exact_dedup(kept, text_col=text_col, id_col=id_col).select(
+        id_col
+    )
+    deduped = kept.join(survivors, id_col, "left_semi")
+
+    if config.near_dedup:
+        pairs = dedup.minhash_lsh_pairs(
+            deduped,
+            id_col=id_col,
+            text_col=text_col,
+            jaccard_threshold=config.minhash_threshold,
+        ).select("id_a", "id_b")
+        deduped = dedup.dedup_by_clusters(deduped, pairs, id_col=id_col)
+
+    cleaned = deduped.select(id_col, text_col, "_lang", "_quality", "_rep")
+    train, test = train_test_split(
+        cleaned, test_fraction=config.test_fraction, id_col=id_col
+    )
+
+    report = df.agg(F.count("*").alias("n_input")).crossJoin(
+        cleaned.agg(F.count("*").alias("n_cleaned"))
+    )
+    return train, test, report

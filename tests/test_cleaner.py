@@ -91,3 +91,76 @@ def test_apply_plan_single_projection(spark):
     out = apply_clean_plan(df, plan, row_id_col="row_num")
     assert out.columns == ["Clean One", "dup_a", "dup_b", "row_num"]
     assert out.collect()[0]["Clean One"] == "v1"
+
+
+def test_clean_corpus_pipeline(spark):
+    """End-to-end corpus cleaning: filters + mask + dedup + stable split."""
+    from data_engineering_capstone_project__spark.plans.corpus import (
+        CorpusConfig,
+        clean_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the old house for a while that "
+                "rainy day to watch the birds of the garden in full song"),
+            (2, "the cat and the dog sat in the old house for a while that "
+                "rainy day to watch the birds of the garden in full song"),  # exact dup of 1
+            (3, "der hund und die katze ist nicht ein zu der und das haus "
+                "und die alte stadt ist nicht zu der ein und das"),  # German
+            (4, "spam spam spam spam spam spam spam spam spam spam spam"),  # repetitive
+            (5, "reach me at jane@corp.example.com about the offer that is "
+                "good for you and the team of the office in early may"),
+        ],
+        "doc_id long, text string",
+    )
+    train, test, report = clean_corpus(
+        docs, CorpusConfig(test_fraction=0.5, min_quality=0.0)
+    )
+    out = train.unionByName(test)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 2 not in ids       # exact dup purged (1 survives)
+    assert 1 in ids
+    assert 3 not in ids       # language filter
+    assert 4 not in ids       # repetition filter
+    masked = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert "<EMAIL>" in masked[5] and "@" not in masked[5]
+    # split partitions the survivors
+    assert ids == {r["doc_id"] for r in train.collect()} | {
+        r["doc_id"] for r in test.collect()
+    }
+    assert train.count() + test.count() == len(ids)
+    rep = report.collect()[0]
+    assert rep["n_input"] == 5 and rep["n_cleaned"] == len(ids)
+
+
+def test_clean_corpus_near_dedup_path(spark):
+    from data_engineering_capstone_project__spark.plans.corpus import (
+        CorpusConfig,
+        clean_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the old green hill where it rests for the day in peace"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("green", "blue")),  # near-dup of 1
+            (3, "completely different content about the weather in the city "
+                "for all of the people that like to know more of it today"),
+        ],
+        "doc_id long, text string",
+    )
+    train, test, _ = clean_corpus(
+        docs,
+        CorpusConfig(
+            near_dedup=True,
+            minhash_threshold=0.6,
+            min_quality=0.0,
+            test_fraction=0.0,
+        ),
+    )
+    ids = {r["doc_id"] for r in train.unionByName(test).collect()}
+    assert ids == {1, 3}  # 2 clustered with 1, representative kept
