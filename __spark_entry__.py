@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_capstone_project__spark.functions.fx import (
@@ -404,11 +404,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
-    min_cost = ps_eu.groupBy("l_partkey").agg(
-        F.min("supply_cost").alias("_min_cost")
-    )
+    # per-part min as a window over l_partkey: one shuffle, no
+    # aggregate-then-self-join (which would re-shuffle ps_eu a second time)
+    w_min = Window.partitionBy("l_partkey")
     return (
-        ps_eu.join(min_cost, "l_partkey")
+        ps_eu.withColumn("_min_cost", F.min("supply_cost").over(w_min))
         .filter(F.col("supply_cost") == F.col("_min_cost"))
         .join(F.broadcast(p), ps_eu.l_partkey == p.p_partkey)
         .select(
