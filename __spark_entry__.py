@@ -2594,6 +2594,42 @@ FROM fp JOIN surv ON fp.f = surv.f AND fp.doc_id = surv.keep_id
 """
 
 
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: rebalance the orders mix by
+    priority (keep 50% URGENT, 10% HIGH, 2% of everything else) — a
+    training-mix downsampling shape, seedless and growth-stable."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        stratified_sample_by_hash,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    sampled = stratified_sample_by_hash(
+        o,
+        key_col="o_orderkey",
+        strata_col="o_orderpriority",
+        fractions={"1-URGENT": 0.5, "2-HIGH": 0.1},
+        default_fraction=0.02,
+        salt="mix1",
+    )
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_sampled"),
+        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+X_STRATIFIED_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_sampled,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || 'mix1'), 1, 4) <
+      CASE o_orderpriority
+        WHEN '1-URGENT' THEN '8000'
+        WHEN '2-HIGH' THEN '199a'
+        ELSE '051f' END
+GROUP BY o_orderpriority
+"""
+
+
 _DICT_SCHEMA = (
     "raw_data_column string, raw_data_column_name string, "
     "equivalent_clean_data_name string, notes string"
@@ -2894,6 +2930,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_tf_idf": (x_tf_idf, X_TFIDF_SQL),
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),
+    "x_stratified_sample": (x_stratified_sample, X_STRATIFIED_SQL),
     "x_intersectall": (x_intersectall, X_INTERSECTALL_SQL),
     "x_date_arith": (x_date_arith, X_DATE_ARITH_SQL),
     "x_vector_stats": (x_vector_stats, X_VECTOR_SQL),

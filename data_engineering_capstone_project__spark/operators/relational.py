@@ -282,3 +282,33 @@ def fuzzy_linkage_join(
     for a, b in fuzzy_keys:
         out = out.filter(F.levenshtein(left[a], right[b]) <= max_distance)
     return out
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` without RNG):
+    each stratum gets its own md5-prefix threshold, so class rebalancing
+    is reproducible across runs, engines, and data growth.
+
+    One codegen'd CASE over the strata — no shuffle, no seed state. The
+    standard shape for downsampling over-represented sources/languages in
+    a training mix.
+    """
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))), 1, 4
+    )
+    thresh = F.lit(format(int(round(default_fraction * 16 ** 4)), "04x"))
+    for value, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0,1]")
+        thresh = F.when(
+            F.col(strata_col) == value,
+            F.lit(format(int(round(frac * 16 ** 4)), "04x")),
+        ).otherwise(thresh)
+    return df.filter(h < thresh)

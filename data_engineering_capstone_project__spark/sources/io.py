@@ -223,3 +223,15 @@ def write_csv(
 ) -> None:
     """Delimited export (the reference's world is TSV in, so TSV out)."""
     df.write.mode(mode).options(sep=sep, header=header).csv(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with schema merge across files: batches written with
+    added/missing columns union into one frame (missing values NULL).
+
+    At 100 TB tables accrete columns over months of writers;
+    ``mergeSchema`` reconciles footers at planning time without rewriting
+    old data. Off by default in Spark because footer merging has
+    per-file cost — turn it on only at these evolution boundaries.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)

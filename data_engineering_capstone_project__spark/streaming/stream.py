@@ -133,3 +133,43 @@ def stream_stream_join(
         & (F.col(ts_right) <= F.col(ts_left) + F.expr(f"interval {within}"))
     )
     return l.join(r, cond, how).drop(r[key])
+
+
+def run_stream_incremental_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+) -> None:
+    """Incremental MERGE sink: each micro-batch upserts into a parquet
+    target via foreachBatch (the lakehouse pattern — with Delta/Iceberg
+    the body becomes a transactional MERGE INTO; parquet rewrite here
+    demonstrates the same dataflow on the formats in this container).
+
+    Synchronous: drives the (bounded) stream to completion.
+    """
+    from data_engineering_capstone_project__spark.operators.relational import upsert
+
+    spark = stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            base = spark.read.parquet(target_path)
+        except Exception:  # first batch: no target yet
+            batch_df.write.mode("overwrite").parquet(target_path)
+            return
+        merged = upsert(base, batch_df, keys=keys)
+        # stage BEFORE overwriting the files being read (never collect —
+        # the merged table is corpus-sized); with a table format this
+        # write-swap is a transactional MERGE instead
+        stage = f"{target_path}__stage"
+        merged.write.mode("overwrite").parquet(stage)
+        spark.read.parquet(stage).write.mode("overwrite").parquet(target_path)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+
+    q = stream.writeStream.foreachBatch(apply_batch).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

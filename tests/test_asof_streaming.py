@@ -165,3 +165,40 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # only the finalized 10:00 window is emitted, and the late event did
     # NOT inflate it from 2 to 3
     assert rows == {"2024-01-01 10:00:00": 2}
+
+
+def test_stream_incremental_upsert(spark, tmp_path):
+    """foreachBatch incremental MERGE: per-batch upserts converge to the
+    batch groupBy result."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        run_stream_incremental_upsert,
+    )
+
+    src = str(tmp_path / "inc_src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                  "v": pa.array([10, 20], type=pa.int64())}),
+        os.path.join(src, "a.parquet"),
+    )
+    import time as _time
+    _time.sleep(1.1)
+    pq.write_table(
+        pa.table({"k": pa.array([2, 3], type=pa.int64()),
+                  "v": pa.array([25, 30], type=pa.int64())}),
+        os.path.join(src, "b.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    target = str(tmp_path / "inc_target")
+    run_stream_incremental_upsert(stream, target, keys=["k"])
+    final = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert final == {1: 10, 2: 25, 3: 30}  # later batch wins on key 2

@@ -75,3 +75,23 @@ def test_write_csv_roundtrip(spark, tmp_path):
     write_csv(df, out)
     back = read_tsv(spark, out)
     assert {(r["name"], r["val"]) for r in back.collect()} == {("a", "1"), ("b", "2")}
+
+
+def test_read_parquet_evolving_schema_merge(spark, tmp_path):
+    """Two batches with different columns union with NULL fill."""
+    from data_engineering_capstone_project__spark.sources.io import (
+        read_parquet_evolving,
+    )
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, old_col string").write.parquet(
+        out + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, old_col string, new_col double"
+    ).write.parquet(out + "/batch=2")
+    df = read_parquet_evolving(spark, out)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["new_col"] is None
+    assert rows[2]["new_col"] == 9.5
+    assert set(df.columns) >= {"id", "old_col", "new_col"}
