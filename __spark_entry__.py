@@ -1839,6 +1839,62 @@ WHERE levenshtein(c.c_name, replace(c2.c_name, 'Customer', 'Custmer')) <= 1
 """
 
 
+def x_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL API): each nation's 3 richest
+    customers — the dependent-join surface Catalyst plans via
+    DomainJoin/decorrelation."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM v_nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM v_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) t
+        """
+    )
+
+
+X_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) t
+"""
+
+
+def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + GROUPING() marker (the general form cube
+    and rollup desugar into)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+X_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (hierarchical subtotals)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2902,6 +2958,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_json_struct": (x_json_struct, X_JSON_STRUCT_SQL),
     "x_fuzzy_linkage": (x_fuzzy_linkage, X_FUZZY_SQL),
     "x_rollup": (x_rollup, X_ROLLUP_SQL),
+    "x_lateral_topn": (x_lateral_topn, X_LATERAL_SQL),
+    "x_grouping_sets": (x_grouping_sets, X_GROUPING_SETS_SQL),
     "x_window_sliding": (x_window_sliding, X_SLIDING_SQL),
     "x_asof_join": (x_asof_join, X_ASOF_SQL),
     "x_range_join": (x_range_join, X_RANGE_SQL),
