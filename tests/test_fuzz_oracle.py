@@ -1,0 +1,97 @@
+"""Deterministic query fuzzing vs DuckDB: seeded-random filter+aggregate
+queries over lineitem, executed on both engines and compared exactly.
+
+A miniature SQLsmith for the operator surface the engine composes most:
+conjunctive predicates (range / equality / IN / LIKE), group-by choice,
+and the sum/avg/min/max/count aggregate family with parity rounding.
+25 seeded cases == 25 extra oracle queries every run, shapes nobody
+hand-picked.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.functions.fx import pround
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NUMERIC_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+CAT_COLS = ["l_returnflag", "l_linestatus"]
+
+
+def _gen_case(rng: random.Random):
+    """One random case: (spark_predicate_builder, sql_predicate, group_col,
+    agg_col)."""
+    preds_sql = []
+    preds_spark = []
+    n_preds = rng.randint(1, 3)
+    for _ in range(n_preds):
+        kind = rng.choice(["range", "eq", "in", "like"])
+        if kind == "range":
+            c = rng.choice(NUMERIC_COLS + KEY_COLS)
+            lo = rng.randint(0, 50)
+            preds_sql.append(f"{c} >= {lo}")
+            preds_spark.append(F.col(c) >= lo)
+        elif kind == "eq":
+            c = rng.choice(CAT_COLS)
+            v = rng.choice(["R", "F", "P", "O", "N", "A"])
+            preds_sql.append(f"{c} = '{v}'")
+            preds_spark.append(F.col(c) == v)
+        elif kind == "in":
+            c = rng.choice(KEY_COLS)
+            vals = sorted(rng.sample(range(1, 2000), rng.randint(2, 5)))
+            preds_sql.append(f"{c} IN ({', '.join(map(str, vals))})")
+            preds_spark.append(F.col(c).isin(*vals))
+        else:
+            c = rng.choice(CAT_COLS)
+            v = rng.choice("RFPONA")
+            preds_sql.append(f"{c} LIKE '%{v}%'")
+            preds_spark.append(F.col(c).like(f"%{v}%"))
+    group = rng.choice(CAT_COLS + [None])
+    agg = rng.choice(NUMERIC_COLS)
+    return preds_spark, preds_sql, group, agg
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzzed_filter_agg_matches_duckdb(spark, seed):
+    rng = random.Random(1000 + seed)
+    preds_spark, preds_sql, group, agg = _gen_case(rng)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cond = preds_spark[0]
+    for p in preds_spark[1:]:
+        cond = cond & p
+    aggs = [
+        pround(F.sum(agg), 2).alias("s"),
+        pround(F.avg(agg), 4).alias("a"),
+        pround(F.min(agg), 4).alias("mn"),
+        pround(F.max(agg), 4).alias("mx"),
+        F.count("*").alias("n"),
+    ]
+    filtered = li.filter(cond)
+    sdf = filtered.groupBy(group).agg(*aggs) if group else filtered.agg(*aggs)
+    spark_rows = {
+        tuple(r): None for r in sdf.collect()
+    }
+
+    where = " AND ".join(preds_sql)
+    sel_group = f"{group}, " if group else ""
+    by = f"GROUP BY {group}" if group else ""
+    sql = f"""
+    SELECT {sel_group}
+           FLOOR(SUM({agg}) * 100.0 + 0.5) / 100.0 AS s,
+           FLOOR(AVG({agg}) * 10000.0 + 0.5) / 10000.0 AS a,
+           FLOOR(MIN({agg}) * 10000.0 + 0.5) / 10000.0 AS mn,
+           FLOOR(MAX({agg}) * 10000.0 + 0.5) / 10000.0 AS mx,
+           COUNT(*) AS n
+    FROM read_parquet('{SF_DIR}/lineitem.parquet')
+    WHERE {where} {by}
+    """
+    duck_rows = {tuple(r): None for r in duckdb.connect().execute(sql).fetchall()}
+    assert spark_rows == duck_rows, (preds_sql, group, agg)

@@ -101,3 +101,67 @@ def test_clean_plan_partition_invariants(spark):
         vals = list(plan.renames.values())
         assert len(vals) == len(set(vals))
         assert plan.renames["col_f"] == ("From D1" if prefer == 1 else "From D2")
+
+
+def test_pround_matches_duckdb_on_random_doubles(spark):
+    """Engine-parity rounding holds between Spark and DuckDB on 2000
+    seeded-random doubles spanning magnitudes (incl. negative + boundary
+    shapes) — the invariant the whole oracle gate rests on."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.functions.fx import pround
+
+    rng = random.Random(42)
+    vals = [
+        rng.uniform(-1e6, 1e6) * (10 ** rng.randint(-4, 4)) for _ in range(1900)
+    ] + [x + 0.005 for x in range(-50, 50)]  # exact half-cent boundaries
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v double"
+    )
+    got = {
+        r["i"]: r["p"] for r in df.select("i", pround("v", 2).alias("p")).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        (exp,) = con.execute(
+            "SELECT FLOOR((?) * 100.0 + 0.5) / 100.0", [v]
+        ).fetchone()
+        assert got[i] == exp, (i, v)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join (backward) equals pandas.merge_asof on seeded-random data
+    with unique (key, ts) on the right."""
+    import random
+
+    import pandas as pd
+
+    from data_engineering_capstone_project__spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    keys = ["a", "b", "c"]
+    right_rows = [
+        (k, float(t), f"{k}{t}")
+        for k in keys
+        for t in sorted(rng.sample(range(1000), 40))
+    ]
+    left_rows = [
+        (i, rng.choice(keys + ["zzz"]), float(rng.randint(-50, 1100)))
+        for i in range(300)
+    ]
+    left = spark.createDataFrame(left_rows, "id long, k string, t double")
+    right = spark.createDataFrame(right_rows, "k string, t double, val string")
+    got = {
+        r["id"]: r["val_r"]
+        for r in asof_join(left, right, ts_col="t", by=["k"]).collect()
+    }
+    lpd = pd.DataFrame(left_rows, columns=["id", "k", "t"]).sort_values("t")
+    rpd = pd.DataFrame(right_rows, columns=["k", "t", "val"]).sort_values("t")
+    merged = pd.merge_asof(lpd, rpd, on="t", by="k", direction="backward")
+    exp = {
+        int(r.id): (None if pd.isna(r.val) else r.val) for r in merged.itertuples()
+    }
+    assert got == exp
