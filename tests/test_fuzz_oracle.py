@@ -95,3 +95,45 @@ def test_fuzzed_filter_agg_matches_duckdb(spark, seed):
     """
     duck_rows = {tuple(r): None for r in duckdb.connect().execute(sql).fetchall()}
     assert spark_rows == duck_rows, (preds_sql, group, agg)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_join_agg_matches_duckdb(spark, seed):
+    """Seeded-random join+aggregate shapes: lineitem⋈orders with random
+    predicates on both sides."""
+    rng = random.Random(2000 + seed)
+    preds_spark, preds_sql, group, agg = _gen_case(rng)
+    o_lo = rng.randint(0, 40000)
+    status = rng.choice(["F", "O", "P"])
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        (F.col("o_totalprice") >= o_lo) & (F.col("o_orderstatus") == status)
+    )
+    cond = preds_spark[0]
+    for p in preds_spark[1:]:
+        cond = cond & p
+    joined = li.filter(cond).join(o, li.l_orderkey == o.o_orderkey)
+    aggs = [
+        pround(F.sum(agg), 2).alias("s"),
+        pround(F.sum("o_totalprice"), 2).alias("so"),
+        F.count("*").alias("n"),
+    ]
+    sdf = joined.groupBy(group).agg(*aggs) if group else joined.agg(*aggs)
+    spark_rows = {tuple(r): None for r in sdf.collect()}
+
+    where = " AND ".join(preds_sql)
+    sel_group = f"{group}, " if group else ""
+    by = f"GROUP BY {group}" if group else ""
+    sql = f"""
+    SELECT {sel_group}
+           FLOOR(SUM({agg}) * 100.0 + 0.5) / 100.0 AS s,
+           FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS so,
+           COUNT(*) AS n
+    FROM read_parquet('{SF_DIR}/lineitem.parquet') li
+    JOIN read_parquet('{SF_DIR}/orders.parquet') o ON li.l_orderkey = o.o_orderkey
+    WHERE {where} AND o_totalprice >= {o_lo} AND o_orderstatus = '{status}'
+    {by}
+    """
+    duck_rows = {tuple(r): None for r in duckdb.connect().execute(sql).fetchall()}
+    assert spark_rows == duck_rows, (preds_sql, o_lo, status, group, agg)
