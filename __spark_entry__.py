@@ -2686,6 +2686,82 @@ GROUP BY o_orderpriority
 """
 
 
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase per user (earliest completion
+    of each step strictly after the previous one)."""
+    from data_engineering_capstone_project__spark.streaming.windows import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        "user_id",
+        F.date_format("step1_ts", TS_FMT_SPARK).alias("view_ts"),
+        F.date_format("step2_ts", TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("step3_ts", TS_FMT_SPARK).alias("purchase_ts"),
+    )
+
+
+X_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT s1.user_id, MIN(e.ts) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY s1.user_id),
+s3 AS (
+  SELECT s2.user_id, MIN(e.ts) AS t3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY s2.user_id)
+SELECT s1.user_id,
+       strftime(s1.t1, '{TS_FMT_DUCK}') AS view_ts,
+       strftime(s2.t2, '{TS_FMT_DUCK}') AS click_ts,
+       strftime(s3.t3, '{TS_FMT_DUCK}') AS purchase_ts
+FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+def x_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization: per-vector symmetric scale + the
+    quantized vector (emitted as CSV text so the compare is
+    representation-stable). Parity rounding: half-away-from-zero spelled
+    out on both engines."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.nullif(mx, F.lit(0.0)) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(x >= 0, F.floor(x / scale + 0.5))
+        .otherwise(-F.floor(-x / scale + 0.5))
+        .cast("int"),
+    )
+    return e.select(
+        "vec_id",
+        pround(scale, 6).alias("q_scale"),
+        F.concat_ws(",", q).alias("q_csv"),
+    )
+
+
+X_QUANTIZE_SQL = r"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 200),
+scaled AS (
+  SELECT vec_id,
+         NULLIF(list_max([abs(x) FOR x IN v]), 0.0) / 127.0 AS scale, v
+  FROM base)
+SELECT vec_id, ROUND(scale, 6) AS q_scale,
+       array_to_string([CAST(CASE WHEN x >= 0 THEN FLOOR(x / scale + 0.5)
+                             ELSE -FLOOR(-x / scale + 0.5) END AS INTEGER)
+                        FOR x IN v], ',') AS q_csv
+FROM scaled
+"""
+
+
 _DICT_SCHEMA = (
     "raw_data_column string, raw_data_column_name string, "
     "equivalent_clean_data_name string, notes string"
@@ -2989,6 +3065,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),
     "x_stratified_sample": (x_stratified_sample, X_STRATIFIED_SQL),
+    "x_funnel": (x_funnel, X_FUNNEL_SQL),
+    "x_quantize": (x_quantize, X_QUANTIZE_SQL),
     "x_intersectall": (x_intersectall, X_INTERSECTALL_SQL),
     "x_date_arith": (x_date_arith, X_DATE_ARITH_SQL),
     "x_vector_stats": (x_vector_stats, X_VECTOR_SQL),

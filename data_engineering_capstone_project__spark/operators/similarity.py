@@ -211,3 +211,23 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x|/127,
+    q_i = round(x_i/scale). 4× storage reduction for ANN candidate
+    generation; keep the scale to dequantize (or rescore exactly on the
+    fp32 originals). Pure higher-order functions — no Python."""
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.nullif(mx, F.lit(0.0)) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.round(x.cast("double") / scale).cast("int"),
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)

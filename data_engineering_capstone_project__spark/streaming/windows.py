@@ -99,3 +99,43 @@ def _interval_seconds(gap: str) -> float:
         "day": 86400, "days": 86400,
     }[unit.lower()]
     return float(qty) * mult
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each step
+    completed strictly after the previous step (NULL once the chain
+    breaks).
+
+    One aggregated frame per step (events collapse to 1 row/user BEFORE
+    any join) chained by ``user_col`` — every join reuses the same hash
+    partitioning, so the whole funnel is one shuffle of each step's
+    (already aggregated) frame, never of raw events.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("step1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+        )
+        prev = f"step{i - 1}_ts"
+        out = (
+            out.join(
+                nxt,
+                (out[user_col] == nxt["_u"]) & (nxt["_t"] > out[prev]),
+                "left",
+            )
+            .groupBy(*[F.col(c) for c in out.columns])
+            .agg(F.min("_t").alias(f"step{i}_ts"))
+        )
+    return out

@@ -71,3 +71,41 @@ def test_tumbling_agg_and_sessionize(spark, sf_dir):
     )
     vals = [r["session_id"] for r in one]
     assert vals == sorted(vals) and vals[0] == 1
+
+
+def test_funnel_chain_break(spark):
+    """A user whose purchase precedes the click must show NULL at step 3."""
+    from data_engineering_capstone_project__spark.streaming.windows import funnel
+    from datetime import datetime
+
+    rows = [
+        (1, "view", datetime(2024, 1, 1, 10, 0)),
+        (1, "click", datetime(2024, 1, 1, 10, 5)),
+        (1, "purchase", datetime(2024, 1, 1, 10, 10)),
+        (2, "view", datetime(2024, 1, 1, 9, 0)),
+        (2, "purchase", datetime(2024, 1, 1, 9, 1)),  # before any click
+        (2, "click", datetime(2024, 1, 1, 9, 2)),
+        (3, "click", datetime(2024, 1, 1, 8, 0)),  # never viewed
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["user_id"]: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2}  # user 3 never entered the funnel
+    assert out[1]["step3_ts"] is not None
+    assert out[2]["step2_ts"] is not None      # click after view
+    assert out[2]["step3_ts"] is None          # no purchase after the click
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from data_engineering_capstone_project__spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["q"] == [127, -64, 32]  # scale = 1/127
+    assert abs(rows[1]["q_scale"] - 1.0 / 127.0) < 1e-12
+    assert rows[2]["q_scale"] is None  # zero vector -> NULL scale
+    assert rows[2]["q"] is None or all(v is None for v in rows[2]["q"])
