@@ -229,10 +229,36 @@ def top_k_per_group(
     order_by: Sequence[Column],
     k: int,
     rank_col: str = "rn",
+    two_phase: bool = True,
 ) -> DataFrame:
-    """W2 helper: classic windowed top-k (rank ≤ k per group)."""
+    """W2 helper: windowed top-k (rank ≤ k per group).
+
+    A single ``Window.partitionBy(group)`` sorts each group's ENTIRE
+    row set in one task — with few groups (e.g. 3 return flags over
+    100 TB) that is ~33 TB per task. ``two_phase=True`` (default)
+    first takes top-k per (group, input-partition) — full parallelism,
+    each task sorts only its own slice — leaving ≤ k·num_partitions
+    candidate rows per group for the final tiny per-group window.
+    Requires ``order_by`` to be a total order (caller supplies
+    tiebreakers) so phase-1 survivors are exactly the global top-k
+    superset; ``row_number`` semantics are then identical.
+    """
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
-    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    if not two_phase:
+        return (
+            df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+        )
+    pid = "__topk_pid"
+    w1 = Window.partitionBy(*group_cols, pid).orderBy(*order_by)
+    pruned = (
+        df.withColumn(pid, F.spark_partition_id())
+        .withColumn(rank_col, F.row_number().over(w1))
+        .filter(F.col(rank_col) <= k)
+        .drop(pid, rank_col)
+    )
+    return pruned.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
 
 
 def sample_by_hash(
