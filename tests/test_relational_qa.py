@@ -67,3 +67,20 @@ def test_top_k_per_group(spark, sf_dir):
     )
     counts = out.groupBy("l_returnflag").count().collect()
     assert all(r["count"] == 3 for r in counts)
+
+
+def test_top_k_two_phase_matches_single_phase(spark, sf_dir):
+    # Given a total order, the partition-pruned plan must return the
+    # exact same rows as the naive single-window plan.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(8)
+    order = [
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    keys = ["l_returnflag", "l_orderkey", "l_linenumber", "rn"]
+    fast = top_k_per_group(li, ["l_returnflag"], order, k=5)
+    naive = top_k_per_group(li, ["l_returnflag"], order, k=5, two_phase=False)
+    a = sorted(tuple(r) for r in fast.select(*keys).collect())
+    b = sorted(tuple(r) for r in naive.select(*keys).collect())
+    assert a == b and len(a) > 0
