@@ -233,15 +233,20 @@ def top_k_per_group(
 ) -> DataFrame:
     """W2 helper: windowed top-k (rank ≤ k per group).
 
-    A single ``Window.partitionBy(group)`` sorts each group's ENTIRE
-    row set in one task — with few groups (e.g. 3 return flags over
-    100 TB) that is ~33 TB per task. ``two_phase=True`` (default)
-    first takes top-k per (group, input-partition) — full parallelism,
-    each task sorts only its own slice — leaving ≤ k·num_partitions
-    candidate rows per group for the final tiny per-group window.
-    Requires ``order_by`` to be a total order (caller supplies
-    tiebreakers) so phase-1 survivors are exactly the global top-k
-    superset; ``row_number`` semantics are then identical.
+    Scale note: a naive ``Window.partitionBy(group)`` would sort each
+    group's ENTIRE row set in one task — with few groups (e.g. 3
+    return flags over 100 TB) that is ~33 TB per task. Spark ≥3.5
+    rescues the single-window form when the rank filter is adjacent:
+    ``WindowGroupLimit`` prunes map-side to k rows per (group, input
+    partition) before the exchange. ``two_phase=True`` (default)
+    encodes the same pruning explicitly — top-k per (group,
+    ``spark_partition_id``) first, then the per-group window over
+    ≤ k·num_partitions survivors — so the plan stays scale-safe even
+    where the optimizer rule can't fire (rank reused as a column,
+    rank-with-offset filters, older runtimes); measured equal-or-
+    faster at sf0.1. Requires ``order_by`` to be a total order
+    (caller supplies tiebreakers) so phase-1 survivors are a superset
+    of the global top-k; ``row_number`` output is then identical.
     """
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     if not two_phase:
