@@ -89,3 +89,22 @@ def test_tf_idf_single_explode_no_python(spark, sf_dir):
     plan = _physical_plan(tf_idf(d))
     assert plan.count("Generate") == 1, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_top_k_window_prunes_map_side(spark, sf_dir):
+    # Both phases of top_k_per_group must keep the WindowGroupLimit
+    # prune so a low-cardinality group key never funnels the full
+    # table through a handful of sort tasks.
+    from data_engineering_capstone_project__spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    order = [
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    out = top_k_per_group(li, ["l_returnflag"], order, k=3)
+    plan = _physical_plan(out)
+    assert plan.count("WindowGroupLimit") >= 2, plan
