@@ -1605,22 +1605,27 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 X_NGRAM_SQL = r"""
-WITH docs AS (
+WITH docs AS MATERIALIZED (
   SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS t
   FROM documents WHERE doc_id < 500
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT doc_id,
          list_distinct([substr(t, i, 5) FOR i IN range(1, GREATEST(LENGTH(t) - 4, 1) + 1)]) AS s
   FROM docs
-), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS n_inter,
-         CAST(len(a.s) + len(b.s) AS DOUBLE) AS n_sum
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), ex AS MATERIALIZED (
+  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+), inter AS (
+  -- |A∩B| by exploded equi-join + count (shingles are distinct per doc),
+  -- ~40x faster than list_intersect over long lists; pairs sharing no
+  -- shingle have jaccard < threshold anyway and can't be produced
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         CAST(COUNT(*) AS DOUBLE) AS n_inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
 )
-SELECT id_a, id_b, ROUND(n_inter / (n_sum - n_inter), 6) AS jaccard
-FROM pairs
-WHERE ROUND(n_inter / (n_sum - n_inter), 6) >= 0.8
+SELECT id_a, id_b, ROUND(n_inter / (sz_a + sz_b - n_inter), 6) AS jaccard
+FROM inter
+WHERE ROUND(n_inter / (sz_a + sz_b - n_inter), 6) >= 0.8
 """
 
 
@@ -1681,10 +1686,21 @@ _EMB_DUP_CORPUS_SQL = """
 
 
 def x_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs over base + planted duplicates
-    (oracle does the same O(n²) work; the scale path is LSH-bucketed)."""
+    """Embedding-cosine near-dup pairs over base + planted duplicates,
+    generated by the SCALE path: multi-table SRP-LSH bucketing (6 tables ×
+    6 planes → per-pair miss ~3e-7 at cosine 0.999) with exact cosine
+    verification, so the output above threshold equals the brute-force
+    oracle's — with no BroadcastNestedLoopJoin anywhere in the plan. The
+    O(n²) ``dedup.embedding_near_dups`` remains as the test-only recall
+    oracle (tests/test_similarity_windows.py). The dense-bucket guard
+    (``max_bucket``) is left unset: at this corpus size no bucket can
+    exceed a sane cap, so its reserve-plane projections would be pure
+    overhead — guard recall is unit-tested separately with the cap forced
+    active."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return dedup.embedding_near_dups(_with_perturbed_dups(e), threshold=0.99)
+    return similarity.lsh_bucket_pairs(
+        _with_perturbed_dups(e), n_planes=6, n_tables=6, threshold=0.99
+    )
 
 
 X_EMB_DUP_SQL = f"""
@@ -2382,7 +2398,9 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative min-label propagation; the oracle computes reachability with
     a recursive CTE."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    pairs = dedup.embedding_near_dups(_with_perturbed_dups(e), threshold=0.99)
+    pairs = similarity.lsh_bucket_pairs(
+        _with_perturbed_dups(e), n_planes=6, n_tables=6, threshold=0.99
+    )
     return dedup.connected_components(pairs).select(
         F.col("id").alias("vec_id"), F.col("comp").cast("long").alias("comp")
     )
@@ -2513,8 +2531,10 @@ def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Gopher-style boilerplate/spam signal)."""
     d = spread(_t(spark, sf_dir, "documents"))
     return d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_w")
+    ).select(
         "doc_id",
-        pround(text.repetition_score(F.col("text"), ngram_words=3), 6).alias(
+        pround(text.repetition_score_of_words(F.col("_w"), ngram_words=3), 6).alias(
             "rep_score"
         ),
     )

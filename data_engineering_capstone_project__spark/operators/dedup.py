@@ -20,7 +20,7 @@ handles pathological buckets (all-identical boilerplate docs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_capstone_project__spark.functions.fx import pround
@@ -51,9 +51,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
-    """Array of k-char shingles (distinct) of normalized text."""
-    norm = _normalize(text)
+def shingles_of_norm(norm: Column, k: int = 5) -> Column:
+    """Array of k-char shingles (distinct) of an ALREADY-NORMALIZED column.
+
+    ``norm`` must be a plain column reference (pre-projected), not an
+    inline expression: the per-element ``transform`` lambda references it
+    once per shingle, and Catalyst substitutes inline expressions into
+    lambda bodies — an inline ``regexp_replace`` would then re-run per
+    ELEMENT (measured 7-40× slower on real documents). A projected
+    attribute is read from the row, so the lambda stays cheap; the
+    projection survives CollapseProject because the attribute occurs
+    ≥2× in a non-cheap expression (length + lambda body).
+    """
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
@@ -61,14 +70,33 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (distinct)."""
-    words = F.split(_normalize(text), r"\s+")
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Array of k-char shingles (distinct) of normalized text.
+
+    Convenience form for small inputs/tests: the normalization runs
+    inside the transform lambda (per element). Hot paths must pre-project
+    ``_normalize(text)`` and call ``shingles_of_norm`` — see the
+    module's operators, which all do.
+    """
+    return shingles_of_norm(_normalize(text), k)
+
+
+def shingles_of_words(words: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (distinct) of an ALREADY-SPLIT word-array
+    column reference (same pre-projection contract as
+    ``shingles_of_norm`` — an inline ``split`` would re-run per element).
+    """
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (distinct); convenience form (see
+    ``char_shingles`` note — hot paths pre-project the split array)."""
+    return shingles_of_words(F.split(_normalize(text), r"\s+"), k)
 
 
 def minhash_signatures(
@@ -81,8 +109,13 @@ def minhash_signatures(
     """MinHash signature per doc: explode shingles, take min of k seeded
     xxhash64 values. One explode + one groupBy; the k hash functions are k
     aggregate expressions over the same exploded rows (single pass)."""
-    exploded = _spread(df).select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
+    exploded = (
+        _spread(df)
+        .select(F.col(id_col), _normalize(F.col(text_col)).alias("_norm"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of_norm(F.col("_norm"), shingle_k)).alias("sh"),
+        )
     )
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
@@ -155,9 +188,14 @@ def verify_jaccard(
     |A∩B| / |A∪B| via array_intersect on the shingle arrays — joined in,
     not recomputed per pair."""
     # joined twice (a-side and b-side) — persist so shingling runs once
-    sh = _spread(df).select(
-        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("sh")
-    ).persist()
+    sh = (
+        _spread(df)
+        .select(F.col(id_col), _normalize(F.col(text_col)).alias("_norm"))
+        .select(
+            F.col(id_col), shingles_of_norm(F.col("_norm"), shingle_k).alias("sh")
+        )
+        .persist()
+    )
     out = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -183,16 +221,57 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs — no approximation.
 
-    Candidate generation by shared-shingle join (docs sharing ≥1 shingle),
-    then exact Jaccard. Quadratic only within shingle groups; for 100 TB
-    use ``minhash_lsh_pairs`` and keep this as the verifier.
+    Candidate generation uses AllPairs/PPJoin *prefix filtering*, which is
+    lossless: order every doc's shingles by global rarity (document
+    frequency asc, shingle asc) and keep only the first
+    ``|S| - ceil(t·|S|) + 1`` as join keys. If J(a,b) ≥ t then
+    |a∩b| ≥ ceil(t·|a|) (and symmetrically for b), so the smallest common
+    shingle under the global order must sit inside BOTH prefixes — the
+    equi-join on prefix shingles finds every qualifying pair. A plain
+    shared-shingle join is quadratic in the hottest shingle's document
+    list; here hot shingles sort LAST and almost never enter a prefix, so
+    candidate blow-up is bounded by rare-shingle co-occurrence (at t=0.8
+    the prefix is ~20% of each doc's shingles). A size filter
+    (t·max ≤ min, with a float-safety epsilon) prunes further before the
+    exact-Jaccard verify.
     """
-    sh = _spread(df).select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
+    # persisted: consumed by both the document-frequency aggregate and the
+    # prefix ranking join — caching keeps the shingle explode to one run
+    sh = (
+        _spread(df)
+        .select(F.col(id_col), _normalize(F.col(text_col)).alias("_norm"))
+        .select(
+            F.col(id_col),
+            F.size(shingles_of_norm(F.col("_norm"), shingle_k)).alias("_sz"),
+            F.explode(shingles_of_norm(F.col("_norm"), shingle_k)).alias("sh"),
+        )
+        .persist()
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    # prefix length |S| - ceil(t*|S|) + 1; the -1e-9 guards against float
+    # round-up (2.0000000001 -> ceil 3) which would SHRINK the prefix and
+    # lose pairs — erring down only lengthens it (safe).
+    plen = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9)) + 1
+    w = Window.partitionBy(id_col).orderBy("_df", "sh")
+    prefix = (
+        sh.join(dfreq, "sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= plen)
+        .select(id_col, "_sz", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # J >= t forces t*max(|a|,|b|) <= min(|a|,|b|); epsilon keeps
+            # exact-boundary pairs when t*max rounds a hair above min
+            & (
+                F.lit(threshold) * F.greatest("a._sz", "b._sz")
+                <= F.least("a._sz", "b._sz") + F.lit(1e-9)
+            ),
+        )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
@@ -294,11 +373,17 @@ def contamination_check(
     spark = df.sparkSession
     bench = spark.createDataFrame([(t,) for t in benchmark_texts], "text string")
     bench_sh = (
-        bench.select(F.explode(word_shingles(F.col("text"), ngram_words)).alias("sh"))
+        bench.select(F.split(_normalize(F.col("text")), r"\s+").alias("_w"))
+        .select(F.explode(shingles_of_words(F.col("_w"), ngram_words)).alias("sh"))
         .distinct()
     )
-    doc_sh = _spread(df).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), ngram_words)).alias("sh")
+    doc_sh = (
+        _spread(df)
+        .select(F.col(id_col), F.split(_normalize(F.col(text_col)), r"\s+").alias("_w"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of_words(F.col("_w"), ngram_words)).alias("sh"),
+        )
     )
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "sh")
@@ -366,6 +451,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -392,6 +478,16 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); components are WRONG for "
+            "chains longer than max_iter hops — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

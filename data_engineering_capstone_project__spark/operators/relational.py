@@ -7,12 +7,35 @@ strategy, and partial aggregation. Nothing here materializes.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_capstone_project__spark.functions.fx import pad_key
+
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _parse_byte_string(value: str, default: int = 128 * 1024 * 1024) -> int:
+    """Parse a Spark size conf value ('134217728b', '128MB', '1g', ...).
+
+    Mirrors the JVM's JavaUtils.byteStringAsBytes suffix table; a value we
+    can't parse falls back to ``default`` rather than crashing the caller
+    (the conf is only used for a partition-count estimate).
+    """
+    m = re.fullmatch(r"\s*(\d+)\s*([a-z]*)\s*", value.lower())
+    if not m or m.group(2) not in _SIZE_SUFFIX:
+        return default
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -32,10 +55,8 @@ def spread(df: DataFrame) -> DataFrame:
         # avoids the df.rdd conversion, which costs ~0.5 s per call)
         import os
 
-        max_pb = int(
+        max_pb = _parse_byte_string(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-            .lower()
-            .removesuffix("b")
         )
         est = 0
         for f in files:
@@ -96,8 +117,13 @@ def add_row_id(
     ``approxQuantile`` over just the key column, so the pid assignment is a
     deterministic EXPRESSION — the offsets job and the final job agree with
     no caching of O(table) data (two column-pruned scans + one full scan).
-    Fallback (multi-column / non-numeric keys): range-repartition + persist,
-    because RangePartitioner's sampled boundaries differ across re-executions.
+    Multi-column / string / bool keys take the same expression route via an
+    order-preserving null-free encoding (see ``_encode_order_key``):
+    boundaries are sampled once on the driver and baked into the plan as
+    struct literals, so again nothing is persisted. Only genuinely
+    non-encodable key types (arrays, maps, binary, ...) fall back to
+    range-repartition + persist (RangePartitioner's sampled boundaries
+    differ across re-executions, so that path must cache).
     """
     cols = [F.col(c) for c in order_cols]
     spark = df.sparkSession
@@ -113,6 +139,9 @@ def add_row_id(
         pid = F.lit(0)
         for b in bounds:
             pid = pid + F.when(kc > F.lit(float(b)), 1).otherwise(0)
+        parted = df.withColumn("_pid", pid)
+    elif all(_encodable(dtypes[c]) for c in order_cols):
+        pid = _expression_pid(df, order_cols, n)
         parted = df.withColumn("_pid", pid)
     else:
         parted = (
@@ -136,6 +165,104 @@ def add_row_id(
         .withColumn(id_col, (F.col("_local") + F.col("_offset")).cast("long"))
         .drop("_pid", "_local", "_offset")
     )
+
+
+_ENCODABLE_EXACT = {
+    "int", "bigint", "smallint", "tinyint", "double", "float",
+    "date", "timestamp", "timestamp_ntz", "string", "boolean",
+}
+
+
+def _encodable(dtype: str) -> bool:
+    return dtype in _ENCODABLE_EXACT or dtype.startswith("decimal")
+
+
+def _null_default(dtype: str):
+    """A typed placeholder for NULL inside the order-key encoding. The
+    value itself never decides an ordering (the null flag field sorts
+    first); it only has to be a valid literal of the column's type."""
+    if dtype == "string":
+        return ""
+    if dtype == "boolean":
+        return False
+    if dtype == "date":
+        import datetime
+
+        return datetime.date(1970, 1, 1)
+    if dtype.startswith("timestamp"):
+        import datetime
+
+        return datetime.datetime(1970, 1, 1)
+    return 0
+
+
+def _encode_order_key(order_cols: Sequence[str], dtypes: Mapping[str, str]) -> Column:
+    """Null-free orderable struct over the key tuple, matching the window's
+    ``asc_nulls_first`` semantics exactly: each column becomes a
+    (is-not-null flag, coalesced value) field pair, so NULLs sort below
+    every real value and struct comparison needs no null handling."""
+    fields: list[Column] = []
+    for i, c in enumerate(order_cols):
+        t = dtypes[c]
+        fields.append(
+            F.when(F.col(c).isNull(), F.lit(0)).otherwise(F.lit(1)).alias(f"f{i}")
+        )
+        fields.append(
+            F.coalesce(F.col(c), F.lit(_null_default(t)).cast(t)).alias(f"v{i}")
+        )
+    return F.struct(*fields)
+
+
+def _lit_encoded(values: Sequence, order_cols: Sequence[str], dtypes: Mapping[str, str]) -> Column:
+    """Literal counterpart of ``_encode_order_key`` for a collected row."""
+    fields: list[Column] = []
+    for i, (c, v) in enumerate(zip(order_cols, values)):
+        t = dtypes[c]
+        if v is None:
+            fields.append(F.lit(0).alias(f"f{i}"))
+            fields.append(F.lit(_null_default(t)).cast(t).alias(f"v{i}"))
+        else:
+            fields.append(F.lit(1).alias(f"f{i}"))
+            fields.append(F.lit(v).cast(t).alias(f"v{i}"))
+    return F.struct(*fields)
+
+
+def _expression_pid(df: DataFrame, order_cols: Sequence[str], n: int) -> Column:
+    """Deterministic range-partition id as a pure EXPRESSION.
+
+    Boundaries are sampled once (driver-side, ~128·n key tuples from a
+    column-pruned scan) and baked into the plan as struct literals, so
+    every job that evaluates the expression assigns identical pids — the
+    property ``add_row_id`` needs across its offsets job and final job —
+    with no persist of O(table) data. Monotonic w.r.t. the order columns
+    (asc_nulls_first) because both the encoding and Spark's struct
+    comparison are lexicographic.
+    """
+    dtypes = dict(df.dtypes)
+    cnt = df.count()
+    if cnt == 0:
+        return F.lit(0)
+    frac = min(1.0, (n * 128) / cnt)
+    rows = df.select(*order_cols).sample(fraction=frac, seed=42).collect()
+    if not rows:
+        return F.lit(0)
+
+    def sort_key(row):
+        return tuple((0, 0) if v is None else (1, v) for v in row)
+
+    ordered = sorted(rows, key=sort_key)
+    raw_bounds, seen = [], set()
+    for i in range(1, n):
+        r = ordered[min(i * len(ordered) // n, len(ordered) - 1)]
+        k = sort_key(r)
+        if k not in seen:
+            seen.add(k)
+            raw_bounds.append(tuple(r))
+    enc = _encode_order_key(order_cols, dtypes)
+    pid = F.lit(0)
+    for b in raw_bounds:
+        pid = pid + F.when(enc > _lit_encoded(b, order_cols, dtypes), 1).otherwise(0)
+    return pid
 
 
 def linkage_join(
@@ -244,25 +371,36 @@ def top_k_per_group(
     ≤ k·num_partitions survivors — so the plan stays scale-safe even
     where the optimizer rule can't fire (rank reused as a column,
     rank-with-offset filters, older runtimes); measured equal-or-
-    faster at sf0.1. Requires ``order_by`` to be a total order
-    (caller supplies tiebreakers) so phase-1 survivors are a superset
-    of the global top-k; ``row_number`` output is then identical.
+    faster at sf0.1. A content-hash tiebreaker (xxhash64 over all
+    input columns) is appended to ``order_by`` in both phases, so the
+    two-phase result is deterministic and partitioning-independent
+    even when the caller's ``order_by`` is not a total order: rows
+    tied at rank k break identically in phase 1 and phase 2 (exact
+    duplicate rows still tie, but are interchangeable). When
+    ``order_by`` already is a total order the tiebreaker never
+    compares and output matches ``two_phase=False`` exactly.
     """
-    w = Window.partitionBy(*group_cols).orderBy(*order_by)
     if not two_phase:
+        w = Window.partitionBy(*group_cols).orderBy(*order_by)
         return (
             df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
         )
+    tb = "__topk_tb"
+    order_tb = [*order_by, F.col(tb).asc()]
     pid = "__topk_pid"
-    w1 = Window.partitionBy(*group_cols, pid).orderBy(*order_by)
+    w1 = Window.partitionBy(*group_cols, pid).orderBy(*order_tb)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_tb)
     pruned = (
-        df.withColumn(pid, F.spark_partition_id())
+        df.withColumn(tb, F.xxhash64(*[F.col(c) for c in df.columns]))
+        .withColumn(pid, F.spark_partition_id())
         .withColumn(rank_col, F.row_number().over(w1))
         .filter(F.col(rank_col) <= k)
         .drop(pid, rank_col)
     )
-    return pruned.withColumn(rank_col, F.row_number().over(w)).filter(
-        F.col(rank_col) <= k
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop(tb)
     )
 
 
@@ -282,11 +420,24 @@ def sample_by_hash(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    thresh = format(int(round(fraction * 16 ** 4)), "04x")
+    if fraction >= 1.0:
+        return df  # keep-all: the 4-hex-digit threshold can't express 0x10000
     h = F.substring(
         F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))), 1, 4
     )
-    return df.filter(h < F.lit(thresh))
+    return df.filter(h < F.lit(_hash_threshold(fraction)))
+
+
+def _hash_threshold(fraction: float) -> str:
+    """4-hex-digit md5-prefix cutoff for ``h < threshold`` sampling.
+
+    A fraction that rounds to the full 0x10000 range would format as the
+    5-char '10000', which compares lexicographically *below* most 4-char
+    prefixes and silently keeps ~6% instead of 100% — clamp to 'g', which
+    every hex prefix sorts under.
+    """
+    v = int(round(fraction * 16 ** 4))
+    return "g" if v >= 16 ** 4 else format(v, "04x")
 
 
 def fuzzy_linkage_join(
@@ -334,12 +485,11 @@ def stratified_sample_by_hash(
     h = F.substring(
         F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))), 1, 4
     )
-    thresh = F.lit(format(int(round(default_fraction * 16 ** 4)), "04x"))
+    thresh = F.lit(_hash_threshold(default_fraction))
     for value, frac in sorted(fractions.items()):
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {value!r} must be in [0,1]")
         thresh = F.when(
-            F.col(strata_col) == value,
-            F.lit(format(int(round(frac * 16 ** 4)), "04x")),
+            F.col(strata_col) == value, F.lit(_hash_threshold(frac))
         ).otherwise(thresh)
     return df.filter(h < thresh)

@@ -119,27 +119,95 @@ def lsh_bucket_pairs(
     dim: int = 64,
     threshold: float = 0.9,
     seed: int = 42,
+    n_tables: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-neighbor pairs via SRP-LSH bucketing + in-bucket verification.
+    """Near-neighbor pairs via SRP-LSH bucketing + exact in-bucket cosine
+    verification. The scale path for ``embedding_near_dups``: the
+    self-join is equi on (table, bucket), so cost is Σ_bucket n_b², not N².
 
-    The scale path for ``embedding_near_dups``: the self-join is equi on
-    bucket id, so cost is Σ_bucket n_b², not N²."""
-    planes = random_hyperplanes(dim, n_planes, seed)
+    ``n_tables`` independent hash tables (each with its own ``n_planes``
+    seeded hyperplanes) trade compute for recall the standard LSH way: a
+    pair collides if it shares a bucket in ANY table, so miss probability
+    drops from ``1 - p^b`` to ``(1 - p^b)^L`` (p = 1 - θ/π per plane).
+    With p≈0.986 (cosine 0.999), b=6, L=6 the per-pair miss is ~3e-7 —
+    effectively exhaustive for near-dup thresholds — while still never
+    scoring across buckets. Every reported pair is exact (verified
+    cosine ≥ threshold); only recall is approximate.
+
+    ``max_bucket`` is the dense-bucket guard: bucket sizes are counted
+    and any (table, bucket) above the cap is *sub-bucketed* by extra
+    reserve-plane sign bits (``ceil(log2(n/max_bucket))`` of them, ≤16),
+    so one degenerate bucket (e.g. a boilerplate cluster or the all-zero
+    region) can't go quadratic. Sub-bucketing only affects oversized
+    buckets and loses only pairs that ALSO miss in every other table —
+    with multiple tables the recall cost is marginal; without a cap the
+    guard adds no jobs (the count/join is skipped entirely).
+    """
+    tagged = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 7919 * t)
+        fields = [
+            F.lit(t).alias("tbl"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        ]
+        if max_bucket is not None:
+            # per-TABLE reserve planes: if the reserve bits were shared
+            # across tables, a near-pair split by them would be lost in
+            # every oversized bucket simultaneously — independence keeps
+            # the (1 - p^b)^L recall math intact under the guard
+            reserve = random_hyperplanes(dim, 16, seed + 15485863 + 104729 * t)
+            fields.append(lsh_bucket(F.col(vec_col), reserve).alias("rb"))
+        tagged.append(F.struct(*fields))
+    # persisted: the (L·n_planes) hyperplane projections are the expensive
+    # expression here, and the self-join consumes this relation on BOTH
+    # sides — caching halves the work and keeps each join branch a cheap
+    # cache scan (same pattern as minhash_signatures)
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
-    )
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.array(*tagged)).alias("_tb"),
+    ).select(id_col, vec_col, "_tb.*").persist()
+
+    join_keys = ["tbl", "bucket"]
+    if max_bucket is not None:
+        counts = bucketed.groupBy("tbl", "bucket").agg(F.count("*").alias("_n"))
+        need_bits = F.when(
+            F.col("_n") > max_bucket,
+            F.least(
+                F.ceil(F.log2(F.col("_n").cast("double") / F.lit(float(max_bucket)))),
+                F.lit(16),
+            ),
+        ).otherwise(F.lit(0))
+        bucketed = (
+            bucketed.join(counts, ["tbl", "bucket"])
+            .withColumn(
+                "sub",
+                F.pmod(
+                    F.col("rb"),
+                    F.pow(F.lit(2.0), need_bits.cast("double")).cast("long"),
+                ),
+            )
+            .drop("_n", "rb")
+        )
+        join_keys = ["tbl", "bucket", "sub"]
+
     a = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        *join_keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     b = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        *join_keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
+    # dedup AFTER the threshold filter: a pair found in several tables is
+    # scored once per table map-side (cheap codegen), but the dedup shuffle
+    # then carries only surviving (id_a, id_b, cosine) rows — not vectors.
     return (
-        a.join(b, ["bucket"])
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", pround(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

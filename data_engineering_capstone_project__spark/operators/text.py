@@ -174,21 +174,27 @@ def tf_idf(
     """Per-(doc, term) TF-IDF over whitespace tokens of lowercased text:
     ``tf * ln(n_docs / df_term)``.
 
-    One explode, then term frequency by hash aggregation and document
-    frequency as a COUNT window over the (already one-row-per-doc-term)
-    aggregate — a single pass, no self-join, so the token explosion is
-    scanned exactly once (a tf⋈dfreq join would re-run the explode: Spark
-    shares no subplans across join branches). All built-ins, JVM-side.
+    One explode, then term frequency by hash aggregation; document
+    frequency is ``tf.groupBy(term).count()`` joined back on term. The
+    partial (map-side) aggregate absorbs term skew — a stopword's rows
+    collapse to one row per map partition before any shuffle — and the
+    join-back runs under AQE skew handling (or auto-broadcasts when the
+    vocabulary is small). A per-term COUNT *window* here would instead
+    sort a stopword's full posting list (~one row per document) in a
+    single task — a scale-killer on any heavy-tailed corpus. ``tf`` is
+    persisted so the token explosion runs once even though it feeds both
+    join branches (Spark shares no subplans across branches). All
+    built-ins, JVM-side.
     """
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WORD_RE)).alias("term"),
     ).filter(F.col("term") != "")
-    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n = df.agg(F.count("*").alias("_n_docs"))
-    w = Window.partitionBy("term")
     return (
-        tf.withColumn("df_t", F.count("*").over(w))
+        tf.join(dfreq, "term")
         .join(F.broadcast(n))
         .select(
             id_col,
@@ -207,7 +213,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     budget: int = 512,
-    num_streams: int = 32,
+    num_streams: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing for LLM training: documents are
     laid end-to-end in id order within ``num_streams`` independent streams
@@ -216,8 +222,17 @@ def pack_sequences(
 
     Returns (id, n_tokens, stream, pack_bin). One window per stream —
     parallel across streams with no global sort, so throughput scales with
-    the stream count, not corpus size. Deterministic for a given corpus.
+    the stream count, not corpus size. ``num_streams=None`` derives the
+    count from cluster parallelism (4× ``defaultParallelism``, floor 32)
+    so window parallelism grows with the cluster instead of capping at a
+    constant — at 100 TB a fixed 32 streams would make each stream a
+    multi-TB single-task running sum. NOTE: the stream count is part of
+    the deterministic output contract (it changes ``stream`` and
+    ``pack_bin`` assignment) — pass it explicitly when results must be
+    reproducible across differently-sized clusters.
     """
+    if num_streams is None:
+        num_streams = max(32, df.sparkSession.sparkContext.defaultParallelism * 4)
     w = (
         Window.partitionBy("_stream")
         .orderBy(id_col)
@@ -249,11 +264,17 @@ def mask_pii(text: Column) -> Column:
     )
 
 
-def repetition_score(text: Column, ngram_words: int = 3) -> Column:
-    """Within-document repetition: 1 - distinct/total word n-grams (the
-    Gopher-style repetition signal; high = boilerplate/spam). NULL when the
-    doc has fewer than ``ngram_words`` words."""
-    words = F.split(F.lower(F.trim(text)), _WORD_RE)
+def repetition_score_of_words(words: Column, ngram_words: int = 3) -> Column:
+    """Within-document repetition from an ALREADY-SPLIT word-array column
+    reference: 1 - distinct/total word n-grams (the Gopher-style
+    repetition signal; high = boilerplate/spam). NULL when the doc has
+    fewer than ``ngram_words`` words.
+
+    ``words`` must be a pre-projected attribute, not an inline ``split``:
+    the transform lambda references it per n-gram, and Catalyst inlines
+    expressions into lambda bodies — an inline split would re-tokenize
+    the whole document once per ELEMENT (measured 7-40× slower).
+    """
     n = F.size(words)
     total = n - (ngram_words - 1)
     idx = F.sequence(F.lit(0), F.greatest(total - 1, F.lit(0)))
@@ -263,6 +284,15 @@ def repetition_score(text: Column, ngram_words: int = 3) -> Column:
     return F.when(
         total >= 1,
         1.0 - F.size(F.array_distinct(grams)) / total.cast("double"),
+    )
+
+
+def repetition_score(text: Column, ngram_words: int = 3) -> Column:
+    """Convenience form over raw text (tokenizes inline — fine for tests
+    and small data; hot paths pre-project the split array and call
+    ``repetition_score_of_words``)."""
+    return repetition_score_of_words(
+        F.split(F.lower(F.trim(text)), _WORD_RE), ngram_words
     )
 
 

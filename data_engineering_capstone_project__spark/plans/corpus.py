@@ -60,12 +60,20 @@ def clean_corpus(
     id_col, text_col = config.id_col, config.text_col
     t = F.col(text_col)
 
+    # words array pre-projected so the repetition n-gram lambda reads an
+    # attribute instead of re-splitting the document per n-gram
     staged = df.select(
         id_col,
         text_col,
         text.lang_id(t).alias("_lang"),
         text.quality_score(t).alias("_quality"),
-        text.repetition_score(t).alias("_rep"),
+        F.split(F.lower(F.trim(t)), r"\s+").alias("_w"),
+    ).select(
+        id_col,
+        text_col,
+        "_lang",
+        "_quality",
+        text.repetition_score_of_words(F.col("_w")).alias("_rep"),
     )
     kept = staged.filter(
         F.col("_lang").isin(*config.languages)

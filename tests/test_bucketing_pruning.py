@@ -80,15 +80,45 @@ def test_q7_filters_reach_scans_and_dims_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_tf_idf_single_explode_no_python(spark, sf_dir):
-    """TF-IDF plan stays JVM-side: one Generate (explode), no
+def test_tf_idf_deskewed_single_explode_no_python(spark, sf_dir):
+    """TF-IDF plan stays JVM-side and skew-safe: document frequency is an
+    aggregate + join-back (NO per-term Window — that would sort a
+    stopword's full posting list in one task), the token explode feeds
+    both join branches through one cached relation, and there are no
     Python/Arrow eval nodes."""
     from data_engineering_capstone_project__spark.operators.text import tf_idf
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _physical_plan(tf_idf(d))
-    assert plan.count("Generate") == 1, plan
+    assert "Window" not in plan, plan
+    # the explode is computed once: every Generate in the printout sits
+    # under the persisted tf relation, not duplicated into live branches
+    assert "InMemoryTableScan" in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_embedding_near_dups_plan_is_bucketed(spark, sf_dir):
+    """The oracle-checked embedding near-dup query must route through the
+    LSH bucketed equi-join — never a nested-loop/cartesian all-pairs."""
+    import __spark_entry__ as em
+
+    df = em.queries()["x_embedding_near_dups"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_add_row_id_multicol_no_persist(spark, sf_dir):
+    """Multi-column order keys take the expression fast path: boundaries
+    baked as struct literals, so the plan caches nothing O(table)."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        add_row_id,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = add_row_id(c, ["c_mktsegment", "c_name"], id_col="rid")
+    plan = _physical_plan(out)
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan, plan
 
 
 def test_top_k_window_prunes_map_side(spark, sf_dir):

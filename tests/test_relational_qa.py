@@ -18,6 +18,25 @@ def test_add_row_id_matches_global_row_number(spark, sf_dir):
     assert out.count() == orders.count()
 
 
+def test_add_row_id_multicol_matches_global_row_number(spark, sf_dir):
+    """Multi-column (string, string-with-nulls) keys through the encoded
+    expression fast path must produce the same ids as a naive global
+    ROW_NUMBER over the same total order (asc_nulls_first)."""
+    from pyspark.sql import Window
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "seg_n", F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_mktsegment"))
+    )
+    out = add_row_id(c, ["seg_n", "c_name"], id_col="rid", num_partitions=8)
+    got = {r["c_custkey"]: r["rid"] for r in out.collect()}
+    w = Window.orderBy(F.col("seg_n").asc_nulls_first(), F.col("c_name").asc_nulls_first())
+    want = {
+        r["c_custkey"]: r["rid"]
+        for r in c.withColumn("rid", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
 def test_rename_columns_exact_mode(spark):
     df = spark.createDataFrame([(1, "a", "x")], "row_num long, raw1 string, junk string")
     out = rename_columns(df, {"raw1": "clean1", "row_num": "row_num"}, keep_unmapped=False)

@@ -42,6 +42,61 @@ def test_lsh_bucket_recall_vs_bruteforce(spark, sf_dir):
         assert len(lsh) / len(brute) > 0.3  # few planes -> partial recall ok
 
 
+def _perturbed_corpus(emb):
+    """Base vectors + near-duplicate copies (id+100000, first component
+    +0.01 → cosine ≈ 0.999), mirroring the entry queries' planted dups."""
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dup)
+
+
+def test_multi_table_lsh_matches_bruteforce(spark, sf_dir):
+    """The scale path (multi-table SRP-LSH + exact verify) must return the
+    exact brute-force pair set at a near-dup threshold: 6 tables × 6
+    planes puts per-pair miss probability at ~3e-7 for cosine ≈ 0.999."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    corpus = _perturbed_corpus(emb)
+    brute = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dups(corpus, threshold=0.99).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.lsh_bucket_pairs(
+            corpus, n_planes=6, n_tables=6, threshold=0.99
+        ).collect()
+    }
+    assert brute and lsh == brute
+
+
+def test_lsh_bucket_guard_preserves_recall(spark, sf_dir):
+    """With a tiny max_bucket every bucket is sub-bucketed by per-table
+    reserve bits; multi-table union must still recover the full planted
+    pair set (the guard trades recall only jointly across tables)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    corpus = _perturbed_corpus(emb)
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(corpus, threshold=0.99).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_bucket_pairs(
+            corpus, n_planes=6, n_tables=6, threshold=0.99, max_bucket=5
+        ).collect()
+    }
+    assert brute and guarded == brute
+
+
 def test_ivf_topk_probe(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = similarity.kmeans_centroids(emb, n_centroids=4, n_iter=5, sample_rows=200)

@@ -178,6 +178,61 @@ def test_pack_sequences_budget(spark):
             offset += r["n_tokens"]
 
 
+def test_pack_sequences_derived_streams(spark):
+    """num_streams=None derives stream count from cluster parallelism
+    (4× defaultParallelism, floor 32) instead of a fixed constant; an
+    explicit count is honored exactly."""
+    from data_engineering_capstone_project__spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(200)], "doc_id long, text string"
+    )
+    derived = max(32, spark.sparkContext.defaultParallelism * 4)
+    auto = pack_sequences(docs, budget=100)
+    assert auto.agg({"stream": "max"}).collect()[0][0] == min(derived, 200) - 1
+    explicit = pack_sequences(docs, budget=100, num_streams=8)
+    assert explicit.agg({"stream": "max"}).collect()[0][0] == 7
+
+
+def test_sample_by_hash_full_fraction(spark):
+    """fraction=1.0 must keep every row (the 4-hex threshold can't encode
+    0x10000 — regression: it used to keep ~6%); same per-stratum."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        sample_by_hash,
+        stratified_sample_by_hash,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k").withColumn(
+        "s", (F.col("k") % 2 == 0).cast("string")
+    )
+    assert sample_by_hash(df, "k", 1.0).count() == 500
+    strat = stratified_sample_by_hash(df, "k", "s", {"true": 1.0, "false": 0.0})
+    rows = strat.collect()
+    assert len(rows) == 250 and all(r["s"] == "true" for r in rows)
+
+
+def test_ngram_prefix_filter_is_lossless(spark, sf_dir):
+    """Prefix-filtered candidate generation must return the exact same
+    pair set as a full shared-shingle scan (AllPairs completeness)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    # brute-force oracle: all pairs, exact jaccard
+    ids = docs.select("doc_id").collect()
+    all_pairs = spark.createDataFrame(
+        [(a["doc_id"], b["doc_id"]) for a in ids for b in ids if a["doc_id"] < b["doc_id"]],
+        "id_a long, id_b long",
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.verify_jaccard(docs, all_pairs).collect()
+        if r["jaccard"] >= 0.8
+    }
+    assert got == want
+
+
 def test_sample_by_hash_stability(spark):
     """Sampled key set is identical across re-runs and under data growth,
     and the rate is near the requested fraction."""
