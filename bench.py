@@ -65,20 +65,24 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = None
-        # best-of-2: first run pays codegen compile + JIT for the plan
-        # shape; the second is the steady-state number a long-running
-        # cluster job sees
-        for _ in range(2):
+        # run 1 pays codegen compile + JIT for the plan shape and is
+        # DISCARDED; the reported number is the median of the remaining
+        # runs (steady state), with min-max spread recorded so
+        # round-over-round deltas can be read against run-to-run noise
+        samples: list[float] = []
+        for _ in range(n_runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        steady = sorted(samples[1:]) if len(samples) > 1 else samples
+        timings[name] = round(steady[len(steady) // 2], 3)
+        spreads[name] = round(steady[-1] - steady[0], 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -87,6 +91,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs_per_query": n_runs,
+                "aggregation": "median of runs 2..n (run 1 warms codegen)",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

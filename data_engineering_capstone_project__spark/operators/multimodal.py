@@ -2,17 +2,29 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extraction run as Arrow-batched pandas
-transformations over ``mapInPandas``. The media libraries (Pillow, librosa,
-decord, …) are NOT in this container, so the actual decoding step is
-STUBBED: ``decode_image``/``decode_audio`` raise ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic fake decoder (hash-seeded)
-produces stable feature vectors — the Spark-side plumbing (schema,
-partitioning, UDF signature, Arrow batch shape) is real and tested.
+transformations over ``mapInPandas``.
+
+Decode tiers (probed at import, never a hard dependency):
+
+- **audio/WAV**: REAL decode with the stdlib ``wave`` module + numpy —
+  always available; PCM 8/16/32-bit mono/stereo → 16-dim features
+  (RMS, zero-crossing rate, 14 log-spectral band energies).
+- **audio/other formats**: ``soundfile``/``librosa`` if importable,
+  else ``NotImplementedError``.
+- **image**: Pillow if importable (RGB 4×4 downsample → 48-dim float
+  features; real resize+re-encode), else ``NotImplementedError``.
+- **video**: no in-container decoder; stub only.
+
+``fake=True`` always selects the deterministic hash-seeded stub decoder,
+so tests and pipelines behave identically with or without the optional
+libs; the Spark-side plumbing (schema, partitioning, UDF signature,
+Arrow batch shape) is identical for real and fake paths.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -20,6 +32,22 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional: real image decode when Pillow exists
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+try:  # optional: non-WAV audio formats when soundfile exists
+    import soundfile as _soundfile
+
+    HAS_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    HAS_SOUNDFILE = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -51,20 +79,72 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Image payload → 48-dim float features (4×4 RGB downsample / 255).
+
+    Real path when Pillow is importable; ``fake=True`` forces the
+    deterministic stub (8-dim) regardless.
+    """
     if fake:
         return _fake_decode(payload)
+    if HAS_PIL:
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB").resize((4, 4))
+        return (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)
     raise NotImplementedError(
-        "image decode requires Pillow (not in this container); pass fake=True "
+        "image decode requires Pillow (not importable here); pass fake=True "
         "for the deterministic stub"
     )
 
 
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (mono float64 samples in [-1, 1], sample rate) using only
+    the stdlib ``wave`` module + numpy — a REAL decoder with no optional
+    dependency. Supports 8/16/32-bit PCM, any channel count (averaged)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n, sw, ch, sr = w.getnframes(), w.getsampwidth(), w.getnchannels(), w.getframerate()
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:  # 8-bit WAV is unsigned
+        x = x - 128.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x / float(2 ** (8 * sw - 1)), sr
+
+
+def _audio_features(x: np.ndarray, dim: int = 16) -> np.ndarray:
+    """16-dim deterministic features from decoded samples: RMS,
+    zero-crossing rate, and ``dim-2`` log-spectral band energies."""
+    if x.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, dim - 2)
+    be = [float(np.log1p(b.sum())) for b in bands]
+    return np.array([rms, zcr, *be], dtype=np.float32)
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Audio payload → 16-dim features. PCM WAV decodes for REAL via the
+    stdlib (no optional deps); other formats need soundfile; ``fake=True``
+    forces the deterministic stub."""
     if fake:
         return _fake_decode(payload, dim=16)
+    if payload and payload[:4] == b"RIFF":
+        samples, _sr = _decode_wav(payload)
+        return _audio_features(samples)
+    if HAS_SOUNDFILE:
+        samples, _sr = _soundfile.read(io.BytesIO(payload), dtype="float64")
+        if samples.ndim > 1:
+            samples = samples.mean(axis=1)
+        return _audio_features(samples)
     raise NotImplementedError(
-        "audio decode requires librosa/soundfile (not in this container); "
-        "pass fake=True for the deterministic stub"
+        "non-WAV audio decode requires soundfile/librosa (not importable "
+        "here); pass fake=True for the deterministic stub"
     )
 
 
@@ -135,16 +215,26 @@ def resize_images(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError("image resize requires Pillow; fake=True")
             out = pdf.copy()
+            if not fake:
+                if not HAS_PIL:
+                    raise NotImplementedError(
+                        "image resize requires Pillow; pass fake=True"
+                    )
+                resized = []
+                for p in pdf["payload"]:
+                    img = _PILImage.open(io.BytesIO(p)).resize((target_w, target_h))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    resized.append(buf.getvalue())
+                out["payload"] = resized
             out["width"] = np.int32(target_w)
             out["height"] = np.int32(target_h)
             out["resize_sha256"] = [
                 hashlib.sha256(
                     (p or b"") + f"{target_w}x{target_h}".encode()
                 ).hexdigest()
-                for p in pdf["payload"]
+                for p in out["payload"]
             ]
             yield out
 
@@ -159,17 +249,27 @@ def extract_audio_features(
     df: DataFrame, window_ms: int = 500, fake: bool = True
 ) -> DataFrame:
     """Windowed audio features: one row per ``window_ms`` slice with a
-    16-dim feature vector (MFCC-shaped; stub derives it from the content
-    hash + window index so values are stable and content-dependent)."""
+    16-dim feature vector (MFCC-shaped). Real path: PCM WAV payloads are
+    sliced by sample rate and featurized per window (stdlib decode, no
+    optional deps). Stub path (``fake=True``): features derive from the
+    content hash + window index over the metadata ``duration_ms`` grid —
+    stable and content-dependent, same schema."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                if not fake:
-                    raise NotImplementedError("audio decode requires librosa; fake=True")
-                dur = int(r["duration_ms"] or 0)
                 payload = r["payload"] or b""
+                if not fake:
+                    samples, sr = _decode_wav(payload)  # raises for non-WAV
+                    step = max(int(sr * window_ms / 1000), 1)
+                    for i in range(0, max(len(samples), 1), step):
+                        feat = _audio_features(samples[i : i + step])
+                        rows.append(
+                            (int(r["media_id"]), i * 1000 // sr, feat.tolist())
+                        )
+                    continue
+                dur = int(r["duration_ms"] or 0)
                 for i, _start in enumerate(range(0, max(dur, 1), window_ms)):
                     feat = _fake_decode(payload + i.to_bytes(4, "big"), dim=16)
                     rows.append(
