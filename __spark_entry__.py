@@ -2128,6 +2128,9 @@ def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").asc(),
         ],
         k=3,
+        # (l_orderkey, l_linenumber) is the lineitem primary key, so this
+        # order_by is provably total -> skip the content-hash tiebreaker
+        total_order=True,
     )
     return out.withColumn("rn", F.col("rn").cast("long"))
 

@@ -14,17 +14,34 @@ from pyspark.sql import functions as F
 
 def qa_compare(a: DataFrame, b: DataFrame) -> DataFrame:
     """One-row report: count_a, count_b, count_common (INTERSECT = set
-    semantics, dedups — Spark ``intersect`` matches SQL INTERSECT exactly).
+    semantics, dedups; null fields compare equal, as SQL INTERSECT does).
 
-    Distributed: three aggregations, no driver-side data movement.
+    Fully lazy single plan: tag each side, union, group once on the whole
+    row, aggregate — ONE shuffle + one global agg when collected, instead
+    of three separate driver actions (count(a), count(b),
+    count(intersect)) each rescanning its input.
     """
-    spark = a.sparkSession
-    common = a.intersect(b)
-    counts = spark.createDataFrame(
-        [(a.count(), b.count(), common.count())],
-        "count_a long, count_b long, count_common long",
+    ua = a.select(
+        F.struct(*[F.col(c) for c in a.columns]).alias("_r"),
+        F.lit(1).alias("_ia"),
+        F.lit(0).alias("_ib"),
     )
-    return counts.withColumn(
+    ub = b.select(
+        F.struct(*[F.col(c) for c in b.columns]).alias("_r"),
+        F.lit(0).alias("_ia"),
+        F.lit(1).alias("_ib"),
+    )
+    per_row = ua.unionAll(ub).groupBy("_r").agg(
+        F.sum("_ia").alias("_na"), F.sum("_ib").alias("_nb")
+    )
+    return per_row.agg(
+        F.coalesce(F.sum("_na"), F.lit(0)).alias("count_a"),
+        F.coalesce(F.sum("_nb"), F.lit(0)).alias("count_b"),
+        F.coalesce(
+            F.sum(F.when((F.col("_na") > 0) & (F.col("_nb") > 0), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("count_common"),
+    ).withColumn(
         "equivalent",
         (F.col("count_a") == F.col("count_b"))
         & (F.col("count_b") == F.col("count_common")),
