@@ -185,31 +185,51 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
 
-    |A∩B| / |A∪B| via array_intersect on the shingle arrays — joined in,
-    not recomputed per pair."""
-    # joined twice (a-side and b-side) — persist so shingling runs once
+    |A∩B| by exploded equi-join + count (shingles are distinct per doc),
+    not ``array_intersect`` over joined arrays: exploded rows shuffle and
+    combine map-side, whereas array payloads make every joined row as
+    wide as two whole documents' shingle sets — a memory spike and a
+    skew magnet on long documents at corpus scale. Pairs sharing no
+    shingle keep jaccard 0.0 via the final left join back onto ``pairs``.
+    """
+    # consumed by both the a-side and b-side joins — persist so the
+    # shingle explode runs once
     sh = (
         _spread(df)
         .select(F.col(id_col), _normalize(F.col(text_col)).alias("_norm"))
         .select(
-            F.col(id_col), shingles_of_norm(F.col("_norm"), shingle_k).alias("sh")
+            F.col(id_col),
+            F.size(shingles_of_norm(F.col("_norm"), shingle_k)).alias("_sz"),
+            F.explode(shingles_of_norm(F.col("_norm"), shingle_k)).alias("g"),
         )
         .persist()
     )
-    out = (
-        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
-        .withColumn(
-            "jaccard",
-            pround(
-                F.col("n_inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
-                6,
-            ),
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"), "g"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"), "g"
+    )
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "g"])
+        .groupBy("id_a", "id_b", "_sz_a", "_sz_b")
+        .agg(F.count("*").alias("_ni"))
+    )
+    scored = inter.select(
+        "id_a",
+        "id_b",
+        pround(
+            F.col("_ni") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_ni")), 6
+        ).alias("jaccard"),
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(scored, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
         )
     )
-    return out.select("id_a", "id_b", "jaccard")
 
 
 def ngram_jaccard_pairs(

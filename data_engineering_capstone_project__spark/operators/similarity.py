@@ -77,18 +77,32 @@ def cosine_topk_many(
     query_vec_col: str = "q_vec",
 ) -> DataFrame:
     """Exact top-k for a *set* of query vectors: broadcast the queries,
-    score every (vector, query) pair, windowed top-k per query."""
-    from pyspark.sql import Window as W
+    score every (vector, query) pair, two-phase top-k per query.
+
+    The per-query window is the scale trap here: with Q queries over N
+    vectors, ``Window.partitionBy(q_id)`` sorts all N scored rows of a
+    query in ONE task. ``top_k_per_group`` prunes to k rows per
+    (query, input partition) map-side first, so the final per-query sort
+    sees ≤ k·partitions rows regardless of corpus size. The order is
+    provably total ((cosine, id) with unique ids), so no tiebreaker
+    hashing is needed.
+    """
+    from data_engineering_capstone_project__spark.operators.relational import (
+        top_k_per_group,
+    )
 
     scored = df.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
         pround(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
     )
-    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k,
+        rank_col="rank",
+        total_order=True,
     )
 
 
@@ -222,12 +236,28 @@ def kmeans_centroids(
     """Coarse centroids for IVF via driver-side numpy k-means on a sample.
 
     At 100 TB a ~10k-row uniform sample still estimates coarse cells fine;
-    training cost is independent of corpus size.
+    training cost is independent of corpus size. The sample is a seeded
+    Bernoulli ``sample()`` over the whole corpus — a bare ``limit`` would
+    read only the first partitions, biasing centroids toward whatever
+    data happens to sort first (ingest order is rarely iid).
     """
+    total = df.count()
+    if total == 0:
+        raise ValueError("kmeans_centroids: empty input")
+    frac = min(1.0, (sample_rows * 1.2) / total)
     sample = np.array(
-        df.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist(),
+        df.select(vec_col)
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample_rows)
+        .toPandas()[vec_col]
+        .tolist(),
         dtype=np.float64,
     )
+    if len(sample) == 0:  # pathological tiny-fraction draw
+        sample = np.array(
+            df.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist(),
+            dtype=np.float64,
+        )
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(n_iter):
@@ -240,19 +270,38 @@ def kmeans_centroids(
     return centroids
 
 
-def assign_ivf_cell(vec_col: Column, centroids: np.ndarray) -> Column:
-    """Nearest-centroid cell id as a codegen'd argmin expression."""
-    # distance to each centroid: ||v||² - 2<v,c> + ||c||²; ||v||² is common →
-    # argmin over (-2<v,c> + ||c||²), expressible with the dot() helper.
+def ivf_cell_scores(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Per-centroid distance scores as ONE array column.
+
+    Distance to centroid c is ||v||² - 2<v,c> + ||c||²; ||v||² is common
+    across cells, so argmin needs only (-2<v,c> + ||c||²). Project this
+    array to a named column and derive the cell from the attribute — see
+    ``assign_ivf_cell``'s note on why the argmin must not inline it.
+    """
     scores = []
     for c in centroids:
         cc = float((c * c).sum())
         scores.append(F.lit(-2.0) * dot(vec_col, _lit_vec(list(c))) + F.lit(cc))
-    best = F.least(*scores)
-    cell = F.when(scores[0] == best, F.lit(0))
-    for idx in range(1, len(scores)):
-        cell = cell.when(scores[idx] == best, F.lit(idx))
-    return cell.otherwise(F.lit(-1))
+    return F.array(*scores)
+
+
+def argmin_cell(scores_col: Column) -> Column:
+    """0-based argmin over a pre-projected scores-array attribute (first
+    minimum wins, matching a CASE chain's tie behavior)."""
+    return (F.array_position(scores_col, F.array_min(scores_col)) - 1).cast("int")
+
+
+def assign_ivf_cell(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id as a single Column (convenience form).
+
+    NOTE: this inline form evaluates the score array twice (array_min +
+    array_position) — already 8× cheaper than the old per-branch CASE
+    chain, which re-evaluated every centroid dot product in every WHEN
+    (O(k²) dots per row). Hot paths should project ``ivf_cell_scores``
+    to a column and call ``argmin_cell`` on the attribute (one
+    evaluation), as ``ivf_topk`` does.
+    """
+    return argmin_cell(ivf_cell_scores(vec_col, centroids))
 
 
 def ivf_topk(
@@ -271,9 +320,11 @@ def ivf_topk(
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centroids - q[None, :]) ** 2).sum(1)
     probe_cells = [int(i) for i in d2.argsort()[:nprobe]]
-    cell = assign_ivf_cell(F.col(vec_col), centroids)
+    # scores array projected to an attribute, argmin over the attribute:
+    # one evaluation of the k centroid dot products per row
     return (
-        df.withColumn("_cell", cell)
+        df.withColumn("_scores", ivf_cell_scores(F.col(vec_col), centroids))
+        .withColumn("_cell", argmin_cell(F.col("_scores")))
         .filter(F.col("_cell").isin(probe_cells))
         .select(F.col(id_col), pround(cosine(F.col(vec_col), _lit_vec(query_vec)), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -290,12 +341,21 @@ def quantize_embeddings(
     """Symmetric int8 quantization per vector: scale = max|x|/127,
     q_i = round(x_i/scale). 4× storage reduction for ANN candidate
     generation; keep the scale to dequantize (or rescore exactly on the
-    fp32 originals). Pure higher-order functions — no Python."""
+    fp32 originals). Pure higher-order functions — no Python.
+
+    The scale is projected to its own column FIRST and the quantize
+    lambda references that attribute: inlining the ``array_max`` scale
+    expression into the per-element lambda would recompute the whole
+    max-reduction once per vector COMPONENT (64× on a 64-dim embedding —
+    the Catalyst lambda-inlining pitfall; see ``shingles_of_norm``). The
+    projection boundary holds because ``scale_col`` is both emitted and
+    referenced by the second projection.
+    """
     v = F.col(vec_col)
     mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = F.nullif(mx, F.lit(0.0)) / F.lit(127.0)
     q = F.transform(
         v,
-        lambda x: F.round(x.cast("double") / scale).cast("int"),
+        lambda x: F.round(x.cast("double") / F.col(scale_col)).cast("int"),
     )
     return df.withColumn(scale_col, scale).withColumn(out_col, q)

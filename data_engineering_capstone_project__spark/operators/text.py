@@ -309,7 +309,11 @@ def strip_boilerplate_lines(
 
     Two shuffles: line-hash document frequency, then the per-doc
     reassembly groupBy. The line-frequency table is the small side
-    (distinct lines) and broadcasts back onto the exploded lines.
+    (distinct lines) and broadcasts back onto the exploded lines. Fully
+    lazy: the document-count cutoff joins in as a broadcast 1-row
+    aggregate rather than an eager driver ``count()`` at plan-build time
+    (plans compose without triggering jobs; the count scan is
+    column-pruned to parquet footers when collected).
     """
     lines = df.select(
         F.col(id_col),
@@ -317,11 +321,14 @@ def strip_boilerplate_lines(
     )
     norm = F.trim(F.col("_line"))
     lines = lines.withColumn("_key", norm).filter(F.length("_key") > 0)
-    n_docs = df.count()
-    cutoff = max(int(n_docs * max_doc_frac), min_docs)
+    n_docs = df.agg(F.count("*").alias("_n_docs"))
+    cutoff = F.greatest(
+        F.floor(F.col("_n_docs") * F.lit(max_doc_frac)), F.lit(min_docs)
+    )
     hot = (
         lines.groupBy("_key")
         .agg(F.count_distinct(id_col).alias("_df"))
+        .join(F.broadcast(n_docs))
         .filter(F.col("_df") >= cutoff)
         .select("_key")
     )
