@@ -233,6 +233,26 @@ def test_ngram_prefix_filter_is_lossless(spark, sf_dir):
     assert got == want
 
 
+def test_hash_threshold_and_byte_parse_edges():
+    """Pure-Python edges of the ADVICE fixes: thresholds that round to the
+    full 0x10000 range clamp to an always-true compare, and Spark size
+    conf values parse with any JVM suffix."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        _hash_threshold,
+        _parse_byte_string,
+    )
+
+    assert _hash_threshold(1.0) == "g"
+    assert _hash_threshold(0.9999999) == "g"  # rounds to 0x10000 -> clamp
+    assert _hash_threshold(0.0) == "0000"
+    assert _hash_threshold(0.25) == "4000"
+    assert _parse_byte_string("134217728b") == 128 * 1024 * 1024
+    assert _parse_byte_string("128MB") == 128 * 1024 * 1024
+    assert _parse_byte_string("1g") == 1 << 30
+    assert _parse_byte_string("64k") == 64 * 1024
+    assert _parse_byte_string("garbage") == 128 * 1024 * 1024  # fallback
+
+
 def test_sample_by_hash_stability(spark):
     """Sampled key set is identical across re-runs and under data growth,
     and the rate is near the requested fraction."""
