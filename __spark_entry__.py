@@ -2471,6 +2471,86 @@ FROM base
 """
 
 
+def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average unigram log-probability under the corpus's own
+    unigram model (perplexity-proxy quality signal). Skew-safe agg+join
+    shape (like tf_idf); decimal contributions make the per-doc float sum
+    order-independent for exact oracle parity."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    return text.unigram_logprob(d)
+
+
+X_UNIGRAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+ct AS (SELECT term, SUM(tf) AS ct FROM tf GROUP BY 1),
+tot AS (SELECT SUM(ct) AS t FROM ct),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         SUM(CAST(tf * LN(CAST(ct AS DOUBLE) / t) AS DECIMAL(20,6))) AS slp
+  FROM tf JOIN ct USING (term) CROSS JOIN tot
+  GROUP BY 1)
+SELECT doc_id, n_tokens,
+       FLOOR(CAST(slp AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS avg_logprob
+FROM per
+"""
+
+
+MIX_TARGETS = {"src0": 0.4, "src1": 0.35, "src2": 0.25}
+
+
+def x_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: downsample sources to 40/35/25 token
+    shares via the deterministic hash rule, report per-source doc and
+    token counts of the mixed corpus."""
+    from data_engineering_capstone_project__spark.plans.corpus import (
+        mix_sources_by_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = mix_sources_by_tokens(d, MIX_TARGETS)
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+X_MIX_SQL = r"""
+WITH tc AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT) AS toks
+  FROM documents),
+tgt(source, share) AS (
+  VALUES ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.35 AS DOUBLE)),
+         ('src2', CAST(0.25 AS DOUBLE))),
+totals AS (
+  SELECT source, CAST(SUM(toks) AS BIGINT) AS toks FROM tc
+  WHERE source IN (SELECT source FROM tgt) GROUP BY 1),
+m AS (
+  SELECT MIN(CAST(totals.toks AS DOUBLE) / tgt.share) AS m
+  FROM totals JOIN tgt USING (source)),
+-- frac replicates the operator's driver arithmetic exactly:
+-- (share * m) / toks in double, floor(frac*65536 + 0.5) threshold
+th AS (
+  SELECT totals.source,
+         CASE WHEN CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), tgt.share * (SELECT m FROM m) / totals.toks) * 65536 + 0.5) AS INT) >= 65536
+              THEN 'g'
+              ELSE printf('%04x', CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), tgt.share * (SELECT m FROM m) / totals.toks) * 65536 + 0.5) AS INT))
+         END AS lim
+  FROM totals JOIN tgt USING (source)),
+kept AS (
+  SELECT tc.* FROM tc JOIN th USING (source)
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || ''), 1, 4) < lim)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+FROM kept GROUP BY source
+"""
+
+
 def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-prefix sampling of orders at 25%, summarized per
     priority (stable under growth; engine-portable — no RNG seeds)."""
@@ -3085,6 +3165,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_boilerplate": (x_boilerplate, X_BOILERPLATE_SQL),
     "x_clean_corpus": (x_clean_corpus, _clean_corpus_sql()),
     "x_tf_idf": (x_tf_idf, X_TFIDF_SQL),
+    "x_unigram_logprob": (x_unigram_logprob, X_UNIGRAM_SQL),
+    "x_mix_sources": (x_mix_sources, X_MIX_SQL),
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),
     "x_stratified_sample": (x_stratified_sample, X_STRATIFIED_SQL),

@@ -208,6 +208,56 @@ def tf_idf(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    unigram model — the classic cheap perplexity proxy for quality
+    filtering (a doc of globally-rare tokens scores low/negative-large;
+    formulaic boilerplate scores high).
+
+    Returns (id, n_tokens, avg_logprob) with
+    ``avg_logprob = Σ_t tf_t·ln(ct_t / T) / Σ_t tf_t`` where ``ct`` is the
+    corpus count of term t and ``T`` the total token count.
+
+    Same scale shape as ``tf_idf``: one explode, tf by hash aggregation
+    (persisted — feeds both the corpus-count branch and the join), corpus
+    counts as an aggregate + join-back (map-side partials absorb stopword
+    skew; never a per-term window). Per-(doc,term) contributions are cast
+    to decimal(20,6) BEFORE the per-doc sum so the aggregation is exact
+    and order-independent — the property that lets the DuckDB oracle
+    match bit-for-bit.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WORD_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = ct.agg(F.sum("ct").alias("_T"))
+    contrib = (
+        F.col("tf") * F.log(F.col("ct").cast("double") / F.col("_T"))
+    ).cast("decimal(20,6)")
+    return (
+        tf.join(ct, "term")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(contrib).alias("_sum_lp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            pround(
+                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -48,6 +48,60 @@ class CorpusConfig:
     text_col: str = "text"
 
 
+def mix_sources_by_tokens(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget corpus mixing: downsample each source so the mixed
+    corpus's token shares match ``targets`` (the data-mixture step of a
+    pretraining pipeline — e.g. 40% web / 35% books / 25% code).
+
+    Mechanics: per-source token totals are aggregated in one pass
+    (collected — one row per source, a handful of rows at any scale);
+    the largest feasible mixed-corpus size is
+    ``M = min_s tokens_s / target_s`` (the scarcest source binds, no
+    source can oversample), giving per-source keep rate
+    ``frac_s = target_s·M / tokens_s``. Rows are then kept by the
+    engine-portable deterministic hash rule ``md5(id|salt)4-hex-prefix <
+    floor(frac·65536 + 0.5)`` — a shuffle-free codegen'd filter at the
+    scan, stable under data growth and identical across engines (the
+    floor(+0.5) rounding avoids Python-banker's vs SQL half-away
+    divergence). Sources absent from ``targets`` are dropped.
+
+    Realized shares deviate from targets only by sampling noise
+    (±1/√docs) and hash granularity (1/65536).
+    """
+    if not targets:
+        raise ValueError("targets must name at least one source")
+    for s, t in targets.items():
+        if t <= 0:
+            raise ValueError(f"target share for {s!r} must be > 0")
+    totals = {
+        r["s"]: r["toks"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(text.token_count(F.col(text_col))).alias("toks"))
+        .collect()
+    }
+    missing = [s for s in targets if s not in totals or not totals[s]]
+    if missing:
+        raise ValueError(f"sources with no tokens in corpus: {missing}")
+    m = min(totals[s] / t for s, t in targets.items())
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+    )
+    thresh = F.lit("0000")  # sources outside the mix keep nothing
+    for s, t in sorted(targets.items()):
+        frac = min(1.0, t * m / totals[s])
+        code = int(frac * 16 ** 4 + 0.5)
+        lim = "g" if code >= 16 ** 4 else format(code, "04x")
+        thresh = F.when(F.col(source_col) == s, F.lit(lim)).otherwise(thresh)
+    return df.filter(h < thresh)
+
+
 def clean_corpus(
     df: DataFrame, config: CorpusConfig = CorpusConfig()
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -282,6 +282,55 @@ def test_tf_idf_values(spark):
     assert rows[(2, "cherry")]["tfidf"] > 0
 
 
+def test_unigram_logprob_values(spark):
+    """Hand-computed corpus: T=5, counts a=2 b=2 c=1."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.unigram_logprob(docs).collect()}
+    assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 2
+    # doc1: (2·ln(2/5) + 1·ln(2/5)) / 3 = ln(0.4)
+    assert abs(rows[1]["avg_logprob"] - math.log(0.4)) < 1e-4
+    # doc2: (ln(2/5) + ln(1/5)) / 2
+    assert abs(rows[2]["avg_logprob"] - (math.log(0.4) + math.log(0.2)) / 2) < 1e-4
+    # common-token docs score higher than rare-token docs
+    assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
+
+
+def test_mix_sources_by_tokens(spark, sf_dir):
+    from data_engineering_capstone_project__spark.plans.corpus import (
+        mix_sources_by_tokens,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    targets = {"src0": 0.5, "src1": 0.5}
+    mixed = mix_sources_by_tokens(d, targets)
+    rows = {r["source"]: r for r in mixed.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(text.token_count(F.col("text"))).alias("toks"),
+    ).collect()}
+    # only targeted sources survive
+    assert set(rows) <= set(targets)
+    # the binding (scarcest-per-share) source keeps all of its rows
+    totals = {r["source"]: r["toks"] for r in d.groupBy("source").agg(
+        F.sum(text.token_count(F.col("text"))).alias("toks")).collect()}
+    binding = min(targets, key=lambda s: totals[s] / targets[s])
+    assert rows[binding]["toks"] == totals[binding]
+    # deterministic: same rows on re-run
+    again = {r["source"]: r["n"] for r in mix_sources_by_tokens(d, targets)
+             .groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert {s: r["n"] for s, r in rows.items()} == again
+    # bad inputs raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mix_sources_by_tokens(d, {})
+    with _pytest.raises(ValueError):
+        mix_sources_by_tokens(d, {"no_such_source": 1.0})
+
+
 def test_strip_boilerplate_lines(spark):
     from data_engineering_capstone_project__spark.operators.text import (
         strip_boilerplate_lines,
