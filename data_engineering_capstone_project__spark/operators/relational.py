@@ -365,29 +365,39 @@ def top_k_per_group(
     group's ENTIRE row set in one task — with few groups (e.g. 3
     return flags over 100 TB) that is ~33 TB per task. Spark ≥3.5
     rescues the single-window form when the rank filter is adjacent:
-    ``WindowGroupLimit`` prunes map-side to k rows per (group, input
-    partition) before the exchange. ``two_phase=True`` (default)
-    encodes the same pruning explicitly — top-k per (group,
-    ``spark_partition_id``) first, then the per-group window over
-    ≤ k·num_partitions survivors — so the plan stays scale-safe even
-    where the optimizer rule can't fire (rank reused as a column,
-    rank-with-offset filters, older runtimes); measured equal-or-
-    faster at sf0.1. A content-hash tiebreaker (xxhash64 over all
-    input columns) is appended to ``order_by`` in both phases, so the
-    two-phase result is deterministic and partitioning-independent
-    even when the caller's ``order_by`` is not a total order: rows
-    tied at rank k break identically in phase 1 and phase 2 (exact
-    duplicate rows still tie, but are interchangeable). When
-    ``order_by`` already is a total order the tiebreaker never
-    compares; callers that can GUARANTEE that may pass
-    ``total_order=True`` to skip computing it (saves a full-row hash
-    per input row — measured ~20% on a wide table).
+    the ``WindowGroupLimit`` rule plans a PARTIAL map-side prune to k
+    rows per (group, input partition) BEFORE the exchange, so only
+    k·partitions·groups rows shuffle.
+
+    ``two_phase=True`` (default) means "guarantee map-side pruning":
+    the single-window plan is built first and its physical plan
+    INSPECTED — if WindowGroupLimit fired (the common case on Spark
+    ≥3.5), that plan is used as-is, because an explicit second phase
+    would only add a redundant exchange and two extra sorts on top of
+    the native Partial/Final prune. Only where the rule can't fire
+    (rank reused as a column downstream, rank-with-offset filters,
+    older runtimes) does the explicit fallback run: top-k per (group,
+    ``spark_partition_id``), then the per-group window over
+    ≤ k·num_partitions survivors, with a content-hash tiebreaker
+    (xxhash64 over all input columns) appended in both phases so the
+    pruning is deterministic and partitioning-independent even under a
+    non-total ``order_by`` (exact duplicate rows still tie, but are
+    interchangeable). Callers that can GUARANTEE a total order may
+    pass ``total_order=True`` to skip the tiebreaker hash in the
+    fallback; the inspected native plan never needs it — its
+    semantics are exactly the single-window form's.
     """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    naive = df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
     if not two_phase:
-        w = Window.partitionBy(*group_cols).orderBy(*order_by)
-        return (
-            df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
-        )
+        return naive
+    # plan-shape probe — planning only, no job: did the optimizer already
+    # install the map-side Partial WindowGroupLimit prune?
+    plan = naive._jdf.queryExecution().executedPlan().toString()
+    if "WindowGroupLimit" in plan:
+        return naive
     if total_order:
         base, order_tb, tb = df, list(order_by), None
     else:
