@@ -122,9 +122,9 @@ def test_add_row_id_multicol_no_persist(spark, sf_dir):
 
 
 def test_top_k_window_prunes_map_side(spark, sf_dir):
-    # Both phases of top_k_per_group must keep the WindowGroupLimit
-    # prune so a low-cardinality group key never funnels the full
-    # table through a handful of sort tasks.
+    # The probe-selected plan must carry the Partial+Final
+    # WindowGroupLimit prune so a low-cardinality group key never
+    # funnels the full table through a handful of sort tasks.
     from data_engineering_capstone_project__spark.operators.relational import (
         top_k_per_group,
     )
