@@ -235,3 +235,69 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     per-file cost — turn it on only at these evolution boundaries.
     """
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Snapshot-versioned parquet sink (S4/S5 upgrade): each write lands
+    in a fresh ``path/v=N`` directory, and the committed version is the
+    one named by the ``path/LATEST`` pointer file, which is swapped
+    atomically (``os.replace``) only AFTER the snapshot write completes.
+
+    What this buys without a table format on the classpath:
+
+    - **readers never see a partial snapshot** — a writer that dies
+      mid-write leaves an orphan ``v=N`` directory that no pointer names;
+    - **concurrent writers don't corrupt each other** — each claims its
+      own version directory (atomic ``mkdir`` as the claim), and the
+      last pointer swap wins (last-writer-wins, the same coarse contract
+      as blind MERGE);
+    - **time travel** — ``read_versioned(spark, path, version=k)`` pins
+      an old snapshot; old versions stay until vacuumed.
+
+    Single-filesystem semantics (local/NFS/HDFS-with-atomic-rename); on
+    object stores use a real table format (Delta/Iceberg) — this is the
+    jar-free fallback, not a replacement. Returns the committed version.
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    n = 0
+    for d in os.listdir(path):
+        if d.startswith("v=") and d[2:].isdigit():
+            n = max(n, int(d[2:]))
+    while True:
+        n += 1
+        target = os.path.join(path, f"v={n}")
+        try:
+            os.mkdir(target)  # atomic claim: exactly one writer gets N
+            break
+        except FileExistsError:
+            continue
+    df.write.mode("overwrite").parquet(target)
+    tmp = os.path.join(path, f".LATEST.tmp.{n}")
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.replace(tmp, os.path.join(path, "LATEST"))  # atomic commit
+    return n
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed + orphan snapshot versions present under ``path``."""
+    import os
+
+    return sorted(
+        int(d[2:])
+        for d in os.listdir(path)
+        if d.startswith("v=") and d[2:].isdigit()
+    )
+
+
+def read_versioned(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read the committed snapshot (or a pinned ``version`` — time
+    travel). Raises if the pointer is missing (nothing ever committed)."""
+    import os
+
+    if version is None:
+        with open(os.path.join(path, "LATEST")) as f:
+            version = int(f.read().strip())
+    return spark.read.parquet(os.path.join(path, f"v={version}"))

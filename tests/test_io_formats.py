@@ -95,3 +95,33 @@ def test_read_parquet_evolving_schema_merge(spark, tmp_path):
     assert rows[1]["new_col"] is None
     assert rows[2]["new_col"] == 9.5
     assert set(df.columns) >= {"id", "old_col", "new_col"}
+
+
+def test_versioned_sink_commit_and_time_travel(spark, tmp_path):
+    """Each write commits a new snapshot; readers resolve the pointer;
+    pinned reads time-travel; an uncommitted (orphan) snapshot directory
+    is invisible to readers."""
+    import os
+
+    from data_engineering_capstone_project__spark.sources.io import (
+        list_versions,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vtab")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(0, 25).withColumnRenamed("id", "k")
+    v1 = write_versioned(df1, path)
+    v2 = write_versioned(df2, path)
+    assert (v1, v2) == (1, 2)
+    assert read_versioned(spark, path).count() == 25          # latest
+    assert read_versioned(spark, path, version=1).count() == 10  # pinned
+    # orphan snapshot: claimed directory + data but NO pointer swap
+    os.mkdir(os.path.join(path, "v=3"))
+    df1.write.mode("overwrite").parquet(os.path.join(path, "v=3"))
+    assert read_versioned(spark, path).count() == 25  # still v2
+    assert list_versions(path) == [1, 2, 3]
+    # next writer skips the claimed version number
+    v4 = write_versioned(df1, path)
+    assert v4 == 4 and read_versioned(spark, path).count() == 10
