@@ -2317,6 +2317,52 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the driver contract (rows-only: no FFT in the
+    SQL oracle): deterministic PCM-16 sine-wave WAVs built with the
+    stdlib, decoded sample-accurately inside the Arrow ``mapInPandas``
+    batches (``wave`` + numpy — no optional media libs), windowed 16-dim
+    RMS/ZCR/spectral features per 250 ms."""
+    import io as _io
+    import math as _math
+    import struct as _struct
+    import wave as _wave
+
+    from data_engineering_capstone_project__spark.operators import multimodal as mm
+
+    def wav(freq: float, ms: int = 500, sr: int = 4000) -> bytes:
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(
+                b"".join(
+                    _struct.pack(
+                        "<h",
+                        int(18000 * _math.sin(2 * _math.pi * freq * i / sr)),
+                    )
+                    for i in range(sr * ms // 1000)
+                )
+            )
+        return buf.getvalue()
+
+    rows = [
+        (i, "audio", wav(200.0 + 25 * i), "audio/wav", None, None, 500)
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.extract_audio_features(media, window_ms=250, fake=False)
+    # feature floats are engine-side FFT output — expose stable shape +
+    # a quantized leading coefficient so the rows-only check is meaningful
+    return out.select(
+        "media_id",
+        "window_start_ms",
+        F.size("feat").alias("feat_dim"),
+        pround(F.element_at("feat", 1).cast("double"), 3).alias("rms_q"),
+    )
+
+
 def x_intersectall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL (multiset intersection) — E1/E2 surface."""
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
@@ -3158,6 +3204,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_stream_join": (x_stream_join, X_STREAM_JOIN_SQL),
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
+    "x_audio_features": (x_audio_features, None),  # rows-only: engine-side FFT
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),
     "x_dedup_clusters": (x_dedup_clusters, X_CLUSTER_SQL),
     "x_pii_mask": (x_pii_mask, X_PII_SQL),

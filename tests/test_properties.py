@@ -165,3 +165,73 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         int(r.id): (None if pd.isna(r.val) else r.val) for r in merged.itertuples()
     }
     assert got == exp
+
+
+def test_prefix_filter_lossless_on_adversarial_corpus(spark):
+    """AllPairs prefix filtering must find every pair with J >= t on a
+    corpus built to stress it: exact dups, one-shingle-off near-dups,
+    shared-hot-prefix docs, disjoint docs, and tiny docs."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import dedup
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    docs = [
+        (1, base),                       # baseline
+        (2, base),                       # exact dup of 1
+        (3, base[:-1] + "!"),            # near-dup of 1
+        (4, base[5:] + base[:5]),        # rotation (high overlap)
+        (5, "zzzzzzzzzzzzzzzzzzzz"),     # degenerate repeated char
+        (6, "zzzzzzzzzzzzzzzzzzzy"),     # near-dup of 5
+        (7, "completely different content here"),
+        (8, "tiny"),                     # shorter than shingle width
+        (9, "tiny"),                     # dup of 8
+        (10, base + " " + base),         # superset-ish of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.5, 0.8, 0.95):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        ids = [d[0] for d in docs]
+        all_pairs = spark.createDataFrame(
+            [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+        )
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.verify_jaccard(df, all_pairs).collect()
+            if r["jaccard"] >= t
+        }
+        assert got == want, f"threshold {t}: {got ^ want}"
+
+
+def test_mix_sources_share_property(spark):
+    """Realized token shares track targets within hash-granularity +
+    sampling tolerance for several target mixes."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import text
+    from data_engineering_capstone_project__spark.plans.corpus import (
+        mix_sources_by_tokens,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for targets in (
+        {"src0": 0.6, "src1": 0.4},
+        {"src0": 1 / 3, "src1": 1 / 3, "src2": 1 / 3},
+        {"src3": 0.9, "src4": 0.1},
+    ):
+        mixed = mix_sources_by_tokens(d, targets)
+        toks = {
+            r["source"]: r["t"]
+            for r in mixed.groupBy("source")
+            .agg(F.sum(text.token_count(F.col("text"))).alias("t"))
+            .collect()
+        }
+        total = sum(toks.values())
+        assert total > 0
+        for s, share in targets.items():
+            realized = toks.get(s, 0) / total
+            # 25 docs/source at sf0.01 -> generous sampling tolerance
+            assert abs(realized - share) < 0.25, (s, realized, share)
