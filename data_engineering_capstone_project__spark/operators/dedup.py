@@ -483,6 +483,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("_nbr"))
         )
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it, so each round runs ONE job (join + checkpoint +
+        # count) instead of an eager-checkpoint job plus a count job
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
@@ -491,7 +494,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.withColumnRenamed("comp", "_new")
