@@ -2244,6 +2244,28 @@ X_STREAM_STATEFUL_SQL = (
 )
 
 
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``): first
+    event per (user, type) within the watermark horizon, state evicted as
+    the watermark advances. Single-file source → one micro-batch → the
+    kept key set is exactly the batch DISTINCT (the oracle); only key
+    columns are returned because WHICH duplicate survives is
+    arrival-order-dependent by design."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        dedup_stream,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = run_stream_to_table(
+        dedup_stream(ev, ["user_id", "event_type"], watermark="365 days"),
+        mode="append",
+    )
+    return out.select("user_id", "event_type")
+
+
+X_STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def x_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join: purchases within 10 minutes after a click by
     the same user, with watermark-bounded state. Driven to completion over
@@ -3203,6 +3225,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_stream_join": (x_stream_join, X_STREAM_JOIN_SQL),
+    "x_stream_dedup": (x_stream_dedup, X_STREAM_DEDUP_SQL),
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
     "x_audio_features": (x_audio_features, None),  # rows-only: engine-side FFT
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),

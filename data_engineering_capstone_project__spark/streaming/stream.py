@@ -79,6 +79,28 @@ def run_stream_to_table(df: DataFrame, mode: str = "complete") -> DataFrame:
     return df.sparkSession.table(name)
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first event per key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The streaming member of the dedup ladder (exact tier of
+    ``operators.dedup``): state holds one entry per distinct key seen in
+    the last ``watermark`` of event time and is evicted as the watermark
+    advances — bounded state, unlike a plain ``dropDuplicates`` on a
+    stream which retains every key forever. Duplicates arriving later
+    than the watermark are NOT caught (that is the contract: state must
+    be evictable at 100 TB/day ingest).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def stateful_running_count(
     stream: DataFrame,
     key_col: str = "user_id",

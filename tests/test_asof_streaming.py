@@ -202,3 +202,46 @@ def test_stream_incremental_upsert(spark, tmp_path):
     run_stream_incremental_upsert(stream, target, keys=["k"])
     final = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert final == {1: 10, 2: 25, 3: 30}  # later batch wins on key 2
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicates inside the watermark horizon are
+    dropped (state-bounded dropDuplicatesWithinWatermark); distinct key
+    set matches the batch dedup of the same files."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    src = str(tmp_path / "dd_src")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        tbl = pa.table({
+            "ts": pa.array([datetime(2024, 1, 1, 10, m, s) for m, s, _ in rows],
+                           type=pa.timestamp("us")),
+            "k": pa.array([k for _, _, k in rows]),
+        })
+        pq.write_table(tbl, os.path.join(src, name))
+
+    write_file("f1.parquet", [(0, 0, "a"), (0, 30, "a"), (1, 0, "b")])
+    _time.sleep(1.1)
+    write_file("f2.parquet", [(2, 0, "a"), (2, 30, "c"), (3, 0, "b")])
+
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        dedup_stream,
+        run_stream_to_table,
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_stream_to_table(
+        dedup_stream(stream, ["k"], watermark="1 hour"), mode="append"
+    ).collect()
+    keys = sorted(r["k"] for r in out)
+    assert keys == ["a", "b", "c"]  # one survivor per key, 6 inputs -> 3
