@@ -1712,6 +1712,53 @@ WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
 """
 
 
+def x_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: vectors 0-4 act as the benchmark
+    set; the corpus is naturals (5..199, max natural cosine ≈ 0.5) plus
+    planted near-copies of the benchmark (id+200000, cosine ≈ 0.999) —
+    so the flag separates cleanly at threshold 0.99. Benchmark broadcast,
+    map-side partial max: one shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bench = e.filter(F.col("vec_id") < 5).select(as_double.alias("embedding"))
+    naturals = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 200)).select(
+        "vec_id", as_double.alias("embedding")
+    )
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double") + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    corpus = naturals.unionByName(planted)
+    return dedup.embedding_contamination(corpus, bench, threshold=0.99)
+
+
+X_EMB_CONTAM_SQL = """
+WITH bench AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id < 5),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5 AND vec_id < 200
+  UNION ALL
+  SELECT vec_id + 200000,
+         [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.01
+               ELSE CAST(embedding[i] AS DOUBLE) END
+          FOR i IN range(1, len(embedding) + 1)]
+  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT corpus.vec_id,
+         FLOOR(MAX(list_cosine_similarity(corpus.v, bench.bv)) * 1e6 + 0.5) / 1e6
+           AS max_benchmark_cosine
+  FROM corpus CROSS JOIN bench
+  GROUP BY corpus.vec_id)
+SELECT vec_id, max_benchmark_cosine,
+       max_benchmark_cosine >= 0.99 AS contaminated
+FROM scored
+"""
+
+
 def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for the vec_id=0 query vector."""
     e = _t(spark, sf_dir, "embeddings")
@@ -3193,6 +3240,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_exact_dedup": (x_exact_dedup, X_DEDUP_SQL),
     "x_chunk_documents": (x_chunk_documents, X_CHUNK_SQL),
     "x_contamination": (x_contamination, X_CONTAM_SQL),
+    "x_embedding_contamination": (x_embedding_contamination, X_EMB_CONTAM_SQL),
     "x_ngram_jaccard": (x_ngram_jaccard, X_NGRAM_SQL),
     "x_minhash_pairs": (x_minhash_pairs, None),  # rows-only: hash-specific
     "x_simhash": (x_simhash, None),  # rows-only: hash-specific

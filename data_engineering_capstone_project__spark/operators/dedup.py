@@ -426,6 +426,41 @@ def contamination_check(
     )
 
 
+def embedding_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Benchmark decontamination in EMBEDDING space: flag training vectors
+    whose cosine to ANY benchmark/eval vector reaches ``threshold`` —
+    catches paraphrased eval leakage that exact n-gram matching
+    (``contamination_check``) misses.
+
+    Returns (id, max_benchmark_cosine, contaminated). Scale shape: the
+    benchmark set is small by definition → broadcast; every (train,
+    bench) score is a map-side codegen'd dot product with a map-side
+    partial MAX, so the only shuffle is the final per-id aggregation —
+    no candidate generation needed because the benchmark side, not the
+    corpus, bounds the pair count.
+    """
+    from data_engineering_capstone_project__spark.operators.similarity import cosine
+
+    bench = benchmark.select(F.col(vec_col).alias("_bv"))
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(bench))
+        .groupBy(id_col)
+        .agg(F.max(cosine(F.col(vec_col), F.col("_bv"))).alias("_mc"))
+    )
+    return scored.select(
+        id_col,
+        pround(F.col("_mc"), 6).alias("max_benchmark_cosine"),
+        (pround(F.col("_mc"), 6) >= threshold).alias("contaminated"),
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -164,3 +164,33 @@ def test_quantize_embeddings_roundtrip(spark):
     assert abs(rows[1]["q_scale"] - 1.0 / 127.0) < 1e-12
     assert rows[2]["q_scale"] is None  # zero vector -> NULL scale
     assert rows[2]["q"] is None or all(v is None for v in rows[2]["q"])
+
+
+def test_embedding_contamination_flags_planted_copies(spark, sf_dir):
+    """Near-copies of benchmark vectors are flagged; natural vectors are
+    not (synthetic corpus max natural cosine ~= 0.5)."""
+    from data_engineering_capstone_project__spark.operators.dedup import (
+        embedding_contamination,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bench = emb.filter(F.col("vec_id") < 3).select(as_double.alias("embedding"))
+    naturals = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 40)).select(
+        "vec_id", as_double.alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double") + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    out = {
+        r["vec_id"]: r["contaminated"]
+        for r in embedding_contamination(
+            naturals.unionByName(planted), bench, threshold=0.99
+        ).collect()
+    }
+    assert all(out[i] for i in (1000, 1001, 1002))
+    assert not any(v for k, v in out.items() if k < 1000)
