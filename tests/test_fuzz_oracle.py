@@ -137,3 +137,61 @@ def test_fuzzed_join_agg_matches_duckdb(spark, seed):
     """
     duck_rows = {tuple(r): None for r in duckdb.connect().execute(sql).fetchall()}
     assert spark_rows == duck_rows, (preds_sql, o_lo, status, group, agg)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_window_matches_duckdb(spark, seed):
+    """Seeded-random window shapes: random partition key, random total
+    order (a permutation of all key columns — (orderkey, linenumber) is
+    unique, so any permutation is a total order), random function among
+    ranks / lag / lead / running sum. Exact row-set comparison.
+    running_sum uses l_quantity (integral-valued doubles -> exact
+    sequential sums on both engines)."""
+    from pyspark.sql import Window
+
+    rng = random.Random(3000 + seed)
+    part = rng.choice(CAT_COLS)
+    order_cols = rng.sample(KEY_COLS, len(KEY_COLS))
+    func = rng.choice(
+        ["row_number", "rank", "dense_rank", "lag", "lead", "running_sum"]
+    )
+    val_col = rng.choice(NUMERIC_COLS)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_orderkey") <= 600
+    )
+    w = Window.partitionBy(part).orderBy(*[F.col(c).asc() for c in order_cols])
+    if func == "row_number":
+        expr, sql_fn = F.row_number().over(w), "ROW_NUMBER()"
+    elif func == "rank":
+        expr, sql_fn = F.rank().over(w), "RANK()"
+    elif func == "dense_rank":
+        expr, sql_fn = F.dense_rank().over(w), "DENSE_RANK()"
+    elif func == "lag":
+        expr, sql_fn = F.lag(val_col, 1).over(w), f"LAG({val_col}, 1)"
+    elif func == "lead":
+        expr, sql_fn = F.lead(val_col, 1).over(w), f"LEAD({val_col}, 1)"
+    else:
+        expr = (
+            F.sum("l_quantity")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        sql_fn = "SUM(l_quantity)"
+
+    sdf = li.select("l_orderkey", "l_linenumber", expr.alias("v"))
+    spark_rows = sorted(tuple(r) for r in sdf.collect())
+
+    order_sql = ", ".join(f"{c} ASC NULLS FIRST" for c in order_cols)
+    frame = (
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if func == "running_sum"
+        else ""
+    )
+    sql = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_fn} OVER (PARTITION BY {part} ORDER BY {order_sql}{frame}) AS v
+    FROM read_parquet('{SF_DIR}/lineitem.parquet')
+    WHERE l_orderkey <= 600
+    """
+    duck_rows = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert spark_rows == duck_rows, (part, order_cols, func)
