@@ -19,3 +19,13 @@ driver-side Python over small collected plan tables.
 __version__ = "0.1.0"
 
 from data_engineering_capstone_project__spark.session import get_spark  # noqa: F401
+
+from data_engineering_capstone_project__spark.plans.corpus import (  # noqa: F401,E402
+    CorpusConfig,
+    clean_corpus,
+    mix_sources_by_tokens,
+)
+from data_engineering_capstone_project__spark.sources.io import (  # noqa: F401,E402
+    read_versioned,
+    write_versioned,
+)

@@ -4,8 +4,20 @@ from data_engineering_capstone_project__spark.operators.asof import (  # noqa: F
 )
 from data_engineering_capstone_project__spark.operators.dedup import (  # noqa: F401
     connected_components,
+    contamination_check,
     dedup_by_clusters,
+    embedding_contamination,
     exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from data_engineering_capstone_project__spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    cosine_topk_many,
+    ivf_topk,
+    lsh_bucket_pairs,
+    quantize_embeddings,
 )
 from data_engineering_capstone_project__spark.operators.relational import (  # noqa: F401
     add_row_id,
@@ -22,6 +34,9 @@ from data_engineering_capstone_project__spark.operators.relational import (  # n
 from data_engineering_capstone_project__spark.operators.text import (  # noqa: F401
     analyze,
     chunk_documents,
+    mask_pii,
     pack_sequences,
+    strip_boilerplate_lines,
     tf_idf,
+    unigram_logprob,
 )
