@@ -176,23 +176,83 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+def probe_mp4_duration_ms(payload: bytes) -> int | None:
+    """REAL MP4 container metadata probe with only the stdlib: walk the
+    top-level ISO-BMFF boxes to ``moov``, then its ``mvhd`` header, and
+    return duration in ms (``duration / timescale``). No pixel decoding —
+    but the duration comes from the actual bytes, not trusted metadata.
+    Returns None for anything that isn't a parseable MP4.
+    """
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, off)
+            btype = buf[off + 4 : off + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if off + 16 > end:
+                    return
+                (size,) = struct.unpack_from(">Q", buf, off + 8)
+                hdr = 16
+            if size < hdr or off + size > end:
+                return
+            yield btype, off + hdr, off + size
+            off += size
+
+    if not payload or len(payload) < 16:
+        return None
+    for btype, body_start, body_end in walk(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cstart, cend in walk(payload, body_start, body_end):
+            if ctype != b"mvhd":
+                continue
+            import struct as _s
+
+            version = payload[cstart]
+            try:
+                if version == 1:
+                    timescale, duration = _s.unpack_from(">IQ", payload, cstart + 20)
+                else:
+                    timescale, duration = _s.unpack_from(">II", payload, cstart + 12)
+            except _s.error:
+                return None
+            if timescale == 0:
+                return None
+            return int(duration * 1000 // timescale)
+    return None
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000, fake: bool = True
 ) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame timestamp.
 
-    Real decoders would demux the container; the stub emits the frame grid
-    from ``duration_ms`` alone (deterministic), with a content hash.
+    Real path (``fake=False``): the frame grid comes from the ACTUAL MP4
+    container duration (``probe_mp4_duration_ms`` — stdlib box walk, no
+    media libs), so corrupt/mislabeled metadata can't skew sampling;
+    non-MP4 payloads raise ``NotImplementedError`` (pixel-level frame
+    extraction needs a decoder this container lacks). Stub path: the grid
+    derives from the ``duration_ms`` metadata column, deterministic.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
+                payload = r["payload"] or b""
                 if not fake:
-                    raise NotImplementedError("video decode not available; fake=True")
-                dur = int(r["duration_ms"] or 0)
-                digest = hashlib.sha256(r["payload"] or b"").hexdigest()
+                    dur = probe_mp4_duration_ms(payload)
+                    if dur is None:
+                        raise NotImplementedError(
+                            "payload is not a parseable MP4 and no frame "
+                            "decoder is available; pass fake=True"
+                        )
+                else:
+                    dur = int(r["duration_ms"] or 0)
+                digest = hashlib.sha256(payload).hexdigest()
                 for ts in range(0, max(dur, 1), every_ms):
                     rows.append((int(r["media_id"]), ts, digest))
             yield pd.DataFrame(rows, columns=["media_id", "frame_ts_ms", "sha256"])

@@ -121,3 +121,33 @@ def test_extract_audio_features_windows(spark):
     assert all(len(r["feat"]) == 16 for r in out)
     # content+window derived -> windows differ
     assert out[0]["feat"] != out[1]["feat"]
+
+
+def _mp4_bytes(duration_s: float = 3.5, timescale: int = 1000) -> bytes:
+    """Minimal valid-enough MP4: ftyp box + moov{mvhd} box, stdlib only."""
+    mvhd_body = (
+        bytes([0]) + b"\x00\x00\x00"              # version 0 + flags
+        + struct.pack(">II", 0, 0)                 # creation/modification
+        + struct.pack(">II", timescale, int(duration_s * timescale))
+        + b"\x00" * 80                             # rate..next_track_id
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    return ftyp + moov
+
+
+def test_probe_mp4_duration_real():
+    assert mm.probe_mp4_duration_ms(_mp4_bytes(3.5)) == 3500
+    assert mm.probe_mp4_duration_ms(_mp4_bytes(0.75, timescale=600)) == 750
+    assert mm.probe_mp4_duration_ms(b"not a video") is None
+    assert mm.probe_mp4_duration_ms(b"") is None
+
+
+def test_sample_video_frames_real_mp4(spark):
+    """Real path: the frame grid comes from the parsed container duration,
+    ignoring (here: absent) metadata."""
+    rows = [(5, "video", _mp4_bytes(3.5), "video/mp4", 16, 16, None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.sample_video_frames(df, every_ms=1000, fake=False).collect()
+    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000]
