@@ -301,3 +301,31 @@ def read_versioned(spark: SparkSession, path: str, version: int | None = None) -
         with open(os.path.join(path, "LATEST")) as f:
             version = int(f.read().strip())
     return spark.read.parquet(os.path.join(path, f"v={version}"))
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-clustered parquet write: ``repartitionByRange`` on the
+    cluster keys + ``sortWithinPartitions`` so each output file (and each
+    row group inside it) covers a NARROW min/max range of the keys.
+
+    Why it matters at 100 TB: parquet readers prune row groups (and
+    Spark prunes whole files) with footer min/max statistics — but stats
+    only help if the layout is clustered. An unclustered table has every
+    file spanning the full key range, so a one-day filter over a year of
+    data still reads every file; clustered, it reads ~1/365th. This is
+    the single-dimension case of Z-ordering, with no table format
+    required; pair with ``partition_by`` for the coarse prune and this
+    for the fine one.
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in cluster_by])
+        .sortWithinPartitions(*cluster_by)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -138,3 +138,49 @@ def test_top_k_window_prunes_map_side(spark, sf_dir):
     out = top_k_per_group(li, ["l_returnflag"], order, k=3)
     plan = _physical_plan(out)
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_write_clustered_narrows_file_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered files must each cover a narrow, mostly-disjoint
+    slice of the cluster key (parquet footer min/max proves the layout);
+    an unclustered write leaves every file spanning ~the full range, so
+    min/max stats can prune nothing."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def file_ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index("o_orderdate")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    from data_engineering_capstone_project__spark.sources.io import write_clustered
+
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_clustered(orders, clustered, ["o_orderdate"], n_files=8)
+    orders.repartition(8).write.mode("overwrite").parquet(plain)
+
+    cr, pr = file_ranges(clustered), file_ranges(plain)
+    lo = min(r[0] for r in cr)
+    hi = max(r[1] for r in cr)
+    span = (hi - lo).days
+
+    def avg_cover(ranges):
+        return sum((b - a).days for a, b in ranges) / len(ranges) / max(span, 1)
+
+    assert avg_cover(pr) > 0.9          # unclustered: every file ~full span
+    assert avg_cover(cr) < 0.25         # clustered: narrow slices
+    # consecutive clustered files overlap at most at their boundary value
+    for (a1, b1), (a2, _b2) in zip(cr, cr[1:]):
+        assert a2 >= b1 or (a2 - b1).days >= -1
