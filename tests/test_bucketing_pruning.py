@@ -184,3 +184,39 @@ def test_write_clustered_narrows_file_ranges(spark, sf_dir, tmp_path):
     # consecutive clustered files overlap at most at their boundary value
     for (a1, b1), (a2, _b2) in zip(cr, cr[1:]):
         assert a2 >= b1 or (a2 - b1).days >= -1
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The engine's skewed-JOIN story is AQE's OptimizeSkewedJoin (salting
+    covers skewed AGGREGATIONS): with a hot key 100x the others, the
+    finalized plan must mark the join skew=true and split its reader."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 100_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).unionAll(
+            spark.range(0, 1000).select(
+                (F.col("id") % 10 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        right = spark.range(0, 11).select(F.col("id").alias("k"), F.lit("x").alias("t"))
+        j = left.join(right.hint("merge"), "k")
+        assert j.count() == 101_000
+        j.collect()  # finalize THIS dataframe's adaptive plan
+        plan = _physical_plan(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
