@@ -2291,6 +2291,48 @@ X_STREAM_STATEFUL_SQL = (
 )
 
 
+def x_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization (``F.session_window``): maximal
+    event chains with inter-event gaps < 30 min per user. Complete mode
+    over the bounded source emits every session, so the oracle is the
+    batch lag/cumulative-sum sessionization (strict < gap at the
+    boundary, matching session_window's half-open [start, last+gap))."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        sessionize_stream,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = run_stream_to_table(
+        sessionize_stream(ev, gap="30 minutes", watermark="1 hour"),
+        mode="complete",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+    )
+
+
+X_STREAM_SESSIONS_SQL = f"""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d)
+SELECT user_id,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (``dropDuplicatesWithinWatermark``): first
     event per (user, type) within the watermark horizon, state evicted as
@@ -3274,6 +3316,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_stream_join": (x_stream_join, X_STREAM_JOIN_SQL),
     "x_stream_dedup": (x_stream_dedup, X_STREAM_DEDUP_SQL),
+    "x_stream_sessions": (x_stream_sessions, X_STREAM_SESSIONS_SQL),
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
     "x_audio_features": (x_audio_features, None),  # rows-only: engine-side FFT
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),

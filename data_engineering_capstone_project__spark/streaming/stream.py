@@ -79,6 +79,36 @@ def run_stream_to_table(df: DataFrame, mode: str = "complete") -> DataFrame:
     return df.sparkSession.table(name)
 
 
+def sessionize_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native streaming sessionization: ``F.session_window`` merges events
+    within ``gap`` of each other into one growing window per key; the
+    watermark closes sessions (and evicts their state) once no more
+    in-horizon events can extend them.
+
+    Semantics match the batch lag-based ``windows.sessionize`` grouping:
+    a session is a maximal chain of events with inter-event gaps < gap.
+    Returns (key, session_start, session_end, n_events) — one row per
+    CLOSED session in append mode.
+    """
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+    )
+    return out.select(
+        key_col,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: Sequence[str],

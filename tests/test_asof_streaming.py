@@ -245,3 +245,30 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     ).collect()
     keys = sorted(r["k"] for r in out)
     assert keys == ["a", "b", "c"]  # one survivor per key, 6 inputs -> 3
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir):
+    """Native session_window streaming sessions == batch lag-based
+    sessionize: same session count and same per-user totals."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.sources.io import load_events
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        run_stream_to_table,
+        sessionize_stream,
+        stream_events,
+    )
+    from data_engineering_capstone_project__spark.streaming.windows import sessionize
+
+    ev_stream = stream_events(spark, sf_dir)
+    got = run_stream_to_table(
+        sessionize_stream(ev_stream, gap="30 minutes"), mode="complete"
+    )
+    batch = sessionize(load_events(spark, sf_dir), "ts", "user_id", gap="30 minutes")
+    batch_sessions = batch.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    assert got.count() == batch_sessions.count()
+    a = sorted((r["user_id"], r["n_events"]) for r in got.collect())
+    b = sorted((r["user_id"], r["n_events"]) for r in batch_sessions.collect())
+    assert a == b
