@@ -195,3 +195,56 @@ def test_fuzzed_window_matches_duckdb(spark, seed):
     """
     duck_rows = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert spark_rows == duck_rows, (part, order_cols, func)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_join_types_match_duckdb(seed, spark):
+    """Seeded-random LEFT / LEFT SEMI / LEFT ANTI / FULL OUTER joins of
+    orders against a filtered customer side — null-extension and
+    existence semantics compared exactly against DuckDB."""
+    rng = random.Random(4000 + seed)
+    how, sql_join = rng.choice(
+        [
+            ("left", "LEFT JOIN"),
+            ("left_semi", "SEMI JOIN"),
+            ("left_anti", "ANTI JOIN"),
+            ("full_outer", "FULL JOIN"),
+        ]
+    )
+    seg = rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD", "FURNITURE", "AUTOMOBILE"])
+    bal_lo = rng.randint(-1000, 9000)
+    key_cap = rng.randint(200, 1500)
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderkey") <= key_cap
+    )
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(
+        (F.col("c_mktsegment") == seg) & (F.col("c_acctbal") >= bal_lo)
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey, how)
+    cols = (
+        ["o_orderkey", "o_custkey"]
+        if how in ("left_semi", "left_anti")
+        else ["o_orderkey", "o_custkey", "c_custkey", "c_acctbal"]
+    )
+    def nsafe(row):
+        return tuple((v is not None, v if v is not None else 0) for v in row)
+
+    spark_rows = sorted(
+        (tuple(r) for r in j.select(*[F.col(c_) for c_ in cols]).collect()),
+        key=nsafe,
+    )
+
+    proj = ", ".join(cols)
+    sql = f"""
+    SELECT {proj}
+    FROM (SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')
+          WHERE o_orderkey <= {key_cap}) o
+    {sql_join} (SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')
+                WHERE c_mktsegment = '{seg}' AND c_acctbal >= {bal_lo}) c
+      ON o.o_custkey = c.c_custkey
+    """
+    duck_rows = sorted(
+        (tuple(r) for r in duckdb.connect().execute(sql).fetchall()), key=nsafe
+    )
+    assert spark_rows == duck_rows, (how, seg, bal_lo, key_cap)
