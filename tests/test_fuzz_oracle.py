@@ -248,3 +248,56 @@ def test_fuzzed_join_types_match_duckdb(seed, spark):
         (tuple(r) for r in duckdb.connect().execute(sql).fetchall()), key=nsafe
     )
     assert spark_rows == duck_rows, (how, seg, bal_lo, key_cap)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzzed_set_ops_match_duckdb(seed, spark):
+    """Seeded-random UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] over
+    projections with engineered duplicate multiplicities (modular
+    projection of order keys) — multiset vs set semantics compared
+    exactly against DuckDB."""
+    rng = random.Random(5000 + seed)
+    op, spark_op = rng.choice(
+        [
+            ("UNION", "union_set"),
+            ("UNION ALL", "union_all"),
+            ("INTERSECT", "intersect"),
+            ("INTERSECT ALL", "intersect_all"),
+            ("EXCEPT", "except_set"),
+            ("EXCEPT ALL", "except_all"),
+        ]
+    )
+    mod_a, mod_b = rng.randint(3, 9), rng.randint(3, 9)
+    cap_a, cap_b = rng.randint(100, 500), rng.randint(100, 500)
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    a = o.filter(F.col("o_orderkey") <= cap_a).select(
+        (F.col("o_orderkey") % mod_a).alias("k"), "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderkey") <= cap_b).select(
+        (F.col("o_orderkey") % mod_b).alias("k"), "o_orderpriority"
+    )
+    if spark_op == "union_set":
+        j = a.union(b).distinct()
+    elif spark_op == "union_all":
+        j = a.union(b)
+    elif spark_op == "intersect":
+        j = a.intersect(b)
+    elif spark_op == "intersect_all":
+        j = a.intersectAll(b)
+    elif spark_op == "except_set":
+        j = a.subtract(b)  # SQL EXCEPT = set semantics
+    else:
+        j = a.exceptAll(b)
+    spark_rows = sorted(tuple(r) for r in j.collect())
+
+    base = f"read_parquet('{SF_DIR}/orders.parquet')"
+    sql = f"""
+    SELECT o_orderkey % {mod_a} AS k, o_orderpriority FROM {base}
+    WHERE o_orderkey <= {cap_a}
+    {op}
+    SELECT o_orderkey % {mod_b} AS k, o_orderpriority FROM {base}
+    WHERE o_orderkey <= {cap_b}
+    """
+    duck_rows = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert spark_rows == duck_rows, (op, mod_a, mod_b, cap_a, cap_b)
