@@ -37,6 +37,7 @@ from data_engineering_capstone_project__spark.operators.asof import asof_join, r
 from data_engineering_capstone_project__spark.operators.relational import (
     add_row_id,
     salted_group_count,
+    skew_profile,
     spread,
     top_k_per_group,
 )
@@ -3225,6 +3226,199 @@ FROM dl2 l JOIN db b
 """
 
 
+def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact paragraph dedup (RefinedWeb-style): every doc
+    gets one of 7 planted shared paragraphs; each shared paragraph must
+    survive only in its first (lowest-id) document, everything else keeps
+    its own text line."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(
+                F.lit("shared paragraph "), (F.col("doc_id") % 7).cast("string")
+            ),
+        ).alias("text"),
+    )
+    return dedup.paragraph_dedup(docs)
+
+
+X_PARA_DEDUP_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         text || chr(10) || 'shared paragraph ' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents),
+arrs AS (SELECT doc_id, regexp_split_to_array(text, '\n') AS arr FROM docs),
+parts AS (
+  SELECT doc_id, i - 1 AS pos, arr[i] AS para, TRIM(arr[i]) AS key,
+         doc_id * 1048576 + (i - 1) AS occ
+  FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)
+  WHERE LENGTH(TRIM(arr[i])) > 0),
+firsts AS (SELECT key, MIN(occ) AS first_occ FROM parts GROUP BY key),
+flagged AS (
+  SELECT p.doc_id, p.pos, p.para, (p.occ = f.first_occ) AS keep
+  FROM parts p JOIN firsts f USING (key))
+SELECT doc_id,
+       string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep) AS text,
+       CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY doc_id
+HAVING COUNT(*) FILTER (WHERE keep) > 0
+"""
+
+
+def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: even-id docs are the existing corpus; the
+    new batch is the odd-id docs plus planted re-ingests of corpus docs
+    (id+1000000 — must drop against the corpus fingerprint index) and
+    planted within-batch copies (id+2000000 — must lose to the lower
+    batch id)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            corpus.filter(F.col("doc_id") < 20).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 10)).withColumn(
+                "doc_id", F.col("doc_id") + 2000000
+            )
+        )
+    )
+    return dedup.dedup_against_corpus(batch, corpus)
+
+
+X_INCR_DEDUP_SQL = r"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 20
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 10
+),
+fp AS (
+  SELECT *, md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS f
+  FROM batch),
+win AS (SELECT f, MIN(doc_id) AS w FROM fp GROUP BY f),
+kept AS (SELECT fp.* FROM fp JOIN win ON fp.f = win.f AND fp.doc_id = win.w)
+SELECT doc_id, text, lang, source, n_chars FROM kept
+WHERE f NOT IN (
+  SELECT md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) FROM corpus)
+"""
+
+
+def x_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shuffle-planning probe over the events table: per-key
+    counts, share, skew ratio vs the mean key, and the salt factor that
+    would level each key."""
+    e = _t(spark, sf_dir, "events")
+    return skew_profile(e, ["event_type"], top_n=5)
+
+
+X_SKEW_SQL = r"""
+WITH counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM counts)
+SELECT event_type, n,
+       ROUND(n / CAST(total AS DOUBLE), 6) AS share,
+       ROUND(n * nkeys / CAST(total AS DOUBLE), 6) AS skew_ratio,
+       CAST(CEIL(n * nkeys / CAST(total AS DOUBLE)) AS BIGINT) AS salt_factor
+FROM counts, tot
+ORDER BY n DESC, event_type
+LIMIT 5
+"""
+
+
+def x_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient inference batching: token-length buckets (width
+    16), fixed batches of 8 inside each (bucket, stream), per-batch
+    padding-waste stats. num_streams pinned to 4 — the stream count is
+    part of the deterministic contract."""
+    d = _t(spark, sf_dir, "documents")
+    return text.length_bucket_batches(
+        d, bucket_width=16, batch_size=8, num_streams=4
+    )
+
+
+X_LENGTH_BUCKETS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT)
+         END AS nt
+  FROM documents),
+f AS (
+  SELECT doc_id, nt,
+         CAST((FLOOR((nt - 1) / 16) + 1) * 16 AS BIGINT) AS bucket,
+         CAST(doc_id % 4 AS BIGINT) AS stream
+  FROM base WHERE nt > 0),
+numbered AS (
+  SELECT *,
+         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY bucket, stream ORDER BY doc_id) - 1) / 8) AS BIGINT) AS batch_id
+  FROM f)
+SELECT bucket, stream, batch_id,
+       COUNT(*) AS n_docs,
+       MAX(nt) AS max_tokens,
+       CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+       ROUND(1.0 - SUM(nt) / CAST(COUNT(*) * bucket AS DOUBLE), 6) AS padding_frac
+FROM numbered GROUP BY bucket, stream, batch_id
+"""
+
+
+def x_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear model scoring (fastText-style filter):
+    a deterministic 256-bucket weight table broadcasts onto md5-bucketed
+    tokens; each doc gets its mean-weight logit (sigmoid=False keeps the
+    comparison path free of exp — the sigmoid is monotone, thresholds
+    transfer)."""
+    d = _t(spark, sf_dir, "documents")
+    weights = spark.range(256).select(
+        F.format_string("%02x", F.col("id").cast("int")).alias("bucket"),
+        ((F.col("id") * 37 % 21).cast("double") / 10.0 - 1.0).alias("w"),
+    )
+    return text.hashed_linear_score(d, weights, sigmoid=False)
+
+
+X_LINEAR_SCORE_SQL = r"""
+WITH weights AS (
+  SELECT printf('%02x', i) AS bucket,
+         CAST((i * 37) % 21 AS DOUBLE) / 10.0 - 1.0 AS w
+  FROM range(256) t(i)),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS term
+  FROM documents),
+t2 AS (
+  SELECT doc_id, substr(md5(term), 1, 2) AS b
+  FROM toks WHERE term <> ''),
+j AS (
+  SELECT doc_id, COALESCE(CAST(w AS DECIMAL(20,6)), 0) AS w
+  FROM t2 LEFT JOIN weights ON t2.b = weights.bucket),
+agg AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS sw FROM j GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(sw AS DOUBLE) / n_tokens, 6) AS score
+FROM agg
+"""
+
+
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over base + planted near-dup embeddings: k-means cells,
+    within-cell cosine pairs, connected-components purge. Rows-only: the
+    centroids come from an engine-side seeded sample; recall vs the
+    brute-force purge is unit-tested (tests/test_text_dedup.py)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return dedup.semantic_dedup(
+        _with_perturbed_dups(e), n_clusters=8, threshold=0.99
+    ).select("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3337,6 +3531,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_date_arith": (x_date_arith, X_DATE_ARITH_SQL),
     "x_vector_stats": (x_vector_stats, X_VECTOR_SQL),
     "x_regex_extract": (x_regex_extract, X_REGEX_SQL),
+    "x_paragraph_dedup": (x_paragraph_dedup, X_PARA_DEDUP_SQL),
+    "x_incremental_dedup": (x_incremental_dedup, X_INCR_DEDUP_SQL),
+    "x_skew_profile": (x_skew_profile, X_SKEW_SQL),
+    "x_length_buckets": (x_length_buckets, X_LENGTH_BUCKETS_SQL),
+    "x_linear_score": (x_linear_score, X_LINEAR_SCORE_SQL),
+    "x_semantic_dedup": (x_semantic_dedup, None),  # rows-only: engine-side centroids
 }
 
 

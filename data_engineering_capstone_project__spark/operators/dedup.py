@@ -574,3 +574,159 @@ def dedup_by_clusters(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level exact paragraph dedup (RefinedWeb/CCNet-style): each
+    distinct paragraph survives only at its first occurrence in the corpus
+    — the (lowest ``id``, earliest position) — and every later occurrence,
+    across documents AND repeated within one document, is dropped.
+    Documents are reassembled from surviving paragraphs in original order;
+    documents left with zero paragraphs disappear.
+
+    Returns (id, text, n_kept, n_dropped).
+
+    Plan shape (the 100 TB story): one ``posexplode``, a
+    ``groupBy(paragraph-key).min(occurrence)`` whose map-side partial
+    absorbs hot-paragraph skew (a boilerplate line occurring in every doc
+    collapses to one row per map partition before the shuffle — same
+    property as ``exact_dedup``), an equi join back on the key, and one
+    per-doc reassembly aggregation. Paragraphs shuffle as 32-char md5
+    keys, never as full text. The occurrence is encoded as
+    ``id * 2^20 + position`` so "first" is a single BIGINT ``min``
+    (documents are capped at 2^20 paragraphs; ids must fit 43 bits).
+    """
+    pos_bits = 1 << 20
+    parts = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        )
+        .withColumn("_trim", F.trim(F.col("_para")))
+        .filter(F.length("_trim") > 0)
+        .select(
+            id_col,
+            "_pos",
+            "_para",
+            F.md5(F.col("_trim")).alias("_key"),
+            (F.col(id_col).cast("long") * pos_bits + F.col("_pos")).alias("_occ"),
+        )
+    )
+    first = parts.groupBy("_key").agg(F.min("_occ").alias("_first"))
+    flagged = parts.join(first, "_key").withColumn(
+        "_keep", F.col("_occ") == F.col("_first")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                join_sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_pos", "_para"))
+                        )
+                    ),
+                    lambda s: s["_para"],
+                ),
+            ).alias(text_col),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: keep only new-batch rows whose normalized
+    fingerprint is BOTH unseen in the existing corpus and first (lowest id)
+    within the batch itself.
+
+    The corpus side reduces to distinct fingerprints — one 32-char column,
+    not full text — so at 100 TB the probe is an anti join of the (small)
+    batch against a fingerprint index; store the corpus fingerprints
+    bucketed by ``_fp`` and the anti join needs no corpus-side shuffle at
+    all. Within-batch dedup reuses the min-id-wins rule of
+    ``exact_dedup`` but keeps whole rows (groupBy min + join back, no
+    window).
+    """
+    seen = corpus_df.select(
+        fingerprint(F.col(text_col)).alias("_fp")
+    ).distinct()
+    batch = new_df.withColumn("_fp", fingerprint(F.col(text_col)))
+    winners = batch.groupBy("_fp").agg(F.min(id_col).alias("_w"))
+    kept = (
+        batch.join(winners, "_fp")
+        .filter(F.col(id_col) == F.col("_w"))
+        .drop("_w")
+    )
+    return kept.join(seen, "_fp", "left_anti").drop("_fp")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.99,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): coarse k-means over
+    the embedding space, exact cosine near-dup pairs only WITHIN a cluster,
+    then the standard connected-components purge keeping the lowest id per
+    semantic group.
+
+    Scale shape: centroid training is a bounded driver-side sample
+    (``kmeans_centroids``); cluster assignment is an O(k) codegen'd
+    expression per row (no shuffle); the pair join is equi on ``_cell`` so
+    its cost is Σ_c n_c² — pick ``n_clusters ≈ N / target_cluster_size``
+    to bound it, exactly the IVF sizing rule. Recall is approximate (a
+    near-dup pair straddling a cell boundary is missed — the documented
+    SemDeDup trade); every RETURNED pair is exact (verified cosine).
+    """
+    from data_engineering_capstone_project__spark.operators.similarity import (
+        argmin_cell,
+        cosine,
+        ivf_cell_scores,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(
+        df,
+        vec_col=vec_col,
+        n_centroids=n_clusters,
+        sample_rows=sample_rows,
+        seed=seed,
+    )
+    cells = (
+        df.withColumn("_scores", ivf_cell_scores(F.col(vec_col), cents))
+        .withColumn("_cell", argmin_cell(F.col("_scores")))
+        .drop("_scores")
+    )
+    a = cells.select(
+        F.col("_cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = cells.select(
+        F.col("_cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, ["_cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", pround(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return dedup_by_clusters(df, pairs, id_col=id_col)

@@ -508,3 +508,43 @@ def stratified_sample_by_hash(
             F.col(strata_col) == value, F.lit(_hash_threshold(frac))
         ).otherwise(thresh)
     return df.filter(h < thresh)
+
+
+def skew_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for shuffle planning: the ``top_n`` hottest
+    key values with row count, share of all rows, skew ratio vs the mean
+    key size, and the salt factor that would level each one —
+    ``ceil(skew_ratio)``, the number to hand ``salted_group_count`` (a key
+    at 40× the mean wants ~40 salt buckets so its partial aggregates
+    spread over 40 tasks).
+
+    One hash aggregation (map-side partials — profiling a skewed table
+    doesn't itself skew), a broadcast 1-row totals join, and a global
+    top-n that compiles to TakeOrderedAndProject (per-partition heap +
+    driver merge, no sort shuffle). Cost ≈ one groupBy-count of the table
+    — cheap enough to run ahead of any big join/agg as a planning probe.
+    """
+    from data_engineering_capstone_project__spark.functions.fx import pround
+
+    key_cols = [F.col(k) for k in keys]
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    ratio = F.col("n") * F.col("_nkeys") / F.col("_total")
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            *keys,
+            "n",
+            pround(F.col("n") / F.col("_total"), 6).alias("share"),
+            pround(ratio, 6).alias("skew_ratio"),
+            F.ceil(ratio).cast("long").alias("salt_factor"),
+        )
+        .orderBy(F.desc("n"), *key_cols)
+        .limit(top_n)
+    )

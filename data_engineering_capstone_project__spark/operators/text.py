@@ -388,3 +388,126 @@ def strip_boilerplate_lines(
             "\n", F.transform(F.array_sort(F.collect_list(F.struct("_ln", "_line"))), lambda s: s["_line"])
         ).alias(text_col)
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 64,
+    batch_size: int = 32,
+    num_streams: int | None = None,
+) -> DataFrame:
+    """Padding-efficient inference batching: documents are grouped into
+    token-length buckets (pad-to ``bucket_width`` multiples), and inside a
+    (bucket, stream) they are packed into fixed-size batches in id order.
+    Returns one row per batch: (bucket, stream, batch_id, n_docs,
+    max_tokens, sum_tokens, padding_frac) where ``padding_frac`` is the
+    fraction of a pad-to-bucket collator's slots wasted on padding —
+    the number you tune ``bucket_width`` against.
+
+    Scale shape: the only shuffle is the window partition on
+    (bucket, stream); streams split each bucket so parallelism scales
+    with the cluster instead of the bucket count (same contract as
+    ``pack_sequences`` — the stream count changes batch assignment, so
+    pass it explicitly for cross-cluster reproducibility). The batch
+    numbering is a running row_number per (bucket, stream), never a
+    global sort.
+    """
+    if num_streams is None:
+        num_streams = max(32, df.sparkSession.sparkContext.defaultParallelism * 4)
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("_nt"),
+    ).filter(F.col("_nt") > 0)
+    bucket = (
+        (F.floor((F.col("_nt") - 1) / bucket_width) + 1) * bucket_width
+    ).cast("long")
+    base = base.select(
+        id_col,
+        "_nt",
+        bucket.alias("bucket"),
+        (F.col(id_col) % num_streams).cast("long").alias("stream"),
+    )
+    w = Window.partitionBy("bucket", "stream").orderBy(id_col)
+    batched = base.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    return (
+        batched.groupBy("bucket", "stream", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("_nt").alias("max_tokens"),
+            F.sum("_nt").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "stream",
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            pround(
+                F.lit(1.0)
+                - F.col("sum_tokens") / (F.col("n_docs") * F.col("bucket")),
+                6,
+            ).alias("padding_frac"),
+        )
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    weight_col: str = "w",
+    bias: float = 0.0,
+    sigmoid: bool = True,
+) -> DataFrame:
+    """Hashed bag-of-words linear classifier scoring (the fastText-style
+    quality-filter shape): each token hashes into one of 256 buckets (first
+    two hex chars of md5), bucket weights join in from a broadcast weights
+    table, and each document scores
+    ``sigmoid(bias + sum(w)/n_tokens)``. Returns (id, n_tokens, score).
+
+    This is model inference as a relational plan: the model artifact is a
+    256-row DataFrame, application is one explode + one broadcast join +
+    one aggregation — no Python, no per-row UDF, at 100 TB exactly as
+    parallel as the scan. Tokens missing from the weights table contribute
+    weight 0 (hash-bucket models are total, but a pruned/sparse weight
+    table still scores). Per-token contributions are summed as
+    decimal(20,6) so the aggregation is exact and order-independent
+    (bit-identical across engines); the sigmoid runs once per document on
+    the aggregated sum. ``sigmoid=False`` returns the raw logit instead —
+    the sigmoid is monotone, so thresholding on the logit is equivalent
+    and stays bit-exact cross-engine (no ``exp`` in the comparison path).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WORD_RE)).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    bucketed = toks.withColumn("_b", F.substring(F.md5(F.col("term")), 1, 2))
+    joined = bucketed.join(
+        F.broadcast(
+            weights.select(
+                F.col(bucket_col).alias("_b"),
+                F.col(weight_col).cast("decimal(20,6)").alias("_w"),
+            )
+        ),
+        "_b",
+        "left",
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("_w"), F.lit(0).cast("decimal(20,6)"))).alias(
+            "_sw"
+        ),
+    )
+    z = F.lit(float(bias)) + F.col("_sw").cast("double") / F.col("n_tokens")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) if sigmoid else z
+    return agg.select(id_col, "n_tokens", pround(score, 6).alias("score"))

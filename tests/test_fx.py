@@ -48,3 +48,44 @@ def test_like_any_and_null_if_zero(spark):
     assert [r["name"] for r in kept] == ["keep"]
     out = [r["z"] for r in df.select(null_if_zero("d").alias("z")).collect()]
     assert out == [None, 2.0]
+
+
+def test_length_bucket_batches(spark):
+    from data_engineering_capstone_project__spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 5, 17, 20, 64, 0])],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["bucket"], r["stream"], r["batch_id"]): r
+        for r in text.length_bucket_batches(
+            docs, bucket_width=16, batch_size=2, num_streams=1
+        ).collect()
+    }
+    # 3,5 -> bucket 16; 17,20 -> bucket 32; 64 -> bucket 64; empty doc dropped
+    b16 = rows[(16, 0, 0)]
+    assert b16["n_docs"] == 2 and b16["max_tokens"] == 5
+    assert abs(b16["padding_frac"] - (1 - 8 / 32)) < 1e-9
+    b64 = rows[(64, 0, 0)]
+    assert b64["n_docs"] == 1 and b64["padding_frac"] == 0.0
+
+
+def test_hashed_linear_score_sigmoid_and_logit(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb aaa"), (2, "")], "doc_id long, text string"
+    )
+    weights = spark.range(256).select(
+        F.format_string("%02x", F.col("id").cast("int")).alias("bucket"),
+        F.lit(0.5).alias("w"),
+    )
+    logit = text.hashed_linear_score(docs, weights, sigmoid=False).collect()
+    out = {r["doc_id"]: r for r in logit}
+    assert 2 not in out  # empty doc has no tokens
+    assert out[1]["n_tokens"] == 3 and abs(out[1]["score"] - 0.5) < 1e-9
+    sig = text.hashed_linear_score(docs, weights).collect()[0]
+    assert abs(sig["score"] - 1 / (1 + 2.718281828459045 ** -0.5)) < 1e-6

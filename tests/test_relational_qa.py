@@ -103,3 +103,16 @@ def test_top_k_two_phase_matches_single_phase(spark, sf_dir):
     a = sorted(tuple(r) for r in fast.select(*keys).collect())
     b = sorted(tuple(r) for r in naive.select(*keys).collect())
     assert a == b and len(a) > 0
+
+
+def test_skew_profile_salt_factor(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 90 + [("warm",)] * 8 + [("cold",)] * 2, "k string"
+    )
+    rows = relational.skew_profile(df, ["k"], top_n=3).collect()
+    assert [r["k"] for r in rows] == ["hot", "warm", "cold"]
+    hot = rows[0]
+    assert hot["n"] == 90 and abs(hot["share"] - 0.9) < 1e-9
+    # mean key size is 100/3; hot is 2.7x the mean -> salt 3 levels it
+    assert hot["salt_factor"] == 3
+    assert rows[2]["salt_factor"] == 1

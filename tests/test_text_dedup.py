@@ -375,3 +375,76 @@ def test_repetition_score_and_pii(spark):
     assert rows[2]["rep"] == 0.0
     assert rows[3]["rep"] is None  # fewer words than the n-gram size
     assert rows[4]["masked"] == "write to <EMAIL> or <PHONE> now"
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one\nshared footer\nalpha two"),
+            (2, "beta one\nshared footer\nbeta two"),
+            (3, "shared footer\nshared footer"),  # all paras seen earlier
+            (4, "gamma\n\n  \ngamma"),            # blank paras drop; self-dup drops
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "alpha one\nshared footer\nalpha two"
+    assert out[1]["n_kept"] == 3 and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "beta one\nbeta two"  # footer kept only in doc 1
+    assert out[2]["n_dropped"] == 1
+    assert 3 not in out  # lost every paragraph
+    assert out[4]["text"] == "gamma" and out[4]["n_dropped"] == 1
+
+
+def test_dedup_against_corpus(spark):
+    corpus = spark.createDataFrame(
+        [(1, "existing doc one"), (2, "existing doc two")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new doc"),
+            (11, "Existing  doc one"),   # normalized dup of corpus doc 1
+            (12, "brand new doc"),       # within-batch dup, loses to 10
+            (13, "another new doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_against_corpus(batch, corpus).collect()
+    )
+    assert kept == [10, 13]
+
+
+def test_semantic_dedup_matches_brute_force_purge(spark):
+    base = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7 + 1).cast("double"),
+            (F.col("id") % 11 + 1).cast("double"),
+            (F.col("id") % 13 + 1).cast("double"),
+        ).alias("embedding"),
+    )
+    dup = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i == 0, F.lit(0.001)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    both = base.unionByName(dup)
+    sem = dedup.semantic_dedup(both, n_clusters=4, threshold=0.999)
+    brute = dedup.dedup_by_clusters(
+        both, dedup.embedding_near_dups(both, threshold=0.999), id_col="vec_id"
+    )
+    sem_ids = {r["vec_id"] for r in sem.select("vec_id").collect()}
+    brute_ids = {r["vec_id"] for r in brute.select("vec_id").collect()}
+    # semantic dedup never removes anything brute force keeps (every
+    # reported pair is exactness-verified), and its recall on the rows
+    # brute force removes stays high — the only misses are dup pairs
+    # straddling a k-means cell boundary (the documented SemDeDup trade)
+    assert brute_ids <= sem_ids
+    all_ids = {r["vec_id"] for r in both.select("vec_id").collect()}
+    removed_sem = all_ids - sem_ids
+    removed_brute = all_ids - brute_ids
+    assert len(removed_sem) >= 0.85 * len(removed_brute)
