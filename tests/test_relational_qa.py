@@ -1,5 +1,6 @@
 from pyspark.sql import functions as F
 
+from data_engineering_capstone_project__spark.operators import relational
 from data_engineering_capstone_project__spark.operators.relational import (
     add_row_id,
     linkage_join,
