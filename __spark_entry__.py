@@ -36,6 +36,8 @@ from data_engineering_capstone_project__spark.operators import dedup, similarity
 from data_engineering_capstone_project__spark.operators.asof import asof_join, range_join
 from data_engineering_capstone_project__spark.operators.relational import (
     add_row_id,
+    deterministic_shuffle,
+    quantile_filter,
     salted_group_count,
     skew_profile,
     spread,
@@ -2736,6 +2738,78 @@ GROUP BY o_orderpriority
 """
 
 
+def x_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic epoch shuffle: every document gets its 0-based
+    training-order position for seed 'epoch1'. Order key is md5(doc_id|seed)
+    — layout-independent and engine-portable (DuckDB derives the identical
+    permutation); position assignment is the two-phase add_row_id (no
+    single-partition window)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(
+        d, ["doc_id"], seed="epoch1", pos_col="pos"
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+X_CORPUS_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || 'epoch1')
+            ) - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+
+def x_lang_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile gate: keep each language's top half by
+    quality score (relative bars per group — a global constant would
+    over-prune low-resource languages). Thresholds come from the
+    bounded-state exact quantile (quantized-domain counts, no per-group
+    value buffering); the join-back is a broadcast of one row per
+    language."""
+    from data_engineering_capstone_project__spark.operators import relational
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id", "lang", text.quality_score(F.col("text")).alias("q")
+    )
+    kept = relational.quantile_filter(
+        scored, "q", 0.5, by=["lang"], precision=4
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        pround(F.min("q"), 4).alias("min_q"),
+        pround(F.avg("q"), 4).alias("avg_q"),
+    )
+
+
+X_LANG_QUALITY_SQL = rf"""
+WITH s AS (
+  SELECT doc_id, lang,
+         ROUND((LEAST(LENGTH(text) / 200.0, 1.0)
+              + GREATEST(0.0, 1.0 - COALESCE(
+                  len(regexp_extract_all(text, '[^\w\s]'))
+                    / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 0) * 4)
+              + LEAST(COALESCE(
+                  len(regexp_extract_all(LOWER(text), '\b({_STOP_EN})\b'))
+                    / NULLIF(CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                       ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                                  END AS DOUBLE), 0), 0) * 5, 1.0)) / 3, 4) AS q
+  FROM documents),
+c AS (SELECT lang, q, COUNT(*) AS n FROM s GROUP BY 1, 2),
+cc AS (SELECT lang, q,
+              SUM(n) OVER (PARTITION BY lang ORDER BY q) AS cum,
+              SUM(n) OVER (PARTITION BY lang) AS tot
+       FROM c),
+th AS (SELECT lang, MIN(q) AS thr FROM cc
+       WHERE cum >= CEIL(0.5 * tot) GROUP BY lang)
+SELECT s.lang, COUNT(*) AS n_kept,
+       ROUND(MIN(s.q), 4) AS min_q,
+       ROUND(AVG(s.q), 4) AS avg_q
+FROM s JOIN th ON s.lang = th.lang AND s.q >= th.thr
+GROUP BY s.lang
+"""
+
+
 def x_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: plant a deterministic email + phone per document,
     then mask both (regexp_replace chain — codegen'd, no Python)."""
@@ -3524,6 +3598,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_mix_sources": (x_mix_sources, X_MIX_SQL),
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),
+    "x_corpus_shuffle": (x_corpus_shuffle, X_CORPUS_SHUFFLE_SQL),
+    "x_lang_quality_filter": (x_lang_quality_filter, X_LANG_QUALITY_SQL),
     "x_stratified_sample": (x_stratified_sample, X_STRATIFIED_SQL),
     "x_funnel": (x_funnel, X_FUNNEL_SQL),
     "x_quantize": (x_quantize, X_QUANTIZE_SQL),

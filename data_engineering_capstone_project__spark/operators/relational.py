@@ -548,3 +548,145 @@ def skew_profile(
         .orderBy(F.desc("n"), *key_cols)
         .limit(top_n)
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seed: str = "",
+    pos_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Seeded, engine-portable global shuffle — training-order assignment.
+
+    Epoch shuffling for a training corpus must be (a) deterministic given a
+    seed (resumable jobs re-derive the identical order), (b) independent of
+    input partitioning/file layout, and (c) free of single-point sorts. A
+    plain ``df.orderBy(rand(seed))`` fails (a): Spark's rand() is seeded
+    per-partition, so the order changes whenever the scan splits differently.
+
+    Order key = ``md5(key_cols | seed)`` — a pure expression over row
+    content, identical on every engine and layout. Changing ``seed``
+    re-deals the whole corpus (a new epoch); keeping it reproduces the
+    exact order.
+
+    With ``pos_col=None``: returns the rows range-partitioned + sorted by
+    the shuffle hash (a total order across partitions — Spark's sort
+    machinery, no driver funnel), ready for a partitioned write in training
+    order. With ``pos_col``: additionally materializes the 0-based global
+    position via the two-phase ``add_row_id`` (expression-encoded
+    boundaries, no single-partition window, nothing persisted).
+
+    Deterministic iff ``key_cols`` is a unique key (md5 collisions on the
+    128-bit digest are not a practical concern).
+    """
+    hcol = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
+        )
+    )
+    out = df.withColumn("_shuffle_key", hcol)
+    if pos_col is None:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        return (
+            out.repartitionByRange(n, "_shuffle_key")
+            .sortWithinPartitions("_shuffle_key")
+            .drop("_shuffle_key")
+        )
+    out = add_row_id(
+        out, ["_shuffle_key"], id_col=pos_col, num_partitions=num_partitions
+    )
+    return out.withColumn(pos_col, F.col(pos_col) - 1).drop("_shuffle_key")
+
+
+def quantile_threshold(
+    df: DataFrame,
+    value_col: str,
+    p: float,
+    by: Sequence[str] = (),
+    precision: int = 4,
+    out_col: str = "threshold",
+) -> DataFrame:
+    """Exact per-group quantile threshold with bounded state at any scale.
+
+    Returns, per ``by`` group, the smallest value ``q`` (quantized to
+    ``precision`` decimals) whose cumulative row fraction reaches ``p`` —
+    i.e. the discrete lower quantile: ``min q : |rows <= q| >= ceil(p*n)``.
+
+    Exact percentile aggregates buffer every distinct value per group —
+    unbounded memory on continuous scores at 100 TB. Quantizing first caps
+    the domain (<= 10^precision distinct values per unit range), so the
+    plan is: partial-agg ``groupBy(by, q).count()`` (map-side combine
+    absorbs any skew — hot groups shrink to their quantized domain before
+    the shuffle), then a window over the *tiny* distinct-value relation
+    (<= domain-size rows per group, nowhere near the input size), then a
+    one-row-per-group min. Integer count arithmetic throughout — no float
+    interpolation to drift across engines.
+    """
+    from data_engineering_capstone_project__spark.functions.fx import pround
+
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0,1], got {p}")
+    by = list(by)
+    q = pround(F.col(value_col).cast("double"), precision).alias("_q")
+    counts = df.groupBy(*[F.col(c) for c in by], q).agg(
+        F.count("*").alias("_c")
+    )
+    wcum = (
+        Window.partitionBy(*by)
+        .orderBy("_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*by)
+    cum = counts.select(
+        *by,
+        "_q",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wtot).alias("_tot"),
+    )
+    hit = cum.filter(
+        F.col("_cum") >= F.ceil(F.lit(float(p)) * F.col("_tot"))
+    )
+    if by:
+        return hit.groupBy(*by).agg(F.min("_q").alias(out_col))
+    return hit.agg(F.min("_q").alias(out_col))
+
+
+def quantile_filter(
+    df: DataFrame,
+    value_col: str,
+    p: float,
+    by: Sequence[str] = (),
+    precision: int = 4,
+) -> DataFrame:
+    """Keep rows at or above their group's ``p``-quantile of ``value_col``.
+
+    The per-language quality gate of a training mix: "top half of German
+    by quality, top half of English by quality, ..." — relative bars per
+    group instead of one global constant that over-prunes low-resource
+    slices.
+
+    The threshold side is ``quantile_threshold`` (bounded-state exact
+    quantile); it lands as one row per group, so the join back is an
+    automatic broadcast and the filter stays a scan-side predicate. The
+    compare quantizes the row value to the same precision the threshold
+    domain used, so boundary rows behave identically on every engine.
+    """
+    by = list(by)
+    from data_engineering_capstone_project__spark.functions.fx import pround
+
+    thr = quantile_threshold(
+        df, value_col, p, by=by, precision=precision, out_col="_thr"
+    )
+    rounded = pround(F.col(value_col).cast("double"), precision)
+    if by:
+        return (
+            df.join(F.broadcast(thr), on=by, how="inner")
+            .filter(rounded >= F.col("_thr"))
+            .drop("_thr")
+        )
+    return (
+        df.join(F.broadcast(thr))
+        .filter(rounded >= F.col("_thr"))
+        .drop("_thr")
+    )
