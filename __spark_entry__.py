@@ -2810,6 +2810,42 @@ GROUP BY s.lang
 """
 
 
+def x_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the 25% test decision hashes the
+    content fingerprint, not the doc id, so duplicate documents can never
+    straddle the boundary (eval contamination is structurally impossible).
+    Both sides are codegen'd scan filters — no shuffle, no join."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    )
+    train, test = dedup.leakage_safe_split(fp, "fp", 0.25, salt="split1")
+    return (
+        train.select(F.lit("train").alias("side"), "fp")
+        .unionByName(test.select(F.lit("test").alias("side"), "fp"))
+        .groupBy("side")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_groups"),
+        )
+    )
+
+
+X_LEAKAGE_SPLIT_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+tagged AS (
+  SELECT doc_id, fp,
+         CASE WHEN substr(md5(fp || '|' || 'split1'), 1, 4) < '4000'
+              THEN 'test' ELSE 'train' END AS side
+  FROM fp)
+SELECT side, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_groups
+FROM tagged GROUP BY side
+"""
+
+
 def x_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: plant a deterministic email + phone per document,
     then mask both (regexp_replace chain — codegen'd, no Python)."""
@@ -3600,6 +3636,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),
     "x_corpus_shuffle": (x_corpus_shuffle, X_CORPUS_SHUFFLE_SQL),
     "x_lang_quality_filter": (x_lang_quality_filter, X_LANG_QUALITY_SQL),
+    "x_leakage_split": (x_leakage_split, X_LEAKAGE_SPLIT_SQL),
     "x_stratified_sample": (x_stratified_sample, X_STRATIFIED_SQL),
     "x_funnel": (x_funnel, X_FUNNEL_SQL),
     "x_quantize": (x_quantize, X_QUANTIZE_SQL),

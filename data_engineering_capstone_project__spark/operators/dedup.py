@@ -730,3 +730,41 @@ def semantic_dedup(
         .select("id_a", "id_b", "cosine")
     )
     return dedup_by_clusters(df, pairs, id_col=id_col)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Train/test split that cannot leak duplicates across the boundary.
+
+    ``train_test_split`` hashes the ROW id, so two near-identical documents
+    (same content, different ids) can land on opposite sides — the classic
+    eval-contamination bug: the model "generalizes" to test data it
+    memorized from train. Here the split decision hashes the GROUP key
+    instead — the content ``fingerprint`` for exact dups, or the dedup
+    ladder's cluster representative (``connected_components`` label) for
+    near-dups — so every member of a duplicate group lands on the same
+    side, structurally.
+
+    Same md5-prefix mechanics as ``relational.sample_by_hash``: stable
+    under data growth and re-runs, engine-portable, and a pure codegen'd
+    scan filter — no shuffle, no join, each side is one pass.
+    """
+    from data_engineering_capstone_project__spark.operators.relational import (
+        _hash_threshold,
+    )
+
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError(f"test_fraction must be in [0,1], got {test_fraction}")
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.col(group_col).cast("string"), F.lit(salt))),
+        1,
+        4,
+    )
+    is_test = h < F.lit(_hash_threshold(test_fraction))
+    if test_fraction >= 1.0:  # threshold 'g' keeps everything on the test side
+        is_test = F.lit(True)
+    return df.filter(~is_test), df.filter(is_test)

@@ -116,3 +116,45 @@ def test_quantile_threshold_quantization_bounds_state(spark):
     )
     t = quantile_threshold(df, "v", 0.5, precision=4).collect()[0]["threshold"]
     assert t == 0.1234
+
+
+def test_leakage_safe_split_no_group_straddle(spark, sf_dir):
+    """On a corpus with planted duplicates, the fingerprint-keyed split has
+    zero groups on both sides, while the row-id-keyed split demonstrably
+    leaks (the bug this operator exists to prevent)."""
+    from data_engineering_capstone_project__spark.operators.dedup import (
+        leakage_safe_split,
+    )
+    from data_engineering_capstone_project__spark.operators.relational import (
+        train_test_split,
+    )
+    from data_engineering_capstone_project__spark.operators.text import fingerprint
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant dups: every doc appears twice under a fresh id
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = d.select("doc_id", "text").unionByName(dup)
+    fp = corpus.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+    train, test = leakage_safe_split(fp, "fp", 0.3, salt="s")
+    assert train.count() + test.count() == corpus.count()
+    straddle = train.select("fp").intersect(test.select("fp"))
+    assert straddle.count() == 0
+
+    # row-keyed split on the same corpus leaks fingerprints across sides
+    tr2, te2 = train_test_split(fp, 0.3, id_col="doc_id")
+    leaked = tr2.select("fp").intersect(te2.select("fp"))
+    assert leaked.count() > 0
+
+
+def test_leakage_safe_split_edges(spark, sf_dir):
+    from data_engineering_capstone_project__spark.operators.dedup import (
+        leakage_safe_split,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = d.count()
+    tr, te = leakage_safe_split(d, "doc_id", 0.0)
+    assert (tr.count(), te.count()) == (n, 0)
+    tr, te = leakage_safe_split(d, "doc_id", 1.0)
+    assert (tr.count(), te.count()) == (0, n)
