@@ -2846,6 +2846,43 @@ FROM tagged GROUP BY side
 """
 
 
+def x_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch source upsampling: src0 x2.5, src1 x3, src2 x0.25,
+    everything else x1 — each document deterministically gains floor(e)
+    copies plus an md5-hash-sampled extra for the fractional part, with a
+    0-based epoch index. Map-side explode, no shuffle until the summary
+    agg."""
+    from data_engineering_capstone_project__spark.plans.corpus import (
+        upsample_sources,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    up = upsample_sources(
+        d, {"src0": 2.5, "src1": 3.0, "src2": 0.25}, salt="ep"
+    )
+    return up.groupBy("source", F.col("epoch").cast("long").alias("epoch")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+X_EPOCH_UPSAMPLE_SQL = """
+WITH c AS (
+  SELECT doc_id, source,
+         (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3
+                      WHEN 'src2' THEN 0 ELSE 1 END
+          + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'ep'), 1, 4)
+                      < (CASE source WHEN 'src0' THEN '8000'
+                                     WHEN 'src1' THEN '0000'
+                                     WHEN 'src2' THEN '4000'
+                                     ELSE '0000' END)
+                 THEN 1 ELSE 0 END) AS n_copies
+  FROM documents),
+u AS (SELECT source, unnest(range(0, n_copies)) AS e FROM c)
+SELECT source, CAST(e AS BIGINT) AS epoch, COUNT(*) AS n_docs
+FROM u GROUP BY 1, 2
+"""
+
+
 def x_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: plant a deterministic email + phone per document,
     then mask both (regexp_replace chain — codegen'd, no Python)."""
@@ -3637,6 +3674,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_corpus_shuffle": (x_corpus_shuffle, X_CORPUS_SHUFFLE_SQL),
     "x_lang_quality_filter": (x_lang_quality_filter, X_LANG_QUALITY_SQL),
     "x_leakage_split": (x_leakage_split, X_LEAKAGE_SPLIT_SQL),
+    "x_epoch_upsample": (x_epoch_upsample, X_EPOCH_UPSAMPLE_SQL),
     "x_stratified_sample": (x_stratified_sample, X_STRATIFIED_SQL),
     "x_funnel": (x_funnel, X_FUNNEL_SQL),
     "x_quantize": (x_quantize, X_QUANTIZE_SQL),

@@ -102,6 +102,58 @@ def mix_sources_by_tokens(
     return df.filter(h < thresh)
 
 
+def upsample_sources(
+    df: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_epochs: float = 1.0,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch upsampling — the other half of data mixing.
+
+    ``mix_sources_by_tokens`` can only *down*sample; real pretraining
+    mixes also repeat scarce high-quality sources (e.g. wiki x2.5, books
+    x1.5, web x1, low-quality x0.3). Each row from source ``s`` appears
+    ``floor(e_s)`` times, plus once more iff its id falls in the
+    deterministic ``frac(e_s)`` md5-hash sample — so realized epochs hit
+    the target to within hash granularity, per-document, reproducibly
+    across runs, engines, and data growth (no RNG).
+
+    The output gains ``epoch_col`` (0-based copy index) so a downstream
+    ``deterministic_shuffle`` keyed on (id, epoch) decorrelates the
+    copies across the training order. Plan: one codegen'd CASE pair plus
+    an ``explode(sequence(...))`` — rows fan out map-side, no shuffle, no
+    Python; sources absent from ``epochs`` get ``default_epochs``.
+    """
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs for {s!r} must be >= 0, got {e}")
+    if default_epochs < 0:
+        raise ValueError(f"default_epochs must be >= 0, got {default_epochs}")
+
+    def _lim(frac: float) -> str:
+        code = int(frac * 16 ** 4 + 0.5)
+        return "g" if code >= 16 ** 4 else format(code, "04x")
+
+    base = F.lit(int(default_epochs))
+    thresh = F.lit(_lim(default_epochs - int(default_epochs)))
+    for s, e in sorted(epochs.items()):
+        base = F.when(F.col(source_col) == s, F.lit(int(e))).otherwise(base)
+        thresh = F.when(
+            F.col(source_col) == s, F.lit(_lim(e - int(e)))
+        ).otherwise(thresh)
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+    )
+    n = base + F.when(h < thresh, F.lit(1)).otherwise(F.lit(0))
+    arr = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_col, F.explode(arr))
+
+
 def clean_corpus(
     df: DataFrame, config: CorpusConfig = CorpusConfig()
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -158,3 +158,57 @@ def test_leakage_safe_split_edges(spark, sf_dir):
     assert (tr.count(), te.count()) == (n, 0)
     tr, te = leakage_safe_split(d, "doc_id", 1.0)
     assert (tr.count(), te.count()) == (0, n)
+
+
+def test_upsample_sources_epoch_counts(spark, sf_dir):
+    """floor(e) copies for everyone + the fractional extra only for the
+    deterministic hash sample; epoch indices contiguous from 0; zero-epoch
+    sources disappear."""
+    from data_engineering_capstone_project__spark.plans.corpus import (
+        upsample_sources,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    up = upsample_sources(
+        d, {"src0": 2.5, "src1": 0.0}, default_epochs=1.0, salt="t"
+    )
+    per_doc = {
+        (r["doc_id"], r["epoch"]) for r in up.collect()
+    }
+    docs = {r["doc_id"]: r["source"] for r in d.collect()}
+    import hashlib
+
+    for doc, src in docs.items():
+        copies = sorted(e for (dd, e) in per_doc if dd == doc)
+        h = hashlib.md5(f"{doc}|t".encode()).hexdigest()[:4]
+        if src == "src0":
+            want = 3 if h < "8000" else 2
+        elif src == "src1":
+            want = 0
+        else:
+            want = 1
+        assert copies == list(range(want)), (doc, src, copies)
+
+
+def test_upsample_sources_deterministic_across_layouts(spark, sf_dir):
+    from data_engineering_capstone_project__spark.plans.corpus import (
+        upsample_sources,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    a = sorted(
+        map(tuple, upsample_sources(d, {"src3": 1.5}, salt="x").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            upsample_sources(
+                d.repartition(13), {"src3": 1.5}, salt="x"
+            ).collect(),
+        )
+    )
+    assert a == b
