@@ -212,3 +212,37 @@ def test_upsample_sources_deterministic_across_layouts(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quantile_filter_plan_broadcasts_thresholds(spark, sf_dir):
+    """The threshold join-back must be a broadcast (one row per group) and
+    never a nested-loop product; the big side stays in place."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        quantile_filter,
+    )
+    from data_engineering_capstone_project__spark.operators.text import (
+        quality_score,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = d.select("doc_id", "lang", quality_score(F.col("text")).alias("q"))
+    plan = _physical_plan(quantile_filter(scored, "q", 0.5, by=["lang"]))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_deterministic_shuffle_plan_no_single_partition_sort(spark, sf_dir):
+    """Global training order must come from a range partition, never a
+    1-partition global sort."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        deterministic_shuffle,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = _physical_plan(deterministic_shuffle(d, ["doc_id"], seed="s"))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
