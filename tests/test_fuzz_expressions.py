@@ -221,3 +221,41 @@ def test_fuzzed_numeric_trees_match_duckdb(spark, seed):
         .fetchall()
     )
     assert got == want, sql
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / CUBE grouping sets over lineitem
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzzed_rollup_cube_match_duckdb(spark, seed):
+    """Seeded rollup/cube shapes: subtotal rows, grouping flags, and
+    parity-rounded aggregates must agree with DuckDB exactly."""
+    rng = random.Random(11000 + seed)
+    cols = rng.sample(["l_returnflag", "l_linestatus", "l_linenumber"], rng.randint(1, 2))
+    agg_col = rng.choice(["l_quantity", "l_extendedprice"])
+    mode = rng.choice(["rollup", "cube"])
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    grouped = li.rollup(*cols) if mode == "rollup" else li.cube(*cols)
+    sdf = grouped.agg(
+        pround(F.sum(agg_col), 2).alias("s"),
+        F.count("*").alias("n"),
+        *[F.grouping(c).cast("long").alias(f"g_{c}") for c in cols],
+    )
+    got = _multiset(sdf.collect())
+
+    gsel = ", ".join(cols)
+    gflags = ", ".join(f"CAST(GROUPING({c}) AS BIGINT) AS g_{c}" for c in cols)
+    want = _multiset(
+        duckdb.connect()
+        .execute(
+            f"SELECT {gsel}, FLOOR(SUM({agg_col}) * 100.0 + 0.5) / 100.0 AS s, "
+            f"COUNT(*) AS n, {gflags} "
+            f"FROM read_parquet('{SF_DIR}/lineitem.parquet') "
+            f"GROUP BY {mode.upper()} ({gsel})"
+        )
+        .fetchall()
+    )
+    assert got == want, (mode, cols, agg_col)
