@@ -31,10 +31,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(batch.dtypes).get("ts") == "bigint":
+    ts_type = dict(batch.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif ts_type == "timestamp_ntz":
+        # micros-NTZ testdata: watermarks require TIMESTAMP (LTZ); session
+        # tz is UTC so the cast preserves the instant.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
