@@ -1,0 +1,291 @@
+"""Pure-stdlib image codec: PNG (zlib), BMP, PPM — no optional deps.
+
+Why this exists: the engine's multimodal surface (operators/multimodal.py)
+must decode real image payloads, but the container has no Pillow. PNG is
+deflate + per-scanline filtering — both fully decodable with stdlib
+``zlib`` + numpy. This module provides REAL pixel decoding for the three
+formats a training-data pipeline most often stores losslessly (PNG, BMP,
+PPM), plus a PNG encoder and a deterministic nearest-neighbor resize, so
+``decode → transform → re-encode`` runs end-to-end with zero optional
+dependencies. JPEG/WebP (lossy, DCT/VP8) are out of scope — those raise
+``NotImplementedError`` and Pillow remains the optional upgrade path.
+
+Everything here is per-item CPU work executed inside Arrow-batched
+``mapInPandas`` loops (see multimodal.py) — the Spark-side contract
+(schema, batching, partitioning) is unchanged by which decoder runs.
+
+Format support (decode):
+- PNG: 8-bit depth; color types 0 (gray), 2 (RGB), 3 (palette),
+  4 (gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/
+  Average/Paeth); non-interlaced. 16-bit and Adam7 raise.
+- BMP: uncompressed 24/32-bit BI_RGB, bottom-up or top-down.
+- PPM: binary P6, maxval 255.
+
+All decodes return ``(H, W, 3) uint8`` RGB (alpha composited over white,
+matching Pillow's ``convert("RGB")`` on a white background intent; we
+drop alpha by compositing so downstream features are deterministic).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# bytes per pixel on the wire for each PNG color type at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over one scanline's prior bytes."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering → (height, stride) uint8 of raw samples.
+
+    Scanlines are sequential (each depends on the fully reconstructed
+    previous line) but within a line the Sub/Paeth recurrences step by
+    ``bpp``, so we vectorize across the ``bpp`` byte lanes and loop only
+    over ``stride // bpp`` positions — numpy does the per-lane work.
+    """
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG data truncated")
+    data = np.frombuffer(raw, dtype=np.uint8)[: height * (stride + 1)]
+    data = data.reshape(height, stride + 1)
+    filters = data[:, 0]
+    lines = data[:, 1:].copy()
+    prev = np.zeros(stride, dtype=np.uint8)
+    zero_lane = np.zeros(bpp, dtype=np.uint8)
+    for y in range(height):
+        f, line = int(filters[y]), lines[y]
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub: left recurrence, lane-vectorized
+            for x in range(bpp, stride, bpp):
+                line[x : x + bpp] += line[x - bpp : x]
+        elif f == 2:  # Up
+            line += prev
+        elif f == 3:  # Average
+            line[:bpp] += (prev[:bpp] // 2).astype(np.uint8)
+            for x in range(bpp, stride, bpp):
+                avg = (
+                    line[x - bpp : x].astype(np.uint16)
+                    + prev[x : x + bpp].astype(np.uint16)
+                ) // 2
+                line[x : x + bpp] += avg.astype(np.uint8)
+        elif f == 4:  # Paeth
+            line[:bpp] += _paeth(zero_lane, prev[:bpp], zero_lane)
+            for x in range(bpp, stride, bpp):
+                line[x : x + bpp] += _paeth(
+                    line[x - bpp : x], prev[x : x + bpp], prev[x - bpp : x]
+                )
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        prev = line
+    return lines
+
+
+def _to_rgb(px: np.ndarray, color_type: int, palette: bytes | None) -> np.ndarray:
+    """(H, W, C) samples for the PNG color type → (H, W, 3) RGB uint8,
+    alpha composited over white."""
+    if color_type == 2:
+        return px
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE chunk")
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        return pal[px[:, :, 0]]
+    # alpha formats: composite over white so output is deterministic RGB
+    alpha = px[:, :, -1:].astype(np.float32) / 255.0
+    color = px[:, :, :-1].astype(np.float32)
+    if color_type == 4:
+        color = np.repeat(color, 3, axis=2)
+    out = color * alpha + 255.0 * (1.0 - alpha)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, 3) uint8 RGB. Stdlib zlib + numpy only."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    off, width = len(_PNG_SIG), None
+    idat, palette = [], None
+    height = bit_depth = color_type = interlace = None
+    while off + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        off += 12 + length  # length + type + body + CRC
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    lines = _unfilter(raw, height, width * channels, channels)
+    px = lines.reshape(height, width, channels)
+    return _to_rgb(px, color_type, palette)
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (filter type 0, one IDAT chunk)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png expects (H, W, 3) uint8")
+    h, w, _ = arr.shape
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP → (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP unsupported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    nbytes = bpp // 8
+    stride = (width * nbytes + 3) // 4 * 4  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * stride, offset=data_off
+    ).reshape(height, stride)
+    px = rows[:, : width * nbytes].reshape(height, width, nbytes)
+    rgb = px[:, :, 2::-1]  # BGR(A) → RGB
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM")
+    # header: P6 <w> <h> <maxval> with comments/whitespace, then raster
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3).copy()
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Identify the payload's image container from magic bytes."""
+    if payload.startswith(_PNG_SIG):
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def decode_image_bytes(payload: bytes) -> np.ndarray:
+    """Sniff + decode any supported format → (H, W, 3) uint8 RGB.
+
+    Raises ``NotImplementedError`` for recognized-but-unsupported formats
+    (jpeg/webp — lossy codecs need Pillow) and ``ValueError`` for
+    unrecognized bytes.
+    """
+    fmt = sniff_format(payload or b"")
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    if fmt in ("jpeg", "webp"):
+        raise NotImplementedError(
+            f"{fmt} decode requires Pillow (lossy codec); stdlib path covers "
+            "png/bmp/ppm"
+        )
+    raise ValueError("unrecognized image payload")
+
+
+def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize: (H, W, 3) → (th, tw, 3).
+
+    Sample grid matches the standard pixel-center mapping
+    ``src = floor((dst + 0.5) * scale)`` so results are stable across
+    numpy versions (pure integer indexing, no interpolation).
+    """
+    h, w = arr.shape[:2]
+    ys = np.minimum(((np.arange(target_h) + 0.5) * h / target_h), h - 1).astype(int)
+    xs = np.minimum(((np.arange(target_w) + 0.5) * w / target_w), w - 1).astype(int)
+    return arr[ys][:, xs]
+
+
+def downsample_mean(arr: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Area-mean downsample to a (grid, grid, 3) float32 patch in [0, 1].
+
+    Used for the 48-dim image feature when decoding without Pillow: each
+    cell is the exact mean of its pixel block (uniform partition of rows/
+    columns), so features are integer-exact rationals — oracle-friendly.
+    """
+    h, w = arr.shape[:2]
+    out = np.empty((grid, grid, 3), dtype=np.float64)
+    ye = np.linspace(0, h, grid + 1).astype(int)
+    xe = np.linspace(0, w, grid + 1).astype(int)
+    for i in range(grid):
+        for j in range(grid):
+            block = arr[ye[i] : ye[i + 1], xe[j] : xe[j + 1]].astype(np.float64)
+            out[i, j] = block.mean(axis=(0, 1)) if block.size else 0.0
+    return (out / 255.0).astype(np.float32)

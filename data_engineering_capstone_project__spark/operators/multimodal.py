@@ -11,9 +11,15 @@ Decode tiers (probed at import, never a hard dependency):
   (RMS, zero-crossing rate, 14 log-spectral band energies).
 - **audio/other formats**: ``soundfile``/``librosa`` if importable,
   else ``NotImplementedError``.
-- **image**: Pillow if importable (RGB 4×4 downsample → 48-dim float
-  features; real resize+re-encode), else ``NotImplementedError``.
-- **video**: no in-container decoder; stub only.
+- **image/PNG+BMP+PPM**: REAL decode with the stdlib ``zlib`` + numpy
+  (``operators.imagecodec`` — full PNG filter set, palette/alpha color
+  types) → 48-dim area-mean features; real nearest-neighbor resize +
+  PNG re-encode. No optional dependency.
+- **image/JPEG+WebP**: Pillow if importable (lossy codecs), else
+  ``NotImplementedError``.
+- **video**: real MP4 container duration probe (stdlib box walk) drives
+  frame sampling; pixel-level frame extraction needs a decoder the
+  container lacks.
 
 ``fake=True`` always selects the deterministic hash-seeded stub decoder,
 so tests and pipelines behave identically with or without the optional
@@ -33,7 +39,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # optional: real image decode when Pillow exists
+from data_engineering_capstone_project__spark.operators import imagecodec
+
+try:  # optional: lossy-format (jpeg/webp) decode when Pillow exists
     from PIL import Image as _PILImage
 
     HAS_PIL = True
@@ -81,17 +89,22 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Image payload → 48-dim float features (4×4 RGB downsample / 255).
 
-    Real path when Pillow is importable; ``fake=True`` forces the
-    deterministic stub (8-dim) regardless.
+    Real path: stdlib codec for PNG/BMP/PPM (``operators.imagecodec`` —
+    no optional deps; area-mean 4×4 downsample), Pillow for lossy formats
+    when importable. ``fake=True`` forces the deterministic stub (8-dim).
     """
     if fake:
         return _fake_decode(payload)
+    fmt = imagecodec.sniff_format(payload or b"")
+    if fmt in ("png", "bmp", "ppm"):
+        arr = imagecodec.decode_image_bytes(payload)
+        return imagecodec.downsample_mean(arr, grid=4).reshape(-1)
     if HAS_PIL:
         img = _PILImage.open(io.BytesIO(payload)).convert("RGB").resize((4, 4))
         return (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)
     raise NotImplementedError(
-        "image decode requires Pillow (not importable here); pass fake=True "
-        "for the deterministic stub"
+        f"image format {fmt!r} needs Pillow (not importable here); the "
+        "stdlib codec covers png/bmp/ppm; pass fake=True for the stub"
     )
 
 
@@ -173,6 +186,59 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
     return df.filter(F.col("kind") == "image").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+IMAGE_PIXEL_STATS_SCHEMA = (
+    "media_id long, width int, height int, pixel_sum long, rgb_sha256 string"
+)
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel decode → integer-exact per-image stats.
+
+    Decodes each payload with the stdlib codec (png/bmp/ppm; Pillow for
+    lossy formats when present) and emits decoded ``width``/``height``,
+    the exact ``pixel_sum`` over all RGB samples, and the sha256 of the
+    raw RGB byte buffer. Every output is integer/text — no float path —
+    so the DuckDB oracle can assert analytically-derived literals
+    (constant-color and gradient test images have closed-form sums).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fmt = imagecodec.sniff_format(p or b"")
+                if fmt in ("png", "bmp", "ppm"):
+                    arr = imagecodec.decode_image_bytes(p)
+                elif HAS_PIL:
+                    arr = np.asarray(
+                        _PILImage.open(io.BytesIO(p)).convert("RGB"), dtype=np.uint8
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"image format {fmt!r} needs Pillow; stdlib codec "
+                        "covers png/bmp/ppm"
+                    )
+                rows.append(
+                    (
+                        int(mid),
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr.astype(np.int64).sum()),
+                        hashlib.sha256(
+                            np.ascontiguousarray(arr).tobytes()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "pixel_sum", "rgb_sha256"],
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=IMAGE_PIXEL_STATS_SCHEMA
     )
 
 
@@ -267,27 +333,35 @@ def resize_images(
 ) -> DataFrame:
     """Resize plumbing: payload → payload at (target_w, target_h).
 
-    The stub keeps the payload bytes and rewrites the size metadata +
-    content hash deterministically; a real implementation decodes,
-    resamples, and re-encodes inside the same batch loop. Output schema is
-    again MEDIA-shaped so resize composes with the other operators.
+    Real path: stdlib decode (png/bmp/ppm) → deterministic nearest-
+    neighbor resample → PNG re-encode; Pillow only for lossy inputs. The
+    stub keeps the payload bytes and rewrites the size metadata + content
+    hash deterministically. Output schema is again MEDIA-shaped so resize
+    composes with the other operators.
     """
+
+    def _resize_one(p: bytes) -> bytes:
+        fmt = imagecodec.sniff_format(p or b"")
+        if fmt in ("png", "bmp", "ppm"):
+            arr = imagecodec.decode_image_bytes(p)
+            return imagecodec.encode_png(
+                imagecodec.resize_nearest(arr, target_w, target_h)
+            )
+        if HAS_PIL:
+            img = _PILImage.open(io.BytesIO(p)).resize((target_w, target_h))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        raise NotImplementedError(
+            f"image format {fmt!r} needs Pillow; stdlib resize covers "
+            "png/bmp/ppm; pass fake=True"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf.copy()
             if not fake:
-                if not HAS_PIL:
-                    raise NotImplementedError(
-                        "image resize requires Pillow; pass fake=True"
-                    )
-                resized = []
-                for p in pdf["payload"]:
-                    img = _PILImage.open(io.BytesIO(p)).resize((target_w, target_h))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    resized.append(buf.getvalue())
-                out["payload"] = resized
+                out["payload"] = [_resize_one(p) for p in pdf["payload"]]
             out["width"] = np.int32(target_w)
             out["height"] = np.int32(target_h)
             out["resize_sha256"] = [
