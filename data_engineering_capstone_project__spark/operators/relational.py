@@ -455,6 +455,135 @@ def _hash_threshold(fraction: float) -> str:
     return "g" if v >= 16 ** 4 else format(v, "04x")
 
 
+def _segment_scheme(n: Column, i: int, parts: int) -> tuple[Column, Column]:
+    """(start, length) of segment ``i`` in the even ``parts``-way partition
+    of a string of length ``n`` — the first ``n % parts`` segments take the
+    extra character. Both join sides must use this exact formula."""
+    base = F.floor(n / parts).cast("int")
+    rem = (n % parts).cast("int")
+    length = base + F.when(F.lit(i) < rem, 1).otherwise(0)
+    start = F.lit(i) * base + F.least(F.lit(i), rem)
+    return start, length
+
+
+def fuzzy_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    block_keys: Sequence[tuple[str, str]],
+    fuzzy_keys: Sequence[tuple[str, str]],
+    max_distance: int = 2,
+) -> DataFrame:
+    """Distinct verified (block, left-fuzzy, right-fuzzy) value tuples with
+    every fuzzy pair within ``max_distance`` edits — the candidate core of
+    the segment-blocked ``fuzzy_linkage_join``, exposed so tests and skew
+    probes can count candidates without materializing the full join.
+
+    Scale shape (PassJoin pigeonhole): a string pair within d edits must
+    share one of the right string's d+1 even segments verbatim, shifted by
+    at most d positions. The right side explodes to d+1 ``(len, i, seg)``
+    keys; the left side explodes to the bounded set of substrings such a
+    surviving segment could be — (2d+1) hypothesized lengths × (d+1)
+    segments × (2d+1) shifts, minus clipping. Candidates then come from a
+    selective equi-join on ``(block…, len, i, seg)`` over DISTINCT key
+    projections instead of a Σ block² within-block scan, so one hot block
+    key cannot go quadratic; only survivors pay ``levenshtein``. Right
+    strings shorter than d+1 (no nonempty pigeonhole partition) fall back
+    to a within-block scan, where the length band |len(l)−len(r)| ≤ d
+    bounds the left side to strings of length ≤ 2d.
+    """
+    d = max_distance
+    parts = d + 1
+    nb = len(block_keys)
+    bl = [f"__fzb{i}" for i in range(nb)]
+    fl = [f"__fzl{j}" for j in range(len(fuzzy_keys))]
+    fr = [f"__fzr{j}" for j in range(len(fuzzy_keys))]
+    lk = left.select(
+        *[left[a].alias(n) for (a, _), n in zip(block_keys, bl)],
+        *[left[a].alias(n) for (a, _), n in zip(fuzzy_keys, fl)],
+    ).distinct()
+    rk = right.select(
+        *[right[b].alias(n) for (_, b), n in zip(block_keys, bl)],
+        *[right[b].alias(n) for (_, b), n in zip(fuzzy_keys, fr)],
+    ).distinct()
+
+    t_r, t_l = F.col(fr[0]), F.col(fl[0])
+
+    # right side: one (len, i, segment) key per pigeonhole segment
+    rn = F.length(t_r)
+    r_entries = []
+    for i in range(parts):
+        start, length = _segment_scheme(rn, i, parts)
+        r_entries.append(
+            F.struct(
+                F.lit(i).alias("i"), t_r.substr(start + 1, length).alias("seg")
+            )
+        )
+    r_exp = (
+        rk.filter(rn >= parts)
+        .withColumn("__fzn", rn.cast("int"))
+        .withColumn("__fze", F.explode(F.array(*r_entries)))
+        .select(*bl, *fr, "__fzn", F.col("__fze.i").alias("__fzi"),
+                F.col("__fze.seg").alias("__fzseg"))
+    )
+
+    # left side: every substring a surviving segment could be, for each
+    # hypothesized right length m+dn and shift in [-d, d]
+    m = F.length(t_l)
+    l_entries = []
+    for dn in range(-d, d + 1):
+        n_hyp = (m + dn).cast("int")
+        for i in range(parts):
+            start, length = _segment_scheme(n_hyp, i, parts)
+            for shift in range(-d, d + 1):
+                q = start + shift
+                valid = (
+                    (n_hyp >= parts)
+                    & (q >= 0)
+                    & (q + length <= m)
+                    & (length >= 1)
+                )
+                l_entries.append(
+                    F.when(
+                        valid,
+                        F.struct(
+                            n_hyp.alias("n"),
+                            F.lit(i).alias("i"),
+                            t_l.substr(q + 1, length).alias("seg"),
+                        ),
+                    )
+                )
+    l_exp = (
+        lk.withColumn(
+            "__fze",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.array(*l_entries), lambda x: x.isNotNull())
+                )
+            ),
+        )
+        .select(*bl, *fl, F.col("__fze.n").alias("__fzn"),
+                F.col("__fze.i").alias("__fzi"),
+                F.col("__fze.seg").alias("__fzseg"))
+    )
+
+    on = [*bl, "__fzn", "__fzi", "__fzseg"]
+    cand = l_exp.join(r_exp, on=on, how="inner").select(*bl, *fl, *fr)
+
+    # right strings too short to pigeonhole: within-block scan, but the
+    # length band caps the left side at 2d characters
+    r_short = rk.filter(rn < parts)
+    l_short = lk.filter(m <= 2 * d)
+    cand_short = l_short.join(r_short, on=bl, how="inner").select(*bl, *fl, *fr)
+
+    out = cand.unionByName(cand_short).distinct()
+    for lcol, rcol in zip(fl, fr):
+        out = out.filter(
+            (F.abs(F.length(lcol) - F.length(rcol)) <= d)
+            & (F.levenshtein(F.col(lcol), F.col(rcol)) <= d)
+        )
+    return out
+
+
 def fuzzy_linkage_join(
     left: DataFrame,
     right: DataFrame,
@@ -462,23 +591,69 @@ def fuzzy_linkage_join(
     fuzzy_keys: Sequence[tuple[str, str]],
     max_distance: int = 2,
     how: str = "inner",
+    method: str = "auto",
 ) -> DataFrame:
     """Record linkage with dirty keys: exact equi-join on blocking keys,
-    then a Levenshtein filter on the fuzzy keys.
+    then a Levenshtein match on the fuzzy keys.
 
-    The blocking join keeps the plan an equi-join (SMJ/broadcast — never a
-    cross product); edit distance runs only within blocks, so candidate
-    work is Σ block² instead of N². The J4 linkage join is the exact-key
-    special case of this.
+    ``method``:
+      * ``'scan'`` — equi-join on the blocking keys with a length-band
+        predicate (|len(l)−len(r)| ≤ d, a necessary condition for edit
+        distance ≤ d) pushed into the join condition so the cheap band
+        check runs during the merge, before any ``levenshtein``. Candidate
+        work is Σ block² — fine until one block key is hot.
+      * ``'segment'`` — inner joins only: PassJoin-style pigeonhole
+        blocking via ``fuzzy_candidate_pairs`` (see there for the scale
+        argument), then two hash joins rebuild full rows from the verified
+        candidate value-tuples, preserving duplicate-row multiplicity. A
+        hot block no longer goes quadratic: candidates come from a
+        selective ``(block…, len, segment)`` equi-join.
+      * ``'auto'`` — ``'segment'`` for inner joins with 1 ≤ d ≤ 3, else
+        ``'scan'``.
+
+    Both paths return left-columns + right-columns, exactly the rows of
+    the block equi-join whose every fuzzy pair is within ``max_distance``.
+    The J4 linkage join is the exact-key special case of this.
     """
-    conds: list[Column] = [left[a] == right[b] for a, b in block_keys]
-    cond = conds[0]
-    for c in conds[1:]:
-        cond = cond & c
-    out = left.join(right, cond, how)
-    for a, b in fuzzy_keys:
-        out = out.filter(F.levenshtein(left[a], right[b]) <= max_distance)
-    return out
+    d = max_distance
+    if method == "auto":
+        method = "segment" if how == "inner" and 1 <= d <= 3 else "scan"
+    if method == "segment" and how != "inner":
+        raise ValueError("method='segment' supports how='inner' only")
+
+    if method == "scan":
+        conds: list[Column] = [left[a] == right[b] for a, b in block_keys]
+        for a, b in fuzzy_keys:
+            conds.append(
+                F.abs(F.length(left[a]) - F.length(right[b])) <= d
+            )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        out = left.join(right, cond, how)
+        for a, b in fuzzy_keys:
+            out = out.filter(F.levenshtein(left[a], right[b]) <= d)
+        return out
+
+    cand = fuzzy_candidate_pairs(left, right, block_keys, fuzzy_keys, d)
+    nb = len(block_keys)
+    bl = [f"__fzb{i}" for i in range(nb)]
+    fl = [f"__fzl{j}" for j in range(len(fuzzy_keys))]
+    fr = [f"__fzr{j}" for j in range(len(fuzzy_keys))]
+
+    lc = [left[a] == cand[n] for (a, _), n in zip(block_keys, bl)]
+    lc += [left[a] == cand[n] for (a, _), n in zip(fuzzy_keys, fl)]
+    cond_l = lc[0]
+    for c in lc[1:]:
+        cond_l = cond_l & c
+    half = left.join(cand, cond_l, "inner")
+
+    rc = [half[n] == right[b] for (_, b), n in zip(block_keys, bl)]
+    rc += [half[n] == right[b] for (_, b), n in zip(fuzzy_keys, fr)]
+    cond_r = rc[0]
+    for c in rc[1:]:
+        cond_r = cond_r & c
+    return half.join(right, cond_r, "inner").drop(*bl, *fl, *fr)
 
 
 def stratified_sample_by_hash(
