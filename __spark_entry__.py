@@ -3372,6 +3372,86 @@ FROM dl2 l JOIN db b
  AND right('000000' || l.district_id, 6) = right('000000' || b.district_id, 6)
 """
 
+# split point: everything before the final SELECT is reusable CTE scaffolding
+_REF_CTE, _REF_FINAL_SELECT = REF_PIPELINE_SQL.rsplit("SELECT DISTINCT", 1)
+_REF_FINAL_SELECT = "SELECT DISTINCT" + _REF_FINAL_SELECT
+
+
+def ref_multistate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-state orchestration (plans/multistate.py) on inline fixtures:
+    two states — WI runs the full fixture, MN the fixture minus one school
+    (structure drift across states) — each through the complete
+    clean→derive→assemble flow, then union-by-name with a ``state`` tag,
+    exactly the combined table ``run_multistate`` writes partitioned by
+    state (``Read.md:1``: 65 states × 4-6 datasets)."""
+    from data_engineering_capstone_project__spark.plans.derive import (
+        assemble_final,
+        derive_breakfast,
+        derive_lunch,
+    )
+
+    d1 = spark.createDataFrame(_LUNCH_DICT, _DICT_SCHEMA)
+    d2 = spark.createDataFrame(_BRKF_DICT, _DICT_SCHEMA)
+    outs = []
+    for st, excl in (("WI", None), ("MN", "Beta High")):
+        lunch_raw = spark.createDataFrame(_LUNCH_ROWS, _LUNCH_RAW_SCHEMA)
+        brkf_raw = spark.createDataFrame(_BRKF_ROWS, _BRKF_RAW_SCHEMA)
+        if excl is not None:
+            lunch_raw = lunch_raw.filter(F.col("SCHOOL_NAME") != excl)
+            brkf_raw = brkf_raw.filter(F.col("SCHOOL_NAME") != excl)
+        lunch = derive_lunch(
+            apply_clean_plan(
+                lunch_raw, build_clean_plan(lunch_raw.columns, d1, d2, prefer=1)
+            )
+        )
+        brkf = derive_breakfast(
+            apply_clean_plan(
+                brkf_raw, build_clean_plan(brkf_raw.columns, d1, d2, prefer=2)
+            )
+        )
+        outs.append(
+            assemble_final(lunch, brkf).withColumn("state", F.lit(st))
+        )
+    combined = outs[0].unionByName(outs[1], allowMissingColumns=True)
+    return combined.select(
+        F.col("state"),
+        F.col("school name").alias("school_name"),
+        F.col("claim date").alias("claim_date"),
+        F.col("School Type-Original").alias("school_type_original"),
+        F.col("FR Lunch Meals").alias("fr_lunch_meals"),
+        F.col("FR Lunch ADP").alias("fr_lunch_adp"),
+        F.col("Unique ID").alias("unique_id"),
+        F.col("NCES ID").alias("nces_id"),
+        F.col("FR Enrollment").alias("fr_enrollment"),
+        F.col("FR Enrollment Percentage").alias("fr_enrollment_pct"),
+        F.col("School Level-Standardized").alias("school_level_std"),
+        F.col("School Type-Standardized").alias("school_type_std"),
+        F.col("Breakfast Delivery Model from State Agency-Original").alias(
+            "delivery_model"
+        ),
+        F.col("FR Breakfast Meals").alias("fr_breakfast_meals"),
+        F.col("FR Breakfast ADP").alias("fr_breakfast_adp"),
+        F.col("School_Year").alias("school_year_filled"),
+        F.col("Target Area").alias("target_area"),
+    )
+
+
+REF_MULTISTATE_SQL = _REF_CTE + f"""
+SELECT 'WI' AS state, * FROM ({_REF_FINAL_SELECT})
+UNION ALL
+SELECT 'MN' AS state, * FROM (
+  SELECT DISTINCT l.school_name, l.claim_date, l.school_type_original,
+         l.fr_lunch_meals, l.fr_lunch_adp, l.unique_id, l.nces_id,
+         l.fr_enrollment, l.fr_enrollment_pct, l.school_level_std,
+         l.school_type_std, b.delivery_model, b.fr_breakfast_meals,
+         b.fr_breakfast_adp, b.school_year_filled, b.target_area
+  FROM dl2 l JOIN db b
+    ON l.school_name = b.school_name AND l.claim_date = b.claim_date
+   AND right('000000' || l.district_id, 6) = right('000000' || b.district_id, 6)
+  WHERE l.school_name <> 'Beta High'
+)
+"""
+
 
 def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level exact paragraph dedup (RefinedWeb-style): every doc
@@ -3661,6 +3741,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
     "x_audio_features": (x_audio_features, None),  # rows-only: engine-side FFT
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),
+    "ref_multistate_e2e": (ref_multistate_e2e, REF_MULTISTATE_SQL),
     "x_dedup_clusters": (x_dedup_clusters, X_CLUSTER_SQL),
     "x_pii_mask": (x_pii_mask, X_PII_SQL),
     "x_repetition": (x_repetition, X_REPETITION_SQL),

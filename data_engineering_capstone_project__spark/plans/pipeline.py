@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", default=None)
     ap.add_argument("--golden", default=None)
     ap.add_argument("--show", type=int, default=5, help="rows to print")
+    ap.add_argument(
+        "--diff-sample", type=int, default=5,
+        help="differing rows to print per side when QA fails",
+    )
     args = ap.parse_args(argv)
 
     from data_engineering_capstone_project__spark.session import get_spark
@@ -106,7 +110,28 @@ def main(argv: list[str] | None = None) -> int:
             f"QA: count_a={row['count_a']} count_b={row['count_b']} "
             f"common={row['count_common']} equivalent={row['equivalent']}{note}"
         )
-        return 0 if row["equivalent"] else 2
+        if not row["equivalent"]:
+            # show *where* the tables differ, not just that they do — the
+            # reference's INTERSECT counts (:1116-1126) never say which rows
+            if not row["note"]:
+                from data_engineering_capstone_project__spark.plans.qa import (
+                    qa_diff,
+                )
+
+                golden = spark.read.parquet(args.golden)
+                produced = final.select(*golden.columns)
+                for d in (
+                    qa_diff(produced, golden)
+                    .limit(2 * args.diff_sample)
+                    .collect()
+                ):
+                    side = (
+                        "produced-only" if d["side"] == "A" else "golden-only"
+                    )
+                    vals = {k: d[k] for k in golden.columns[:8]}
+                    print(f"  [{side}] {vals}")
+            return 2
+        return 0
     return 0
 
 
