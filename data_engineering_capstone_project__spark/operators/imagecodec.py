@@ -54,6 +54,12 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     previous line) but within a line the Sub/Paeth recurrences step by
     ``bpp``, so we vectorize across the ``bpp`` byte lanes and loop only
     over ``stride // bpp`` positions — numpy does the per-lane work.
+
+    Size bound: Sub/Average/Paeth lines still cost O(W) Python loop
+    iterations, ~1-2 ms per megapixel-row-set — fine for the test-scale
+    payloads this repo decodes. Corpus-scale image pipelines should route
+    decode through Pillow/turbojpeg when present; this codec's job is a
+    dependency-free exact reference.
     """
     if len(raw) < height * (stride + 1):
         raise ValueError("PNG data truncated")
@@ -220,7 +226,14 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if maxval > 255:
         raise NotImplementedError("16-bit PPM unsupported")
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-    return px.reshape(h, w, 3).copy()
+    px = px.reshape(h, w, 3)
+    if maxval != 255:
+        # Netpbm semantics: samples are fractions of maxval — rescale to
+        # 0-255 with round-half-up so e.g. maxval=15 white stays white
+        px = ((px.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(
+            np.uint8
+        )
+    return px.copy()
 
 
 def sniff_format(payload: bytes) -> str | None:

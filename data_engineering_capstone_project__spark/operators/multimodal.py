@@ -86,6 +86,15 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float32) / 2**32
 
 
+def _require_payload(payload: bytes | None, media_id=None) -> bytes:
+    """MEDIA_SCHEMA allows NULL payloads; real decode paths must fail with
+    a named error, not an opaque ``BytesIO(None)`` TypeError downstream."""
+    if not payload:
+        where = f" (media_id={media_id})" if media_id is not None else ""
+        raise ValueError(f"null/empty media payload{where}; cannot decode")
+    return payload
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Image payload → 48-dim float features (4×4 RGB downsample / 255).
 
@@ -95,6 +104,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """
     if fake:
         return _fake_decode(payload)
+    payload = _require_payload(payload)
     fmt = imagecodec.sniff_format(payload or b"")
     if fmt in ("png", "bmp", "ppm"):
         arr = imagecodec.decode_image_bytes(payload)
@@ -147,6 +157,7 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     forces the deterministic stub."""
     if fake:
         return _fake_decode(payload, dim=16)
+    payload = _require_payload(payload)
     if payload and payload[:4] == b"RIFF":
         samples, _sr = _decode_wav(payload)
         return _audio_features(samples)
@@ -209,6 +220,7 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = _require_payload(p, media_id=mid)
                 fmt = imagecodec.sniff_format(p or b"")
                 if fmt in ("png", "bmp", "ppm"):
                     arr = imagecodec.decode_image_bytes(p)
@@ -341,6 +353,7 @@ def resize_images(
     """
 
     def _resize_one(p: bytes) -> bytes:
+        p = _require_payload(p)
         fmt = imagecodec.sniff_format(p or b"")
         if fmt in ("png", "bmp", "ppm"):
             arr = imagecodec.decode_image_bytes(p)

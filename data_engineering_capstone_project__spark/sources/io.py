@@ -84,6 +84,18 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def require_utc_session(spark: SparkSession, where: str) -> None:
+    """Raise unless ``spark.sql.session.timeZone`` is UTC — guards the
+    timestamp_ntz → timestamp casts, which silently shift instants under
+    any other session timezone (the repo's session factory pins UTC)."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"{where} requires spark.sql.session.timeZone=UTC (got {tz!r}): "
+            "the timestamp_ntz cast would shift event instants"
+        )
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the events table, tolerating parquet TIMESTAMP(NANOS).
 
@@ -101,7 +113,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     elif ts_type == "timestamp_ntz":
         # Newer testdata writes micros NTZ; watermarks/windows need
-        # TIMESTAMP (LTZ). Session tz is UTC so the instant is unchanged.
+        # TIMESTAMP (LTZ). The NTZ→LTZ cast reinterprets wall time in the
+        # session timezone, so it preserves the instant only under UTC —
+        # fail loudly on a caller-built non-UTC session instead of
+        # silently shifting every event.
+        require_utc_session(spark, "load_events")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -37,8 +37,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
     elif ts_type == "timestamp_ntz":
-        # micros-NTZ testdata: watermarks require TIMESTAMP (LTZ); session
-        # tz is UTC so the cast preserves the instant.
+        # micros-NTZ testdata: watermarks require TIMESTAMP (LTZ); the
+        # cast preserves the instant only under a UTC session — enforced.
+        from data_engineering_capstone_project__spark.sources.io import (
+            require_utc_session,
+        )
+
+        require_utc_session(spark, "stream_events")
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 

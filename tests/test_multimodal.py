@@ -151,3 +151,46 @@ def test_sample_video_frames_real_mp4(spark):
     df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = mm.sample_video_frames(df, every_ms=1000, fake=False).collect()
     assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_ppm_maxval_rescale():
+    """PPM samples are fractions of maxval (Netpbm): a maxval=15 white
+    pixel must decode as 255, not 15 (ADVICE r2)."""
+    from data_engineering_capstone_project__spark.operators import imagecodec as ic
+
+    payload = b"P6\n2 1\n15\n" + bytes([15, 15, 15, 7, 0, 15])
+    arr = ic.decode_ppm(payload)
+    assert arr.shape == (1, 2, 3)
+    assert arr[0, 0].tolist() == [255, 255, 255]
+    assert arr[0, 1].tolist() == [119, 0, 255]  # round(7*255/15) = 119
+    # maxval=255 path unchanged
+    p255 = b"P6\n1 1\n255\n" + bytes([1, 2, 3])
+    assert ic.decode_ppm(p255)[0, 0].tolist() == [1, 2, 3]
+
+
+def test_null_payload_named_error(spark):
+    """NULL payloads (allowed by MEDIA_SCHEMA) must raise a named
+    ValueError in real decode paths, not BytesIO(None) TypeErrors."""
+    with pytest.raises(ValueError, match="null/empty"):
+        mm.decode_image(None)
+    with pytest.raises(ValueError, match="null/empty"):
+        mm.decode_audio(b"")
+    rows = [(7, "image", None, "image/png", 4, 4, None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="media_id=7"):
+        mm.image_pixel_stats(df).collect()
+
+
+def test_require_utc_session_guard(spark):
+    from data_engineering_capstone_project__spark.sources.io import (
+        require_utc_session,
+    )
+
+    require_utc_session(spark, "test")  # UTC session: no-op
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            require_utc_session(spark, "test")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
