@@ -2431,6 +2431,78 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def x_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode across all four stdlib codecs (PNG, BMP, PPM,
+    baseline JPEG — no Pillow anywhere): deterministic generated payloads
+    whose decoded pixel sums have closed forms, decoded inside Arrow
+    ``mapInPandas`` batches by ``image_pixel_stats``.
+
+    Closed forms (oracle literals):
+    - PNG 13×9 gradient  arr[y,x,c]=(x+y+c):    sum = 3·Σ(x+y) + 3·Σc = 3861
+    - BMP 7×5 constant (40,50,60):              sum = 35·150 = 5250
+    - PPM 2×2 maxval=15 (Netpbm rescale ×17):   sum = 17·Σv
+    - JPEG 24×16 flat gray 137 (chroma = 128 exactly, DC-only block is
+      quantization-exact):                      sum = 24·16·3·137 = 157824
+    """
+    import struct as _struct
+
+    import numpy as _np
+
+    from data_engineering_capstone_project__spark.operators import (
+        imagecodec as ic,
+        jpegcodec as jc,
+        multimodal as mm,
+    )
+
+    h, w = 9, 13
+    grad = _np.zeros((h, w, 3), dtype=_np.uint8)
+    for c in range(3):
+        grad[:, :, c] = (
+            _np.arange(w)[None, :] + _np.arange(h)[:, None] + c
+        )
+    png_payload = ic.encode_png(grad)
+
+    bh, bw_ = 5, 7
+    row = bytes([60, 50, 40]) * bw_  # BGR on the wire
+    pad = b"\x00" * ((4 - (bw_ * 3) % 4) % 4)
+    pixel_data = (row + pad) * bh
+    bmp_payload = (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, bw_, bh, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+        + pixel_data
+    )
+
+    ppm_vals = [15, 0, 7, 3, 1, 2, 4, 5, 6, 8, 9, 10]  # 2x2 RGB
+    ppm_payload = b"P6\n2 2\n15\n" + bytes(ppm_vals)
+
+    jpg_payload = jc.encode_jpeg(
+        _np.full((16, 24, 3), 137, dtype=_np.uint8), quality=90
+    )
+
+    rows = [
+        (1, "image", png_payload, "image/png", w, h, None),
+        (2, "image", bmp_payload, "image/bmp", bw_, bh, None),
+        (3, "image", ppm_payload, "image/x-portable-pixmap", 2, 2, None),
+        (4, "image", jpg_payload, "image/jpeg", 24, 16, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    return mm.image_pixel_stats(media).select(
+        "media_id", "width", "height", "pixel_sum"
+    )
+
+
+X_IMAGE_PIXEL_SQL = f"""
+SELECT * FROM (VALUES
+  (1, 13, 9, 3861),
+  (2, 7, 5, 5250),
+  (3, 2, 2, {17 * sum([15, 0, 7, 3, 1, 2, 4, 5, 6, 8, 9, 10])}),
+  (4, 24, 16, {24 * 16 * 3 * 137})
+) AS t(media_id, width, height, pixel_sum)
+"""
+
+
 def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode in the driver contract (rows-only: no FFT in the
     SQL oracle): deterministic PCM-16 sine-wave WAVs built with the
@@ -3739,6 +3811,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_stream_dedup": (x_stream_dedup, X_STREAM_DEDUP_SQL),
     "x_stream_sessions": (x_stream_sessions, X_STREAM_SESSIONS_SQL),
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
+    "x_image_pixel_stats": (x_image_pixel_stats, X_IMAGE_PIXEL_SQL),
     "x_audio_features": (x_audio_features, None),  # rows-only: engine-side FFT
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),
     "ref_multistate_e2e": (ref_multistate_e2e, REF_MULTISTATE_SQL),

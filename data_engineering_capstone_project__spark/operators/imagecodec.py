@@ -7,8 +7,10 @@ deflate + per-scanline filtering — both fully decodable with stdlib
 formats a training-data pipeline most often stores losslessly (PNG, BMP,
 PPM), plus a PNG encoder and a deterministic nearest-neighbor resize, so
 ``decode → transform → re-encode`` runs end-to-end with zero optional
-dependencies. JPEG/WebP (lossy, DCT/VP8) are out of scope — those raise
-``NotImplementedError`` and Pillow remains the optional upgrade path.
+dependencies. Baseline JPEG lives in the sibling ``jpegcodec`` module
+(also stdlib+numpy) and is routed through ``decode_image_bytes``;
+progressive JPEG and WebP raise ``NotImplementedError`` with Pillow as
+the optional upgrade path.
 
 Everything here is per-item CPU work executed inside Arrow-batched
 ``mapInPandas`` loops (see multimodal.py) — the Spark-side contract
@@ -254,9 +256,10 @@ def sniff_format(payload: bytes) -> str | None:
 def decode_image_bytes(payload: bytes) -> np.ndarray:
     """Sniff + decode any supported format → (H, W, 3) uint8 RGB.
 
-    Raises ``NotImplementedError`` for recognized-but-unsupported formats
-    (jpeg/webp — lossy codecs need Pillow) and ``ValueError`` for
-    unrecognized bytes.
+    PNG/BMP/PPM decode here; baseline JPEG routes to ``jpegcodec`` (also
+    stdlib+numpy). Raises ``NotImplementedError`` for recognized-but-
+    unsupported variants (progressive JPEG, WebP — Pillow remains the
+    upgrade path) and ``ValueError`` for unrecognized bytes.
     """
     fmt = sniff_format(payload or b"")
     if fmt == "png":
@@ -265,10 +268,16 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
-    if fmt in ("jpeg", "webp"):
+    if fmt == "jpeg":
+        from data_engineering_capstone_project__spark.operators import (
+            jpegcodec,
+        )
+
+        return jpegcodec.decode_jpeg(payload)
+    if fmt == "webp":
         raise NotImplementedError(
-            f"{fmt} decode requires Pillow (lossy codec); stdlib path covers "
-            "png/bmp/ppm"
+            "webp decode requires Pillow; stdlib path covers png/bmp/ppm "
+            "and baseline jpeg"
         )
     raise ValueError("unrecognized image payload")
 

@@ -95,27 +95,41 @@ def _require_payload(payload: bytes | None, media_id=None) -> bytes:
     return payload
 
 
+def _decode_rgb(payload: bytes) -> np.ndarray:
+    """Payload → (H, W, 3) uint8: stdlib codecs first (png/bmp/ppm +
+    baseline jpeg), Pillow only for the variants they can't do
+    (progressive jpeg, webp). Raises NotImplementedError when neither
+    path applies."""
+    fmt = imagecodec.sniff_format(payload or b"")
+    if fmt in ("png", "bmp", "ppm", "jpeg"):
+        try:
+            return imagecodec.decode_image_bytes(payload)
+        except NotImplementedError:
+            if not HAS_PIL:
+                raise
+    elif not HAS_PIL:
+        raise NotImplementedError(
+            f"image format {fmt!r} needs Pillow (not importable here); "
+            "stdlib codecs cover png/bmp/ppm/baseline-jpeg"
+        )
+    return np.asarray(
+        _PILImage.open(io.BytesIO(payload)).convert("RGB"), dtype=np.uint8
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Image payload → 48-dim float features (4×4 RGB downsample / 255).
 
-    Real path: stdlib codec for PNG/BMP/PPM (``operators.imagecodec`` —
-    no optional deps; area-mean 4×4 downsample), Pillow for lossy formats
-    when importable. ``fake=True`` forces the deterministic stub (8-dim).
+    Real path: stdlib codecs for PNG/BMP/PPM/baseline-JPEG
+    (``operators.imagecodec`` / ``jpegcodec`` — no optional deps;
+    area-mean 4×4 downsample), Pillow for the rest when importable.
+    ``fake=True`` forces the deterministic stub (8-dim).
     """
     if fake:
         return _fake_decode(payload)
     payload = _require_payload(payload)
-    fmt = imagecodec.sniff_format(payload or b"")
-    if fmt in ("png", "bmp", "ppm"):
-        arr = imagecodec.decode_image_bytes(payload)
-        return imagecodec.downsample_mean(arr, grid=4).reshape(-1)
-    if HAS_PIL:
-        img = _PILImage.open(io.BytesIO(payload)).convert("RGB").resize((4, 4))
-        return (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)
-    raise NotImplementedError(
-        f"image format {fmt!r} needs Pillow (not importable here); the "
-        "stdlib codec covers png/bmp/ppm; pass fake=True for the stub"
-    )
+    arr = _decode_rgb(payload)
+    return imagecodec.downsample_mean(arr, grid=4).reshape(-1)
 
 
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -221,18 +235,7 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = _require_payload(p, media_id=mid)
-                fmt = imagecodec.sniff_format(p or b"")
-                if fmt in ("png", "bmp", "ppm"):
-                    arr = imagecodec.decode_image_bytes(p)
-                elif HAS_PIL:
-                    arr = np.asarray(
-                        _PILImage.open(io.BytesIO(p)).convert("RGB"), dtype=np.uint8
-                    )
-                else:
-                    raise NotImplementedError(
-                        f"image format {fmt!r} needs Pillow; stdlib codec "
-                        "covers png/bmp/ppm"
-                    )
+                arr = _decode_rgb(p)
                 rows.append(
                     (
                         int(mid),
@@ -354,20 +357,9 @@ def resize_images(
 
     def _resize_one(p: bytes) -> bytes:
         p = _require_payload(p)
-        fmt = imagecodec.sniff_format(p or b"")
-        if fmt in ("png", "bmp", "ppm"):
-            arr = imagecodec.decode_image_bytes(p)
-            return imagecodec.encode_png(
-                imagecodec.resize_nearest(arr, target_w, target_h)
-            )
-        if HAS_PIL:
-            img = _PILImage.open(io.BytesIO(p)).resize((target_w, target_h))
-            buf = io.BytesIO()
-            img.save(buf, format="PNG")
-            return buf.getvalue()
-        raise NotImplementedError(
-            f"image format {fmt!r} needs Pillow; stdlib resize covers "
-            "png/bmp/ppm; pass fake=True"
+        arr = _decode_rgb(p)
+        return imagecodec.encode_png(
+            imagecodec.resize_nearest(arr, target_w, target_h)
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,96 @@
+"""Baseline JPEG codec (stdlib+numpy): round-trip quality, format
+routing, and Spark-side integration (VERDICT r2 next-round #4)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from data_engineering_capstone_project__spark.operators import (
+    imagecodec as ic,
+    jpegcodec as jc,
+    multimodal as mm,
+)
+
+
+def _gradient(h=40, w=56):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (w + h)], axis=2
+    ).astype(np.uint8)
+
+
+def test_dct_basis_and_zigzag_invariants():
+    assert np.allclose(jc._M @ jc._M.T, np.eye(8), atol=1e-12)
+    assert sorted(jc.ZIGZAG.tolist()) == list(range(64))
+    # first diagonal sweep of the spec's zigzag
+    assert jc.ZIGZAG[:8].tolist() == [0, 1, 8, 16, 9, 2, 3, 10]
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_roundtrip(subsample):
+    img = _gradient()
+    payload = jc.encode_jpeg(img, quality=90, subsample=subsample)
+    assert payload[:3] == b"\xff\xd8\xff" and payload[-2:] == b"\xff\xd9"
+    dec = jc.decode_jpeg(payload)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # smooth content: tight reconstruction (chroma subsampling is lossier)
+    assert err.mean() < (3.0 if subsample else 1.5)
+    assert err.max() <= (16 if subsample else 8)
+
+
+def test_jpeg_flat_color_near_exact():
+    flat = np.full((16, 24, 3), 137, dtype=np.uint8)
+    dec = jc.decode_jpeg(jc.encode_jpeg(flat, quality=90))
+    assert np.abs(dec.astype(int) - 137).max() <= 1
+
+
+def test_jpeg_deterministic_and_odd_sizes():
+    img = _gradient(17, 23)  # forces edge padding in both dims
+    a = jc.encode_jpeg(img, quality=80, subsample=True)
+    assert a == jc.encode_jpeg(img, quality=80, subsample=True)
+    dec = jc.decode_jpeg(a)
+    assert dec.shape == (17, 23, 3)
+
+
+def test_progressive_raises_not_implemented():
+    # SOI + SOF2 (progressive) header: the codec must name the gap
+    payload = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8) + b"\x08" + b"\x00" * 5
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jc.decode_jpeg(payload)
+
+
+def test_decode_image_bytes_routes_jpeg():
+    img = _gradient(24, 24)
+    payload = jc.encode_jpeg(img, quality=95)
+    assert ic.sniff_format(payload) == "jpeg"
+    dec = ic.decode_image_bytes(payload)
+    assert dec.shape == (24, 24, 3)
+
+
+def test_image_pixel_stats_real_jpeg(spark):
+    """Spark-side real decode of a JPEG payload: stable dims + identical
+    pixel_sum/sha on re-run (decode is deterministic)."""
+    img = _gradient(32, 32)
+    payload = jc.encode_jpeg(img, quality=90)
+    rows = [(1, "image", payload, "image/jpeg", 32, 32, None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.image_pixel_stats(df).collect()}
+    assert got[1]["width"] == 32 and got[1]["height"] == 32
+    expected = jc.decode_jpeg(payload)
+    assert got[1]["pixel_sum"] == int(expected.astype(np.int64).sum())
+    again = {r["media_id"]: r for r in mm.image_pixel_stats(df).collect()}
+    assert again[1]["rgb_sha256"] == got[1]["rgb_sha256"]
+
+
+def test_resize_images_real_jpeg_input(spark):
+    img = _gradient(32, 48)
+    payload = jc.encode_jpeg(img, quality=90)
+    rows = [(5, "image", payload, "image/jpeg", 48, 32, None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.resize_images(df, target_w=8, target_h=8, fake=False).collect()
+    resized = ic.decode_png(out[0]["payload"])
+    assert resized.shape == (8, 8, 3)
