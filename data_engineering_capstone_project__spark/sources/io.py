@@ -324,6 +324,45 @@ def read_versioned(spark: SparkSession, path: str, version: int | None = None) -
     return spark.read.parquet(os.path.join(path, f"v={version}"))
 
 
+def compact_versioned(spark: SparkSession, path: str, n_files: int = 1) -> int:
+    """Compact the committed snapshot into a NEW version with ``n_files``
+    output files and swap the pointer to it.
+
+    Repeated snapshot commits accumulate small files (every ``v=N`` is a
+    full write at the producer's parallelism); at scale the file count —
+    not the byte count — dominates open/list/footer cost for readers.
+    Compaction is just another versioned write, so it inherits every
+    guarantee above: readers never see a partial compaction, a crashed
+    compactor leaves an unnamed orphan, and prior versions stay readable
+    for time travel until ``expire_versions``. Returns the new version.
+    """
+    df = read_versioned(spark, path)
+    return write_versioned(df.coalesce(n_files), path)
+
+
+def expire_versions(path: str, keep: int = 1) -> list[int]:
+    """Retention: delete old snapshot directories, keeping the newest
+    ``keep`` committed versions (the LATEST pointer target always
+    survives). Versions NEWER than the pointer are in-flight writers'
+    claims — never touched. Returns the versions removed.
+    """
+    import os
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    with open(os.path.join(path, "LATEST")) as f:
+        latest = int(f.read().strip())
+    committed = [v for v in list_versions(path) if v <= latest]
+    keep_set = set(sorted(committed, reverse=True)[:keep]) | {latest}
+    removed = []
+    for v in committed:
+        if v not in keep_set:
+            shutil.rmtree(os.path.join(path, f"v={v}"))
+            removed.append(v)
+    return removed
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

@@ -1,6 +1,8 @@
 import os
 import tempfile
 
+import pytest
+
 from data_engineering_capstone_project__spark.sources.io import (
     read_json,
     read_orc,
@@ -125,3 +127,44 @@ def test_versioned_sink_commit_and_time_travel(spark, tmp_path):
     # next writer skips the claimed version number
     v4 = write_versioned(df1, path)
     assert v4 == 4 and read_versioned(spark, path).count() == 10
+
+
+def test_versioned_compaction_and_retention(spark, tmp_path):
+    """compact_versioned collapses the small-file debris of repeated
+    commits into a fresh snapshot; expire_versions drops old snapshots
+    but never the pointer target or newer in-flight claims."""
+    import os
+
+    from data_engineering_capstone_project__spark.sources.io import (
+        compact_versioned,
+        expire_versions,
+        list_versions,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "ctab")
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    write_versioned(df.repartition(8), path)
+    write_versioned(df.repartition(8), path)
+
+    def data_files(v):
+        d = os.path.join(path, f"v={v}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(data_files(2)) == 8
+    v3 = compact_versioned(spark, path, n_files=1)
+    assert v3 == 3
+    assert len(data_files(3)) == 1  # file count drops
+    assert read_versioned(spark, path).count() == 100  # same data, new pointer
+    # old versions stay readable until expired (time travel intact)
+    assert read_versioned(spark, path, version=1).count() == 100
+
+    # in-flight claim newer than the pointer must survive retention
+    os.mkdir(os.path.join(path, "v=9"))
+    removed = expire_versions(path, keep=1)
+    assert removed == [1, 2]
+    assert list_versions(path) == [3, 9]
+    assert read_versioned(spark, path).count() == 100
+    with pytest.raises(Exception):
+        read_versioned(spark, path, version=1)
