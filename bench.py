@@ -68,21 +68,38 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    retried: list[str] = []
     for name in HEADLINE:
         fn = qs[name]
+
         # run 1 pays codegen compile + JIT for the plan shape and is
         # DISCARDED; the reported number is the median of the remaining
         # runs (steady state), with min-max spread recorded so
         # round-over-round deltas can be read against run-to-run noise
-        samples: list[float] = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            samples.append(time.time() - t0)
-        steady = sorted(samples[1:]) if len(samples) > 1 else samples
-        timings[name] = round(steady[len(steady) // 2], 3)
-        spreads[name] = round(steady[-1] - steady[0], 3)
+        def measure() -> tuple[float, float]:
+            samples: list[float] = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                samples.append(time.time() - t0)
+            steady = sorted(samples[1:]) if len(samples) > 1 else samples
+            return steady[len(steady) // 2], steady[-1] - steady[0]
+
+        med, spr = measure()
+        # a spread above ~30% of the median means the machine was
+        # contended mid-measurement (VERDICT r2: a committed bench must
+        # be trustworthy) — remeasure up to twice, keep the calmest
+        for _ in range(2):
+            if med <= 0 or spr / med <= 0.30:
+                break
+            if name not in retried:
+                retried.append(name)
+            med2, spr2 = measure()
+            if spr2 / max(med2, 1e-9) < spr / med:
+                med, spr = med2, spr2
+        timings[name] = round(med, 3)
+        spreads[name] = round(spr, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -94,6 +111,8 @@ def main() -> None:
                 "spread": spreads,
                 "runs_per_query": n_runs,
                 "aggregation": "median of runs 2..n (run 1 warms codegen)",
+                "respread_queries": retried,
+                "spread_policy": "remeasured (<=2x) when spread > 30% of median",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

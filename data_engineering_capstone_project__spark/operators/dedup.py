@@ -81,6 +81,43 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     return shingles_of_norm(_normalize(text), k)
 
 
+def exploded_char_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """``(id, _sz, sh)`` rows — one per DISTINCT k-char shingle per doc,
+    with ``_sz`` the doc's distinct-shingle count — via pure-codegen
+    ``explode(sequence) → substr → distinct → count join-back``.
+
+    Why not ``explode(shingles_of_norm(...))``: ``F.transform`` is a
+    higher-order function, and HOFs are CodegenFallback — evaluated
+    interpreted, per element, with boxing. Measured on 15k docs / 5.3M
+    shingles: ~175 s for the HOF array build vs ~5 s for this shape
+    (35×). The price is two narrow shuffles (distinct + size agg, both
+    with map-side partials) instead of a per-row ``array_distinct`` —
+    the right trade at any scale where the explode is hot.
+    """
+    base = _spread(df).select(
+        F.col(id_col), _normalize(F.col(text_col)).alias("_norm")
+    )
+    pos = base.select(
+        id_col,
+        "_norm",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_norm") - (k - 1), F.lit(1))
+            )
+        ).alias("_i"),
+    ).select(
+        id_col, F.col("_norm").substr(F.col("_i"), F.lit(k)).alias("sh")
+    )
+    dsh = pos.distinct()
+    sz = dsh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    return dsh.join(sz, id_col)
+
+
 def shingles_of_words(words: Column, k: int = 3) -> Column:
     """Array of k-word shingles (distinct) of an ALREADY-SPLIT word-array
     column reference (same pre-projection contract as
@@ -212,13 +249,13 @@ def verify_jaccard(
     million-shingle documents would make wide rows — chunk or pre-filter
     such outliers upstream.
     """
-    # joined twice (a-side and b-side) — persist so shingling runs once
+    # joined twice (a-side and b-side) — persist so shingling runs once.
+    # Arrays are assembled from the codegen shingle explode (collect_set
+    # over already-distinct rows) — the HOF array build was ~35× slower.
     sh = (
-        _spread(df)
-        .select(F.col(id_col), _normalize(F.col(text_col)).alias("_norm"))
-        .select(
-            F.col(id_col), shingles_of_norm(F.col("_norm"), shingle_k).alias("sh")
-        )
+        exploded_char_shingles(df, id_col, text_col, shingle_k)
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("sh"))
         .persist()
     )
     out = (
@@ -256,22 +293,21 @@ def ngram_jaccard_pairs(
     shared-shingle join is quadratic in the hottest shingle's document
     list; here hot shingles sort LAST and almost never enter a prefix, so
     candidate blow-up is bounded by rare-shingle co-occurrence (at t=0.8
-    the prefix is ~20% of each doc's shingles). A size filter
-    (t·max ≤ min, with a float-safety epsilon) prunes further before the
-    exact-Jaccard verify.
+    the prefix is ~20% of each doc's shingles). Two further lossless
+    prunes ride the join condition ahead of the exact-Jaccard verify: the
+    size filter (t·max ≤ min, float-safety epsilon) and PPJoin's
+    POSITIONAL filter — a pair whose match sits at prefix ranks (i, j)
+    can overlap in at most ``1 + min(|a|−i, |b|−j)`` shingles, which must
+    reach the J ≥ t overlap requirement ``⌈t/(1+t)·(|a|+|b|)⌉``; matches
+    deep in both prefixes can't, so corpora with non-trivial baseline
+    similarity (where mid-rarity shingles reach prefixes) prune most
+    candidates inside the join instead of shuffling them to the verify.
     """
     # persisted: consumed by both the document-frequency aggregate and the
-    # prefix ranking join — caching keeps the shingle explode to one run
-    sh = (
-        _spread(df)
-        .select(F.col(id_col), _normalize(F.col(text_col)).alias("_norm"))
-        .select(
-            F.col(id_col),
-            F.size(shingles_of_norm(F.col("_norm"), shingle_k)).alias("_sz"),
-            F.explode(shingles_of_norm(F.col("_norm"), shingle_k)).alias("sh"),
-        )
-        .persist()
-    )
+    # prefix ranking join — caching keeps the shingle explode to one run.
+    # Codegen explode (see exploded_char_shingles): the HOF array build
+    # was the op's real bottleneck, ~35× slower, not the candidate join.
+    sh = exploded_char_shingles(df, id_col, text_col, shingle_k).persist()
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
     # prefix length |S| - ceil(t*|S|) + 1; the -1e-9 guards against float
     # round-up (2.0000000001 -> ceil 3) which would SHRINK the prefix and
@@ -282,7 +318,14 @@ def ngram_jaccard_pairs(
         sh.join(dfreq, "sh")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= plen)
-        .select(id_col, "_sz", "sh")
+        .select(id_col, "_sz", "sh", "_rn")
+    )
+    # PPJoin overlap requirement for J >= t: |a ∩ b| >= t/(1+t)·(|a|+|b|);
+    # the epsilon errs the ceiling DOWN (weaker bound — safe, lossless)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a._sz") + F.col("b._sz"))
+        - F.lit(1e-9)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -295,6 +338,19 @@ def ngram_jaccard_pairs(
             & (
                 F.lit(threshold) * F.greatest("a._sz", "b._sz")
                 <= F.least("a._sz", "b._sz") + F.lit(1e-9)
+            )
+            # positional filter: shingles before rank _rn in the global
+            # per-doc order can't contribute (this is the FIRST common
+            # shingle for pairs surviving distinct-min semantics — for
+            # any common shingle it still upper-bounds the overlap), so
+            # overlap <= 1 + min(|a| - _rn_a, |b| - _rn_b)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a._sz") - F.col("a._rn"),
+                    F.col("b._sz") - F.col("b._rn"),
+                )
+                >= alpha
             ),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

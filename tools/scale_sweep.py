@@ -38,6 +38,118 @@ QUERIES = [
 ]
 
 
+LADDER_SFS = [
+    ("5k", "/tmp/spark_graft_ladder/5000"),
+    ("15k", "/tmp/spark_graft_ladder/15000"),
+    ("50k", "/tmp/spark_graft_ladder/50000"),
+]
+
+
+def ladder_main() -> None:
+    """Dedup-ladder sweep across a 10× doc range (5k → 50k docs, all from
+    tools/gen_scale_data.py — sparse-vocab corpus with planted dups; see
+    that module for why the driver's tiny-vocab docs can't be scaled):
+    wall time AND result counts per op, so superlinear candidate growth
+    is visible even where constants hide runtime."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import (
+        dedup,
+        similarity,
+    )
+
+    if not os.path.isdir(LADDER_SFS[-1][1]):
+        raise SystemExit(
+            "generated sf1 data missing - run tools/gen_scale_data.py first"
+        )
+    spark = get_spark(app_name="ladder_sweep")
+
+    def planted(e):
+        base = e.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        dup = base.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+        )
+        return base.unionByName(dup)
+
+    # (builder, measurement runs) — ngram is the long pole, measured once
+    OPS = {
+        "exact_dedup": (lambda d, e: dedup.exact_dedup(d), 2),
+        "minhash_lsh_pairs": (
+            lambda d, e: dedup.minhash_lsh_pairs(d, jaccard_threshold=0.8),
+            2,
+        ),
+        "ngram_jaccard_pairs": (
+            lambda d, e: dedup.ngram_jaccard_pairs(d, threshold=0.8),
+            1,
+        ),
+        "paragraph_dedup": (lambda d, e: dedup.paragraph_dedup(d), 2),
+        "srp_lsh_pairs": (
+            lambda d, e: similarity.lsh_bucket_pairs(
+                planted(e), n_planes=10, threshold=0.99
+            ),
+            2,
+        ),
+    }
+    results: dict[str, dict[str, tuple[float, int]]] = {
+        op: {} for op in OPS
+    }
+    for sf, sf_dir in LADDER_SFS:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_docs = docs.count()
+        for op, (fn, n_runs) in OPS.items():
+            best, rows = None, 0
+            for _ in range(n_runs):
+                t0 = time.time()
+                rows = fn(docs, embs).count()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            results[op][sf] = (best, rows)
+            line = f"sf{sf} ({n_docs} docs) {op}: {best:.2f}s, {rows} rows"
+            print(line, flush=True)
+            # stream partial results — a killed run keeps its evidence
+            with open("/tmp/ladder_cells.log", "a") as f:
+                f.write(line + "\n")
+    lines = [
+        "",
+        "## Dedup-ladder sweep (5k → 50k docs, generated sparse corpus)",
+        "",
+        "Data: `tools/gen_scale_data.py` — driver-shaped documents over a",
+        "5,000-word vocabulary with 2% planted exact + 2% near duplicates",
+        "(the driver's own ~40-word-vocabulary corpus makes EVERY doc pair",
+        "~0.4 Jaccard, so scaling it measures a data pathology — one giant",
+        "near-dup cluster — instead of the operators; see the generator",
+        "docstring). `exp` fits the log-log runtime slope over the 10× hop;",
+        "rows make candidate growth visible even where constants hide",
+        "runtime. All ladder ops must stay ≲ linear in docs (exp ≤ ~1;",
+        "pair-emitting ops scale with planted-pair count, also linear).",
+        "",
+        "| op | 5k docs s (rows) | 15k s (rows) | 50k s (rows) | exp |",
+        "|---|---|---|---|---|",
+    ]
+    for op, t in results.items():
+        exp = (math.log(t["50k"][0]) - math.log(t["5k"][0])) / math.log(10)
+        cells = " | ".join(
+            f"{t[sf][0]:.2f} ({t[sf][1]})" for sf, _ in LADDER_SFS
+        )
+        lines.append(f"| {op} | {cells} | {exp:.2f} |")
+    lines.append("")
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines))
+    print("appended ladder section to SCALING.md")
+
+
 def main() -> None:
     spark = get_spark(app_name="scale_sweep")
     qs = entrymod.queries()
@@ -81,4 +193,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--ladder" in sys.argv:
+        ladder_main()
+    else:
+        main()
