@@ -1647,12 +1647,14 @@ def x_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE — planted-pair recall ≥ 0.9 (observed 0.966-0.974 across SFs
     with the seeded planes) and every emitted pair exactly verified at
     cosine ≥ threshold (precision 1.0 by construction: buckets are
-    candidates only; survivors are exact-cosine-checked)."""
+    candidates only; survivors are exact-cosine-checked). Uses the
+    DEFAULT auto-derived (n_planes, n_tables) config — the scale-safe
+    path a user gets without tuning (auto_lsh_config sizes planes from a
+    corpus count and tables from the threshold's collision probability,
+    so the recall floor holds at any N)."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     corpus = _with_perturbed_dups(e)
-    pairs = similarity.lsh_bucket_pairs(
-        corpus, n_planes=10, threshold=0.99
-    ).collect()
+    pairs = similarity.lsh_bucket_pairs(corpus, threshold=0.99).collect()
     n_planted = e.count()
     found_planted = sum(
         1 for r in pairs if abs(r["id_a"] - r["id_b"]) == 100000

@@ -13,6 +13,7 @@ from data_engineering_capstone_project__spark.operators.dedup import (  # noqa: 
     simhash_pairs,
 )
 from data_engineering_capstone_project__spark.operators.similarity import (  # noqa: F401
+    auto_lsh_config,
     cosine_topk,
     cosine_topk_many,
     ivf_topk,

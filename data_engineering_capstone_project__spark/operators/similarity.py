@@ -125,16 +125,60 @@ def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def auto_lsh_config(
+    n_rows: int,
+    threshold: float,
+    target_bucket: int = 32,
+    target_recall: float = 0.95,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    max_tables: int = 8,
+) -> tuple[int, int]:
+    """Derive a scale-safe (n_planes, n_tables) from the corpus size and
+    the cosine threshold.
+
+    The scale hazard with a FIXED plane count b is that expected bucket
+    population is N/2^b, so in-bucket verify work grows ~N²/2^b — the
+    round-3 ladder sweep measured slope 1.09 at fixed b=10. The fix is to
+    grow b with N so buckets stay ~constant: ``b = ceil(log2(N /
+    target_bucket))``. That alone would sacrifice recall (per-pair
+    collision is p^b with p = 1 - acos(threshold)/π, shrinking as b
+    grows), so the table count L is derived to restore it: a pair at
+    exactly ``threshold`` — the worst case; anything more similar does
+    better — is missed with probability (1 - p^b)^L, and L is the
+    smallest count putting that below ``1 - target_recall``. Both are
+    clamped (b ≤ 24, L ≤ 8) so degenerate inputs can't explode the
+    bucketing cost; total work stays O(L · N · b) projections plus
+    Σ n_b² ≈ L · N · target_bucket verifies — linear in N.
+    """
+    import math
+
+    if n_rows <= 0:
+        return min_planes, 1
+    b = max(min_planes, min(max_planes, math.ceil(math.log2(max(n_rows / max(target_bucket, 1), 2.0)))))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    pb = p**b
+    if pb >= 1.0 - 1e-12 or pb <= 0.0:
+        return b, 1
+    miss = 1.0 - pb
+    want = 1.0 - target_recall
+    n_tables = max(1, min(max_tables, math.ceil(math.log(want) / math.log(miss))))
+    return b, n_tables
+
+
 def lsh_bucket_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int | None = None,
     dim: int = 64,
     threshold: float = 0.9,
     seed: int = 42,
-    n_tables: int = 1,
+    n_tables: int | None = None,
     max_bucket: int | None = None,
+    n_rows: int | None = None,
+    target_bucket: int = 32,
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """Near-neighbor pairs via SRP-LSH bucketing + exact in-bucket cosine
     verification. The scale path for ``embedding_near_dups``: the
@@ -157,7 +201,28 @@ def lsh_bucket_pairs(
     buckets and loses only pairs that ALSO miss in every other table —
     with multiple tables the recall cost is marginal; without a cap the
     guard adds no jobs (the count/join is skipped entirely).
+
+    **Defaults are scale-safe**: when ``n_planes`` is None (the default)
+    the config is derived by ``auto_lsh_config`` from a corpus count —
+    plane count grows with N so buckets stay ~``target_bucket`` rows
+    (linear verify work at any scale), and when ``n_tables`` is also None
+    the table count is sized so a pair at exactly ``threshold`` is still
+    found with probability ≥ ``target_recall``. The count is one cheap
+    column-pruned job; pass ``n_rows`` to skip it when the caller already
+    knows the size. Explicit ``n_planes`` preserves the old fixed-config
+    behavior (with ``n_tables`` defaulting to 1).
     """
+    if n_planes is None:
+        if n_rows is None:
+            n_rows = df.count()
+        auto_b, auto_l = auto_lsh_config(
+            n_rows, threshold, target_bucket=target_bucket, target_recall=target_recall
+        )
+        n_planes = auto_b
+        if n_tables is None:
+            n_tables = auto_l
+    if n_tables is None:
+        n_tables = 1
     tagged = []
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + 7919 * t)

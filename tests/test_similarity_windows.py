@@ -97,6 +97,38 @@ def test_lsh_bucket_guard_preserves_recall(spark, sf_dir):
     assert brute and guarded == brute
 
 
+def test_auto_lsh_config_scale_safety():
+    """Auto config must (a) grow planes with N so expected bucket size
+    stays ~target_bucket — the linear-work invariant — and (b) size the
+    table count so worst-case pair recall meets the target."""
+    import math
+
+    for n in (1_000, 50_000, 500_000, 5_000_000):
+        b, L = similarity.auto_lsh_config(n, threshold=0.99)
+        assert b == min(24, max(4, math.ceil(math.log2(n / 32))))
+        # recall bound at the threshold itself (worst case)
+        p = 1.0 - math.acos(0.99) / math.pi
+        assert L <= 8 and (1.0 - (1.0 - p**b) ** L >= 0.95 or L == 8)
+    # plane count is clamped — degenerate sizes can't explode cost
+    assert similarity.auto_lsh_config(0, 0.9) == (4, 1)
+    assert similarity.auto_lsh_config(10**12, 0.9)[0] == 24
+    # identical-vector threshold needs one table
+    assert similarity.auto_lsh_config(10_000, 1.0)[1] == 1
+
+
+def test_lsh_default_config_recall(spark, sf_dir):
+    """The DEFAULT (auto-derived) config — what an untuned user gets —
+    must recover ≥ 95% of planted near-dup pairs and every emitted pair
+    must be exact-verified at the threshold."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)
+    corpus = _perturbed_corpus(emb)
+    n_planted = emb.count()
+    pairs = similarity.lsh_bucket_pairs(corpus, threshold=0.99).collect()
+    found = sum(1 for r in pairs if abs(r["id_a"] - r["id_b"]) == 100000)
+    assert found / n_planted >= 0.95
+    assert all(r["cosine"] >= 0.99 for r in pairs)
+
+
 def test_ivf_topk_probe(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = similarity.kmeans_centroids(emb, n_centroids=4, n_iter=5, sample_rows=200)

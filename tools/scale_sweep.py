@@ -94,10 +94,11 @@ def ladder_main() -> None:
             1,
         ),
         "paragraph_dedup": (lambda d, e: dedup.paragraph_dedup(d), 2),
+        # DEFAULT config on purpose: this cell proves the auto-derived
+        # (n_planes, n_tables) stays ~linear across the ladder (the
+        # round-3 hazard was fixed n_planes=10 going ~N²/1024)
         "srp_lsh_pairs": (
-            lambda d, e: similarity.lsh_bucket_pairs(
-                planted(e), n_planes=10, threshold=0.99
-            ),
+            lambda d, e: similarity.lsh_bucket_pairs(planted(e), threshold=0.99),
             2,
         ),
     }
