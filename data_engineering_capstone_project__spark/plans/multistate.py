@@ -28,11 +28,13 @@ Scale posture: each state's pipeline is an independent lazy plan
 are unioned **by name** (states differ in raw columns — missing ones fill
 NULL) and written in ONE job partitioned by ``state``, so a 65-state run
 is one scan-to-write Spark job, not 65 serial scripts, and downstream
-readers get partition pruning for free. QA runs per state against that
-state's golden file and rolls up into one small report table; the CLI
-exits non-zero if any state fails, printing a bounded ``qa_diff`` sample
-(the reference's INTERSECT-count method says *that* tables differ, never
-*where* — ``shareOurStrengthSQLCodev4.sql:1116-1126``).
+readers get partition pruning for free. QA runs FIRST — every state's
+lazy ``qa_vs_golden`` report unioned and collected as ONE job — and
+gates the write (a failing run never clobbers the previous good output);
+the CLI exits non-zero if any state fails, printing a bounded
+``qa_diff`` sample (the reference's INTERSECT-count method says *that*
+tables differ, never *where* —
+``shareOurStrengthSQLCodev4.sql:1116-1126``).
 """
 
 from __future__ import annotations
@@ -128,41 +130,39 @@ def state_final(spark: SparkSession, spec: StateSpec, dict_cache: dict | None = 
     )
 
 
-def run_multistate(
-    spark: SparkSession,
-    specs: list[StateSpec],
-    output_path: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Run every state's pipeline; return (combined final, QA rollup).
-
-    The combined final is the by-name union of all states (missing columns
-    NULL-filled — states carry different raw columns); if ``output_path``
-    is given it is written once, ``partitionBy('state')``. The QA rollup
-    has one row per state: counts + equivalence where a golden file
-    exists, a skip note where none does.
-    """
-    dict_cache: dict[str, DataFrame] = {}
-    finals: list[tuple[StateSpec, DataFrame]] = [
-        (spec, state_final(spark, spec, dict_cache)) for spec in specs
-    ]
-    combined = reduce(
-        lambda a, b: a.unionByName(b, allowMissingColumns=True),
-        [df for _, df in finals],
-    )
-    if output_path:
-        combined.write.mode("overwrite").partitionBy("state").parquet(
-            output_path
+def qa_rollup_rows(
+    spark: SparkSession, finals: list[tuple[StateSpec, DataFrame]]
+) -> list[tuple]:
+    """Per-state QA report rows in ONE Spark action: each golden-bearing
+    state's ``qa_vs_golden`` is a lazy one-row plan (see that docstring),
+    tagged with its state, unioned across all states and collected once —
+    65 states cost one rollup job, not 65 serial small jobs. Golden-less
+    states get a literal skip row driver-side (no job at all)."""
+    reports = [
+        qa_vs_golden(df, spark.read.parquet(spec.golden)).select(
+            F.lit(spec.state).alias("state"),
+            F.col("count_a").cast("long").alias("count_a"),
+            F.col("count_b").cast("long").alias("count_b"),
+            F.col("count_common").cast("long").alias("count_common"),
+            "equivalent",
+            "note",
         )
-    rollup_rows = []
-    for spec, df in finals:
+        for spec, df in finals
+        if spec.golden is not None
+    ]
+    by_state: dict[str, object] = {}
+    if reports:
+        qa_all = reduce(lambda a, b: a.unionByName(b), reports)
+        by_state = {r["state"]: r for r in qa_all.collect()}
+    rows = []
+    for spec, _ in finals:
         if spec.golden is None:
-            rollup_rows.append(
+            rows.append(
                 (spec.state, None, None, None, None, "no golden; QA skipped")
             )
             continue
-        golden = spark.read.parquet(spec.golden)
-        row = qa_vs_golden(df, golden).collect()[0]
-        rollup_rows.append(
+        row = by_state[spec.state]
+        rows.append(
             (
                 spec.state,
                 row["count_a"],
@@ -172,7 +172,51 @@ def run_multistate(
                 row["note"],
             )
         )
+    return rows
+
+
+def run_multistate(
+    spark: SparkSession,
+    specs: list[StateSpec],
+    output_path: str | None = None,
+    write_on_qa_fail: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Run every state's pipeline; return (combined final, QA rollup).
+
+    The combined final is the by-name union of all states (missing columns
+    NULL-filled — states carry different raw columns); if ``output_path``
+    is given it is written once, ``partitionBy('state')``. The QA rollup
+    has one row per state: counts + equivalence where a golden file
+    exists, a skip note where none does.
+
+    Two scale/safety properties:
+
+    - **The rollup is ONE Spark job**, not one per state: every state's
+      ``qa_vs_golden`` report is a lazy one-row plan, tagged with its
+      ``state`` and unioned, then collected once — 65 states cost one
+      write + one rollup action, not 1 + 65 serial jobs queueing on a
+      busy cluster.
+    - **QA gates the write**: the rollup runs FIRST and the combined
+      output is written only when no state failed (or
+      ``write_on_qa_fail=True``), so a QA-failing run exits non-zero
+      *without* having clobbered the previous good dataset at
+      ``output_path``.
+    """
+    dict_cache: dict[str, DataFrame] = {}
+    finals: list[tuple[StateSpec, DataFrame]] = [
+        (spec, state_final(spark, spec, dict_cache)) for spec in specs
+    ]
+    combined = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True),
+        [df for _, df in finals],
+    )
+    rollup_rows = qa_rollup_rows(spark, finals)
     rollup = spark.createDataFrame(rollup_rows, QA_ROLLUP_SCHEMA)
+    any_fail = any(r[4] is False for r in rollup_rows)
+    if output_path and (write_on_qa_fail or not any_fail):
+        combined.write.mode("overwrite").partitionBy("state").parquet(
+            output_path
+        )
     return combined, rollup
 
 
@@ -235,6 +279,8 @@ def main(argv: list[str] | None = None) -> int:
     if failed:
         print_qa_failures(spark, specs, rows, sample=args.diff_sample)
         print(f"{len(failed)}/{len(rows)} states failed QA")
+        if out:
+            print(f"output write to {out} skipped (QA gate)")
         return 2
     if out:
         print(f"wrote {out} (partitioned by state, {len(rows)} states)")

@@ -57,8 +57,13 @@ def qa_vs_golden(produced: DataFrame, golden: DataFrame) -> DataFrame:
     Comparison is on the golden's column set (the produced table may carry
     extra derived columns, mirroring the reference QA which compares the
     sponsor's narrower hand-cleaned file).
+
+    Fully LAZY in every path — the schema checks read only driver-side
+    metadata and the mismatch report is built from two count aggregates
+    joined in one plan, never eager ``.count()`` actions — so callers can
+    union many reports (one per state) and collect them as ONE Spark job
+    (``run_multistate``'s rollup).
     """
-    spark = produced.sparkSession
     missing = [c for c in golden.columns if c not in produced.columns]
     p_types = dict(produced.dtypes)
     mistyped = [
@@ -72,10 +77,14 @@ def qa_vs_golden(produced: DataFrame, golden: DataFrame) -> DataFrame:
             notes.append(f"golden columns missing from output: {missing}")
         if mistyped:
             notes.append(f"column type mismatches: {mistyped}")
-        return spark.createDataFrame(
-            [(produced.count(), golden.count(), 0, False, "; ".join(notes))],
-            "count_a long, count_b long, count_common long, "
-            "equivalent boolean, note string",
+        ca = produced.agg(F.count(F.lit(1)).alias("count_a"))
+        cb = golden.agg(F.count(F.lit(1)).alias("count_b"))
+        return ca.crossJoin(cb).select(
+            F.col("count_a"),
+            F.col("count_b"),
+            F.lit(0).cast("long").alias("count_common"),
+            F.lit(False).alias("equivalent"),
+            F.lit("; ".join(notes)).alias("note"),
         )
     report = qa_compare(produced.select(*golden.columns), golden)
     return report.withColumn("note", F.lit(""))

@@ -209,6 +209,90 @@ def test_multistate_qa_rollup_and_exit(spark, manifest_dir, capsys):
     assert "produced-only" in outtext and "golden-only" in outtext
 
 
+def test_multistate_rollup_single_job_and_qa_gated_write(spark, manifest_dir):
+    """At 65 states the rollup must be ONE collected job (lazy per-state
+    qa_vs_golden plans unioned), and a QA failure must leave the previous
+    output untouched (write runs after — and only on — QA pass)."""
+    from data_engineering_capstone_project__spark.plans import multistate as ms
+
+    d, mpath = manifest_dir
+    specs, _ = ms.load_manifest(mpath)
+
+    combined, _ = ms.run_multistate(spark, specs)
+    goldens = {}
+    for st in ("AA", "BB", "CC"):
+        g = combined.filter(combined["state"] == st).drop("state")
+        gp = os.path.join(d, f"golden1j_{st.lower()}")
+        g.write.mode("overwrite").parquet(gp)
+        goldens[st] = gp
+    specs_g = [
+        ms.StateSpec(
+            state=s.state, lunch=s.lunch, breakfast=s.breakfast,
+            dict1=s.dict1, dict2=s.dict2, golden=goldens[s.state],
+        )
+        for s in specs
+    ]
+
+    # ONE driver action for the whole 3-state QA rollup (collect on the
+    # unioned report plan) — job counts are meaningless under AQE (one
+    # action fans into a job per query stage), so count actions directly.
+    # Plan construction (tiny dictionary-TSV collects) happens first,
+    # outside the counted window: those are ~16-row metadata reads, not
+    # per-state data jobs.
+    dict_cache = {}
+    finals = [(s, ms.state_final(spark, s, dict_cache)) for s in specs_g]
+    dfcls = type(spark.range(1))  # concrete class (classic vs connect)
+    actions: list[str] = []
+    orig_collect, orig_count = dfcls.collect, dfcls.count
+
+    def counted_collect(self):
+        actions.append("collect")
+        return orig_collect(self)
+
+    def counted_count(self):
+        actions.append("count")
+        return orig_count(self)
+
+    dfcls.collect = counted_collect
+    dfcls.count = counted_count
+    try:
+        rows = ms.qa_rollup_rows(spark, finals)
+    finally:
+        dfcls.collect = orig_collect
+        dfcls.count = orig_count
+    assert actions == ["collect"]  # one rollup action, zero per-state jobs
+    assert all(r[4] for r in rows)
+
+    # QA-gated write: corrupt one golden, point output at a fresh path —
+    # the failing run must NOT create/replace it
+    bad = spark.read.parquet(goldens["CC"]).withColumn(
+        "NCES ID", F_substr_3("NCES ID")
+    )
+    badp = os.path.join(d, "golden1j_cc_bad")
+    bad.write.mode("overwrite").parquet(badp)
+    specs_bad = [
+        s if s.state != "CC"
+        else ms.StateSpec(
+            state=s.state, lunch=s.lunch, breakfast=s.breakfast,
+            dict1=s.dict1, dict2=s.dict2, golden=badp,
+        )
+        for s in specs_g
+    ]
+    out2 = os.path.join(d, "gated_out")
+    _, rollup2 = ms.run_multistate(spark, specs_bad, output_path=out2)
+    assert any(r["equivalent"] is False for r in rollup2.collect())
+    assert not os.path.exists(out2)  # previous output never clobbered
+    # explicit override still writes
+    ms.run_multistate(spark, specs_bad, output_path=out2, write_on_qa_fail=True)
+    assert os.path.isdir(out2)
+
+
+def F_substr_3(col):
+    from pyspark.sql import functions as F
+
+    return F.col(col).substr(1, 3)
+
+
 def test_manifest_validation(spark, manifest_dir):
     from data_engineering_capstone_project__spark.plans.multistate import (
         load_manifest,
