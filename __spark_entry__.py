@@ -1423,6 +1423,88 @@ FROM orders
 """
 
 
+def d15_tracking_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 "Tracking-Standardized" — the reference's spec-comment-only
+    derived column (``shareOurStrengthSQLCodev4.sql:1035-1039`` pseudocode,
+    never implemented in T-SQL; VERDICT r3 "What's missing" #1):
+    comma-joined names of the Y-flagged models in O..T order, NULL when no
+    flag is set. Demonstrated on orders with six deterministic Y/N flags
+    covering every combination cardinality the pseudocode enumerates."""
+    from data_engineering_capstone_project__spark.plans.derive import (
+        d15_tracking_std as d15_col,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    yn = lambda c: F.when(c, "Y").otherwise("N")  # noqa: E731
+    flags = {
+        "TRADITIONAL_MODEL": yn(F.col("o_orderstatus") == "O"),
+        "MID_MORNING_MODEL": yn(F.col("o_orderpriority").startswith("1")),
+        "CLASSROOM_MODEL": yn(F.col("o_orderpriority").startswith("2")),
+        "REDUCED_PRICE_MODEL": yn(F.month("o_orderdate") <= 6),
+        "GRAB_N_GO_MODEL": yn(F.col("o_totalprice") > 150000),
+        "FREE_MODEL": yn(F.col("o_orderkey") % 2 == 0),
+    }
+    return o.select(
+        "o_orderkey", d15_col(flags).alias("tracking_standardized")
+    )
+
+
+D15_TRACKING_SQL = """
+SELECT o_orderkey,
+       NULLIF(concat_ws(', ',
+         CASE WHEN o_orderstatus = 'O' THEN 'TRADITIONAL_MODEL' END,
+         CASE WHEN o_orderpriority LIKE '1%' THEN 'MID_MORNING_MODEL' END,
+         CASE WHEN o_orderpriority LIKE '2%' THEN 'CLASSROOM_MODEL' END,
+         CASE WHEN month(o_orderdate) <= 6 THEN 'REDUCED_PRICE_MODEL' END,
+         CASE WHEN o_totalprice > 150000 THEN 'GRAB_N_GO_MODEL' END,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'FREE_MODEL' END
+       ), '') AS tracking_standardized
+FROM orders
+"""
+
+
+def d12_fallback_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 WITH the spec-comment-only fallback (``:977-980``: "if [Lunch
+    Meals-Free] is missing then use [Lunch Meals-Free and Reduced] …";
+    VERDICT r3 "What's missing" #2). Orders stand in for the lunch file:
+    free is NULLed for a deterministic subset so both the primary and the
+    fallback branch are exercised; both-null rows stay NULL. The default
+    (no-fallback) behavior remains covered by ``d_derived_measures`` /
+    ``ref_pipeline_e2e`` — this query is the ``intent=True`` variant."""
+    from data_engineering_capstone_project__spark.plans.derive import (
+        d12_fr_enrollment_pct,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    free = F.when(F.col("o_custkey") % 5 != 0, F.col("o_totalprice"))
+    combined = F.when(F.col("o_custkey") % 10 != 0, F.col("o_totalprice") + 100.0)
+    pct = d12_fr_enrollment_pct(
+        cep=F.when(F.col("o_orderkey") % 2 == 0, "Y").otherwise("N"),
+        fr_enrollment=F.dayofmonth("o_orderdate").cast("double"),
+        enr_total=F.col("o_custkey").cast("double") + 1.0,
+        lunch_free=free,
+        lunch_paid=F.col("o_custkey").cast("double"),
+        lunch_free_and_reduced=combined,
+    )
+    return o.select("o_orderkey", pround(pct, 6).alias("fr_pct"))
+
+
+D12_FALLBACK_SQL = """
+SELECT o_orderkey,
+       ROUND(CASE
+         WHEN o_orderkey % 2 != 0
+           THEN CAST(day(o_orderdate) AS DOUBLE) / NULLIF(o_custkey + 1.0, 0)
+         WHEN o_custkey % 5 != 0
+           THEN o_totalprice / NULLIF(o_totalprice + o_custkey, 0)
+         WHEN o_custkey % 10 != 0
+           THEN (o_totalprice + 100.0)
+                / NULLIF(o_totalprice + 100.0 + o_custkey, 0)
+         ELSE NULL
+       END, 6) AS fr_pct
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension ops (north star: LLM-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -3878,6 +3960,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "d_derived_measures": (d_derived_measures, D_MEASURES_SQL),
     "d_recode": (d_recode, D_RECODE_SQL),
     "d_unique_id": (d_unique_id, D_UNIQUE_SQL),
+    "d15_tracking_std": (d15_tracking_std, D15_TRACKING_SQL),
+    "d12_fallback_pct": (d12_fallback_pct, D12_FALLBACK_SQL),
     "x_text_stats": (x_text_stats, X_TEXT_SQL),
     "x_lang_id": (x_lang_id, _lang_sql()),
     "x_exact_dedup": (x_exact_dedup, X_DEDUP_SQL),

@@ -88,12 +88,29 @@ def d11_fr_enrollment(enr_free: Column, enr_reduced: Column) -> Column:
 def d12_fr_enrollment_pct(
     cep: Column, fr_enrollment: Column, enr_total: Column,
     lunch_free: Column, lunch_paid: Column,
+    lunch_free_and_reduced: Column | None = None,
 ) -> Column:
-    """D12 (``:981-988``): CEP='N' → FR/total; CEP='Y' → free/(free+paid)."""
+    """D12 (``:981-988``): CEP='N' → FR/total; CEP='Y' → free/(free+paid).
+
+    ``lunch_free_and_reduced`` enables the spec-comment-only fallback the
+    reference documents but never implemented (``:977-980``, also
+    ``:867``): *"if [Lunch Meals-Free] is missing then use [Lunch
+    Meals-Free and Reduced] / ([Lunch Meals-Free and Reduced] + [Lunch
+    Meals-Paid]), if both null then NULL"*. Left as None (the default)
+    the column reproduces the implemented reference behavior exactly —
+    a NULL Lunch Meals-Free propagates to a NULL percentage under
+    CEP='Y'.
+    """
     lf, lp = try_double(lunch_free), try_double(lunch_paid)
+    cep_y = lf / null_if_zero(lf + lp)
+    if lunch_free_and_reduced is not None:
+        lfr = try_double(lunch_free_and_reduced)
+        cep_y = F.when(lf.isNotNull(), cep_y).otherwise(
+            lfr / null_if_zero(lfr + lp)
+        )
     return (
         F.when(cep == "N", fr_enrollment / null_if_zero(try_double(enr_total)))
-        .when(cep == "Y", lf / null_if_zero(lf + lp))
+        .when(cep == "Y", cep_y)
         .otherwise(F.lit(None))
     )
 
@@ -115,6 +132,34 @@ SCHOOL_TYPE_RECODE = {
 }
 
 
+# flag letter ↔ model column, in the reference's O..T order (:817-825)
+BREAKFAST_MODEL_FLAGS = [
+    ("O", "TRADITIONAL_MODEL"),
+    ("P", "MID_MORNING_MODEL"),
+    ("Q", "CLASSROOM_MODEL"),
+    ("R", "REDUCED_PRICE_MODEL"),
+    ("S", "GRAB_N_GO_MODEL"),
+    ("T", "FREE_MODEL"),
+]
+
+
+def d15_tracking_std(df_cols: dict[str, Column]) -> Column:
+    """D15 "Breakfast Delivery Model from State Agency
+    Tracking-Standardized" — spec-comment-only in the reference
+    (``shareOurStrengthSQLCodev4.sql:1035-1039`` pseudocode; no T-SQL
+    implementation exists): the comma-separated list of model NAMES whose
+    Y/N flag is 'Y', in O..T flag order. The spec's two worked examples
+    (P alone → "MID_MORNING_MODEL"; P and Q → "MID_MORNING_MODEL,
+    CLASSROOM_MODEL") generalize to every flag combination; no flag set →
+    NULL (consistent with the other Standardized columns' NULL default).
+    ``concat_ws`` skips the non-'Y' (NULL) branches JVM-side."""
+    parts = [
+        F.when(df_cols[name] == "Y", F.lit(name))
+        for _, name in BREAKFAST_MODEL_FLAGS
+    ]
+    return F.nullif(F.concat_ws(", ", *parts), F.lit(""))
+
+
 def d13_school_level_std(level: Column) -> Column:
     """D13 (``:996-1015``): 8-branch recode; NULL branch by .isNull() intent."""
     expr = F.when(level.isNull(), "Unknown")
@@ -132,15 +177,26 @@ def d14_school_type_std(school_type: Column) -> Column:
     return expr.otherwise(F.lit(None))
 
 
-def derive_lunch(df: DataFrame) -> DataFrame:
+def derive_lunch(df: DataFrame, intent: bool = False) -> DataFrame:
     """EP3 lunch side (#join1): D1, D3, D4, D7, D8, D11–D14 in one pass.
 
     Expects the post-clean schema of FIXTURES.md A3 (NSLP lunch file).
+
+    ``intent=True`` additionally honors the reference's spec-comment-only
+    D12 fallback (``:977-980``): when a ``Lunch Meals-Free and Reduced``
+    column is present, a NULL Lunch Meals-Free under CEP='Y' falls back
+    to the combined column instead of propagating NULL. Default False =
+    parity with the implemented reference.
     """
     free, red = F.col("Lunch Meals-Free"), F.col("Lunch Meals-Reduced")
     meals = d3_fr_meals(free, red)
     fr_enr = d11_fr_enrollment(F.col("Enrollment-Free"), F.col("Enrollment-Reduced"))
     type_orig = d1_school_type_original(F.col("PUBLIC"), F.col("SCHOOL TYPE"))
+    combined = (
+        F.col("Lunch Meals-Free and Reduced")
+        if intent and "Lunch Meals-Free and Reduced" in df.columns
+        else None
+    )
     return df.select(
         "*",
         type_orig.alias("School Type-Original"),
@@ -152,16 +208,22 @@ def derive_lunch(df: DataFrame) -> DataFrame:
         d12_fr_enrollment_pct(
             F.col("CEP (Y/N)"), fr_enr, F.col("Enrollment-Total"),
             F.col("Lunch Meals-Free"), F.col("Lunch Meals-Paid"),
+            lunch_free_and_reduced=combined,
         ).alias("FR Enrollment Percentage"),
         d13_school_level_std(F.col("School Level-Original")).alias("School Level-Standardized"),
         d14_school_type_std(type_orig).alias("School Type-Standardized"),
     )
 
 
-def derive_breakfast(df: DataFrame) -> DataFrame:
+def derive_breakfast(df: DataFrame, intent: bool = False) -> DataFrame:
     """EP3 breakfast side (#join2): D2, D5, D6, D9, D10 in one pass.
 
     Expects the post-clean schema of FIXTURES.md A2 (SBP breakfast file).
+
+    ``intent=True`` additionally emits the spec-comment-only D15
+    "Breakfast Delivery Model from State Agency Tracking-Standardized"
+    (``:1035-1039``; never implemented in T-SQL). Default False = parity
+    with the implemented reference.
     """
     meals = d3_fr_meals(F.col("Breakfast Meals-Free"), F.col("Breakfast Meals-Reduced"))
     model_cols = {
@@ -171,6 +233,13 @@ def derive_breakfast(df: DataFrame) -> DataFrame:
             "REDUCED_PRICE_MODEL", "GRAB_N_GO_MODEL", "FREE_MODEL",
         )
     }
+    extra = (
+        [d15_tracking_std(model_cols).alias(
+            "Breakfast Delivery Model from State Agency Tracking-Standardized"
+        )]
+        if intent
+        else []
+    )
     return df.select(
         "*",
         d2_breakfast_delivery_model(model_cols).alias(
@@ -180,6 +249,7 @@ def derive_breakfast(df: DataFrame) -> DataFrame:
         d4_adp(meals, F.col("Operating Days-Breakfast Only")).alias("FR Breakfast ADP"),
         d9_school_year(F.col("School Year")).alias("School_Year"),
         d10_target_area().alias("Target Area"),
+        *extra,
     )
 
 

@@ -87,3 +87,65 @@ def test_derive_breakfast_and_assemble(lunch, breakfast):
     assert final.count() == 2  # padded 42 == 000042 links
     cols = final.columns
     assert "FR Lunch ADP" in cols and "FR Breakfast ADP" in cols
+
+
+def test_d15_tracking_standardized_intent(spark, breakfast):
+    """D15 (spec-comment-only, sql:1035-1039): intent=True emits the
+    comma-joined Y-flag model names in O..T order; default stays parity
+    (column absent). Spec's own examples: P alone; P and Q together."""
+    out = derive_breakfast(breakfast, intent=True)
+    col = "Breakfast Delivery Model from State Agency Tracking-Standardized"
+    assert col in out.columns
+    assert col not in derive_breakfast(breakfast).columns  # default = parity
+    rows = {r["school name"]: r[col] for r in out.collect()}
+    # Alpha: O=Y P=NULL Q=N R=Y S=N T=Y
+    assert rows["Alpha Elem"] == "TRADITIONAL_MODEL, REDUCED_PRICE_MODEL, FREE_MODEL"
+    assert rows["Beta High"] is None  # all-N -> NULL
+
+    # the spec's two worked examples
+    ex = spark.createDataFrame(
+        [
+            ("p_only", "2017-10", "1", "N", "Y", "N", "N", "N", "N",
+             "1", "1", "1", None),
+            ("p_and_q", "2017-10", "2", "N", "Y", "Y", "N", "N", "N",
+             "1", "1", "1", None),
+        ],
+        BRKF_SCHEMA,
+    )
+    got = {
+        r["school name"]: r[col]
+        for r in derive_breakfast(ex, intent=True).collect()
+    }
+    assert got["p_only"] == "MID_MORNING_MODEL"
+    assert got["p_and_q"] == "MID_MORNING_MODEL, CLASSROOM_MODEL"
+
+
+def test_d12_fallback_intent(spark):
+    """D12 fallback (spec-comment-only, sql:977-980): under CEP='Y' a NULL
+    Lunch Meals-Free uses the combined column; both NULL stays NULL; the
+    default (intent=False) keeps reference parity (NULL propagates)."""
+    schema = LUNCH_SCHEMA + ", `Lunch Meals-Free and Reduced` string"
+    rows = [
+        # free present: primary branch, combined ignored
+        ("A", "2017-10", "1", "YES", "REGULAR", "50", "0", "50", "1",
+         "1", "1", "100", "Y", "1", "Elementary School", "999"),
+        # free NULL, combined present: fallback branch
+        ("B", "2017-10", "2", "YES", "REGULAR", None, "0", "60", "1",
+         "1", "1", "100", "Y", "2", "Elementary School", "40"),
+        # both NULL: stays NULL
+        ("C", "2017-10", "3", "YES", "REGULAR", None, "0", "60", "1",
+         "1", "1", "100", "Y", "3", "Elementary School", None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["school name"]: r["FR Enrollment Percentage"]
+        for r in derive_lunch(df, intent=True).collect()
+    }
+    assert got["A"] == 50.0 / 100.0
+    assert got["B"] == 40.0 / 100.0
+    assert got["C"] is None
+    parity = {
+        r["school name"]: r["FR Enrollment Percentage"]
+        for r in derive_lunch(df).collect()
+    }
+    assert parity["B"] is None  # implemented-reference behavior preserved
