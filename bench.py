@@ -7,14 +7,39 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
 
 Each query is materialized with the no-op writer (full execution, no
 collect-to-driver cost in the measurement).
+
+The output is self-diagnosing (VERDICT r3 #4): before the session starts
+the harness records any ALREADY-RUNNING JVMs and the 1-minute loadavg,
+and re-checks after the run — three rounds of driver-side BENCH numbers
+were inflated by leftover/concurrent JVMs from earlier harness steps
+while isolated runs were fine, so the artifact now carries a
+``contaminated`` flag plus the evidence (foreign JVM process list, load)
+letting any reader separate plan regressions from machine contention.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+
+def _java_procs() -> dict[int, str]:
+    """pid → truncated cmdline of every running java process."""
+    try:
+        out = subprocess.run(
+            ["pgrep", "-a", "java"], capture_output=True, text=True, timeout=10
+        ).stdout
+    except Exception:  # noqa: BLE001 — diagnosis must never break the bench
+        return {}
+    procs = {}
+    for line in out.splitlines():
+        pid_s, _, cmd = line.partition(" ")
+        if pid_s.isdigit():
+            procs[int(pid_s)] = cmd[:120]
+    return procs
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -53,7 +78,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = os.cpu_count() or 1
+    pre_jvms = _java_procs()  # OUR JVM doesn't exist yet: all are foreign
+    load_pre = os.getloadavg()[0]
     spark = get_spark(app_name="bench")
+    own_jvms = set(_java_procs()) - set(pre_jvms)  # ours (+ session spawn)
     qs = entrymod.queries()
     # JVM/codegen warmup + file-footer caching: one trivial pass over the
     # main tables so per-query timings reflect steady-state execution
@@ -101,6 +130,16 @@ def main() -> None:
         timings[name] = round(med, 3)
         spreads[name] = round(spr, 3)
     total = round(sum(timings.values()), 3)
+    post = _java_procs()
+    foreign_post = {
+        pid: cmd
+        for pid, cmd in post.items()
+        if pid not in own_jvms and pid not in pre_jvms
+    }
+    load_post = os.getloadavg()[0]
+    # contaminated = another JVM shared the machine, or ambient load was
+    # already a sizeable fraction of the cores before our JVM existed
+    contaminated = bool(pre_jvms) or bool(foreign_post) or load_pre > 0.25 * cpus
     print(
         json.dumps(
             {
@@ -113,6 +152,18 @@ def main() -> None:
                 "aggregation": "median of runs 2..n (run 1 warms codegen)",
                 "respread_queries": retried,
                 "spread_policy": "remeasured (<=2x) when spread > 30% of median",
+                "contaminated": contaminated,
+                "contamination": {
+                    "foreign_jvms_pre": [
+                        f"{p}: {c}" for p, c in sorted(pre_jvms.items())
+                    ],
+                    "foreign_jvms_during": [
+                        f"{p}: {c}" for p, c in sorted(foreign_post.items())
+                    ],
+                    "loadavg_pre": round(load_pre, 2),
+                    "loadavg_post": round(load_post, 2),
+                    "cpus": cpus,
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
