@@ -622,18 +622,23 @@ def fuzzy_linkage_join(
         raise ValueError("method='segment' supports how='inner' only")
 
     if method == "scan":
+        # ALL fuzzy predicates live in the join condition, not a
+        # post-join filter: a filter after an outer join would drop the
+        # NULL-extended rows, silently degrading how='left'/'right'/
+        # 'full' to inner semantics. Catalyst extracts the equality
+        # conjuncts as hash keys; the band check precedes levenshtein in
+        # the residual condition so the cheap length test short-circuits
+        # the expensive edit distance during the merge.
         conds: list[Column] = [left[a] == right[b] for a, b in block_keys]
         for a, b in fuzzy_keys:
             conds.append(
                 F.abs(F.length(left[a]) - F.length(right[b])) <= d
             )
+            conds.append(F.levenshtein(left[a], right[b]) <= d)
         cond = conds[0]
         for c in conds[1:]:
             cond = cond & c
-        out = left.join(right, cond, how)
-        for a, b in fuzzy_keys:
-            out = out.filter(F.levenshtein(left[a], right[b]) <= d)
-        return out
+        return left.join(right, cond, how)
 
     cand = fuzzy_candidate_pairs(left, right, block_keys, fuzzy_keys, d)
     nb = len(block_keys)

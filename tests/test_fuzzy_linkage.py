@@ -133,3 +133,41 @@ def test_segment_rejects_outer_join(spark, typo_tables):
             left, right, [("blk", "rblk")], [("name", "rname")], 1,
             how="left", method="segment",
         )
+
+
+def test_scan_outer_join_keeps_null_extended_rows(spark):
+    """ADVICE r3: outer joins must keep non-matching rows NULL-extended —
+    the levenshtein predicate lives in the join condition, not a
+    post-join filter (which silently degraded outer joins to inner)."""
+    left = spark.createDataFrame(
+        [(1, "smith"), (1, "zzzzzzzz"), (2, "jones")], "blk int, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, "smyth"), (3, "brown")], "blk int, rname string"
+    )
+    out = fuzzy_linkage_join(
+        left, right, [("blk", "blk")], [("name", "rname")],
+        max_distance=1, how="left", method="scan",
+    )
+    rows = {(r["name"], r["rname"]) for r in out.collect()}
+    # matched row joined; unmatched left rows retained with NULL right
+    assert rows == {("smith", "smyth"), ("zzzzzzzz", None), ("jones", None)}
+
+    full = fuzzy_linkage_join(
+        left, right, [("blk", "blk")], [("name", "rname")],
+        max_distance=1, how="full", method="scan",
+    )
+    frows = {(r["name"], r["rname"]) for r in full.collect()}
+    assert frows == {
+        ("smith", "smyth"), ("zzzzzzzz", None), ("jones", None),
+        (None, "brown"),
+    }
+
+    # inner semantics unchanged
+    inner = fuzzy_linkage_join(
+        left, right, [("blk", "blk")], [("name", "rname")],
+        max_distance=1, how="inner", method="scan",
+    )
+    assert {(r["name"], r["rname"]) for r in inner.collect()} == {
+        ("smith", "smyth")
+    }
