@@ -1684,9 +1684,13 @@ GROUP BY md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
 
 def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-5-gram Jaccard near-dup pairs (doc_id < 500 subset —
-    the oracle must do the same quadratic work)."""
+    the oracle must do the same quadratic work). prefilter='none' is the
+    provably-lossless AllPairs/PPJoin path — the right mode against an
+    exact SQL oracle; the default 'minhash' tier (identical output up to
+    a ~2e-4 boundary sliver, ~8× cheaper at 50k docs) is exercised by the
+    ladder sweep and the equality unit test."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.8, prefilter="none")
 
 
 X_NGRAM_SQL = r"""

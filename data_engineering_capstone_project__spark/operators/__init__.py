@@ -8,6 +8,7 @@ from data_engineering_capstone_project__spark.operators.dedup import (  # noqa: 
     dedup_by_clusters,
     embedding_contamination,
     exact_dedup,
+    minhash_lsh_candidates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,

@@ -212,12 +212,14 @@ def test_sample_by_hash_full_fraction(spark):
 
 
 def test_ngram_prefix_filter_is_lossless(spark, sf_dir):
-    """Prefix-filtered candidate generation must return the exact same
+    """prefilter='none' candidate generation must return the exact same
     pair set as a full shared-shingle scan (AllPairs completeness)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
     got = {
         (r["id_a"], r["id_b"], r["jaccard"])
-        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, prefilter="none"
+        ).collect()
     }
     # brute-force oracle: all pairs, exact jaccard
     ids = docs.select("doc_id").collect()
@@ -231,6 +233,29 @@ def test_ngram_prefix_filter_is_lossless(spark, sf_dir):
         if r["jaccard"] >= 0.8
     }
     assert got == want
+
+
+def test_ngram_minhash_prefilter_matches_lossless(spark, sf_dir):
+    """The default 'minhash' prefilter tier (64 hashes / 16 bands: miss
+    ~2e-4 at exactly J=t, lower above it) must emit the same verified
+    pair set as the lossless path on a real corpus with planted dups."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    dup = docs.limit(30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dup)
+    lossless = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, threshold=0.8, prefilter="none"
+        ).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.8).collect()
+    }
+    assert lossless and fast == lossless
 
 
 def test_hash_threshold_and_byte_parse_edges():

@@ -82,16 +82,19 @@ def ladder_main() -> None:
         )
         return base.unionByName(dup)
 
-    # (builder, measurement runs) — ngram is the long pole, measured once
+    # (builder, measurement runs)
     OPS = {
         "exact_dedup": (lambda d, e: dedup.exact_dedup(d), 2),
         "minhash_lsh_pairs": (
             lambda d, e: dedup.minhash_lsh_pairs(d, jaccard_threshold=0.8),
             2,
         ),
+        # DEFAULT config: minhash-prefiltered exact verify (r4 #3) — was
+        # the ladder's long pole at 48 s single-run lossless; now cheap
+        # enough for best-of-2 like everything else
         "ngram_jaccard_pairs": (
             lambda d, e: dedup.ngram_jaccard_pairs(d, threshold=0.8),
-            1,
+            2,
         ),
         "paragraph_dedup": (lambda d, e: dedup.paragraph_dedup(d), 2),
         # DEFAULT config on purpose: this cell proves the auto-derived
