@@ -96,57 +96,91 @@ _AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
 
 
 class _HuffDecoder:
-    """Canonical huffman decode tables (T.81 Annex C/F procedure)."""
+    """Canonical huffman decode tables (T.81 Annex C/F procedure) compiled
+    to a FULL 16-bit LUT: JPEG codes are ≤ 16 bits, so one lookup on the
+    next 16 peeked bits resolves ANY symbol and its length — no per-bit
+    walk at all. The 2×65536-entry lists build in ~ms via C-level slice
+    assignment and are MEMOIZED on the raw (bits, vals) table bytes
+    (``_decoder_for``): real corpora overwhelmingly reuse the Annex K
+    typical tables, so across a decode batch the LUT builds once."""
 
     def __init__(self, bits: list[int], vals: list[int]):
         self.vals = vals
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        # lut[v16] -> symbol / code length; length 0 = invalid prefix
+        self.lut_sym = [0] * 65536
+        self.lut_len = [0] * 65536
         code, k = 0, 0
         for length in range(1, 17):
-            n = bits[length - 1]
-            if n:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += n
-                k += n
-                self.maxcode[length] = code - 1
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                span = 1 << (16 - length)
+                self.lut_sym[lo : lo + span] = [vals[k]] * span
+                self.lut_len[lo : lo + span] = [length] * span
+                code += 1
+                k += 1
             code <<= 1
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.buf = 0
-        self.n = 0
+_DECODER_CACHE: dict[tuple, _HuffDecoder] = {}
 
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy data truncated")
-            self.buf = self.data[self.pos]
-            self.pos += 1
-            self.n = 8
-        self.n -= 1
-        return (self.buf >> self.n) & 1
+
+def _decoder_for(bits: list[int], vals: list[int]) -> _HuffDecoder:
+    key = (tuple(bits), tuple(vals))
+    tab = _DECODER_CACHE.get(key)
+    if tab is None:
+        if len(_DECODER_CACHE) > 64:  # bounded: exotic per-image tables
+            _DECODER_CACHE.clear()
+        tab = _HuffDecoder(bits, vals)
+        _DECODER_CACHE[key] = tab
+    return tab
+
+
+class _BitReader:
+    """Bit reader over one entropy-coded interval, vectorization-friendly:
+    the byte stream is pre-packed into overlapping 32-bit big-endian words
+    (numpy, one pass), so peeking the next 16 bits at ANY bit position is
+    two integer ops — no per-bit Python calls. The per-bit ``bit()`` loop
+    this replaces was the decoder's hot path (~70% of decode time)."""
+
+    __slots__ = ("w", "nbits", "pos")
+
+    def __init__(self, data: bytes):
+        d = np.frombuffer(data + b"\x00\x00\x00\x00", dtype=np.uint8).astype(
+            np.uint32
+        )
+        # w[i] = bytes i..i+3 as one big-endian u32 (zero-padded tail);
+        # a Python list because single-element list indexing is ~5× faster
+        # than numpy scalar indexing, and peek16 runs twice per symbol
+        self.w = ((d[:-3] << 24) | (d[1:-2] << 16) | (d[2:-1] << 8) | d[3:]).tolist()
+        self.nbits = 8 * len(data)
+        self.pos = 0
+
+    def peek16(self) -> int:
+        """Next 16 bits at the current position (zero-padded past the
+        end — callers bound-check before CONSUMING, not peeking)."""
+        p = self.pos
+        return (self.w[p >> 3] >> (16 - (p & 7))) & 0xFFFF
 
     def bits(self, count: int) -> int:
-        v = 0
-        for _ in range(count):
-            v = (v << 1) | self.bit()
+        if count == 0:
+            return 0
+        if self.pos + count > self.nbits:
+            raise ValueError("JPEG entropy data truncated")
+        v = self.peek16() >> (16 - count)
+        self.pos += count
         return v
 
 
 def _decode_symbol(br: _BitReader, tab: _HuffDecoder) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        if tab.maxcode[length] >= code >= tab.mincode[length] \
-                and tab.maxcode[length] >= 0:
-            return tab.vals[tab.valptr[length] + code - tab.mincode[length]]
-    raise ValueError("invalid huffman code in JPEG stream")
+    p = br.pos
+    v16 = (br.w[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+    ln = tab.lut_len[v16]
+    if ln == 0:
+        raise ValueError("invalid huffman code in JPEG stream")
+    if p + ln > br.nbits:
+        raise ValueError("JPEG entropy data truncated")
+    br.pos = p + ln
+    return tab.lut_sym[v16]
 
 
 def _extend(v: int, t: int) -> int:
@@ -155,48 +189,94 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
-def _decode_block(br, dc_tab, ac_tab, pred: int):
-    t = _decode_symbol(br, dc_tab)
-    pred += _extend(br.bits(t), t)
-    zz = np.zeros(64, dtype=np.int64)
-    zz[0] = pred
+def _decode_block(br, dc_tab, ac_tab, pred: int, base: int, idxs: list, vals: list):
+    """Entropy-decode one 8×8 block, appending only its NONZERO zigzag
+    coefficients as (``base + k``, value) into the flat ``idxs``/``vals``
+    buffers (``base`` = 64 × running block index for this component).
+
+    Two deliberate speed choices: the symbol/magnitude reads are INLINED
+    (no _decode_symbol/bits calls — at ~10 huffman symbols per block the
+    CPython call + attribute overhead was ~2× the arithmetic), and blocks
+    are recorded SPARSELY (typical blocks carry ~10 nonzeros of 64, so
+    appending pairs beats materializing a 64-long list per block; phase 2
+    scatters all components' coefficients with one fancy-indexed numpy
+    store)."""
+    w, nbits, pos = br.w, br.nbits, br.pos
+    dc_len, dc_sym = dc_tab.lut_len, dc_tab.lut_sym
+    ac_len, ac_sym = ac_tab.lut_len, ac_tab.lut_sym
+    v16 = (w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+    ln = dc_len[v16]
+    if ln == 0:
+        raise ValueError("invalid huffman code in JPEG stream")
+    if pos + ln > nbits:
+        raise ValueError("JPEG entropy data truncated")
+    t = dc_sym[v16]
+    pos += ln
+    if t:
+        if pos + t > nbits:
+            raise ValueError("JPEG entropy data truncated")
+        v = ((w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (16 - t)
+        pos += t
+        pred += v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+    if pred:
+        idxs.append(base)
+        vals.append(pred)
     k = 1
     while k < 64:
-        rs = _decode_symbol(br, ac_tab)
-        r, s = rs >> 4, rs & 15
+        v16 = (w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+        ln = ac_len[v16]
+        if ln == 0:
+            raise ValueError("invalid huffman code in JPEG stream")
+        if pos + ln > nbits:
+            raise ValueError("JPEG entropy data truncated")
+        rs = ac_sym[v16]
+        pos += ln
+        s = rs & 15
         if s == 0:
-            if r == 15:  # ZRL: 16 zeros
+            if rs == 0xF0:  # ZRL: 16 zeros
                 k += 16
                 continue
             break  # EOB
-        k += r
+        k += rs >> 4
         if k > 63:
             raise ValueError("JPEG AC coefficient index overflow")
-        zz[k] = _extend(br.bits(s), s)
+        if pos + s > nbits:
+            raise ValueError("JPEG entropy data truncated")
+        v = ((w[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (16 - s)
+        pos += s
+        idxs.append(base + k)
+        vals.append(v - (1 << s) + 1 if v < (1 << (s - 1)) else v)
         k += 1
-    return zz, pred
+    br.pos = pos
+    return pred
 
 
 def _entropy_intervals(payload: bytes, start: int) -> tuple[list[bytes], int]:
     """Split the scan's entropy-coded bytes at restart markers, unstuffing
     0xFF00 → 0xFF. Returns (intervals, position of the terminating marker).
+
+    Jumps 0xFF-to-0xFF with C-level ``bytes.find`` and copies the spans
+    between them wholesale — the per-byte Python loop this replaces cost
+    as much as the whole huffman decode on typical (mostly non-FF) data.
     """
     out, cur, i, n = [], bytearray(), start, len(payload)
     while i < n:
-        b = payload[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        j = payload.find(b"\xff", i)
+        if j == -1:
+            cur += payload[i:]
+            i = n
+            break
+        cur += payload[i:j]
+        nxt = payload[j + 1] if j + 1 < n else 0xD9
         if nxt == 0x00:
             cur.append(0xFF)
-            i += 2
+            i = j + 2
         elif 0xD0 <= nxt <= 0xD7:  # RSTn
             out.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 2
         else:  # real marker: end of scan
+            i = j
             break
     out.append(bytes(cur))
     return out, i
@@ -216,6 +296,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # optional fill bytes: any number of 0xFF may pad before a marker
+        # (T.81 B.1.1.2) — without this skip, seg_len reads from the wrong
+        # offset and an otherwise-valid file desyncs
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -257,8 +342,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nv])
-                tab = _HuffDecoder(bits, vals)
-                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decoder_for(bits, vals)
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -288,37 +372,62 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart_interval,
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((8 * c["v"] * mcus_y, 8 * c["h"] * mcus_x))
-        for c in comps
-    }
-    preds = {c["id"]: 0 for c in comps}
+    # phase 1 — entropy decode only (Python-speed, LUT huffman): collect
+    # every component's nonzero zigzag coefficients sparsely, in MCU order
+    ncomp = len(comps)
+    comp_idx: list[list[int]] = [[] for _ in range(ncomp)]
+    comp_val: list[list[int]] = [[] for _ in range(ncomp)]
+    comp_nblocks = [0] * ncomp
+    preds = [0] * ncomp
+    # per-MCU block dispatch hoisted out of the loop: one tuple per block
+    # in scan order, with SMALL-INT component indices (list indexing, not
+    # dict hashing, in the per-block loop)
+    seq = []
+    for ci, c in enumerate(comps):
+        dc_t, ac_t = scan[c["id"]]
+        for _ in range(c["v"] * c["h"]):
+            seq.append(
+                (dc_tabs[dc_t], ac_tabs[ac_t], comp_idx[ci], comp_val[ci], ci)
+            )
     interval_idx = 0
     br = _BitReader(intervals[0])
     for mcu in range(mcus_x * mcus_y):
         if restart_interval and mcu and mcu % restart_interval == 0:
             interval_idx += 1
+            if interval_idx >= len(intervals):
+                raise ValueError(
+                    "JPEG entropy data truncated at restart marker"
+                )
             br = _BitReader(intervals[interval_idx])
-            preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcus_x)
-        for c in comps:
-            dc_t, ac_t = scan[c["id"]]
-            q = qt[c["tq"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz, preds[c["id"]] = _decode_block(
-                        br, dc_tabs[dc_t], ac_tabs[ac_t], preds[c["id"]]
-                    )
-                    coeffs = np.zeros(64)
-                    coeffs[ZIGZAG] = zz
-                    block = _M.T @ (coeffs.reshape(8, 8) * q) @ _M
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
-    # upsample each component to full resolution and crop
+            preds = [0] * ncomp
+        for dc, ac, idxs, vls, ci in seq:
+            preds[ci] = _decode_block(
+                br, dc, ac, preds[ci], comp_nblocks[ci] << 6, idxs, vls
+            )
+            comp_nblocks[ci] += 1
+    # phase 2 — vectorized dequant + IDCT + placement: ALL of a
+    # component's blocks un-zigzag/dequantize/IDCT in one einsum, then a
+    # transpose-reshape lays the (my, mx, by, bx)-ordered blocks onto the
+    # plane grid; upsample and crop
     full = []
-    for c in comps:
-        p = planes[c["id"]]
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        nb = comp_nblocks[ci]
+        ia = np.array(comp_idx[ci], dtype=np.int64)
+        va = np.array(comp_val[ci], dtype=np.float64)
+        flat = np.zeros(nb * 64, dtype=np.float64)
+        # sparse scatter: flat index = block_base + ZIGZAG[in-block pos]
+        flat[(ia & ~63) + ZIGZAG[ia & 63]] = va
+        blocks3 = flat.reshape(-1, 8, 8) * q
+        # batched BLAS matmuls — einsum's naive 4-index loop was ~20×
+        # slower than two broadcasted (n,8,8)@(8,8) products
+        idct = (_M.T @ blocks3) @ _M + 128.0
+        cv, ch = c["v"], c["h"]
+        p = (
+            idct.reshape(mcus_y, mcus_x, cv, ch, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(8 * cv * mcus_y, 8 * ch * mcus_x)
+        )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if vmax % c["v"] or hmax % c["h"]:
             raise NotImplementedError("non-integer chroma sampling ratio")
@@ -333,11 +442,16 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart_interval,
     if len(full) != 3:
         raise NotImplementedError(f"{len(full)}-component JPEG")
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+    # channel-at-a-time into a preallocated output (no stack + big temp);
+    # clip in place, truncate-to-uint8 == original rounded semantics
+    out = np.empty((*y.shape, 3), dtype=np.uint8)
+    for i, chan in enumerate(
+        (y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb)
+    ):
+        chan += 0.5
+        np.clip(chan, 0, 255, out=chan)
+        out[:, :, i] = chan
+    return out
 
 
 # ---------------------------------------------------------------- encoder

@@ -94,3 +94,39 @@ def test_resize_images_real_jpeg_input(spark):
     out = mm.resize_images(df, target_w=8, target_h=8, fake=False).collect()
     resized = ic.decode_png(out[0]["payload"])
     assert resized.shape == (8, 8, 3)
+
+
+def test_fill_bytes_before_marker_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker; the segment parser must skip them (ADVICE r3)."""
+    img = _gradient(24, 24)
+    payload = jc.encode_jpeg(img, quality=90)
+    i = payload.index(b"\xff\xc0")  # pad before SOF0
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    assert np.array_equal(jc.decode_jpeg(padded), jc.decode_jpeg(payload))
+
+
+def test_truncated_restart_intervals_raise_value_error():
+    """A DRI stream with fewer restart intervals than MCUs must raise the
+    codec's documented ValueError, not IndexError (ADVICE r3)."""
+    import pytest
+
+    img = _gradient(64, 64)
+    payload = jc.encode_jpeg(img, quality=90)
+    # inject a DRI segment (interval=1) without providing restart markers
+    i = payload.index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    hacked = payload[:i] + dri + payload[i:]
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(hacked)
+
+
+def test_huffman_lut_cache_shared_tables():
+    """Decoders are memoized on the raw (bits, vals) tables — two decodes
+    with the standard Annex K tables must reuse the same LUT objects."""
+    img = _gradient(16, 16)
+    p1 = jc.encode_jpeg(img, quality=90)
+    jc.decode_jpeg(p1)
+    before = len(jc._DECODER_CACHE)
+    jc.decode_jpeg(jc.encode_jpeg(img, quality=50))  # same huffman tables
+    assert len(jc._DECODER_CACHE) == before
