@@ -7,6 +7,7 @@ from data_engineering_capstone_project__spark.operators.dedup import (  # noqa: 
     contamination_check,
     dedup_by_clusters,
     embedding_contamination,
+    auto_minhash_config,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_lsh_pairs,

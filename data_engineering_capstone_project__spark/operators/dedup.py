@@ -164,6 +164,80 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs, F.count("*").alias("_sz"))
 
 
+def auto_minhash_config(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.99,
+    baseline_j: float = 0.2,
+    max_hashes: int = 256,
+    candidate_budget_per_row: float = 20.0,
+) -> tuple[int, int]:
+    """Scale-safe (num_hashes, bands) for banded MinHash LSH.
+
+    Fixed banding has the same hazard the SRP planes had: random (non-dup)
+    pairs at baseline similarity J₀ collide in a band with probability
+    J₀^r, so candidate mass grows as ``N²·b·J₀^r`` — quadratic at any
+    fixed r (measured on the 500k-doc ladder corpus: r=4 → 60.4M
+    candidates, r=8 → 30k). The fix is to GROW selectivity with N: per r,
+    size bands for ``target_recall`` at exactly J = threshold
+    (``b = ⌈ln(1−R)/ln(1−t^r)⌉``), then pick the r whose estimated cost —
+    signature work ``N·r·b`` plus candidate work ``N²/2·b·J₀^r`` — is
+    lowest among configs whose candidate mass fits
+    ``candidate_budget_per_row·N`` (falling back to the overall min-cost
+    config when the budget is infeasible at ``max_hashes``). The
+    signature pass is the LINEAR part and is cheap to widen (measured:
+    200 hashes ≈ 64 hashes per-row cost — the explode shuffle dominates),
+    so spending hashes to kill quadratic candidates is the right trade at
+    every large N. ``baseline_j`` is a prior for corpora with no better
+    estimate: ~0.07 measured on the sparse-vocab ladder corpus, ~0.2 a
+    conservative default for natural text, ~0.4 for the pathological
+    tiny-vocab driver corpus (callers with such data should pass it).
+    """
+    import math
+
+    if n_rows <= 1:
+        return 32, 8
+
+    def search(recall: float):
+        best = None  # (cost, r, b) among candidate-budget-feasible configs
+        for r in range(2, 17):
+            pr = threshold**r
+            if pr >= 1.0 - 1e-12:
+                b = 1
+            else:
+                b = max(
+                    1,
+                    math.ceil(
+                        math.log(max(1.0 - recall, 1e-12))
+                        / math.log(1.0 - pr)
+                    ),
+                )
+            if r * b > max_hashes:
+                continue
+            fp = (n_rows * n_rows / 2.0) * b * (baseline_j**r)
+            if fp > candidate_budget_per_row * n_rows:
+                continue
+            cost = n_rows * r * b + 10.0 * fp
+            if best is None or cost < best[0]:
+                best = (cost, r, b)
+        return best
+
+    # recall yields BEFORE scalability: if no config under the hash cap
+    # meets the candidate budget at the target recall, step the recall
+    # floor down — a quietly quadratic default is the one unacceptable
+    # outcome (the SRP-planes lesson); the achieved recall is always the
+    # printed b/r math, never silent
+    for recall in (target_recall, 0.95, 0.9, 0.8, 0.5):
+        best = search(recall)
+        if best is not None:
+            _, r, b = best
+            return r * b, b
+    # even recall 0.5 infeasible (extreme N / baseline): max selectivity
+    r = max(2, max_hashes // max(1, max_hashes // 16))
+    b = max(1, max_hashes // r)
+    return r * b, b
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -239,19 +313,30 @@ def minhash_lsh_candidates(
     est_floor = t - 4.0 * math.sqrt(max(t * (1.0 - t), 0.0) / num_hashes)
     if est_floor <= 0.0:
         return cand
+    # hint("merge"): signatures are O(docs × num_hashes longs) — hundreds
+    # of MB at corpus scale — and post-aggregate size estimates can pick
+    # a driver-killing broadcast (see verify_jaccard); sort-merge scales
     sig_a = sigs.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
-    )
+    ).hint("merge")
     sig_b = sigs.select(
         F.col(id_col).alias("id_b"),
         *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
-    )
-    matches: Column = F.lit(0)
-    for i in range(num_hashes):
-        matches = matches + F.when(
-            F.col(f"ha{i}") == F.col(f"hb{i}"), 1
-        ).otherwise(0)
+    ).hint("merge")
+    # balanced pairwise sum: a left-leaning 300+-term `+` chain builds an
+    # expression tree deep enough to StackOverflow Catalyst's recursive
+    # analysis; the balanced tree is depth ⌈log2(num_hashes)⌉
+    terms: list[Column] = [
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    matches = terms[0]
     return (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
@@ -264,10 +349,13 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    est_filter: bool = True,
+    n_rows: int | None = None,
+    baseline_j: float = 0.2,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified by exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -280,9 +368,31 @@ def minhash_lsh_pairs(
     verify — the size is a free extra aggregate in the signature pass,
     and on corpora with hot shared shingles the filter removes a large
     slice of the verification workload with zero recall cost.
+
+    **Defaults are scale-safe**: when ``num_hashes`` is None the band
+    config is derived by ``auto_minhash_config`` from a corpus count
+    (pass ``n_rows`` to skip the count job) — selectivity (rows per
+    band) grows with N so random-collision candidates stay ~linear,
+    and band count restores ≥ 99% recall at exactly the threshold.
+    ``est_filter`` (default on) additionally prunes surviving bucket
+    collisions by signature agreement before the exact verify (per-pair
+    miss ~2e-5; see ``minhash_lsh_candidates``). Explicit
+    ``num_hashes``/``bands`` preserve any fixed config.
     """
+    if num_hashes is None:
+        if n_rows is None:
+            n_rows = df.count()
+        auto_nh, auto_b = auto_minhash_config(
+            n_rows, jaccard_threshold, baseline_j=baseline_j
+        )
+        num_hashes = auto_nh
+        if bands is None:
+            bands = auto_b
+    if bands is None:
+        bands = 8
     cand = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_k, jaccard_threshold
+        df, id_col, text_col, num_hashes, bands, shingle_k,
+        jaccard_threshold, est_filter=est_filter,
     )
     return verify_jaccard(df, cand, id_col, text_col, shingle_k).filter(
         F.col("jaccard") >= jaccard_threshold
@@ -310,14 +420,35 @@ def verify_jaccard(
     million-shingle documents would make wide rows — chunk or pre-filter
     such outliers upstream.
     """
+    # pairs is consumed twice (candidate-id projection + the output
+    # join): persist so an expensive upstream candidate generation
+    # (LSH bucketing + signature passes) materializes exactly once
+    pairs = pairs.persist()
+    # shingle ONLY the docs that appear in a pair: at corpus scale the
+    # candidate set touches a small fraction of documents, and exploding
+    # all N docs to build arrays nobody reads was the verify stage's real
+    # cost (500k docs → ~650M exploded rows for ~40k candidate docs)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     # joined twice (a-side and b-side) — persist so shingling runs once.
     # Arrays are assembled from the codegen shingle explode (collect_set
     # over already-distinct rows) — the HOF array build was ~35× slower.
+    # hint("merge"): the shingle-array relation is O(corpus-bytes) and
+    # must NEVER broadcast — Catalyst's size estimate of a post-aggregate
+    # relation is unreliable, and at 500k docs it picked a ~1.3 GB
+    # broadcast that exceeded spark.driver.maxResultSize and killed the
+    # job; pinning sort-merge keeps the join shuffle-partitioned at any N
     sh = (
-        exploded_char_shingles(df, id_col, text_col, shingle_k)
+        exploded_char_shingles(
+            df.join(cand_ids, id_col, "leftsemi"), id_col, text_col, shingle_k
+        )
         .groupBy(id_col)
         .agg(F.collect_set("sh").alias("sh"))
         .persist()
+        .hint("merge")
     )
     out = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
@@ -386,9 +517,17 @@ def ngram_jaccard_pairs(
     if prefilter not in ("minhash", "none"):
         raise ValueError(f"unknown prefilter {prefilter!r}")
     if prefilter == "minhash":
+        # auto band config at a HIGH recall target (0.9995 at exactly
+        # J=t; better above it) — the signature pass is linear and cheap
+        # to widen, so the prefilter spends hashes to keep candidates
+        # linear AND the output measurably identical to the lossless path
+        nh, nb = auto_minhash_config(
+            df.count(), threshold, target_recall=0.9995, max_hashes=384,
+            candidate_budget_per_row=100.0,
+        )
         cand = minhash_lsh_candidates(
             df, id_col, text_col,
-            num_hashes=64, bands=16, shingle_k=shingle_k,
+            num_hashes=nh, bands=nb, shingle_k=shingle_k,
             jaccard_threshold=threshold, est_filter=True,
         )
         return verify_jaccard(df, cand, id_col, text_col, shingle_k).filter(

@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # wide-agg plans (auto-sized MinHash signatures run up to ~350
+        # min-aggregates) stay inside whole-stage codegen; the default
+        # cap of 100 fields silently drops them to interpreted eval
+        .config("spark.sql.codegen.maxFields", "400")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -235,6 +235,30 @@ def test_ngram_prefix_filter_is_lossless(spark, sf_dir):
     assert got == want
 
 
+def test_auto_minhash_config_scale_safety():
+    """Selectivity (rows per band) must grow with N — the candidate-mass
+    invariant — while bands keep recall ≥ target at exactly J=t; the
+    hash budget is clamped."""
+    import math
+
+    t = 0.8
+    prev_r = 0
+    for n in (500, 5_000, 50_000, 500_000, 50_000_000):
+        nh, b = dedup.auto_minhash_config(n, t)
+        r = nh // b
+        assert nh == r * b and nh <= 256
+        assert r >= prev_r  # selectivity never decreases with N
+        prev_r = r
+        # recall yields before scalability, but never below the floor
+        assert 1.0 - (1.0 - t**r) ** b >= 0.5
+        if n <= 500_000:
+            assert 1.0 - (1.0 - t**r) ** b >= 0.99
+        # modeled random-collision mass is bounded (the linearity claim)
+        fp = (n * n / 2.0) * b * (0.2**r)
+        assert fp <= 20.0 * n
+    assert dedup.auto_minhash_config(0, t) == (32, 8)  # degenerate input
+
+
 def test_ngram_minhash_prefilter_matches_lossless(spark, sf_dir):
     """The default 'minhash' prefilter tier (64 hashes / 16 bands: miss
     ~2e-4 at exactly J=t, lower above it) must emit the same verified

@@ -16,7 +16,10 @@ duplicates and 2% near-duplicates (5% of words substituted) per scale,
 plus embedding near-dup pairs come from the sweep's own planting.
 
 Deterministic (seed=42), writes /tmp/spark_graft_ladder/{n}/…; derived
-data — regenerate any time, never touches /root/testdata.
+data — regenerate any time, never touches /root/testdata. ``--big`` adds
+the 500k-doc scale (100× over the smallest rung); documents stream to
+parquet in 25k-doc row groups so generation memory stays bounded at any
+scale.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ sys.path.insert(0, "/root/repo")
 
 OUT_ROOT = "/tmp/spark_graft_ladder"
 SCALES = [5_000, 15_000, 50_000]
+BIG_SCALE = 500_000  # opt-in with --big: the 100x decade (VERDICT r3 #6)
 VEC_FRACTION = 0.4  # embeddings rows = 0.4 x docs (driver ratio)
 DIM = 64
 VOCAB = 5_000
@@ -78,53 +82,80 @@ def main() -> None:
     zipf_w = 1.0 / np.arange(1, VOCAB + 1) ** 1.1
     zipf_p = zipf_w / zipf_w.sum()
 
-    for n_docs in SCALES:
+    scales = SCALES + ([BIG_SCALE] if "--big" in sys.argv else [])
+    for n_docs in scales:
         out_dir = os.path.join(OUT_ROOT, str(n_docs))
         os.makedirs(out_dir, exist_ok=True)
         n_base = int(n_docs * 0.96)
         n_exact = int(n_docs * 0.02)
         n_near = n_docs - n_base - n_exact
 
-        texts: list[str] = []
-        for _ in range(n_base):
-            n = int(lens[rng.integers(0, len(lens))])
-            texts.append(
-                " ".join(vocab[rng.choice(VOCAB, size=n, p=zipf_p)])
-            )
-        # planted exact dups: copies of random base docs
-        for i in rng.integers(0, n_base, size=n_exact):
-            texts.append(texts[int(i)])
-        # planted near dups: ~5% of words substituted
-        for i in rng.integers(0, n_base, size=n_near):
-            words = texts[int(i)].split(" ")
-            k = max(1, len(words) // 20)
-            for j in rng.integers(0, len(words), size=k):
-                words[int(j)] = str(vocab[int(rng.choice(VOCAB, p=zipf_p))])
-            texts.append(" ".join(words))
+        # STREAMING write (one ParquetWriter, chunked row groups) so the
+        # 500k-doc scale (~1 GB of text) never materializes in memory; a
+        # bounded pool of base docs provides the dup-planting sources
+        doc_path = os.path.join(out_dir, "documents.parquet")
+        writer = None
+        doc_id = 0
+        pool: list[str] = []
+        pool_cap = min(n_base, 20_000)
 
-        pq.write_table(
-            pa.table(
+        def flush(texts: list[str]) -> None:
+            nonlocal writer, doc_id
+            tbl = pa.table(
                 {
-                    "doc_id": pa.array(range(n_docs), pa.int64()),
+                    "doc_id": pa.array(
+                        range(doc_id, doc_id + len(texts)), pa.int64()
+                    ),
                     "text": pa.array(texts, pa.string()),
                     "lang": pa.array(
                         [
                             lang_names[int(rng.choice(len(lang_names), p=lang_p))]
-                            for _ in range(n_docs)
+                            for _ in range(len(texts))
                         ],
                         pa.string(),
                     ),
                     "source": pa.array(
-                        [f"src{int(rng.integers(0, 10))}" for _ in range(n_docs)],
+                        [f"src{int(rng.integers(0, 10))}" for _ in range(len(texts))],
                         pa.string(),
                     ),
-                    "n_chars": pa.array(
-                        [len(t) for t in texts], pa.int64()
-                    ),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
                 }
-            ),
-            os.path.join(out_dir, "documents.parquet"),
-        )
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(doc_path, tbl.schema)
+            writer.write_table(tbl)
+            doc_id += len(texts)
+
+        chunk = 25_000
+        remaining = n_base
+        while remaining:
+            b = min(chunk, remaining)
+            texts = []
+            for _ in range(b):
+                n = int(lens[rng.integers(0, len(lens))])
+                texts.append(
+                    " ".join(vocab[rng.choice(VOCAB, size=n, p=zipf_p)])
+                )
+            if len(pool) < pool_cap:
+                pool.extend(texts[: pool_cap - len(pool)])
+            flush(texts)
+            remaining -= b
+        # planted exact dups: copies of pooled base docs
+        for lo in range(0, n_exact, chunk):
+            b = min(chunk, n_exact - lo)
+            flush([pool[int(i)] for i in rng.integers(0, len(pool), size=b)])
+        # planted near dups: ~5% of words substituted
+        for lo in range(0, n_near, chunk):
+            b = min(chunk, n_near - lo)
+            texts = []
+            for i in rng.integers(0, len(pool), size=b):
+                words = pool[int(i)].split(" ")
+                k = max(1, len(words) // 20)
+                for j in rng.integers(0, len(words), size=k):
+                    words[int(j)] = str(vocab[int(rng.choice(VOCAB, p=zipf_p))])
+                texts.append(" ".join(words))
+            flush(texts)
+        writer.close()
 
         n_vecs = int(n_docs * VEC_FRACTION)
         vecs = rng.standard_normal((n_vecs, DIM)).astype(np.float32)

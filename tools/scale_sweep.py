@@ -43,6 +43,9 @@ LADDER_SFS = [
     ("15k", "/tmp/spark_graft_ladder/15000"),
     ("50k", "/tmp/spark_graft_ladder/50000"),
 ]
+# 100x decade — present when gen_scale_data.py ran with --big
+if __import__("os").path.isdir("/tmp/spark_graft_ladder/500000"):
+    LADDER_SFS.append(("500k", "/tmp/spark_graft_ladder/500000"))
 
 
 def ladder_main() -> None:
@@ -108,10 +111,12 @@ def ladder_main() -> None:
     results: dict[str, dict[str, tuple[float, int]]] = {
         op: {} for op in OPS
     }
+    ndocs: dict[str, int] = {}
     for sf, sf_dir in LADDER_SFS:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_docs = docs.count()
+        ndocs[sf] = n_docs
         for op, (fn, n_runs) in OPS.items():
             best, rows = None, 0
             for _ in range(n_runs):
@@ -139,11 +144,15 @@ def ladder_main() -> None:
         "runtime. All ladder ops must stay ≲ linear in docs (exp ≤ ~1;",
         "pair-emitting ops scale with planted-pair count, also linear).",
         "",
-        "| op | 5k docs s (rows) | 15k s (rows) | 50k s (rows) | exp |",
-        "|---|---|---|---|---|",
+        "| op | "
+        + " | ".join(f"{sf} s (rows)" for sf, _ in LADDER_SFS)
+        + " | exp |",
+        "|---|" + "---|" * (len(LADDER_SFS) + 1),
     ]
+    first_sf, last_sf = LADDER_SFS[0][0], LADDER_SFS[-1][0]
+    span = math.log(ndocs[last_sf] / ndocs[first_sf])
     for op, t in results.items():
-        exp = (math.log(t["50k"][0]) - math.log(t["5k"][0])) / math.log(10)
+        exp = (math.log(t[last_sf][0]) - math.log(t[first_sf][0])) / span
         cells = " | ".join(
             f"{t[sf][0]:.2f} ({t[sf][1]})" for sf, _ in LADDER_SFS
         )
