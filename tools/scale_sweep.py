@@ -132,7 +132,7 @@ def ladder_main() -> None:
                 f.write(line + "\n")
     lines = [
         "",
-        "## Dedup-ladder sweep (5k → 50k docs, generated sparse corpus)",
+        "## Dedup-ladder sweep (generated sparse corpus)",
         "",
         "Data: `tools/gen_scale_data.py` — driver-shaped documents over a",
         "5,000-word vocabulary with 2% planted exact + 2% near duplicates",
