@@ -621,6 +621,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_block: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -628,6 +629,21 @@ def simhash_pairs(
     ``max_hamming+1`` blocks — pigeonhole guarantees any pair within the
     distance shares at least one exact block. Join on (block_idx, block
     value), then verify with bit_count(xor).
+
+    ``max_block`` (default on) is the dense-group guard — the same
+    default-config hazard class as fixed LSH band/plane counts: block
+    width is FORCED at ``64/(d+1)`` bits, so random fingerprints collide
+    in some block with probability ~``(d+1)·2^-width`` and candidate
+    mass grows ~N². Oversized (block, value) groups get a SECOND-LEVEL
+    pigeonhole: a pair at distance ≤ d that matches block i exactly has
+    all ≤ d differing bits in the remaining ``64-width`` bits, so at
+    least one of their d+1 sub-blocks of that remainder matches exactly
+    — the join key gains (sub_idx, sub_val) for those groups only, which
+    is lossless and divides a dense group's quadratic by ~2^sub_width
+    (identical-fingerprint cliques are true near-dup output and stay
+    whole — at that density use clustering, not pair emission). Small
+    groups keep the plain one-row key, so corpora that never trip the
+    cap pay only the group-count aggregate.
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
@@ -647,14 +663,72 @@ def simhash_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.blk", "bb.val")
-    a, b = blocks.alias("a"), blocks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    join_keys = ["blk", "val"]
+    if max_block is not None:
+        counts = blocks.groupBy("blk", "val").agg(F.count("*").alias("_n"))
+        # remainder = the 64-width bits of simhash with block `blk`
+        # excised (high part shifted down over the block's hole). Shift
+        # amounts must be Python ints (PySpark's shift builtins reject
+        # Column counts), so the remainder is a small CASE over the d+1
+        # possible block indices, each branch with constant shifts; the
+        # top block's branch is just the low mask (its high part is 0 —
+        # and a shift by 64 would wrap to 0 under JVM semantics anyway)
+        rem = None
+        for i in range(nblocks):
+            lowm = (1 << (i * width)) - 1
+            if i == nblocks - 1:
+                val = F.col("simhash").bitwiseAND(F.lit(lowm))
+            else:
+                val = F.shiftleft(
+                    F.shiftrightunsigned(F.col("simhash"), (i + 1) * width),
+                    i * width,
+                ).bitwiseOR(F.col("simhash").bitwiseAND(F.lit(lowm)))
+            rem = (
+                F.when(F.col("blk") == i, val)
+                if rem is None
+                else rem.when(F.col("blk") == i, val)
+            )
+        sub_width = (64 - width) // nblocks
+        sub_entries = [
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.shiftrightunsigned(rem, j * sub_width)
+                .bitwiseAND(F.lit((1 << sub_width) - 1))
+                .alias("sub_val"),
+            )
+            for j in range(nblocks)
+        ]
+        blocks = (
+            blocks.join(counts, ["blk", "val"])
+            .select(
+                id_col,
+                "simhash",
+                "blk",
+                "val",
+                F.explode(
+                    F.when(
+                        F.col("_n") > max_block, F.array(*sub_entries)
+                    ).otherwise(
+                        F.array(
+                            F.struct(
+                                F.lit(-1).alias("sub"),
+                                F.lit(0).cast("long").alias("sub_val"),
+                            )
+                        )
+                    )
+                ).alias("ss"),
+            )
+            .select(id_col, "simhash", "blk", "val", "ss.sub", "ss.sub_val")
         )
+        join_keys = ["blk", "val", "sub", "sub_val"]
+
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in join_keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return (
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -965,10 +1039,11 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.99,
     sample_rows: int = 10_000,
     seed: int = 42,
+    target_cell: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): coarse k-means over
     the embedding space, exact cosine near-dup pairs only WITHIN a cluster,
@@ -978,10 +1053,19 @@ def semantic_dedup(
     Scale shape: centroid training is a bounded driver-side sample
     (``kmeans_centroids``); cluster assignment is an O(k) codegen'd
     expression per row (no shuffle); the pair join is equi on ``_cell`` so
-    its cost is Σ_c n_c² — pick ``n_clusters ≈ N / target_cluster_size``
-    to bound it, exactly the IVF sizing rule. Recall is approximate (a
-    near-dup pair straddling a cell boundary is missed — the documented
-    SemDeDup trade); every RETURNED pair is exact (verified cosine).
+    its cost is Σ_c n_c². With ``n_clusters=None`` (the default) k is
+    auto-sized from a corpus count — ``clamp(⌈N/target_cell⌉, 16, 256)``,
+    the IVF sizing rule — so cells stay ~``target_cell`` rows and in-cell
+    verify work grows linearly instead of the N²/k quadratic a FIXED k
+    gives (the same default-config hazard class as fixed LSH planes/bands;
+    see ``auto_lsh_config``/``auto_minhash_config``). The k ≤ 256 cap
+    bounds the per-row assignment expression (k literal-centroid dot
+    products); past ~65k×target_cell rows the cap binds and cells grow
+    again — callers at that scale should raise ``target_cell`` (cheap) or
+    pass an explicit cluster-sized ``n_clusters``. Recall is approximate
+    (a near-dup pair straddling a cell boundary is missed — the
+    documented SemDeDup trade); every RETURNED pair is exact (verified
+    cosine).
     """
     from data_engineering_capstone_project__spark.operators.similarity import (
         argmin_cell,
@@ -989,6 +1073,10 @@ def semantic_dedup(
         ivf_cell_scores,
         kmeans_centroids,
     )
+
+    if n_clusters is None:
+        n = df.count()
+        n_clusters = max(16, min(256, -(-n // max(target_cell, 1))))
 
     cents = kmeans_centroids(
         df,

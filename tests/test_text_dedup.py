@@ -531,3 +531,44 @@ def test_shingle_explode_plan_is_codegen(spark):
     expect1 = {t1[i : i + 5] for i in range(len(t1) - 4)}
     assert {s for d, s in rows if d == 1} == expect1
     assert szs[1] == len(expect1)
+
+
+def test_simhash_dense_block_guard_lossless(spark, sf_dir):
+    """The max_block second-level pigeonhole must return EXACTLY the same
+    pair set as the unguarded join, even when forced onto every group
+    (max_block=1) — double pigeonhole is lossless: a pair at distance ≤ d
+    matching block i has ≤ d differing remainder bits, so one of the d+1
+    remainder sub-blocks matches too."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    for d in (2, 3, 8):
+        plain = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_pairs(docs, max_hamming=d, max_block=None).collect()
+        }
+        guarded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_pairs(docs, max_hamming=d, max_block=1).collect()
+        }
+        assert guarded == plain
+
+
+def test_semantic_dedup_auto_clusters(spark):
+    """Default n_clusters=None auto-sizes k from the corpus count (the
+    fixed-k default was quadratic: sigma n_c^2 ~ N^2/16); at small N the
+    auto value equals the old default so behavior is unchanged."""
+    base = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 5 + 1).cast("double"),
+            (F.col("id") % 3 + 1).cast("double"),
+        ).alias("embedding"),
+    )
+    dup = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), F.col("embedding")
+    )
+    out = dedup.semantic_dedup(base.unionByName(dup), threshold=0.9999)
+    ids = {r["vec_id"] for r in out.select("vec_id").collect()}
+    # identical vectors share a cell (same argmin), so every duplicate
+    # group collapses to its min id: the base pattern has period
+    # lcm(5,3)=15, and all +1000 copies purge against their originals
+    assert ids == set(range(15))
