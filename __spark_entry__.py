@@ -1719,10 +1719,47 @@ WHERE ROUND(n_inter / (sz_a + sz_b - n_inter), 6) >= 0.8
 
 
 def x_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only check: xxhash64 has no DuckDB
-    equivalent). Verified against exact Jaccard in tests/test_text_dedup.py."""
+    """MinHash-LSH near-dup pairs, upgraded from rows-only to a
+    BOUND-CHECKED oracle (the r3 pattern that converted IVF/SRP/HLL): the
+    emitted pair set itself is hash-specific (xxhash64 banding has no
+    DuckDB equivalent), so the query returns one row carrying the exact
+    J ≥ 0.8 pair count — which the oracle computes independently via the
+    same shingle-join SQL as ``x_ngram_jaccard`` — plus booleans the
+    oracle pins TRUE: recall ≥ 0.9 of the exact pair set (observed 1.0 —
+    the auto band config targets 0.99 at the boundary), every minhash
+    pair contained in the exact set, and every pair exact-Jaccard
+    verified at threshold. A degraded banding or broken verify fails the
+    gate; the full pair-set equality is additionally unit-proved on
+    planted corpora (tests/test_text_dedup.py)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return dedup.minhash_lsh_pairs(d, jaccard_threshold=0.8)
+    found = dedup.minhash_lsh_pairs(d, jaccard_threshold=0.8).collect()
+    exact = dedup.ngram_jaccard_pairs(d, threshold=0.8, prefilter="none").collect()
+    exact_set = {(r["id_a"], r["id_b"]) for r in exact}
+    found_set = {(r["id_a"], r["id_b"]) for r in found}
+    recall_ok = (
+        len(found_set & exact_set) / len(exact_set) >= 0.9
+        if exact_set
+        else True
+    )
+    return spark.createDataFrame(
+        [(
+            len(exact_set),
+            bool(recall_ok),
+            found_set <= exact_set,
+            all(r["jaccard"] >= 0.8 for r in found),
+        )],
+        "n_exact_pairs bigint, recall_ge_090 boolean, "
+        "subset_of_exact boolean, pairs_jaccard_verified boolean",
+    )
+
+
+X_MINHASH_SQL = f"""
+SELECT COUNT(*) AS n_exact_pairs,
+       TRUE AS recall_ge_090,
+       TRUE AS subset_of_exact,
+       TRUE AS pairs_jaccard_verified
+FROM ({X_NGRAM_SQL})
+"""
 
 
 def x_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1765,9 +1802,71 @@ FROM embeddings WHERE vec_id < 1000
 
 
 def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only check — hash-function specific)."""
+    """SimHash, upgraded from rows-only to a BOUND-CHECKED oracle: the
+    64-bit fingerprints are hash-function-specific, so the query emits
+    one row with the SQL-checkable doc count and exact-duplicate pair
+    count (pairs with identical ws/case-normalized text — DuckDB computes
+    this from the raw table) plus booleans the oracle pins TRUE: every
+    exact-dup pair has IDENTICAL simhash (hamming 0 — identical token
+    streams must agree, whatever the hash), and fingerprints are
+    invariant under case/whitespace renoising (the normalization
+    contract). A broken tokenizer, normalization, or bit-aggregation
+    fails the gate; pair retrieval itself is covered by
+    ``simhash_pairs`` unit tests incl. the dense-block guard proof."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return dedup.simhash(d)
+    fps = dedup.simhash(d)
+    noisy = d.select(
+        "doc_id",
+        F.upper(F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "))).alias(
+            "text"
+        ),
+    )
+    fps_noisy = dedup.simhash(noisy).withColumnRenamed("simhash", "simhash_n")
+    both = fps.join(fps_noisy, "doc_id")
+    invariant = both.filter(F.col("simhash") != F.col("simhash_n")).count() == 0
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("_t"),
+    )
+    a, b = norm.alias("a"), norm.alias("b")
+    dup_pairs = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    fp_a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"))
+    fp_b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"))
+    mismatched = (
+        dup_pairs.join(fp_a, "id_a").join(fp_b, "id_b")
+        .filter(F.col("fa") != F.col("fb"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(
+            d.count(),
+            dup_pairs.count(),
+            mismatched == 0,
+            bool(invariant),
+        )],
+        "n_docs bigint, n_exact_dup_pairs bigint, "
+        "exact_dups_identical_simhash boolean, normalization_invariant boolean",
+    )
+
+
+X_SIMHASH_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 500
+)
+SELECT (SELECT COUNT(*) FROM norm) AS n_docs,
+       (SELECT COUNT(*) FROM norm a JOIN norm b
+          ON a.t = b.t AND a.doc_id < b.doc_id) AS n_exact_dup_pairs,
+       TRUE AS exact_dups_identical_simhash,
+       TRUE AS normalization_invariant
+"""
 
 
 def _with_perturbed_dups(e: DataFrame) -> DataFrame:
@@ -3902,14 +4001,42 @@ FROM agg
 
 
 def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over base + planted near-dup embeddings: k-means cells,
-    within-cell cosine pairs, connected-components purge. Rows-only: the
-    centroids come from an engine-side seeded sample; recall vs the
-    brute-force purge is unit-tested (tests/test_text_dedup.py)."""
+    """SemDeDup over base + planted near-dup embeddings (k-means cells,
+    within-cell cosine pairs, connected-components purge), upgraded from
+    rows-only to a BOUND-CHECKED oracle: the survivor set depends on
+    engine-side seeded centroids, so the query emits one row with the
+    SQL-checkable base-corpus count plus booleans the oracle pins TRUE —
+    every base id survives (SemDeDup pairs are exact-verified, so its
+    purge set is a subset of the brute-force purge, whose min-id
+    representatives here are exactly the base ids) and planted-dup purge
+    recall ≥ 0.85 (the documented SemDeDup cell-boundary trade; observed
+    ≥ 0.95 with the seeded sample). A degraded clustering or broken purge
+    fails the gate; full brute-force parity is unit-proved."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    return dedup.semantic_dedup(
-        _with_perturbed_dups(e), n_clusters=8, threshold=0.99
-    ).select("vec_id")
+    base_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    kept = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            _with_perturbed_dups(e), n_clusters=8, threshold=0.99
+        ).select("vec_id").collect()
+    }
+    purged = 2 * len(base_ids) - len(kept)
+    return spark.createDataFrame(
+        [(
+            len(base_ids),
+            base_ids <= kept,
+            purged / len(base_ids) >= 0.85 if base_ids else True,
+        )],
+        "n_base bigint, all_base_kept boolean, dup_recall_ge_085 boolean",
+    )
+
+
+X_SEMANTIC_SQL = """
+SELECT COUNT(*) AS n_base,
+       TRUE AS all_base_kept,
+       TRUE AS dup_recall_ge_085
+FROM embeddings WHERE vec_id < 1000
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3973,8 +4100,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_contamination": (x_contamination, X_CONTAM_SQL),
     "x_embedding_contamination": (x_embedding_contamination, X_EMB_CONTAM_SQL),
     "x_ngram_jaccard": (x_ngram_jaccard, X_NGRAM_SQL),
-    "x_minhash_pairs": (x_minhash_pairs, None),  # rows-only: hash-specific
-    "x_simhash": (x_simhash, None),  # rows-only: hash-specific
+    "x_minhash_pairs": (x_minhash_pairs, X_MINHASH_SQL),  # bound-checked
+    "x_simhash": (x_simhash, X_SIMHASH_SQL),  # bound-checked
     "x_lsh_near_dups": (x_lsh_near_dups, X_LSH_SQL),  # bound-checked
     "x_embedding_near_dups": (x_embedding_near_dups, X_EMB_DUP_SQL),
     "x_ann_topk": (x_ann_topk, X_ANN_SQL),
@@ -4037,7 +4164,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_skew_profile": (x_skew_profile, X_SKEW_SQL),
     "x_length_buckets": (x_length_buckets, X_LENGTH_BUCKETS_SQL),
     "x_linear_score": (x_linear_score, X_LINEAR_SCORE_SQL),
-    "x_semantic_dedup": (x_semantic_dedup, None),  # rows-only: engine-side centroids
+    "x_semantic_dedup": (x_semantic_dedup, X_SEMANTIC_SQL),  # bound-checked
 }
 
 
