@@ -1762,6 +1762,63 @@ FROM ({X_NGRAM_SQL})
 """
 
 
+def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022 shape): verbatim
+    cross-document repeats ≥ 50 chars are cut from every doc but their
+    first occurrence — span-level, not whole-doc. stride=1 → exact
+    detection, so the cleaned text is fully SQL-reproducible and the
+    oracle hash-checks every byte of every cleaned document."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.substring_span_dedup(d, window=50)
+
+
+X_SUBSTRING_SQL = r"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 300
+), wp AS MATERIALIZED (
+  SELECT doc_id, t, unnest(range(1, GREATEST(len(t) - 49, 0) + 1)) AS p
+  FROM docs WHERE len(t) >= 50
+), w AS MATERIALIZED (
+  SELECT doc_id, p, md5(substr(t, CAST(p AS INT), 50)) AS wh FROM wp
+), own AS (
+  -- first occurrence = min (doc, pos), packed (p bounded by doc length)
+  SELECT wh, MIN(doc_id * 100000000 + p) AS ok FROM w GROUP BY wh
+), dup AS (
+  SELECT w.doc_id, w.p FROM w JOIN own USING (wh)
+  WHERE w.doc_id != ok // 100000000
+), isl AS (
+  SELECT doc_id, p,
+         MAX(p + 50) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM dup
+), grp AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN pe IS NULL OR p > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM isl
+), spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + 50 AS e FROM grp GROUP BY doc_id, g
+), segs AS (
+  SELECT doc_id, s, e,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks
+  FROM spans
+), cuts AS (
+  SELECT d.doc_id,
+         STRING_AGG(substr(d.t, CAST(sg.ks AS INT),
+                           CAST(GREATEST(sg.s - sg.ks, 0) AS INT)),
+                    '' ORDER BY sg.s)
+           || substr(d.t, CAST(MAX(sg.e) AS INT)) AS clean_text
+  FROM docs d JOIN segs sg USING (doc_id)
+  GROUP BY d.doc_id, d.t
+)
+SELECT d.doc_id,
+       COALESCE(c.clean_text, d.t) AS clean_text,
+       len(d.t) - len(COALESCE(c.clean_text, d.t)) AS n_removed
+FROM docs d LEFT JOIN cuts c USING (doc_id)
+"""
+
+
 def x_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH near-dup retrieval over base + planted duplicates (the
     100 TB path — candidates only within a hyperplane-sign bucket),
@@ -4103,6 +4160,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_minhash_pairs": (x_minhash_pairs, X_MINHASH_SQL),  # bound-checked
     "x_simhash": (x_simhash, X_SIMHASH_SQL),  # bound-checked
     "x_lsh_near_dups": (x_lsh_near_dups, X_LSH_SQL),  # bound-checked
+    "x_substring_dedup": (x_substring_dedup, X_SUBSTRING_SQL),
     "x_embedding_near_dups": (x_embedding_near_dups, X_EMB_DUP_SQL),
     "x_ann_topk": (x_ann_topk, X_ANN_SQL),
     "x_window_tumbling": (x_window_tumbling, X_WINDOW_SQL),

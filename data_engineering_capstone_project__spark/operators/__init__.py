@@ -13,6 +13,7 @@ from data_engineering_capstone_project__spark.operators.dedup import (  # noqa: 
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    substring_span_dedup,
 )
 from data_engineering_capstone_project__spark.operators.similarity import (  # noqa: F401
     auto_lsh_config,

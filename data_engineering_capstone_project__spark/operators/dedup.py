@@ -936,6 +936,106 @@ def dedup_by_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
+def substring_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 1,
+) -> DataFrame:
+    """Exact substring-span dedup, first-occurrence-wins (the character-
+    level analogue of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": long verbatim repeats across documents are
+    REMOVED from every doc but their first occurrence, not whole-doc
+    deduped — boilerplate, licenses, and quoted chunks inside otherwise-
+    unique documents).
+
+    Contract (deterministic, oracle-reproducible): every ``window``-char
+    substring of the normalized text is hashed (``stride=1`` default — a
+    window occurring in an earlier (min (doc, pos)) document marks its
+    span duplicated; per doc, overlapping duplicated windows merge into
+    maximal spans which are cut out. At stride 1 detection is EXACT:
+    any cross-doc verbatim repeat of ≥ ``window`` chars is found with
+    exact span edges; repeats shorter than ``window`` (or docs shorter
+    than ``window``) are never touched. ``stride > 1`` cuts the explode
+    cost by that factor but detects only repeats whose offsets in the
+    two documents agree mod ``stride`` (plus edge slack) — the fast
+    sweep setting, not the exactness setting. Returns ``(id,
+    clean_text, n_removed)`` over the NORMALIZED text.
+
+    Scale shape: one explode to len/stride window rows per doc (hashes
+    shuffle as 32-char md5, never text), one groupBy for global first
+    occurrence (min struct — map-side partials absorb hot boilerplate
+    hashes exactly like ``paragraph_dedup``), one join-back, a per-doc
+    window for interval merging over DUPLICATED windows only (skewless:
+    a doc's duplicated-window count is bounded by its length), and the
+    final cut is a per-doc higher-order fold over its few merged spans.
+    """
+    n = F.length("_norm")
+    base = _spread(df).select(
+        F.col(id_col), _normalize(F.col(text_col)).alias("_norm")
+    ).persist()
+    w = (
+        base.filter(n >= window)
+        .select(
+            id_col,
+            "_norm",
+            F.explode(
+                F.sequence(F.lit(1), n - (window - 1), F.lit(stride))
+            ).alias("p"),
+        )
+        .select(
+            id_col,
+            "p",
+            F.md5(F.col("_norm").substr(F.col("p"), F.lit(window))).alias("wh"),
+        )
+    )
+    owner = w.groupBy("wh").agg(
+        F.min(F.struct(F.col(id_col).alias("oid"), F.col("p").alias("op"))).alias("o")
+    )
+    dup = (
+        w.join(owner, "wh")
+        .filter(F.col(id_col) != F.col("o.oid"))
+        .select(id_col, "p")
+    )
+    # gaps-and-islands interval merge: a window starts a new span when its
+    # start exceeds the running max end of all earlier windows in the doc
+    byp = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + window).over(
+        byp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.withColumn(
+            "_new", F.when(prev_end.isNull() | (F.col("p") > prev_end), 1).otherwise(0)
+        )
+        .withColumn("_g", F.sum("_new").over(byp))
+        .groupBy(id_col, "_g")
+        .agg(F.min("p").alias("s"), (F.max("p") + window).alias("e"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("sp"))
+    )
+    joined = base.join(spans, id_col, "left")
+    norm = F.col("_norm")
+    folded = F.aggregate(
+        F.col("sp"),
+        F.struct(F.lit(1).alias("cur"), F.lit("").alias("txt")),
+        lambda acc, x: F.struct(
+            x["e"].alias("cur"),
+            F.concat(
+                acc["txt"],
+                norm.substr(acc["cur"], F.greatest(x["s"] - acc["cur"], F.lit(0))),
+            ).alias("txt"),
+        ),
+        lambda acc: F.concat(acc["txt"], norm.substr(acc["cur"], F.length(norm))),
+    )
+    clean = F.when(F.col("sp").isNull(), norm).otherwise(folded)
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        (F.length(norm) - F.length(clean)).alias("n_removed"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

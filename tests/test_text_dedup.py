@@ -572,3 +572,45 @@ def test_semantic_dedup_auto_clusters(spark):
     # group collapses to its min id: the base pattern has period
     # lcm(5,3)=15, and all +1000 copies purge against their originals
     assert ids == set(range(15))
+
+
+def test_substring_span_dedup_first_occurrence_wins(spark):
+    """Cross-doc verbatim repeats >= window are cut from every doc except
+    the first occurrence, with exact span edges (stride=1); the owner and
+    unrelated docs are untouched; removal covers the maximal common
+    context (shared chunk plus any identical surrounding chars)."""
+    shared = (
+        "the quick brown fox jumps over the lazy dog again and again until "
+        "it is extremely bored of jumping over that very patient dog"
+    )
+    rows = [
+        (1, "unique preamble one two three " + shared + " tail of document one"),
+        (2, "completely different opening here " + shared + " and a different tail"),
+        (3, "no overlap at all in this rather short document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.substring_span_dedup(df, window=50).collect()}
+    assert out[1]["n_removed"] == 0            # first occurrence keeps all
+    assert out[3]["n_removed"] == 0            # unrelated doc untouched
+    assert out[2]["n_removed"] >= len(shared)  # full shared span cut
+    assert shared not in out[2]["clean_text"]
+    # clean text preserves everything outside the common context
+    assert out[2]["clean_text"].startswith("completely different opening")
+    assert out[2]["clean_text"].endswith("a different tail")
+    # length bookkeeping is exact
+    norm2 = " ".join(rows[1][1].split())
+    assert len(out[2]["clean_text"]) == len(norm2) - out[2]["n_removed"]
+
+
+def test_substring_span_dedup_multiple_spans(spark):
+    """Two separate repeats in one doc produce two disjoint cut spans."""
+    a = "x" * 10 + "A" * 60 + "y" * 30 + "B" * 60 + "z" * 10
+    b = "p" * 25 + "A" * 60 + "q" * 40 + "B" * 60 + "r" * 25
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.substring_span_dedup(df, window=50).collect()}
+    assert out[1]["n_removed"] == 0
+    assert "A" * 60 not in out[2]["clean_text"]
+    assert "B" * 60 not in out[2]["clean_text"]
+    assert out[2]["clean_text"].count("q") == 40  # middle segment intact
