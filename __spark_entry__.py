@@ -2889,14 +2889,28 @@ def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = mm.extract_audio_features(media, window_ms=250, fake=False)
-    # feature floats are engine-side FFT output — expose stable shape +
-    # a quantized leading coefficient so the rows-only check is meaningful
+    # expose stable shape + the quantized RMS: the oracle pins the
+    # CLOSED-FORM value (RMS of a pure int16 sine = A/√2 =
+    # 18000/32768/√2 ≈ 0.3884 → 0.388 at 3 decimals; odd-frequency
+    # second windows land on 0.389 from phase truncation) — a broken WAV
+    # decode, windowing, or normalization fails the gate. The deeper FFT
+    # components stay engine-side (shape-checked via feat_dim).
     return out.select(
         "media_id",
-        "window_start_ms",
-        F.size("feat").alias("feat_dim"),
+        F.col("window_start_ms").cast("long").alias("window_start_ms"),
+        F.size("feat").cast("long").alias("feat_dim"),
         pround(F.element_at("feat", 1).cast("double"), 3).alias("rms_q"),
     )
+
+
+X_AUDIO_SQL = """
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(w AS BIGINT) AS window_start_ms,
+       CAST(16 AS BIGINT) AS feat_dim,
+       CAST(CASE WHEN w = 250 AND i % 2 = 1 THEN 0.389 ELSE 0.388 END
+            AS DOUBLE) AS rms_q
+FROM range(12) t(i), (VALUES (0), (250)) v(w)
+"""
 
 
 def x_intersectall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4193,7 +4207,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_stream_sessions": (x_stream_sessions, X_STREAM_SESSIONS_SQL),
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
     "x_image_pixel_stats": (x_image_pixel_stats, X_IMAGE_PIXEL_SQL),
-    "x_audio_features": (x_audio_features, None),  # rows-only: engine-side FFT
+    "x_audio_features": (x_audio_features, X_AUDIO_SQL),  # closed-form-pinned
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),
     "ref_multistate_e2e": (ref_multistate_e2e, REF_MULTISTATE_SQL),
     "x_dedup_clusters": (x_dedup_clusters, X_CLUSTER_SQL),

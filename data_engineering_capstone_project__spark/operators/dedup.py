@@ -990,9 +990,12 @@ def substring_span_dedup(
             F.md5(F.col("_norm").substr(F.col("p"), F.lit(window))).alias("wh"),
         )
     )
+    # hint("merge"): one row per DISTINCT window hash — O(corpus) — and
+    # Catalyst's post-aggregate size estimate is unreliable (the same
+    # driver-killing broadcast verify_jaccard hit at 500k docs)
     owner = w.groupBy("wh").agg(
         F.min(F.struct(F.col(id_col).alias("oid"), F.col("p").alias("op"))).alias("o")
-    )
+    ).hint("merge")
     dup = (
         w.join(owner, "wh")
         .filter(F.col(id_col) != F.col("o.oid"))

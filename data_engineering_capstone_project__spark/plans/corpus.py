@@ -43,6 +43,8 @@ class CorpusConfig:
     mask_pii: bool = True
     near_dedup: bool = False
     minhash_threshold: float = 0.8
+    substring_dedup: bool = False
+    substring_window: int = 50
     test_fraction: float = 0.01
     id_col: str = "doc_id"
     text_col: str = "text"
@@ -203,6 +205,19 @@ def clean_corpus(
             jaccard_threshold=config.minhash_threshold,
         ).select("id_a", "id_b")
         deduped = dedup.dedup_by_clusters(deduped, pairs, id_col=id_col)
+
+    if config.substring_dedup:
+        # span-level pass AFTER doc-level dedup: cuts verbatim cross-doc
+        # repeats (boilerplate/licenses) out of otherwise-unique docs;
+        # the cleaned text replaces the original (normalized) text
+        spans = dedup.substring_span_dedup(
+            deduped, id_col=id_col, text_col=text_col,
+            window=config.substring_window,
+        )
+        deduped = (
+            deduped.drop(text_col)
+            .join(spans.select(id_col, F.col("clean_text").alias(text_col)), id_col)
+        )
 
     cleaned = deduped.select(id_col, text_col, "_lang", "_quality", "_rep")
     train, test = train_test_split(

@@ -614,3 +614,36 @@ def test_substring_span_dedup_multiple_spans(spark):
     assert "A" * 60 not in out[2]["clean_text"]
     assert "B" * 60 not in out[2]["clean_text"]
     assert out[2]["clean_text"].count("q") == 40  # middle segment intact
+
+
+def test_clean_corpus_substring_stage(spark):
+    """clean_corpus with substring_dedup=True cuts cross-doc verbatim
+    spans from survivors while default config leaves text untouched."""
+    from data_engineering_capstone_project__spark.plans.corpus import (
+        CorpusConfig,
+        clean_corpus,
+    )
+
+    shared = (
+        "this is a long shared boilerplate sentence that appears verbatim in "
+        "both documents and should be removed from the later one entirely"
+    )
+    rows = [
+        (1, "the first document has unique words and then " + shared),
+        (2, "a second document with different opening text " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CorpusConfig(
+        min_quality=0.0, max_repetition=1.0, mask_pii=False,
+        test_fraction=0.0, substring_dedup=True,
+    )
+    train, _, _ = clean_corpus(df, cfg)
+    texts = {r["doc_id"]: r["text"] for r in train.collect()}
+    assert shared in texts[1]
+    assert shared not in texts[2]
+    # default config: no substring stage, text unchanged
+    train2, _, _ = clean_corpus(
+        df, CorpusConfig(min_quality=0.0, max_repetition=1.0,
+                         mask_pii=False, test_fraction=0.0)
+    )
+    assert {r["doc_id"]: r["text"] for r in train2.collect()} == dict(rows)

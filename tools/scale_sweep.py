@@ -100,6 +100,10 @@ def ladder_main() -> None:
             2,
         ),
         "paragraph_dedup": (lambda d, e: dedup.paragraph_dedup(d), 2),
+        "substring_span_dedup": (
+            lambda d, e: dedup.substring_span_dedup(d),
+            2,
+        ),
         # DEFAULT config on purpose: this cell proves the auto-derived
         # (n_planes, n_tables) stays ~linear across the ladder (the
         # round-3 hazard was fixed n_planes=10 going ~N²/1024)
