@@ -162,6 +162,9 @@ class _BitReader:
         return (self.w[p >> 3] >> (16 - (p & 7))) & 0xFFFF
 
     def bits(self, count: int) -> int:
+        """Consume ``count`` ≤ 16 bits (bounds-checked). The hot decode
+        loop inlines this; kept as the readable reference implementation
+        of the reader contract."""
         if count == 0:
             return 0
         if self.pos + count > self.nbits:
@@ -171,31 +174,13 @@ class _BitReader:
         return v
 
 
-def _decode_symbol(br: _BitReader, tab: _HuffDecoder) -> int:
-    p = br.pos
-    v16 = (br.w[p >> 3] >> (16 - (p & 7))) & 0xFFFF
-    ln = tab.lut_len[v16]
-    if ln == 0:
-        raise ValueError("invalid huffman code in JPEG stream")
-    if p + ln > br.nbits:
-        raise ValueError("JPEG entropy data truncated")
-    br.pos = p + ln
-    return tab.lut_sym[v16]
-
-
-def _extend(v: int, t: int) -> int:
-    if t == 0:
-        return 0
-    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
-
-
 def _decode_block(br, dc_tab, ac_tab, pred: int, base: int, idxs: list, vals: list):
     """Entropy-decode one 8×8 block, appending only its NONZERO zigzag
     coefficients as (``base + k``, value) into the flat ``idxs``/``vals``
     buffers (``base`` = 64 × running block index for this component).
 
     Two deliberate speed choices: the symbol/magnitude reads are INLINED
-    (no _decode_symbol/bits calls — at ~10 huffman symbols per block the
+    (no reader-method calls — at ~10 huffman symbols per block the
     CPython call + attribute overhead was ~2× the arithmetic), and blocks
     are recorded SPARSELY (typical blocks carry ~10 nonzeros of 64, so
     appending pairs beats materializing a 64-long list per block; phase 2
