@@ -258,3 +258,37 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_corpus_sized_joins_never_broadcast(spark, sf_dir):
+    """The 500k-doc decade's crash class, pinned in the plan: the
+    shingle-array relation (verify_jaccard), the minhash signature
+    relation (est filter), and the per-window-hash ownership relation
+    (substring_span_dedup) are O(corpus) and carry hint('merge') — a
+    post-aggregate size underestimate once picked a ~1.3 GB broadcast
+    that exceeded spark.driver.maxResultSize and killed the driver.
+    Every join in these plans must be sort-merge, never broadcast-hash."""
+    from data_engineering_capstone_project__spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3)], "id_a long, id_b long"
+    )
+    # the two shingle-array joins (a-side + b-side) are pinned SMJ; the
+    # candidate-id SEMI join correctly broadcasts its genuinely-small side
+    plan = _physical_plan(dedup.verify_jaccard(docs, pairs))
+    assert plan.count("SortMergeJoin") >= 2, plan
+
+    plan = _physical_plan(
+        dedup.minhash_lsh_candidates(
+            docs, num_hashes=32, bands=8, est_filter=True
+        )
+    )
+    # the two signature-side joins are pinned; the bucket self-join may
+    # legitimately pick any equi strategy
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("SortMergeJoin") >= 2, plan
+
+    plan = _physical_plan(dedup.substring_span_dedup(docs))
+    assert "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
