@@ -405,6 +405,7 @@ def verify_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
+    max_array_shingles: int = 65536,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
 
@@ -416,9 +417,23 @@ def verify_jaccard(
     duplicated per pair either way, but the exploded form multiplies the
     shuffled ROW count by shingles-per-doc (~290×) and adds a second
     shuffle join. ``array_intersect`` is hash-based (linear per pair).
-    Caveat at extremes: a pair row carries both docs' shingle sets, so
-    million-shingle documents would make wide rows — chunk or pre-filter
-    such outliers upstream.
+
+    Outlier docs (the former wide-row caveat) never form arrays at all:
+    any pair touching one routes through an exploded ``(pair, shingle)``
+    equi-join + count, which is slower per pair but strictly row-shaped,
+    so a million-shingle document costs rows (distributed) instead of a
+    multi-MB struct in a single join row. The routing key is the
+    NORMALIZED TEXT LENGTH (> ``max_array_shingles`` chars → outlier):
+    length bounds the distinct-shingle count from above and is
+    codegen-cheap, so routing costs one narrow scan of the candidate
+    docs instead of a persisted shingle explode. Conservative (a long
+    doc with few distinct shingles still routes exploded) but both
+    paths produce identical jaccard values (regression-tested with the
+    threshold forced to 0). When no candidate doc exceeds the threshold
+    — checked driver-side against the id-only outlier relation, the
+    overwhelmingly common case — the plan is exactly the all-array
+    original. ``big_doc_ids`` is id-only and broadcast; the
+    corpus-sized shingle relations themselves are never broadcast.
     """
     # pairs is consumed twice (candidate-id projection + the output
     # join): persist so an expensive upstream candidate generation
@@ -441,29 +456,98 @@ def verify_jaccard(
     # relation is unreliable, and at 500k docs it picked a ~1.3 GB
     # broadcast that exceeded spark.driver.maxResultSize and killed the
     # job; pinning sort-merge keeps the join shuffle-partitioned at any N
-    sh = (
-        exploded_char_shingles(
-            df.join(cand_ids, id_col, "leftsemi"), id_col, text_col, shingle_k
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("sh").alias("sh"))
+    cand = df.join(cand_ids, id_col, "leftsemi")
+    big_doc_ids = (
+        cand.select(id_col, F.length(_normalize(F.col(text_col))).alias("_len"))
+        .filter(F.col("_len") > F.lit(max_array_shingles))
+        .select(id_col)
         .persist()
-        .hint("merge")
     )
-    out = (
-        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+
+    def arrays_jaccard(p: DataFrame, docs: DataFrame) -> DataFrame:
+        sh = (
+            exploded_char_shingles(docs, id_col, text_col, shingle_k)
+            .groupBy(id_col)
+            .agg(F.collect_set("sh").alias("sh"))
+            .persist()
+            .hint("merge")
+        )
+        return (
+            p.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+            .withColumn(
+                "n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            )
+            .withColumn(
+                "jaccard",
+                pround(
+                    F.col("n_inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                    6,
+                ),
+            )
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # head(1) is one narrow job over the candidate docs (a length filter,
+    # no explode); empty → the plan is exactly the pre-routing original
+    if not big_doc_ids.head(1):
+        return arrays_jaccard(pairs, cand)
+
+    ba = big_doc_ids.withColumnRenamed(id_col, "id_a")
+    bb = big_doc_ids.withColumnRenamed(id_col, "id_b")
+    # disjoint split (no distinct needed): pairs with a big a-side, then
+    # big b-side among the rest — all broadcast joins on id-only sides
+    big_a = pairs.join(F.broadcast(ba), "id_a", "leftsemi")
+    rest = pairs.join(F.broadcast(ba), "id_a", "left_anti")
+    # select: equi-joins put the key column first — realign before the
+    # positional union
+    bigp = big_a.select("id_a", "id_b").unionAll(
+        rest.join(F.broadcast(bb), "id_b", "leftsemi").select("id_a", "id_b")
+    ).persist()
+    smallp = rest.join(F.broadcast(bb), "id_b", "left_anti").select("id_a", "id_b")
+    small = arrays_jaccard(
+        smallp, cand.join(F.broadcast(big_doc_ids), id_col, "left_anti")
+    )
+    # Exploded path: |A∩B| as an equi-join on the shingle VALUE
+    # restricted to outlier-pair docs, counted per pair — rows, never
+    # arrays. Shingles are recomputed for just these docs (tiny set).
+    big_pair_ids = (
+        bigp.select(F.col("id_a").alias(id_col))
+        .unionAll(bigp.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    exb = exploded_char_shingles(
+        df.join(F.broadcast(big_pair_ids), id_col, "leftsemi"),
+        id_col,
+        text_col,
+        shingle_k,
+    ).persist()
+    szb = exb.select(id_col, "_sz").distinct()
+    inter = (
+        bigp.join(exb.select(F.col(id_col).alias("id_a"), "sh").hint("merge"), "id_a")
+        .join(
+            exb.select(F.col(id_col).alias("id_b"), "sh").hint("merge"),
+            ["id_b", "sh"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("double").alias("n_inter"))
+    )
+    big = (
+        bigp.join(szb.withColumnsRenamed({id_col: "id_a", "_sz": "sz_a"}), "id_a")
+        .join(szb.withColumnsRenamed({id_col: "id_b", "_sz": "sz_b"}), "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0.0)))
         .withColumn(
             "jaccard",
             pround(
-                F.col("n_inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
                 6,
             ),
         )
+        .select("id_a", "id_b", "jaccard")
     )
-    return out.select("id_a", "id_b", "jaccard")
+    return small.unionAll(big)
 
 
 def ngram_jaccard_pairs(

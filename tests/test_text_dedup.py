@@ -647,3 +647,45 @@ def test_clean_corpus_substring_stage(spark):
                          mask_pii=False, test_fraction=0.0)
     )
     assert {r["doc_id"]: r["text"] for r in train2.collect()} == dict(rows)
+
+
+def test_verify_jaccard_outlier_routing_identical(spark, sf_dir):
+    """Pairs forced through the exploded outlier path (max_array_shingles
+    low) must produce the exact same jaccard as the array path — including
+    mixed pairs (one outlier side, one normal side) and zero-intersection
+    pairs, which the inner intersection join drops and the left-join must
+    restore as 0.0."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.verify_jaccard(docs, all_pairs).collect()
+    }
+    # threshold 0: EVERY doc is an outlier → all pairs exploded-path
+    got_all_big = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.verify_jaccard(
+            docs, all_pairs, max_array_shingles=0
+        ).collect()
+    }
+    assert got_all_big == want
+    # median threshold: mixed routing (outlier-outlier, outlier-normal,
+    # normal-normal pairs all present in one run); the routing key is
+    # normalized length, so split on the length median
+    sizes = sorted(
+        r["_len"]
+        for r in docs.select(
+            F.length(dedup._normalize(F.col("text"))).alias("_len")
+        ).collect()
+    )
+    mid = sizes[len(sizes) // 2]
+    got_mixed = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.verify_jaccard(
+            docs, all_pairs, max_array_shingles=mid
+        ).collect()
+    }
+    assert got_mixed == want
