@@ -2609,6 +2609,90 @@ LIMIT 10
 """
 
 
+def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (deterministic k-means|| init, posexplode
+    mean aggregation — every pass a full-corpus Spark job, driver holds
+    only k×dim floats). Bound-checked like x_ivf_topk: three tight planted
+    clusters of 20 points sit far outside the embedding cloud (anchors at
+    ±50 on distinct axes; background components are O(1)), and the oracle
+    pins: (a) Lloyd's cost sequence is non-increasing; (b) the final cost
+    beats the single-centroid optimum (global-mean variance, computed
+    engine-side from an independent aggregation); (c) each planted cluster
+    is PURE (all 20 points share one label) and (d) the three land in
+    three DISTINCT clusters; (e) per-cluster sizes from a full distributed
+    assignment sum to the corpus count. A broken init, mean update, or
+    assignment flips at least one boolean and fails the gate. n_points and
+    dim are independently SQL-computed."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    dim = len(base.select("embedding").first()["embedding"])
+    planted_rows = []
+    for g, axis in enumerate((0, 1, 2)):
+        anchor = [0.0] * dim
+        anchor[axis] = 50.0 if g % 2 == 0 else -50.0
+        for i in range(20):
+            v = list(anchor)
+            v[(axis + 1) % dim] += 0.001 * i  # tiny deterministic jitter
+            planted_rows.append((1_000_000 + g * 100 + i, v))
+    planted = spark.createDataFrame(
+        planted_rows, "vec_id bigint, embedding array<double>"
+    )
+    corpus = base.unionByName(planted)
+    cents, costs = similarity.kmeans_fit(
+        corpus, k=8, vec_col="embedding", n_iter=4, init_rounds=2
+    )
+    monotone = all(
+        costs[i + 1] <= costs[i] + 1e-9 for i in range(len(costs) - 1)
+    )
+    # single-centroid optimum: Σ‖x‖² − n·‖mean‖², from one exploded agg
+    gstats = (
+        corpus.select(F.posexplode("embedding").alias("_pos", "_x"))
+        .groupBy("_pos")
+        .agg(F.sum("_x").alias("sx"), F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    gcost = sum(r["sxx"] - r["sx"] * r["sx"] / r["n"] for r in gstats)
+    n_points = gstats[0]["n"]  # every _pos row counts all points once
+    beats_single = costs[-1] <= gcost * 0.999
+    assigned = similarity.kmeans_assign(corpus, cents, vec_col="embedding")
+    sizes = assigned.groupBy("cluster").count().collect()
+    sizes_ok = sum(r["count"] for r in sizes) == n_points
+    planted_labels = (
+        assigned.filter(F.col("vec_id") >= 1_000_000)
+        .withColumn("grp", ((F.col("vec_id") - 1_000_000) / 100).cast("int"))
+        .groupBy("grp")
+        .agg(F.countDistinct("cluster").alias("nlab"),
+             F.min("cluster").alias("lab"))
+        .collect()
+    )
+    pure = all(r["nlab"] == 1 for r in planted_labels) and len(planted_labels) == 3
+    separated = len({r["lab"] for r in planted_labels}) == 3
+    return spark.createDataFrame(
+        [(n_points, dim, monotone, beats_single, pure, separated, sizes_ok)],
+        "n_points bigint, dim int, cost_monotone boolean, "
+        "beats_single_centroid boolean, planted_pure boolean, "
+        "planted_separated boolean, sizes_sum_ok boolean",
+    )
+
+
+X_KMEANS_SQL = """
+SELECT COUNT(*) + 60 AS n_points,
+       CAST(MAX(len(embedding)) AS INT) AS dim,
+       TRUE AS cost_monotone,
+       TRUE AS beats_single_centroid,
+       TRUE AS planted_pure,
+       TRUE AS planted_separated,
+       TRUE AS sizes_sum_ok
+FROM embeddings
+"""
+
+
 def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregation driven to completion
     (memory sink, complete mode) — same oracle as the batch version."""
@@ -4200,6 +4284,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_salted_count": (x_salted_count, X_SALTED_SQL),
     "x_cosine_topk_many": (x_cosine_topk_many, X_TOPK_MANY_SQL),
     "x_ivf_topk": (x_ivf_topk, X_IVF_SQL),  # bound-checked
+    "x_kmeans": (x_kmeans, X_KMEANS_SQL),  # bound-checked
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_stream_join": (x_stream_join, X_STREAM_JOIN_SQL),

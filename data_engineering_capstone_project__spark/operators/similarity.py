@@ -424,3 +424,207 @@ def quantize_embeddings(
         lambda x: F.round(x.cast("double") / F.col(scale_col)).cast("int"),
     )
     return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def centroid_frame(spark, centroids: np.ndarray):
+    """1-row DataFrame carrying the centroid matrix (+ per-centroid
+    ``||c||²``) as DATA, not literals. Scoring expressions that reference
+    these columns generate centroid-independent Java source, so
+    whole-stage codegen compiles ONCE and is cache-hit on every later
+    Lloyd iteration / assignment with different centroid values (the
+    literal form recompiles ~2-3 s per iteration because the constants
+    are baked into the generated code). Also removes the plan-size cap
+    on k — a 4096-cell codebook is one broadcast row, not a 4096-branch
+    expression tree."""
+    cmat = [[float(x) for x in c] for c in np.asarray(centroids, dtype=np.float64)]
+    ccs = [float(sum(x * x for x in c)) for c in cmat]
+    return spark.createDataFrame(
+        [(cmat, ccs)], "cmat: array<array<double>>, ccs: array<double>"
+    )
+
+
+def frame_cell_scores(vec_col: Column) -> Column:
+    """Per-centroid ``-2<v,c> + ||c||²`` scores against ``cmat``/``ccs``
+    columns from a cross-joined ``centroid_frame`` (see there for why
+    this beats centroid literals on iterated fits)."""
+    return F.zip_with(
+        "cmat",
+        "ccs",
+        lambda c, cc: cc
+        - F.lit(2.0)
+        * F.aggregate(
+            F.zip_with(vec_col, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    n_iter: int = 8,
+    init_rounds: int = 4,
+    oversample: float = 2.0,
+    seed: int = 42,
+) -> tuple[np.ndarray, list[float]]:
+    """Fully DISTRIBUTED Lloyd k-means over an ``array<float>`` column.
+
+    Unlike ``kmeans_centroids`` (driver-side numpy on a bounded sample —
+    the cheap IVF trainer), every pass here is a Spark job over the full
+    corpus, so the fit itself scales to 100 TB:
+
+    - **init — deterministic k-means||** (Bahmani et al., VLDB 2012):
+      ``init_rounds`` passes, each sampling points with probability
+      ``min(1, oversample * k * d²(x) / φ)`` where φ is the current
+      cost; the coin is ``xxhash64(vec, seed, round)`` so the draw is
+      reproducible run-to-run (no ``rand()``). The oversampled candidate
+      set (≈ oversample·k·rounds points) is weighted by the number of
+      corpus points it attracts and reduced to k centroids driver-side
+      (tiny numpy problem, corpus-size-independent).
+    - **Lloyd iterations**: nearest-centroid assignment is row-local
+      (argmin over ``frame_cell_scores`` — no shuffle to assign), then
+      the new means via ``posexplode(vec) → groupBy(cell, pos) →
+      sum/count`` with map-side partial aggregation: shuffle rows per
+      partition are k·dim, never corpus-sized. The driver only ever
+      holds k×dim floats plus the per-iteration cost.
+
+    Centroids travel as a broadcast 1-row frame (``centroid_frame``),
+    not literals: generated code is centroid-independent, so codegen
+    compiles once for ALL iterations (measured 2.9 s → 0.8 s per
+    iteration at sf0.01) and k is not capped by expression-tree size.
+
+    Returns ``(centroids, costs)`` — costs is the per-iteration total
+    squared-distance sequence, NON-INCREASING by Lloyd's monotonicity
+    (asserted in tests; surfaced in the ``x_kmeans`` oracle gate).
+    """
+    if k < 1:
+        raise ValueError("kmeans_fit: k must be >= 1")
+    spark = df.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(v.alias("_v")).filter(
+        F.col("_v").isNotNull() & (F.size("_v") > 0)
+    )
+
+    def with_scores(cents: np.ndarray) -> DataFrame:
+        return base.crossJoin(
+            F.broadcast(centroid_frame(spark, cents))
+        ).withColumn("_scores", frame_cell_scores(F.col("_v")))
+
+    _argmin = lambda c: (F.array_position(c, F.array_min(c)) - 1).cast("int")
+    _d2 = F.greatest(
+        F.aggregate(
+            F.transform(F.col("_v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        + F.array_min("_scores"),
+        F.lit(0.0),
+    )
+    # --- k-means|| init -------------------------------------------------
+    # round 0: the lexicographically-first vector under the seeded hash
+    # (deterministic "uniform" first pick without rand())
+    first = (
+        base.select("_v", F.xxhash64(F.col("_v"), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kmeans_fit: empty input")
+    cands = [list(first[0]["_v"])]
+    for rnd in range(init_rounds):
+        # d² = ||v||² + min_c(-2<v,c> + ||c||²); cost φ = Σ d²
+        scored = with_scores(np.asarray(cands, dtype=np.float64)).withColumn(
+            "_d2", _d2
+        )
+        phi = scored.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
+        if phi <= 0.0:
+            break  # all mass already on candidates
+        # seeded Bernoulli coin in [0,1): hash → 64-bit → unit interval
+        coin = (
+            F.xxhash64(F.col("_v"), F.lit(seed), F.lit(rnd)).cast("double")
+            / F.lit(float(2**63))
+            + F.lit(1.0)
+        ) / F.lit(2.0)
+        p = F.least(F.lit(1.0), F.lit(oversample * k) * F.col("_d2") / F.lit(phi))
+        new = scored.filter(coin < p).select("_v").collect()
+        cands.extend(list(r["_v"]) for r in new)
+    cand = np.unique(np.asarray(cands, dtype=np.float64), axis=0)
+    if len(cand) > k:
+        # weight candidates by attracted corpus mass, then Lloyd on the
+        # weighted candidate set driver-side (k-means|| reduction step)
+        w_rows = (
+            with_scores(cand)
+            .withColumn("_cell", _argmin(F.col("_scores")))
+            .groupBy("_cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        w = np.zeros(len(cand))
+        for r in w_rows:
+            w[r["_cell"]] = r["n"]
+        centroids = cand[np.argsort(-w)[:k]].copy()
+        for _ in range(20):
+            dd = ((cand[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+            a = dd.argmin(1)
+            for c in range(k):
+                m = a == c
+                if w[m].sum() > 0:
+                    centroids[c] = (cand[m] * w[m, None]).sum(0) / w[m].sum()
+    else:
+        centroids = cand.copy()
+    # --- Lloyd ----------------------------------------------------------
+    costs: list[float] = []
+    for _ in range(n_iter):
+        stats = (
+            with_scores(centroids)
+            .withColumn("_cell", _argmin(F.col("_scores")))
+            .withColumn("_d2", _d2)
+            .select("_cell", "_d2", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(
+                F.sum("_x").alias("sx"),
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("_pos") == 0, F.col("_d2"))).alias("c0"),
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        cost = 0.0
+        for r in stats:
+            new[r["_cell"], r["_pos"]] = r["sx"] / r["n"]
+            if r["_pos"] == 0 and r["c0"] is not None:
+                cost += r["c0"]
+        costs.append(float(cost))
+        if np.allclose(new, centroids, rtol=0.0, atol=1e-12):
+            centroids = new
+            break
+        centroids = new
+    return centroids, costs
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment column under fitted centroids —
+    row-local argmin over the broadcast ``centroid_frame`` scores (no
+    shuffle; codegen shared with the fit's iterations)."""
+    scored = df.crossJoin(
+        F.broadcast(centroid_frame(df.sparkSession, centroids))
+    ).withColumn(
+        "_scores", frame_cell_scores(F.col(vec_col).cast("array<double>"))
+    )
+    return (
+        scored.withColumn(
+            out_col,
+            (F.array_position(F.col("_scores"), F.array_min("_scores")) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("_scores", "cmat", "ccs")
+    )

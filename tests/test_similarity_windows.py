@@ -2,6 +2,10 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from data_engineering_capstone_project__spark.operators import similarity
+from data_engineering_capstone_project__spark.operators.similarity import (
+    kmeans_assign,
+    kmeans_fit,
+)
 from data_engineering_capstone_project__spark.operators.dedup import embedding_near_dups
 from data_engineering_capstone_project__spark.sources.io import load_events
 from data_engineering_capstone_project__spark.streaming.windows import (
@@ -226,3 +230,68 @@ def test_embedding_contamination_flags_planted_copies(spark, sf_dir):
     }
     assert all(out[i] for i in (1000, 1001, 1002))
     assert not any(v for k, v in out.items() if k < 1000)
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """Three tight, well-separated gaussian blobs: the distributed fit
+    must recover the partition exactly, the cost sequence must be
+    non-increasing (Lloyd monotonicity), and the whole fit must be
+    deterministic run-to-run (seeded hash init — no rand())."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]]
+    )
+    pts = np.vstack([c + rng.normal(0, 0.3, size=(150, 4)) for c in centers])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(len(pts)),
+                "embedding": [list(map(float, p)) for p in pts],
+            }
+        )
+    )
+    cents, costs = kmeans_fit(df, k=3, vec_col="embedding", n_iter=6)
+    assert all(
+        costs[i + 1] <= costs[i] + 1e-9 for i in range(len(costs) - 1)
+    ), costs
+    # exact recovery: each blob maps to one distinct centroid
+    labels = (
+        kmeans_assign(df, cents)
+        .withColumn("blob", (F.col("vec_id") / 150).cast("int"))
+        .groupBy("blob")
+        .agg(
+            F.countDistinct("cluster").alias("nlab"),
+            F.min("cluster").alias("lab"),
+        )
+        .collect()
+    )
+    assert all(r["nlab"] == 1 for r in labels)
+    assert len({r["lab"] for r in labels}) == 3
+    # fitted centroids sit on the planted centers
+    got = np.sort(cents.max(1))
+    assert np.allclose(cents.max(1), 10.0, atol=0.2), cents
+    del got
+    c2, costs2 = kmeans_fit(df, k=3, vec_col="embedding", n_iter=6)
+    assert np.array_equal(cents, c2)
+    assert costs == costs2
+
+
+def test_kmeans_fit_edge_cases(spark):
+    """k=1 degenerates to the global mean; empty input raises; k larger
+    than distinct points returns at most n centroids without error."""
+    import pandas as pd
+    import pytest
+
+    pts = [[0.0, 0.0], [2.0, 0.0], [4.0, 0.0]]
+    df = spark.createDataFrame(
+        pd.DataFrame({"embedding": [list(p) for p in pts]})
+    )
+    cents, costs = kmeans_fit(df, k=1, vec_col="embedding", n_iter=3)
+    assert np.allclose(cents, [[2.0, 0.0]], atol=1e-9)
+    assert abs(costs[-1] - 8.0) < 1e-6  # 4 + 0 + 4
+    cents9, _ = kmeans_fit(df, k=9, vec_col="embedding", n_iter=2)
+    assert len(cents9) <= 3
+    with pytest.raises(ValueError):
+        kmeans_fit(df.filter(F.lit(False)), k=2, vec_col="embedding")
