@@ -32,7 +32,7 @@ from data_engineering_capstone_project__spark.functions.fx import (
     recode,
     tsql_concat,
 )
-from data_engineering_capstone_project__spark.operators import dedup, similarity, text
+from data_engineering_capstone_project__spark.operators import bpe, dedup, similarity, text
 from data_engineering_capstone_project__spark.operators.asof import asof_join, range_join
 from data_engineering_capstone_project__spark.operators.relational import (
     add_row_id,
@@ -2681,6 +2681,83 @@ def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: ONE corpus-sized word-count
+    shuffle feeds a driver-side merge loop bounded by vocabulary size
+    (the production-trainer shape — corpus-size-independent after the
+    count). Exact-checked values: vocab_words and total_syms are
+    independently SQL-computed, and first_merge — the highest-frequency
+    adjacent symbol pair under the char+'</w>' decomposition — is
+    re-derived by the oracle from raw text (a broken count pass or merge
+    selection mismatches it exactly). Oracle-pinned booleans: the merge
+    budget was exhausted (corpus supports 40 merges), tokenizing the
+    corpus with the learned merges round-trips every document's
+    character stream, and the merged token stream is strictly shorter
+    than the unmerged symbol stream (compression — merges actually
+    apply)."""
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(d, n_merges=40, min_freq=2)
+    vocab_words = bpe.word_frequencies(d, min_freq=2).count()
+    words = bpe._words(F.col("text"))
+    toks = bpe.bpe_tokenize(d, merges)
+    agg = (
+        toks.select(
+            F.aggregate(
+                words, F.lit(0).cast("long"), lambda a, w: a + F.length(w) + 1
+            ).alias("syms"),
+            F.size("tokens").alias("ntok"),
+            (
+                F.concat_ws("", F.transform("tokens", lambda t: F.replace(t, F.lit("</w>"), F.lit(""))))
+                == F.concat_ws("", words)
+            ).alias("rt"),
+        )
+        .agg(
+            F.sum("syms").alias("total_syms"),
+            F.sum("ntok").alias("total_tokens"),
+            F.every("rt").alias("roundtrip_ok"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                vocab_words,
+                agg["total_syms"],
+                f"{merges[0][0]} {merges[0][1]}",
+                len(merges) == 40,
+                bool(agg["roundtrip_ok"]),
+                agg["total_tokens"] < agg["total_syms"],
+            )
+        ],
+        "vocab_words bigint, total_syms bigint, first_merge string, "
+        "merges_exhausted_budget boolean, roundtrip_ok boolean, "
+        "tokens_compress boolean",
+    )
+
+
+X_BPE_SQL = r"""
+WITH wx AS (
+  SELECT w, COUNT(*) AS f FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY 1
+), vw AS (SELECT * FROM wx WHERE f >= 2),
+syms AS (SELECT list_append([w[i] FOR i IN range(1, len(w)+1)], '</w>') AS s, f
+         FROM vw),
+pairs AS (
+  SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT)+1] AS b, f
+  FROM syms, UNNEST(range(1, len(s))) AS t(i)
+)
+SELECT (SELECT COUNT(*) FROM vw) AS vocab_words,
+       (SELECT CAST(SUM(f * (len(w) + 1)) AS BIGINT) FROM wx) AS total_syms,
+       (SELECT a || ' ' || b FROM pairs
+        GROUP BY a, b ORDER BY SUM(f) DESC, a, b LIMIT 1) AS first_merge,
+       TRUE AS merges_exhausted_budget,
+       TRUE AS roundtrip_ok,
+       TRUE AS tokens_compress
+"""
+
+
 X_KMEANS_SQL = """
 SELECT COUNT(*) + 60 AS n_points,
        CAST(MAX(len(embedding)) AS INT) AS dim,
@@ -4285,6 +4362,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_cosine_topk_many": (x_cosine_topk_many, X_TOPK_MANY_SQL),
     "x_ivf_topk": (x_ivf_topk, X_IVF_SQL),  # bound-checked
     "x_kmeans": (x_kmeans, X_KMEANS_SQL),  # bound-checked
+    "x_bpe_train": (x_bpe_train, X_BPE_SQL),  # bound-checked
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_stream_join": (x_stream_join, X_STREAM_JOIN_SQL),
