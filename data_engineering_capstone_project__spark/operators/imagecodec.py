@@ -8,9 +8,9 @@ formats a training-data pipeline most often stores losslessly (PNG, BMP,
 PPM), plus a PNG encoder and a deterministic nearest-neighbor resize, so
 ``decode → transform → re-encode`` runs end-to-end with zero optional
 dependencies. Baseline JPEG lives in the sibling ``jpegcodec`` module
-(also stdlib+numpy) and is routed through ``decode_image_bytes``;
-progressive JPEG and WebP raise ``NotImplementedError`` with Pillow as
-the optional upgrade path.
+(also stdlib+numpy — baseline AND progressive SOF2) and is routed
+through ``decode_image_bytes``; WebP raises ``NotImplementedError`` with
+Pillow as the optional upgrade path.
 
 Everything here is per-item CPU work executed inside Arrow-batched
 ``mapInPandas`` loops (see multimodal.py) — the Spark-side contract
@@ -256,10 +256,11 @@ def sniff_format(payload: bytes) -> str | None:
 def decode_image_bytes(payload: bytes) -> np.ndarray:
     """Sniff + decode any supported format → (H, W, 3) uint8 RGB.
 
-    PNG/BMP/PPM decode here; baseline JPEG routes to ``jpegcodec`` (also
-    stdlib+numpy). Raises ``NotImplementedError`` for recognized-but-
-    unsupported variants (progressive JPEG, WebP — Pillow remains the
-    upgrade path) and ``ValueError`` for unrecognized bytes.
+    PNG/BMP/PPM decode here; JPEG (baseline + progressive) routes to
+    ``jpegcodec`` (also stdlib+numpy). Raises ``NotImplementedError``
+    for recognized-but-unsupported variants (WebP, arithmetic-coded
+    JPEG — Pillow remains the upgrade path) and ``ValueError`` for
+    unrecognized bytes.
     """
     fmt = sniff_format(payload or b"")
     if fmt == "png":

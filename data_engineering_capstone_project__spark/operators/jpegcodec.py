@@ -1,12 +1,16 @@
-"""Pure-stdlib baseline JPEG codec (ITU-T T.81 sequential DCT) — numpy only.
+"""Pure-stdlib JPEG codec (ITU-T T.81) — numpy only.
 
 Why: JPEG is the dominant real-world training-image format, and this
 container has no Pillow (VERDICT r2 "What's missing" #2). This module
 decodes baseline (SOF0/SOF1) huffman-coded JPEG — interleaved scans, any
-integer chroma subsampling, restart markers — and encodes baseline 4:4:4
-or 4:2:0, so the multimodal operators' real-decode paths cover JPEG with
-zero optional dependencies. Progressive (SOF2) and arithmetic coding
-raise ``NotImplementedError``; Pillow remains the optional upgrade path
+integer chroma subsampling, restart markers — AND progressive (SOF2):
+spectral selection, successive approximation, interleaved DC /
+non-interleaved AC scans, EOB runs, restart intervals (T.81 Annex G.2;
+the refinement bit semantics follow G.1.2.3). It encodes baseline 4:4:4
+or 4:2:0 plus a progressive 4:4:4 scan script, so the multimodal
+operators' real-decode paths cover both common JPEG modes with zero
+optional dependencies. Arithmetic coding and hierarchical mode raise
+``NotImplementedError``; Pillow remains the optional upgrade path
 (multimodal.py routes there when importable).
 
 Like the PNG codec this is per-item CPU work inside Arrow-batched
@@ -276,6 +280,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ac_tabs: dict[int, _HuffDecoder] = {}
     restart_interval = 0
     frame = None
+    coeffs = None  # progressive: per-component dense coefficient planes
     pos = 2
     n = len(payload)
     while pos < n:
@@ -286,11 +291,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # offset and an otherwise-valid file desyncs
         while pos + 1 < n and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= n:
+            raise ValueError("JPEG truncated at marker")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > n:
+            raise ValueError("JPEG truncated in segment header")
         seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("JPEG segment truncated")
         pos += 2 + seg_len
         if marker == 0xDB:  # DQT (may hold several tables)
             i = 0
@@ -298,13 +309,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pq, tq = body[i] >> 4, body[i] & 15
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
+                if i + 65 > len(body):
+                    raise ValueError("JPEG DQT segment truncated")
                 tbl = np.zeros(64, dtype=np.float64)
                 tbl[ZIGZAG] = np.frombuffer(
                     body[i + 1 : i + 65], dtype=np.uint8
                 ).astype(np.float64)
                 qt[tq] = tbl.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -312,11 +325,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG needs Pillow; stdlib codec is baseline"
-            )
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF marker 0x{marker:02x}")
@@ -327,6 +337,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("JPEG DHT segment truncated")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _decoder_for(bits, vals)
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
@@ -335,14 +347,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("JPEG SOS segment truncated")
             scan = {}
+            order = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan[cid] = (tt >> 4, tt & 15)
-            intervals, _ = _entropy_intervals(payload, pos)
-            return _decode_scan(frame, scan, qt, dc_tabs, ac_tabs,
-                                restart_interval, intervals)
+                order.append(cid)
+            intervals, end = _entropy_intervals(payload, pos)
+            if not frame.get("progressive"):
+                return _decode_scan(frame, scan, qt, dc_tabs, ac_tabs,
+                                    restart_interval, intervals)
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if coeffs is None:
+                coeffs = _alloc_coeff_planes(frame)
+            _decode_progressive_scan(
+                frame, order, scan, dc_tabs, ac_tabs, restart_interval,
+                intervals, coeffs, ss, se, ahal >> 4, ahal & 15,
+            )
+            pos = end  # keep walking markers: more scans follow
         # else: APPn/COM/etc. — skipped
+    if coeffs is not None:
+        return _reconstruct_progressive(frame, qt, coeffs)
     raise ValueError("JPEG has no scan data")
 
 
@@ -421,6 +448,10 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart_interval,
         if rx > 1:
             p = np.repeat(p, rx, axis=1)
         full.append(p[:h, :w])
+    return _planes_to_rgb(full)
+
+
+def _planes_to_rgb(full: list) -> np.ndarray:
     if len(full) == 1:
         y = np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
@@ -437,6 +468,236 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart_interval,
         np.clip(chan, 0, 255, out=chan)
         out[:, :, i] = chan
     return out
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def _grid_dims(frame: dict) -> tuple[int, int, int, int]:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_coeff_planes(frame: dict) -> dict[int, np.ndarray]:
+    """Per-component dense zigzag-order coefficient planes, sized to the
+    full MCU-padded block grid (interleaved DC scans cover padding
+    blocks; non-interleaved AC scans cover only the component's own
+    block extent — the remainder stays zero and is cropped away)."""
+    hmax, vmax, mcus_x, mcus_y = _grid_dims(frame)
+    return {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _comp_block_extent(frame: dict, comp: dict) -> tuple[int, int]:
+    """(blocks_h, blocks_w) of a NON-INTERLEAVED scan for this component
+    (T.81 A.2.2: ceil over the component's own sample extent, not the
+    MCU-padded grid)."""
+    hmax, vmax, _, _ = _grid_dims(frame)
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch_ = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch_ // 8), -(-cw // 8)
+
+
+def _huff_sym(br: _BitReader, tab: _HuffDecoder) -> int:
+    v16 = br.peek16()
+    ln = tab.lut_len[v16]
+    if ln == 0:
+        raise ValueError("invalid huffman code in JPEG stream")
+    if br.pos + ln > br.nbits:
+        raise ValueError("JPEG entropy data truncated")
+    br.pos += ln
+    return tab.lut_sym[v16]
+
+
+def _recv_extend(br: _BitReader, s: int) -> int:
+    v = br.bits(s)
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _decode_progressive_scan(frame, order, scan, dc_tabs, ac_tabs,
+                             restart_interval, intervals, coeffs,
+                             ss, se, ah, al) -> None:
+    """One progressive scan into the persistent coefficient planes.
+
+    DC scans (Ss=0) may be interleaved; AC scans are single-component by
+    definition (T.81 G.1.1.1.1). First passes (Ah=0) huffman-decode new
+    magnitudes shifted by Al; refinement passes (Ah>0) add one bit of
+    precision per coefficient, with EOB-run bookkeeping per G.1.2.3 (the
+    correction-bit semantics match the reference decoder's Annex G flow).
+    """
+    comps = {c["id"]: c for c in frame["comps"]}
+    hmax, vmax, mcus_x, mcus_y = _grid_dims(frame)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        # unit list: (component id, block row, block col) in scan order
+        units = []
+        if len(order) > 1:  # interleaved over the full MCU grid
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cid in order:
+                        c = comps[cid]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                units.append(
+                                    (cid, my * c["v"] + by, mx * c["h"] + bx)
+                                )
+            mcu_units = sum(comps[cid]["v"] * comps[cid]["h"] for cid in order)
+        else:
+            c = comps[order[0]]
+            nbh, nbw = _comp_block_extent(frame, c)
+            units = [
+                (c["id"], by, bx)
+                for by in range(nbh)
+                for bx in range(nbw)
+            ]
+            mcu_units = 1
+        preds = {cid: 0 for cid in order}
+        br = _BitReader(intervals[0])
+        interval_idx = 0
+        for i, (cid, by, bx) in enumerate(units):
+            mcu = i // mcu_units
+            if restart_interval and mcu and i % (restart_interval * mcu_units) == 0:
+                interval_idx += 1
+                if interval_idx >= len(intervals):
+                    raise ValueError(
+                        "JPEG entropy data truncated at restart marker"
+                    )
+                br = _BitReader(intervals[interval_idx])
+                preds = {k: 0 for k in preds}
+            blk = coeffs[cid][by, bx]
+            if ah == 0:
+                s = _huff_sym(br, dc_tabs[scan[cid][0]])
+                diff = _recv_extend(br, s) if s else 0
+                preds[cid] += diff
+                blk[0] = preds[cid] << al
+            else:  # DC refinement: one bit per block
+                if br.bits(1):
+                    blk[0] |= 1 << al
+        return
+    # ---- AC scan: single component, non-interleaved ----
+    if len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = comps[order[0]]
+    ac = ac_tabs[scan[c["id"]][1]]
+    plane = coeffs[c["id"]]
+    nbh, nbw = _comp_block_extent(frame, c)
+    br = _BitReader(intervals[0])
+    interval_idx = 0
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    blocknum = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            if restart_interval and blocknum and blocknum % restart_interval == 0:
+                interval_idx += 1
+                if interval_idx >= len(intervals):
+                    raise ValueError(
+                        "JPEG entropy data truncated at restart marker"
+                    )
+                br = _BitReader(intervals[interval_idx])
+                eobrun = 0
+            blocknum += 1
+            blk = plane[by, bx]
+            if ah == 0:  # ---- first pass ----
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_sym(br, ac)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:  # EOBn
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC index past Se")
+                    blk[k] = _recv_extend(br, s) << al
+                    k += 1
+                continue
+            # ---- refinement pass (G.1.2.3 / the classic decoder flow) ----
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_sym(br, ac)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r < 15:  # EOBn: refine rest of block below
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # r == 15: ZRL — advance over 16 zero-history
+                        # coefficients, correcting nonzero ones passed
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid refinement magnitude in AC scan"
+                            )
+                        newval = p1 if br.bits(1) else m1
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if br.bits(1) and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB run covers the remainder of this block: correction
+                # bits for every remaining nonzero coefficient
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if br.bits(1) and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(frame, qt, coeffs) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _grid_dims(frame)
+    full = []
+    for c in frame["comps"]:
+        plane = coeffs[c["id"]]
+        gh, gw = plane.shape[:2]
+        q = qt[c["tq"]]
+        blocks = np.zeros((gh * gw, 64), dtype=np.float64)
+        blocks[:, ZIGZAG] = plane.reshape(-1, 64)
+        blocks3 = blocks.reshape(-1, 8, 8) * q
+        idct = (_M.T @ blocks3) @ _M + 128.0
+        p = (
+            idct.reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if vmax % c["v"] or hmax % c["h"]:
+            raise NotImplementedError("non-integer chroma sampling ratio")
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        full.append(p[:h, :w])
+    return _planes_to_rgb(full)
 
 
 # ---------------------------------------------------------------- encoder
@@ -613,5 +874,215 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     sos = bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _quantized_zigzag_planes(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(gh, gw, 64) int64 quantized zigzag-order coefficients of a padded
+    plane — the shared front half of both encoders."""
+    gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3) - 128.0
+    coeffs = (_M @ blocks) @ _M.T
+    qzig = q.reshape(64)[ZIGZAG]
+    return np.round(coeffs.reshape(gh, gw, 64)[:, :, ZIGZAG] / qzig).astype(
+        np.int64
+    )
+
+
+def _emit_ac_first(bw, band, ss, se, al, ac_enc) -> None:
+    """AC first-pass block (T.81 G.1.2.2): magnitudes |v|>>Al with sign,
+    ZRL runs, per-block EOB (no cross-block EOB-run accumulation — EOB0
+    is a legal 1-block run and keeps the encoder simple)."""
+    run = 0
+    emitted_any = False
+    last = ss - 1
+    for k in range(ss, se + 1):
+        v = int(band[k])
+        mag = (abs(v)) >> al
+        if mag:
+            last = k
+    for k in range(ss, se + 1):
+        v = int(band[k])
+        mag = abs(v) >> al
+        if mag == 0:
+            if k > last:
+                break
+            run += 1
+            if run == 16:
+                code, length = ac_enc[0xF0]
+                bw.write(code, length)
+                run = 0
+            continue
+        s = mag.bit_length()
+        bits_v = mag if v >= 0 else (~mag) & ((1 << s) - 1)
+        code, length = ac_enc[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(bits_v, s)
+        run = 0
+        emitted_any = True
+    if last < se:
+        code, length = ac_enc[0x00]  # EOB0
+        bw.write(code, length)
+    del emitted_any
+
+
+def _emit_ac_refine(bw, band, ss, se, al, ac_enc) -> None:
+    """AC refinement block (T.81 G.1.2.3 / the classic encoder flow):
+    newly-significant coefficients as (run of zero-HISTORY zeros, ±1)
+    codes; history coefficients contribute buffered correction bits that
+    flush after each emitted code; per-block EOB0 then the tail bits."""
+    run = 0
+    pending: list[int] = []
+    abs_shift = [abs(int(band[k])) >> al for k in range(ss, se + 1)]
+    # last newly-significant position bounds the emit loop
+    last = ss - 1
+    for i, m in enumerate(abs_shift):
+        if m == 1:
+            last = ss + i
+    for k in range(ss, min(last, se) + 1):
+        m = abs_shift[k - ss]
+        if m == 0:
+            run += 1
+            continue
+        # ZRL check at EVERY nonzero (history included): the decoder
+        # reads buffered correction bits during the ZRL's 16-zero
+        # advance, so the flush must happen here to keep bit order
+        while run > 15:
+            code, length = ac_enc[0xF0]
+            bw.write(code, length)
+            run -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if m > 1:  # history coefficient: correction bit, not in run
+            pending.append(m & 1)
+            continue
+        # newly significant (|v|>>al == 1)
+        code, length = ac_enc[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(band[k]) >= 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    # pending is empty here: the loop above ends exactly at the last
+    # newly-significant coefficient, whose code flushed the buffer
+    if last < se:
+        code, length = ac_enc[0x00]  # EOB0: run of 1
+        bw.write(code, length)
+        # correction bits for every history coefficient after the last
+        # newly-significant one (decoder's EOB tail reads them in order)
+        for k in range(max(last + 1, ss), se + 1):
+            if abs_shift[k - ss] > 1:
+                bw.write(abs_shift[k - ss] & 1, 1)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) uint8 RGB → progressive (SOF2) JFIF JPEG, 4:4:4.
+
+    Scan script exercises the full progressive surface the decoder
+    supports: interleaved DC first (Al=1) + DC refinement, per-component
+    AC spectral bands with successive approximation (luma at Al=2
+    refined twice, chroma at Al=1 refined once), EOB runs and ZRL.
+    The quantized coefficients are identical to ``encode_jpeg``'s at the
+    same quality, so baseline and progressive decodes of the same image
+    are bit-identical — the round-trip exactness test keys on this.
+    """
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects (H, W, 3) uint8")
+    h, w = arr.shape[:2]
+    f = arr.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+    qy = _scaled_qt(_QT_LUM, quality).reshape(8, 8)
+    qc = _scaled_qt(_QT_CHR, quality).reshape(8, 8)
+
+    def pad8(p):
+        ph = -(-p.shape[0] // 8) * 8
+        pw = -(-p.shape[1] // 8) * 8
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                      mode="edge")
+
+    zz = [
+        _quantized_zigzag_planes(pad8(y), qy),
+        _quantized_zigzag_planes(pad8(cb), qc),
+        _quantized_zigzag_planes(pad8(cr), qc),
+    ]
+    gh, gw = zz[0].shape[:2]
+    dc_enc = [_huff_encoder(*_DC_LUM), _huff_encoder(*_DC_CHR),
+              _huff_encoder(*_DC_CHR)]
+    ac_enc = [_huff_encoder(*_AC_LUM), _huff_encoder(*_AC_CHR),
+              _huff_encoder(*_AC_CHR)]
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    dqt = bytearray()
+    for tq, q in ((0, qy), (1, qc)):
+        dqt.append(tq)
+        dqt += bytes(int(q.reshape(64)[ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes((cid, 0x11, tq))
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytearray()
+    for tc, th, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM),
+                                 (0, 1, _DC_CHR), (1, 1, _AC_CHR)):
+        dht.append((tc << 4) | th)
+        dht += bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos_header(comps, ss, se, ah, al):
+        body = bytes((len(comps),)) + b"".join(
+            bytes((cid, tabs)) for cid, tabs in comps
+        ) + bytes((ss, se, (ah << 4) | al))
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC first, interleaved, Al=1 (point transform: arithmetic >>)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(gh):
+        for bx in range(gw):
+            for ci in range(3):
+                t2 = int(zz[ci][by, bx, 0]) >> 1
+                diff = t2 - preds[ci]
+                preds[ci] = t2
+                s, bits_v = _category(diff)
+                code, length = dc_enc[ci][s]
+                bw.write(code, length)
+                if s:
+                    bw.write(bits_v, s)
+    out += sos_header([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
+    out += bw.flush()
+    # scan 2: DC refinement, Al=0 — one raw bit per block
+    bw = _BitWriter()
+    for by in range(gh):
+        for bx in range(gw):
+            for ci in range(3):
+                bw.write(int(zz[ci][by, bx, 0]) & 1, 1)
+    out += sos_header([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 1, 0)
+    out += bw.flush()
+    # AC scans: luma split bands at Al=2, refined twice; chroma Al=1 once
+    ac_script = [
+        (0, 1, 5, 0, 2), (0, 6, 63, 0, 2),
+        (1, 1, 63, 0, 1), (2, 1, 63, 0, 1),
+        (0, 1, 63, 2, 1), (0, 1, 63, 1, 0),
+        (1, 1, 63, 1, 0), (2, 1, 63, 1, 0),
+    ]
+    for ci, ss, se, ah, al in ac_script:
+        bw = _BitWriter()
+        for by in range(gh):
+            for bx in range(gw):
+                band = zz[ci][by, bx]
+                if ah == 0:
+                    _emit_ac_first(bw, band, ss, se, al, ac_enc[ci])
+                else:
+                    _emit_ac_refine(bw, band, ss, se, al, ac_enc[ci])
+        tabs = 0x00 if ci == 0 else 0x11
+        out += sos_header([(ci + 1, tabs)], ss, se, ah, al)
+        out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)

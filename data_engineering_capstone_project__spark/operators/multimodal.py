@@ -97,9 +97,9 @@ def _require_payload(payload: bytes | None, media_id=None) -> bytes:
 
 def _decode_rgb(payload: bytes) -> np.ndarray:
     """Payload → (H, W, 3) uint8: stdlib codecs first (png/bmp/ppm +
-    baseline jpeg), Pillow only for the variants they can't do
-    (progressive jpeg, webp). Raises NotImplementedError when neither
-    path applies."""
+    baseline/progressive jpeg), Pillow only for the variants they can't
+    do (webp, arithmetic-coded jpeg). Raises NotImplementedError when
+    neither path applies."""
     fmt = imagecodec.sniff_format(payload or b"")
     if fmt in ("png", "bmp", "ppm", "jpeg"):
         try:

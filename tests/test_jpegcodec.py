@@ -56,11 +56,34 @@ def test_jpeg_deterministic_and_odd_sizes():
     assert dec.shape == (17, 23, 3)
 
 
-def test_progressive_raises_not_implemented():
-    # SOI + SOF2 (progressive) header: the codec must name the gap
-    payload = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8) + b"\x08" + b"\x00" * 5
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jc.decode_jpeg(payload)
+def test_progressive_decode_matches_baseline_exactly():
+    """Progressive and baseline encodings quantize identically, so their
+    decodes must be BIT-IDENTICAL — this exercises interleaved DC
+    first/refine, AC spectral bands, successive approximation (luma
+    refined twice), EOB runs, and ZRL-with-correction-bits ordering."""
+    rng = np.random.default_rng(3)
+    imgs = [
+        _gradient(40, 56),
+        rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8),
+        np.full((16, 16, 3), 77, np.uint8),
+        (
+            np.kron(rng.integers(0, 2, size=(5, 7)), np.ones((8, 8), int))[
+                :37, :51
+            ][..., None].repeat(3, 2)
+            * 255
+        ).astype(np.uint8),
+    ]
+    for im in imgs:
+        for q in (85, 30):
+            base = jc.decode_jpeg(jc.encode_jpeg(im, quality=q))
+            prog = jc.decode_jpeg(jc.encode_jpeg_progressive(im, quality=q))
+            assert np.array_equal(base, prog)
+
+
+def test_progressive_truncated_raises():
+    good = jc.encode_jpeg_progressive(_gradient(24, 24))
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(good[: len(good) // 2] + b"\xff\xd9")
 
 
 def test_decode_image_bytes_routes_jpeg():

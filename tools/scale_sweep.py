@@ -85,6 +85,23 @@ def ladder_main() -> None:
         )
         return base.unionByName(dup)
 
+    def _kmeans_cell(d, e):
+        from data_engineering_capstone_project__spark.operators.similarity import (
+            kmeans_assign,
+            kmeans_fit,
+        )
+
+        cents, _ = kmeans_fit(e, k=8, vec_col="embedding", n_iter=3, init_rounds=2)
+        return kmeans_assign(e, cents).groupBy("cluster").count()
+
+    def _bpe_cell(d, e):
+        from data_engineering_capstone_project__spark.operators import bpe
+
+        merges = bpe.bpe_train(d, n_merges=30, min_freq=2)
+        return d.sparkSession.createDataFrame(
+            [(len(merges),)], "n_merges int"
+        )
+
     # (builder, measurement runs)
     OPS = {
         "exact_dedup": (lambda d, e: dedup.exact_dedup(d), 2),
@@ -111,6 +128,13 @@ def ladder_main() -> None:
             lambda d, e: similarity.lsh_bucket_pairs(planted(e), threshold=0.99),
             2,
         ),
+        # full distributed fit: init + Lloyd are full-corpus passes, so
+        # the cell certifies the per-pass cost is linear in vectors
+        # (driver work is k x dim, corpus-independent)
+        "kmeans_fit": (_kmeans_cell, 2),
+        # corpus-sized cost is ONE word-count shuffle; the merge loop is
+        # bounded by vocabulary, so the cell must flatline-then-linear
+        "bpe_train": (_bpe_cell, 2),
     }
     results: dict[str, dict[str, tuple[float, int]]] = {
         op: {} for op in OPS
