@@ -978,13 +978,17 @@ def _emit_ac_refine(bw, band, ss, se, al, ac_enc) -> None:
                 bw.write(abs_shift[k - ss] & 1, 1)
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            restart_interval: int = 0) -> bytes:
     """(H, W, 3) uint8 RGB → progressive (SOF2) JFIF JPEG, 4:4:4.
 
     Scan script exercises the full progressive surface the decoder
     supports: interleaved DC first (Al=1) + DC refinement, per-component
     AC spectral bands with successive approximation (luma at Al=2
-    refined twice, chroma at Al=1 refined once), EOB runs and ZRL.
+    refined twice, chroma at Al=1 refined once), EOB runs and ZRL;
+    ``restart_interval`` > 0 additionally emits a DRI segment and RSTn
+    markers every that-many MCUs in every scan (DC predictors reset per
+    interval), exercising the decoder's progressive restart path.
     The quantized coefficients are identical to ``encode_jpeg``'s at the
     same quality, so baseline and progressive decodes of the same image
     are bit-identical — the round-trip exactness test keys on this.
@@ -1041,30 +1045,57 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
         ) + bytes((ss, se, (ah << 4) | al))
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    class _Scan:
+        """Entropy accumulator inserting byte-aligned RSTn every
+        ``restart_interval`` MCUs (and resetting DC predictors)."""
+
+        def __init__(self):
+            self.bw = _BitWriter()
+            self.body = bytearray()
+            self.mcu = 0
+            self.preds = [0, 0, 0]
+
+        def next_mcu(self):
+            if restart_interval and self.mcu and self.mcu % restart_interval == 0:
+                self.body += self.bw.flush()
+                self.body += bytes(
+                    (0xFF, 0xD0 + (self.mcu // restart_interval - 1) % 8)
+                )
+                self.bw = _BitWriter()
+                self.preds = [0, 0, 0]
+            self.mcu += 1
+
+        def finish(self):
+            return bytes(self.body + self.bw.flush())
+
     # scan 1: DC first, interleaved, Al=1 (point transform: arithmetic >>)
-    bw = _BitWriter()
-    preds = [0, 0, 0]
+    sc = _Scan()
     for by in range(gh):
         for bx in range(gw):
+            sc.next_mcu()
             for ci in range(3):
                 t2 = int(zz[ci][by, bx, 0]) >> 1
-                diff = t2 - preds[ci]
-                preds[ci] = t2
+                diff = t2 - sc.preds[ci]
+                sc.preds[ci] = t2
                 s, bits_v = _category(diff)
                 code, length = dc_enc[ci][s]
-                bw.write(code, length)
+                sc.bw.write(code, length)
                 if s:
-                    bw.write(bits_v, s)
+                    sc.bw.write(bits_v, s)
     out += sos_header([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
-    out += bw.flush()
+    out += sc.finish()
     # scan 2: DC refinement, Al=0 — one raw bit per block
-    bw = _BitWriter()
+    sc = _Scan()
     for by in range(gh):
         for bx in range(gw):
+            sc.next_mcu()
             for ci in range(3):
-                bw.write(int(zz[ci][by, bx, 0]) & 1, 1)
+                sc.bw.write(int(zz[ci][by, bx, 0]) & 1, 1)
     out += sos_header([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 1, 0)
-    out += bw.flush()
+    out += sc.finish()
     # AC scans: luma split bands at Al=2, refined twice; chroma Al=1 once
     ac_script = [
         (0, 1, 5, 0, 2), (0, 6, 63, 0, 2),
@@ -1073,16 +1104,17 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
         (1, 1, 63, 1, 0), (2, 1, 63, 1, 0),
     ]
     for ci, ss, se, ah, al in ac_script:
-        bw = _BitWriter()
+        sc = _Scan()
         for by in range(gh):
             for bx in range(gw):
+                sc.next_mcu()
                 band = zz[ci][by, bx]
                 if ah == 0:
-                    _emit_ac_first(bw, band, ss, se, al, ac_enc[ci])
+                    _emit_ac_first(sc.bw, band, ss, se, al, ac_enc[ci])
                 else:
-                    _emit_ac_refine(bw, band, ss, se, al, ac_enc[ci])
+                    _emit_ac_refine(sc.bw, band, ss, se, al, ac_enc[ci])
         tabs = 0x00 if ci == 0 else 0x11
         out += sos_header([(ci + 1, tabs)], ss, se, ah, al)
-        out += bw.flush()
+        out += sc.finish()
     out += b"\xff\xd9"
     return bytes(out)

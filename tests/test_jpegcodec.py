@@ -153,3 +153,16 @@ def test_huffman_lut_cache_shared_tables():
     before = len(jc._DECODER_CACHE)
     jc.decode_jpeg(jc.encode_jpeg(img, quality=50))  # same huffman tables
     assert len(jc._DECODER_CACHE) == before
+
+
+def test_progressive_restart_intervals_match_baseline():
+    """DRI + RSTn inside progressive scans (predictor/EOB-run resets per
+    interval) must not change a single pixel vs the baseline decode."""
+    rng = np.random.default_rng(5)
+    im = rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)
+    base = jc.decode_jpeg(jc.encode_jpeg(im, quality=70))
+    for ri in (1, 3, 7):
+        prog = jc.decode_jpeg(
+            jc.encode_jpeg_progressive(im, quality=70, restart_interval=ri)
+        )
+        assert np.array_equal(base, prog), ri
