@@ -1231,6 +1231,7 @@ def semantic_dedup(
     sample_rows: int = 10_000,
     seed: int = 42,
     target_cell: int = 256,
+    fit: str = "sample",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): coarse k-means over
     the embedding space, exact cosine near-dup pairs only WITHIN a cluster,
@@ -1253,30 +1254,48 @@ def semantic_dedup(
     (a near-dup pair straddling a cell boundary is missed — the
     documented SemDeDup trade); every RETURNED pair is exact (verified
     cosine).
+
+    ``fit="distributed"`` trains centroids with the full-corpus Lloyd
+    fit (``similarity.kmeans_fit`` — deterministic k-means‖ init, every
+    pass a Spark job) and assigns via the broadcast ``centroid_frame``
+    (codegen compiled once, no literal-plan-size cap on k): better
+    centroids than the bounded sample on multi-modal corpora, at the
+    cost of ``n_iter`` full passes. Default ``"sample"`` keeps the
+    corpus-size-independent sampled trainer.
     """
     from data_engineering_capstone_project__spark.operators.similarity import (
         argmin_cell,
         cosine,
         ivf_cell_scores,
+        kmeans_assign,
         kmeans_centroids,
+        kmeans_fit,
     )
 
     if n_clusters is None:
         n = df.count()
         n_clusters = max(16, min(256, -(-n // max(target_cell, 1))))
 
-    cents = kmeans_centroids(
-        df,
-        vec_col=vec_col,
-        n_centroids=n_clusters,
-        sample_rows=sample_rows,
-        seed=seed,
-    )
-    cells = (
-        df.withColumn("_scores", ivf_cell_scores(F.col(vec_col), cents))
-        .withColumn("_cell", argmin_cell(F.col("_scores")))
-        .drop("_scores")
-    )
+    if fit == "distributed":
+        cents, _ = kmeans_fit(
+            df, k=n_clusters, vec_col=vec_col, n_iter=5, seed=seed
+        )
+        cells = kmeans_assign(df, cents, vec_col=vec_col, out_col="_cell")
+    elif fit == "sample":
+        cents = kmeans_centroids(
+            df,
+            vec_col=vec_col,
+            n_centroids=n_clusters,
+            sample_rows=sample_rows,
+            seed=seed,
+        )
+        cells = (
+            df.withColumn("_scores", ivf_cell_scores(F.col(vec_col), cents))
+            .withColumn("_cell", argmin_cell(F.col("_scores")))
+            .drop("_scores")
+        )
+    else:
+        raise ValueError(f"semantic_dedup: unknown fit {fit!r}")
     a = cells.select(
         F.col("_cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )

@@ -295,3 +295,30 @@ def test_kmeans_fit_edge_cases(spark):
     assert len(cents9) <= 3
     with pytest.raises(ValueError):
         kmeans_fit(df.filter(F.lit(False)), k=2, vec_col="embedding")
+
+
+def test_semantic_dedup_distributed_fit_matches_sampled(spark):
+    """fit='distributed' must find the same planted semantic dup groups
+    as the default sampled trainer (both exact-verify returned pairs)."""
+    import pandas as pd
+    from data_engineering_capstone_project__spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 8))
+    rows, vid = [], 0
+    for v in base:
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    # planted near-identical copies of the first 5 vectors
+    for i in range(5):
+        rows.append((1000 + i, [float(x) for x in base[i] + 1e-4]))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    for fit in ("sample", "distributed"):
+        kept = {r["vec_id"] for r in
+                semantic_dedup(df, threshold=0.999, fit=fit).collect()}
+        assert all(1000 + i not in kept for i in range(5)), fit
+        assert all(i in kept for i in range(5)), fit
