@@ -117,8 +117,14 @@ def ladder_main() -> None:
             2,
         ),
         "paragraph_dedup": (lambda d, e: dedup.paragraph_dedup(d), 2),
+        # the cleaned-text aggregate FORCES the span-removal computation:
+        # a bare .count() on the result lets Catalyst column-prune the
+        # whole hash-explode/cut pipeline (row count == doc count is
+        # derivable without it) and measures ~0.3 s of nothing
         "substring_span_dedup": (
-            lambda d, e: dedup.substring_span_dedup(d),
+            lambda d, e: dedup.substring_span_dedup(d).select(
+                F.sum(F.length("clean_text")).alias("chars")
+            ),
             2,
         ),
         # DEFAULT config on purpose: this cell proves the auto-derived
