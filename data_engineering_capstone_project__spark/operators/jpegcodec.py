@@ -2,8 +2,9 @@
 
 Why: JPEG is the dominant real-world training-image format, and this
 container has no Pillow (VERDICT r2 "What's missing" #2). This module
-decodes baseline (SOF0/SOF1) huffman-coded JPEG — interleaved scans, any
-integer chroma subsampling, restart markers — AND progressive (SOF2):
+decodes baseline (SOF0/SOF1) huffman-coded JPEG — interleaved AND
+non-interleaved/multi-scan, any integer chroma subsampling, restart
+markers — AND progressive (SOF2):
 spectral selection, successive approximation, interleaved DC /
 non-interleaved AC scans, EOB runs, restart intervals (T.81 Annex G.2;
 the refinement bit semantics follow G.1.2.3). It encodes baseline 4:4:4
@@ -357,8 +358,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 order.append(cid)
             intervals, end = _entropy_intervals(payload, pos)
             if not frame.get("progressive"):
-                return _decode_scan(frame, scan, qt, dc_tabs, ac_tabs,
-                                    restart_interval, intervals)
+                if ns == len(frame["comps"]) and coeffs is None:
+                    # the common single-interleaved-scan file: the fast
+                    # sparse-scatter path decodes and reconstructs in one go
+                    return _decode_scan(frame, scan, qt, dc_tabs, ac_tabs,
+                                        restart_interval, intervals)
+                # non-interleaved / multi-scan baseline: accumulate full
+                # DC+AC blocks into the persistent planes, scan by scan
+                if coeffs is None:
+                    coeffs = _alloc_coeff_planes(frame)
+                _decode_baseline_scan_into(
+                    frame, order, scan, dc_tabs, ac_tabs, restart_interval,
+                    intervals, coeffs,
+                )
+                pos = end
+                continue
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             if coeffs is None:
                 coeffs = _alloc_coeff_planes(frame)
@@ -672,6 +686,68 @@ def _decode_progressive_scan(frame, order, scan, dc_tabs, ac_tabs,
                 eobrun -= 1
 
 
+def _decode_baseline_scan_into(frame, order, scan, dc_tabs, ac_tabs,
+                               restart_interval, intervals, coeffs) -> None:
+    """One BASELINE scan (full DC+AC blocks) into the persistent
+    coefficient planes — the non-interleaved / multi-scan sequential
+    case (T.81 A.2: a scan may cover any subset of components; MCU is
+    one block when non-interleaved). Reuses the progressive machinery's
+    unit enumeration and reconstruct; per-block decode is the readable
+    LUT loop (this path is rare enough that the sparse fast path isn't
+    worth duplicating)."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    hmax, vmax, mcus_x, mcus_y = _grid_dims(frame)
+    units = []
+    if len(order) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid in order:
+                    c = comps[cid]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            units.append(
+                                (cid, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+        mcu_units = sum(comps[cid]["v"] * comps[cid]["h"] for cid in order)
+    else:
+        c = comps[order[0]]
+        nbh, nbw = _comp_block_extent(frame, c)
+        units = [(c["id"], by, bx) for by in range(nbh) for bx in range(nbw)]
+        mcu_units = 1
+    preds = {cid: 0 for cid in order}
+    br = _BitReader(intervals[0])
+    interval_idx = 0
+    for i, (cid, by, bx) in enumerate(units):
+        if restart_interval and i and i % (restart_interval * mcu_units) == 0:
+            interval_idx += 1
+            if interval_idx >= len(intervals):
+                raise ValueError(
+                    "JPEG entropy data truncated at restart marker"
+                )
+            br = _BitReader(intervals[interval_idx])
+            preds = {k: 0 for k in preds}
+        dc_t, ac_t = scan[cid]
+        dc, ac = dc_tabs[dc_t], ac_tabs[ac_t]
+        blk = coeffs[cid][by, bx]
+        t = _huff_sym(br, dc)
+        preds[cid] += _recv_extend(br, t) if t else 0
+        blk[0] = preds[cid]
+        k = 1
+        while k < 64:
+            rs = _huff_sym(br, ac)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC coefficient index overflow")
+            blk[k] = _recv_extend(br, sz)
+            k += 1
+
+
 def _reconstruct_progressive(frame, qt, coeffs) -> np.ndarray:
     h, w = frame["h"], frame["w"]
     hmax, vmax, _, _ = _grid_dims(frame)
@@ -786,9 +862,13 @@ def _encode_plane_block(bw, block, q, dc_enc, ac_enc, pred):
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                scan_mode: str = "interleaved") -> bytes:
     """(H, W, 3) uint8 RGB → baseline JFIF JPEG (4:4:4, or 4:2:0 with
-    ``subsample=True``), Annex K tables scaled by ``quality``."""
+    ``subsample=True``), Annex K tables scaled by ``quality``.
+    ``scan_mode="per_component"`` emits three non-interleaved scans
+    (4:4:4 only) — the multi-scan sequential fixture for the decoder's
+    scan-accumulation path."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects (H, W, 3) uint8")
     h, w = arr.shape[:2]
@@ -809,7 +889,26 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
                       mode="edge")
 
     bw = _BitWriter()
-    if not subsample:
+    if scan_mode == "per_component":
+        if subsample:
+            raise ValueError("per_component scan_mode is 4:4:4 only")
+        # three non-interleaved scans, one per component (DC predictor
+        # resets at each scan start) — the multi-scan baseline fixture
+        planes = [(pad(y, 8), qy, dc_l, ac_l), (pad(cb, 8), qc, dc_c, ac_c),
+                  (pad(cr, 8), qc, dc_c, ac_c)]
+        scans = []
+        for ci, (p, q, de, ae) in enumerate(planes):
+            sbw = _BitWriter()
+            pred = 0
+            for my in range(p.shape[0] // 8):
+                for mx in range(p.shape[1] // 8):
+                    pred = _encode_plane_block(
+                        sbw, p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                        q, de, ae, pred
+                    )
+            scans.append(sbw.flush())
+        sampling = [0x11, 0x11, 0x11]
+    elif not subsample:
         planes = [(pad(y, 8), qy, dc_l, ac_l), (pad(cb, 8), qc, dc_c, ac_c),
                   (pad(cr, 8), qc, dc_c, ac_c)]
         preds = [0, 0, 0]
@@ -870,6 +969,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         dht.append((tc << 4) | th)
         dht += bytes(bits) + bytes(vals)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if scan_mode == "per_component":
+        for ci, data in enumerate(scans):
+            tabs = 0x00 if ci == 0 else 0x11
+            sos = bytes((1, ci + 1, tabs, 0, 63, 0))
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            out += data
+        out += b"\xff\xd9"
+        return bytes(out)
     # SOS
     sos = bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos

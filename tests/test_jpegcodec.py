@@ -166,3 +166,19 @@ def test_progressive_restart_intervals_match_baseline():
             jc.encode_jpeg_progressive(im, quality=70, restart_interval=ri)
         )
         assert np.array_equal(base, prog), ri
+
+
+def test_multiscan_baseline_matches_interleaved():
+    """Non-interleaved baseline (three per-component scans, DC predictor
+    reset per scan) must decode bit-identical to the interleaved form."""
+    rng = np.random.default_rng(9)
+    for im in (
+        rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8),
+        _gradient(40, 56),
+    ):
+        for q in (85, 40):
+            a = jc.decode_jpeg(jc.encode_jpeg(im, quality=q))
+            b = jc.decode_jpeg(
+                jc.encode_jpeg(im, quality=q, scan_mode="per_component")
+            )
+            assert np.array_equal(a, b)
