@@ -498,6 +498,9 @@ def kmeans_fit(
     Returns ``(centroids, costs)`` — costs is the per-iteration total
     squared-distance sequence, NON-INCREASING by Lloyd's monotonicity
     (asserted in tests; surfaced in the ``x_kmeans`` oracle gate).
+    Bit-deterministic for a fixed partition layout; across layouts the
+    centroids agree up to double summation order (~1e-12), since
+    Spark's partial sums combine in partition order.
     """
     if k < 1:
         raise ValueError("kmeans_fit: k must be >= 1")
@@ -533,6 +536,10 @@ def kmeans_fit(
     )
     if not first:
         raise ValueError("kmeans_fit: empty input")
+    # mixed-dimension rows would zip_with into null scores and surface
+    # as a confusing null-cell crash in the mean update — drop them
+    # against the seed vector's dimension instead (corrupt-row guard)
+    base = base.filter(F.size("_v") == len(first[0]["_v"]))
     cands = [list(first[0]["_v"])]
     for rnd in range(init_rounds):
         # d² = ||v||² + min_c(-2<v,c> + ||c||²); cost φ = Σ d²

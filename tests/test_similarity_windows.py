@@ -322,3 +322,29 @@ def test_semantic_dedup_distributed_fit_matches_sampled(spark):
                 semantic_dedup(df, threshold=0.999, fit=fit).collect()}
         assert all(1000 + i not in kept for i in range(5)), fit
         assert all(i in kept for i in range(5)), fit
+
+
+def test_kmeans_fit_layout_independent_and_dim_guard(spark):
+    """The fit must agree across partition layouts (candidate set is
+    sorted via np.unique; the seeded-hash pick is order-free) up to
+    floating-point summation order (~1e-12 — Spark's double sums are
+    partition-order-dependent), and mixed-dimension corrupt rows are
+    dropped, not crashed on."""
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    pts = rng.normal(size=(80, 4))
+    df = spark.createDataFrame(
+        pd.DataFrame({"embedding": [list(map(float, p)) for p in pts]})
+    )
+    c3, k3 = kmeans_fit(df.repartition(3), k=4, vec_col="embedding", n_iter=3)
+    c7, k7 = kmeans_fit(df.repartition(7), k=4, vec_col="embedding", n_iter=3)
+    assert np.allclose(c3, c7, rtol=0, atol=1e-9)
+    assert np.allclose(k3, k7, rtol=1e-12)
+    corrupt = df.unionByName(
+        spark.createDataFrame(
+            pd.DataFrame({"embedding": [[1.0, 2.0]]})  # wrong dim
+        )
+    )
+    cc, _ = kmeans_fit(corrupt.repartition(3), k=4, vec_col="embedding", n_iter=3)
+    assert np.allclose(c3, cc, rtol=0, atol=1e-9)  # corrupt row dropped
