@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from data_engineering_capstone_project__spark.functions.fx import pround
 
@@ -540,6 +541,10 @@ def kmeans_fit(
     # as a confusing null-cell crash in the mean update — drop them
     # against the seed vector's dimension instead (corrupt-row guard)
     base = base.filter(F.size("_v") == len(first[0]["_v"]))
+    # iterative algorithm: every init round / Lloyd pass scans base, so
+    # persist it once (memory-and-disk — the Spark ML convention for
+    # iterative fits) instead of re-deriving from source each pass
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cands = [list(first[0]["_v"])]
     for rnd in range(init_rounds):
         # d² = ||v||² + min_c(-2<v,c> + ||c||²); cost φ = Σ d²
@@ -609,6 +614,7 @@ def kmeans_fit(
             centroids = new
             break
         centroids = new
+    base.unpersist()
     return centroids, costs
 
 
