@@ -2630,7 +2630,13 @@ def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    dim = len(base.select("embedding").first()["embedding"])
+    hdr = base.agg(
+        F.max("vec_id").alias("mx"), F.first(F.size("embedding")).alias("dim")
+    ).first()
+    dim = hdr["dim"]
+    # planted ids start past the real id range (a fixed 1e6 offset would
+    # collide once the table reaches 1M rows)
+    off = int(hdr["mx"]) + 1
     planted_rows = []
     for g, axis in enumerate((0, 1, 2)):
         anchor = [0.0] * dim
@@ -2638,7 +2644,7 @@ def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(20):
             v = list(anchor)
             v[(axis + 1) % dim] += 0.001 * i  # tiny deterministic jitter
-            planted_rows.append((1_000_000 + g * 100 + i, v))
+            planted_rows.append((off + g * 100 + i, v))
     planted = spark.createDataFrame(
         planted_rows, "vec_id bigint, embedding array<double>"
     )
@@ -2664,8 +2670,8 @@ def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = assigned.groupBy("cluster").count().collect()
     sizes_ok = sum(r["count"] for r in sizes) == n_points
     planted_labels = (
-        assigned.filter(F.col("vec_id") >= 1_000_000)
-        .withColumn("grp", ((F.col("vec_id") - 1_000_000) / 100).cast("int"))
+        assigned.filter(F.col("vec_id") >= F.lit(off))
+        .withColumn("grp", ((F.col("vec_id") - F.lit(off)) / 100).cast("int"))
         .groupBy("grp")
         .agg(F.countDistinct("cluster").alias("nlab"),
              F.min("cluster").alias("lab"))
@@ -2696,8 +2702,15 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the unmerged symbol stream (compression — merges actually
     apply)."""
     d = _t(spark, sf_dir, "documents")
-    merges = bpe.bpe_train(d, n_merges=40, min_freq=2)
-    vocab_words = bpe.word_frequencies(d, min_freq=2).count()
+    # one corpus-sized word-count pass, reused for both training and the
+    # SQL-checked vocab count (a second word_frequencies scan would
+    # double the cell's corpus cost for a number we already collected)
+    wf = [
+        (r["word"], r["freq"])
+        for r in bpe.word_frequencies(d, min_freq=2).collect()
+    ]
+    merges = bpe.train_merges_from_counts(wf, 40)
+    vocab_words = len(wf)
     words = bpe._words(F.col("text"))
     toks = bpe.bpe_tokenize(d, merges)
     agg = (

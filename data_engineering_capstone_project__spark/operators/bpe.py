@@ -146,15 +146,25 @@ def bpe_tokenize(
 
     @F.pandas_udf("array<string>")
     def _tok(texts):  # type: ignore[no-untyped-def]
+        import re
+
         import pandas as pd
 
+        # EXACTLY the training-side normalization (``_words``): Spark's
+        # Java regex \s is ASCII-only ([ \t\n\x0b\f\r]), while
+        # Python's str.split() splits on ALL Unicode whitespace (NBSP,
+        # NEL, ...) — a mismatch here produces tokens outside the
+        # trained vocabulary and breaks the roundtrip oracle
+        ws = re.compile("[ \t\n\x0b\f\r]+")
         cache: dict[str, list[str]] = {}
 
         def enc(t):
             if t is None:
                 return []
             out: list[str] = []
-            for w in t.lower().strip().split():
+            for w in ws.split(t.lower()):
+                if not w:
+                    continue
                 toks = cache.get(w)
                 if toks is None:
                     toks = _encode_word(w, ranks)

@@ -506,15 +506,26 @@ def verify_jaccard(
         rest.join(F.broadcast(bb), "id_b", "leftsemi").select("id_a", "id_b")
     ).persist()
     smallp = rest.join(F.broadcast(bb), "id_b", "left_anti").select("id_a", "id_b")
-    small = arrays_jaccard(
-        smallp, cand.join(F.broadcast(big_doc_ids), id_col, "left_anti")
+    # arrays only for docs a SMALL pair actually references — a doc
+    # whose every pair touches an outlier would otherwise be shingled
+    # here (unused) and again in the exploded path below
+    small_ids = (
+        smallp.select(F.col("id_a").alias(id_col))
+        .unionAll(smallp.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    small = arrays_jaccard(smallp, cand.join(small_ids, id_col, "leftsemi"))
     # Exploded path: |A∩B| as an equi-join on the shingle VALUE
     # restricted to outlier-pair docs, counted per pair — rows, never
     # arrays. Shingles are recomputed for just these docs (tiny set).
+    # Intersections are computed over DISTINCT pairs (a duplicated
+    # input pair row would double every shingle match and inflate
+    # n_inter) and joined back so duplicate pair rows still emit
+    # duplicate output rows, matching the arrays path.
+    bigd = bigp.distinct().persist()
     big_pair_ids = (
-        bigp.select(F.col("id_a").alias(id_col))
-        .unionAll(bigp.select(F.col("id_b").alias(id_col)))
+        bigd.select(F.col("id_a").alias(id_col))
+        .unionAll(bigd.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     exb = exploded_char_shingles(
@@ -525,7 +536,7 @@ def verify_jaccard(
     ).persist()
     szb = exb.select(id_col, "_sz").distinct()
     inter = (
-        bigp.join(exb.select(F.col(id_col).alias("id_a"), "sh").hint("merge"), "id_a")
+        bigd.join(exb.select(F.col(id_col).alias("id_a"), "sh").hint("merge"), "id_a")
         .join(
             exb.select(F.col(id_col).alias("id_b"), "sh").hint("merge"),
             ["id_b", "sh"],
@@ -533,8 +544,8 @@ def verify_jaccard(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("double").alias("n_inter"))
     )
-    big = (
-        bigp.join(szb.withColumnsRenamed({id_col: "id_a", "_sz": "sz_a"}), "id_a")
+    bigv = (
+        bigd.join(szb.withColumnsRenamed({id_col: "id_a", "_sz": "sz_a"}), "id_a")
         .join(szb.withColumnsRenamed({id_col: "id_b", "_sz": "sz_b"}), "id_b")
         .join(inter, ["id_a", "id_b"], "left")
         .withColumn("n_inter", F.coalesce("n_inter", F.lit(0.0)))
@@ -547,6 +558,7 @@ def verify_jaccard(
         )
         .select("id_a", "id_b", "jaccard")
     )
+    big = bigp.join(bigv, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
     return small.unionAll(big)
 
 

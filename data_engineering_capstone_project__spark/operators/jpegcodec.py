@@ -391,9 +391,9 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart_interval,
                  intervals) -> np.ndarray:
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     if len(scan) != len(comps):
-        raise NotImplementedError(
-            "non-interleaved (multi-scan) baseline JPEG unsupported"
-        )
+        # decode_jpeg routes multi-scan files to the scan-accumulation
+        # path; this fast path is single-interleaved-scan by contract
+        raise ValueError("_decode_scan requires a full interleaved scan")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -545,32 +545,10 @@ def _decode_progressive_scan(frame, order, scan, dc_tabs, ac_tabs,
     correction-bit semantics match the reference decoder's Annex G flow).
     """
     comps = {c["id"]: c for c in frame["comps"]}
-    hmax, vmax, mcus_x, mcus_y = _grid_dims(frame)
     if ss == 0:
         if se != 0:
             raise ValueError("progressive DC scan with Se != 0")
-        # unit list: (component id, block row, block col) in scan order
-        units = []
-        if len(order) > 1:  # interleaved over the full MCU grid
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    for cid in order:
-                        c = comps[cid]
-                        for by in range(c["v"]):
-                            for bx in range(c["h"]):
-                                units.append(
-                                    (cid, my * c["v"] + by, mx * c["h"] + bx)
-                                )
-            mcu_units = sum(comps[cid]["v"] * comps[cid]["h"] for cid in order)
-        else:
-            c = comps[order[0]]
-            nbh, nbw = _comp_block_extent(frame, c)
-            units = [
-                (c["id"], by, bx)
-                for by in range(nbh)
-                for bx in range(nbw)
-            ]
-            mcu_units = 1
+        units, mcu_units = _scan_units(frame, order, comps)
         preds = {cid: 0 for cid in order}
         br = _BitReader(intervals[0])
         interval_idx = 0
@@ -686,6 +664,31 @@ def _decode_progressive_scan(frame, order, scan, dc_tabs, ac_tabs,
                 eobrun -= 1
 
 
+def _scan_units(frame, order, comps):
+    """(units, mcu_units): block coordinates in scan order — interleaved
+    over the full MCU grid for multi-component scans, the component's own
+    block raster (T.81 A.2.2) when non-interleaved. Shared by the
+    progressive DC and multi-scan baseline decoders."""
+    hmax, vmax, mcus_x, mcus_y = _grid_dims(frame)
+    if len(order) > 1:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid in order:
+                    c = comps[cid]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            units.append(
+                                (cid, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+        return units, sum(comps[cid]["v"] * comps[cid]["h"] for cid in order)
+    c = comps[order[0]]
+    nbh, nbw = _comp_block_extent(frame, c)
+    return [
+        (c["id"], by, bx) for by in range(nbh) for bx in range(nbw)
+    ], 1
+
+
 def _decode_baseline_scan_into(frame, order, scan, dc_tabs, ac_tabs,
                                restart_interval, intervals, coeffs) -> None:
     """One BASELINE scan (full DC+AC blocks) into the persistent
@@ -696,24 +699,7 @@ def _decode_baseline_scan_into(frame, order, scan, dc_tabs, ac_tabs,
     LUT loop (this path is rare enough that the sparse fast path isn't
     worth duplicating)."""
     comps = {c["id"]: c for c in frame["comps"]}
-    hmax, vmax, mcus_x, mcus_y = _grid_dims(frame)
-    units = []
-    if len(order) > 1:
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for cid in order:
-                    c = comps[cid]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            units.append(
-                                (cid, my * c["v"] + by, mx * c["h"] + bx)
-                            )
-        mcu_units = sum(comps[cid]["v"] * comps[cid]["h"] for cid in order)
-    else:
-        c = comps[order[0]]
-        nbh, nbw = _comp_block_extent(frame, c)
-        units = [(c["id"], by, bx) for by in range(nbh) for bx in range(nbw)]
-        mcu_units = 1
+    units, mcu_units = _scan_units(frame, order, comps)
     preds = {cid: 0 for cid in order}
     br = _BitReader(intervals[0])
     interval_idx = 0
@@ -861,6 +847,46 @@ def _encode_plane_block(bw, block, q, dc_enc, ac_enc, pred):
     return int(zz[0])
 
 
+def _encode_front(arr: np.ndarray, quality: int):
+    """Shared encoder front half: RGB→YCbCr planes + quality-scaled
+    quant tables. Both encoders MUST use this so baseline and
+    progressive quantize identically (the bit-identical-decode
+    invariant the tests pin)."""
+    f = arr.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+    qy = _scaled_qt(_QT_LUM, quality).reshape(8, 8)
+    qc = _scaled_qt(_QT_CHR, quality).reshape(8, 8)
+    return y, cb, cr, qy, qc
+
+
+def _emit_headers(h, w, qy, qc, sof_marker: bytes, sampling) -> bytearray:
+    """SOI + JFIF APP0 + DQT + SOF(0/2) + DHT (the four Annex K tables)
+    — identical between the baseline and progressive encoders except
+    the SOF marker byte and sampling factors."""
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    dqt = bytearray()
+    for tq, q in ((0, qy), (1, qc)):
+        dqt.append(tq)
+        dqt += bytes(int(q.reshape(64)[ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, hv, tq in ((1, sampling[0], 0), (2, sampling[1], 1),
+                        (3, sampling[2], 1)):
+        sof += bytes((cid, hv, tq))
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytearray()
+    for tc, th, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM),
+                                 (0, 1, _DC_CHR), (1, 1, _AC_CHR)):
+        dht.append((tc << 4) | th)
+        dht += bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    return out
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
                 subsample: bool = False,
                 scan_mode: str = "interleaved") -> bytes:
@@ -872,13 +898,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects (H, W, 3) uint8")
     h, w = arr.shape[:2]
-    f = arr.astype(np.float64)
-    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
-    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
-    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
-
-    qy = _scaled_qt(_QT_LUM, quality).reshape(8, 8)
-    qc = _scaled_qt(_QT_CHR, quality).reshape(8, 8)
+    y, cb, cr, qy, qc = _encode_front(arr, quality)
     dc_l, ac_l = _huff_encoder(*_DC_LUM), _huff_encoder(*_AC_LUM)
     dc_c, ac_c = _huff_encoder(*_DC_CHR), _huff_encoder(*_AC_CHR)
 
@@ -947,28 +967,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
                 )
         sampling = [0x22, 0x11, 0x11]
 
-    out = bytearray(b"\xff\xd8")
-    app0 = b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
-    # DQT: both tables in one segment, zigzag order
-    dqt = bytearray()
-    for tq, q in ((0, qy), (1, qc)):
-        dqt.append(tq)
-        dqt += bytes(int(q.reshape(64)[ZIGZAG[k]]) for k in range(64))
-    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
-    # SOF0
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, hv, tq in ((1, sampling[0], 0), (2, sampling[1], 1),
-                        (3, sampling[2], 1)):
-        sof += bytes((cid, hv, tq))
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT: all four tables
-    dht = bytearray()
-    for tc, th, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM),
-                                 (0, 1, _DC_CHR), (1, 1, _AC_CHR)):
-        dht.append((tc << 4) | th)
-        dht += bytes(bits) + bytes(vals)
-    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out = _emit_headers(h, w, qy, qc, b"\xff\xc0", sampling)
     if scan_mode == "per_component":
         for ci, data in enumerate(scans):
             tabs = 0x00 if ci == 0 else 0x11
@@ -1002,7 +1001,6 @@ def _emit_ac_first(bw, band, ss, se, al, ac_enc) -> None:
     ZRL runs, per-block EOB (no cross-block EOB-run accumulation — EOB0
     is a legal 1-block run and keeps the encoder simple)."""
     run = 0
-    emitted_any = False
     last = ss - 1
     for k in range(ss, se + 1):
         v = int(band[k])
@@ -1027,11 +1025,9 @@ def _emit_ac_first(bw, band, ss, se, al, ac_enc) -> None:
         bw.write(code, length)
         bw.write(bits_v, s)
         run = 0
-        emitted_any = True
     if last < se:
         code, length = ac_enc[0x00]  # EOB0
         bw.write(code, length)
-    del emitted_any
 
 
 def _emit_ac_refine(bw, band, ss, se, al, ac_enc) -> None:
@@ -1103,12 +1099,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_jpeg_progressive expects (H, W, 3) uint8")
     h, w = arr.shape[:2]
-    f = arr.astype(np.float64)
-    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
-    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
-    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
-    qy = _scaled_qt(_QT_LUM, quality).reshape(8, 8)
-    qc = _scaled_qt(_QT_CHR, quality).reshape(8, 8)
+    y, cb, cr, qy, qc = _encode_front(arr, quality)
 
     def pad8(p):
         ph = -(-p.shape[0] // 8) * 8
@@ -1127,24 +1118,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
     ac_enc = [_huff_encoder(*_AC_LUM), _huff_encoder(*_AC_CHR),
               _huff_encoder(*_AC_CHR)]
 
-    out = bytearray(b"\xff\xd8")
-    app0 = b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
-    dqt = bytearray()
-    for tq, q in ((0, qy), (1, qc)):
-        dqt.append(tq)
-        dqt += bytes(int(q.reshape(64)[ZIGZAG[k]]) for k in range(64))
-    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes((cid, 0x11, tq))
-    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
-    dht = bytearray()
-    for tc, th, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM),
-                                 (0, 1, _DC_CHR), (1, 1, _AC_CHR)):
-        dht.append((tc << 4) | th)
-        dht += bytes(bits) + bytes(vals)
-    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out = _emit_headers(h, w, qy, qc, b"\xff\xc2", [0x11, 0x11, 0x11])
 
     def sos_header(comps, ss, se, ah, al):
         body = bytes((len(comps),)) + b"".join(

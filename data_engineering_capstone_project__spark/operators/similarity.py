@@ -526,96 +526,101 @@ def kmeans_fit(
         + F.array_min("_scores"),
         F.lit(0.0),
     )
-    # --- k-means|| init -------------------------------------------------
-    # round 0: the lexicographically-first vector under the seeded hash
-    # (deterministic "uniform" first pick without rand())
-    first = (
-        base.select("_v", F.xxhash64(F.col("_v"), F.lit(seed)).alias("_h"))
-        .orderBy("_h")
-        .limit(1)
-        .collect()
-    )
-    if not first:
-        raise ValueError("kmeans_fit: empty input")
-    # mixed-dimension rows would zip_with into null scores and surface
-    # as a confusing null-cell crash in the mean update — drop them
-    # against the seed vector's dimension instead (corrupt-row guard)
-    base = base.filter(F.size("_v") == len(first[0]["_v"]))
-    # iterative algorithm: every init round / Lloyd pass scans base, so
-    # persist it once (memory-and-disk — the Spark ML convention for
-    # iterative fits) instead of re-deriving from source each pass
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = [list(first[0]["_v"])]
-    for rnd in range(init_rounds):
-        # d² = ||v||² + min_c(-2<v,c> + ||c||²); cost φ = Σ d²
-        scored = with_scores(np.asarray(cands, dtype=np.float64)).withColumn(
-            "_d2", _d2
-        )
-        phi = scored.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
-        if phi <= 0.0:
-            break  # all mass already on candidates
-        # seeded Bernoulli coin in [0,1): hash → 64-bit → unit interval
-        coin = (
-            F.xxhash64(F.col("_v"), F.lit(seed), F.lit(rnd)).cast("double")
-            / F.lit(float(2**63))
-            + F.lit(1.0)
-        ) / F.lit(2.0)
-        p = F.least(F.lit(1.0), F.lit(oversample * k) * F.col("_d2") / F.lit(phi))
-        new = scored.filter(coin < p).select("_v").collect()
-        cands.extend(list(r["_v"]) for r in new)
-    cand = np.unique(np.asarray(cands, dtype=np.float64), axis=0)
-    if len(cand) > k:
-        # weight candidates by attracted corpus mass, then Lloyd on the
-        # weighted candidate set driver-side (k-means|| reduction step)
-        w_rows = (
-            with_scores(cand)
-            .withColumn("_cell", _argmin(F.col("_scores")))
-            .groupBy("_cell")
-            .agg(F.count("*").alias("n"))
+    try:
+        # --- k-means|| init -------------------------------------------------
+        # round 0: the lexicographically-first vector under the seeded hash
+        # (deterministic "uniform" first pick without rand())
+        first = (
+            base.select("_v", F.xxhash64(F.col("_v"), F.lit(seed)).alias("_h"))
+            .orderBy("_h")
+            .limit(1)
             .collect()
         )
-        w = np.zeros(len(cand))
-        for r in w_rows:
-            w[r["_cell"]] = r["n"]
-        centroids = cand[np.argsort(-w)[:k]].copy()
-        for _ in range(20):
-            dd = ((cand[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-            a = dd.argmin(1)
-            for c in range(k):
-                m = a == c
-                if w[m].sum() > 0:
-                    centroids[c] = (cand[m] * w[m, None]).sum(0) / w[m].sum()
-    else:
-        centroids = cand.copy()
-    # --- Lloyd ----------------------------------------------------------
-    costs: list[float] = []
-    for _ in range(n_iter):
-        stats = (
-            with_scores(centroids)
-            .withColumn("_cell", _argmin(F.col("_scores")))
-            .withColumn("_d2", _d2)
-            .select("_cell", "_d2", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_cell", "_pos")
-            .agg(
-                F.sum("_x").alias("sx"),
-                F.count("*").alias("n"),
-                F.sum(F.when(F.col("_pos") == 0, F.col("_d2"))).alias("c0"),
+        if not first:
+            raise ValueError("kmeans_fit: empty input")
+        # mixed-dimension rows would zip_with into null scores and surface
+        # as a confusing null-cell crash in the mean update — drop them
+        # against the seed vector's dimension instead (corrupt-row guard)
+        base = base.filter(F.size("_v") == len(first[0]["_v"]))
+        # iterative algorithm: every init round / Lloyd pass scans base, so
+        # persist it once (memory-and-disk — the Spark ML convention for
+        # iterative fits) instead of re-deriving from source each pass
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        cands = [list(first[0]["_v"])]
+        for rnd in range(init_rounds):
+            # d² = ||v||² + min_c(-2<v,c> + ||c||²); cost φ = Σ d²
+            scored = with_scores(np.asarray(cands, dtype=np.float64)).withColumn(
+                "_d2", _d2
             )
-            .collect()
-        )
-        new = centroids.copy()
-        cost = 0.0
-        for r in stats:
-            new[r["_cell"], r["_pos"]] = r["sx"] / r["n"]
-            if r["_pos"] == 0 and r["c0"] is not None:
-                cost += r["c0"]
-        costs.append(float(cost))
-        if np.allclose(new, centroids, rtol=0.0, atol=1e-12):
+            phi = scored.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
+            if phi <= 0.0:
+                break  # all mass already on candidates
+            # seeded Bernoulli coin in [0,1): hash → 64-bit → unit interval
+            coin = (
+                F.xxhash64(F.col("_v"), F.lit(seed), F.lit(rnd)).cast("double")
+                / F.lit(float(2**63))
+                + F.lit(1.0)
+            ) / F.lit(2.0)
+            p = F.least(F.lit(1.0), F.lit(oversample * k) * F.col("_d2") / F.lit(phi))
+            new = scored.filter(coin < p).select("_v").collect()
+            cands.extend(list(r["_v"]) for r in new)
+        cand = np.unique(np.asarray(cands, dtype=np.float64), axis=0)
+        if len(cand) > k:
+            # weight candidates by attracted corpus mass, then Lloyd on the
+            # weighted candidate set driver-side (k-means|| reduction step)
+            w_rows = (
+                with_scores(cand)
+                .withColumn("_cell", _argmin(F.col("_scores")))
+                .groupBy("_cell")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            w = np.zeros(len(cand))
+            for r in w_rows:
+                w[r["_cell"]] = r["n"]
+            centroids = cand[np.argsort(-w)[:k]].copy()
+            for _ in range(20):
+                dd = ((cand[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+                a = dd.argmin(1)
+                for c in range(k):
+                    m = a == c
+                    if w[m].sum() > 0:
+                        centroids[c] = (cand[m] * w[m, None]).sum(0) / w[m].sum()
+        else:
+            centroids = cand.copy()
+        # --- Lloyd ----------------------------------------------------------
+        costs: list[float] = []
+        for _ in range(n_iter):
+            stats = (
+                with_scores(centroids)
+                .withColumn("_cell", _argmin(F.col("_scores")))
+                .withColumn("_d2", _d2)
+                .select("_cell", "_d2", F.posexplode("_v").alias("_pos", "_x"))
+                .groupBy("_cell", "_pos")
+                .agg(
+                    F.sum("_x").alias("sx"),
+                    F.count("*").alias("n"),
+                    F.sum(F.when(F.col("_pos") == 0, F.col("_d2"))).alias("c0"),
+                )
+                .collect()
+            )
+            new = centroids.copy()
+            cost = 0.0
+            for r in stats:
+                new[r["_cell"], r["_pos"]] = r["sx"] / r["n"]
+                if r["_pos"] == 0 and r["c0"] is not None:
+                    cost += r["c0"]
+            costs.append(float(cost))
+            if np.allclose(new, centroids, rtol=0.0, atol=1e-12):
+                centroids = new
+                break
             centroids = new
-            break
-        centroids = new
-    base.unpersist()
-    return centroids, costs
+        return centroids, costs
+    finally:
+        # unpersist on every exit path — a failed pass must not leave
+        # the corpus projection pinned for the session lifetime
+        base.unpersist()
+
 
 
 def kmeans_assign(

@@ -689,3 +689,46 @@ def test_verify_jaccard_outlier_routing_identical(spark, sf_dir):
         ).collect()
     }
     assert got_mixed == want
+
+
+def test_verify_jaccard_duplicate_pairs_and_big_path(spark, sf_dir):
+    """Duplicate (id_a,id_b) input rows must emit duplicate output rows
+    with the SAME jaccard on both routing paths — the exploded outlier
+    path once double-counted every shingle match of a duplicated pair."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    pairs_rows = [(a, b) for a in ids for b in ids if a < b]
+    dup_pairs = spark.createDataFrame(
+        pairs_rows + pairs_rows[:5], "id_a long, id_b long"  # 5 duplicated
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.verify_jaccard(docs, dup_pairs).collect()
+    }
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.verify_jaccard(
+            docs, dup_pairs, max_array_shingles=0  # all pairs exploded path
+        ).collect()
+    )
+    assert set(got) == want
+    assert len(got) == len(pairs_rows) + 5  # duplicates preserved
+
+
+def test_bpe_tokenize_java_whitespace_semantics(spark):
+    """Spark's \\s is ASCII-only: a NBSP-joined 'word' must stay ONE
+    token unit in bpe_tokenize, matching the training-side split (a
+    Python str.split() would split it and emit out-of-vocab tokens)."""
+    import pandas as pd
+    from data_engineering_capstone_project__spark.operators import bpe
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["foo bar foo bar baz baz"]})
+    )
+    words = {r["word"] for r in bpe.word_frequencies(df, min_freq=1).collect()}
+    assert "foo bar" in words  # Java \s does not split NBSP
+    merges = bpe.bpe_train(df, n_merges=5, min_freq=1)
+    toks = bpe.bpe_tokenize(df, merges).collect()[0]["tokens"]
+    # roundtrip under the SAME normalization: concat == concat of words
+    joined = "".join(t.replace("</w>", "") for t in toks)
+    assert joined == "foo barfoo barbazbaz"
