@@ -22,7 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from data_engineering_capstone_project__spark.cachereg import register
 from data_engineering_capstone_project__spark.functions.fx import pround
 from data_engineering_capstone_project__spark.operators.text import fingerprint
 
@@ -1032,12 +1034,166 @@ def dedup_by_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
+# odd 64-bit multiplier (2^64/φ, forced odd → invertible mod 2^64) for
+# the winnowing detect tier's polynomial rolling hash
+_WINNOW_B = 0x9E3779B97F4A7C15
+_WINNOW_BINV = pow(_WINNOW_B, -1, 1 << 64)
+
+
+def _sliding_min(H, w: int):
+    """O(M) sliding-window minimum (van Herk/Gil-Werman): block prefix-
+    and suffix-minima via two ``np.minimum.accumulate`` passes — ~w×
+    cheaper than a strided ``sliding_window_view(...).min(axis=1)``
+    (which is an O(M·w) per-window C loop over a non-contiguous view)."""
+    import numpy as np
+
+    M = len(H)
+    if w <= 1:
+        return H
+    nb = -(-M // w)
+    pad = nb * w - M
+    Hp = np.concatenate([H, np.full(pad, np.iinfo(np.uint64).max, dtype=np.uint64)])
+    blocks = Hp.reshape(nb, w)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    i = np.arange(M - w + 1)
+    return np.minimum(suf[i], pref[i + w - 1])
+
+
+def winnow_runs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "_norm",
+    window: int = 50,
+) -> DataFrame:
+    """Winnowing fingerprint RUNS per doc (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): ``(id, s, e, fp)`` rows where ``fp`` is the minimum
+    k-gram hash over the ``w`` hash positions inside the ``window``-char
+    window, and ``[s, e]`` is a maximal run of consecutive (1-based,
+    char-indexed) window-start positions sharing that minimum.
+
+    k and w are derived so ``k + w - 1 == window`` (k = ⌈window/2⌉), so
+    every window-char window contains EXACTLY one full hash window — its
+    min is the window's fingerprint, and the detection guarantee is
+    positional and tight: a ``window``-char substring duplicated across
+    docs has identical fingerprint at every occurrence (equal chars ⇒
+    equal bytes ⇒ equal hash content), so every occurrence's position
+    lies in a run whose fp value appears in ≥ 2 rows. Selection is
+    content-defined (no stride), hence alignment-free; hash collisions
+    only ADD shared fps — the safe direction for a candidate tier.
+    Expected run density ≈ 2/(w+1) of corpus positions.
+
+    Implementation: Arrow-batched ``mapInPandas``, everything vectorized
+    numpy per batch — docs concatenate into one byte array; k-gram
+    hashes come from a wrapping-uint64 polynomial rolling hash (two
+    cumprods + one cumsum — O(bytes), no per-position substring); the
+    sliding minima from the O(M) block trick (``_sliding_min``); char
+    positions from a continuation-byte cumsum so multi-byte text maps
+    bytes→chars exactly. The pure-SQL alternative needs either a
+    higher-order ``transform`` (CodegenFallback — interpreted per
+    element, the 35× trap ``exploded_char_shingles`` documents) or a
+    corpus-sized window-function shuffle; this kernel shuffles nothing
+    and emits only the run rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = (window + 1) // 2
+    w = window - k + 1
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("s", T.IntegerType(), False),
+            T.StructField("e", T.IntegerType(), False),
+            T.StructField("fp", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        B = np.uint64(_WINNOW_B)
+        BINV = np.uint64(_WINNOW_BINV)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            enc = [t.encode("utf-8") for t in pdf[text_col]]
+            # docs under `window` BYTES are under `window` chars — they can
+            # neither own nor contain a cuttable span; skip them
+            keep = [i for i, b in enumerate(enc) if len(b) >= window]
+            if not keep:
+                continue
+            docs = [enc[i] for i in keep]
+            kept_ids = ids[keep]
+            lens = np.fromiter((len(b) for b in docs), dtype=np.int64, count=len(docs))
+            raw = np.frombuffer(b"".join(docs), dtype=np.uint8)
+            c = raw.astype(np.uint64)
+            L = len(c)
+            M = L - k + 1  # k-gram count (boundary-crossing ones never read)
+            # ci[b] = 1-based char ordinal of byte b (UTF-8 continuation
+            # bytes don't start a char) — exact byte→char position mapping
+            ci = np.cumsum((raw & 0xC0) != 0x80)
+            # pows[i] = B^i mod 2^64 via wrapping cumprod; S = prefix sums
+            # of c[i]·B^i, so S[p+k]-S[p] = B^p·hash(c[p:p+k]) and the
+            # B^-p unscale makes hashes position-independent (comparable)
+            pows = np.full(L, B, dtype=np.uint64)
+            pows[0] = 1
+            np.cumprod(pows, out=pows)
+            S = np.zeros(L + 1, dtype=np.uint64)
+            np.cumsum(c * pows, out=S[1:])
+            ipows = np.full(M, BINV, dtype=np.uint64)
+            ipows[0] = 1
+            np.cumprod(ipows, out=ipows)
+            H = (S[k:] - S[:-k]) * ipows
+            mins = _sliding_min(H, w)
+            # valid window starts for doc j (byte span [s_j, s_j+len_j)):
+            # g ∈ [s_j, s_j + len_j - window]
+            starts = np.zeros(len(docs), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[:-1])
+            reps = lens - window + 1  # ≥ 1 by the keep filter
+            total = int(reps.sum())
+            ends = np.cumsum(reps)
+            g = np.arange(total, dtype=np.int64) - np.repeat(ends - reps, reps)
+            g += np.repeat(starts, reps)
+            doc_idx = np.repeat(np.arange(len(docs), dtype=np.int64), reps)
+            sel = mins[g]
+            # maximal runs of equal min per doc (winnowing reuses the same
+            # min across ~w/2 consecutive windows)
+            rs_mask = np.empty(total, dtype=bool)
+            rs_mask[0] = True
+            rs_mask[1:] = (sel[1:] != sel[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+            rs = np.flatnonzero(rs_mask)
+            re_ = np.empty_like(rs)
+            re_[:-1] = rs[1:] - 1
+            re_[-1] = total - 1
+            d = doc_idx[rs]
+            sj = starts[d]
+            cis = ci[sj]  # char ordinal of each doc's first byte
+            # byte run [g_a, g_b] → candidate char window starts
+            # [cpos(g_a+window-1) - (window-1), cpos(g_b)] (1-based local);
+            # for ASCII this is exactly [g_a-s_j+1, g_b-s_j+1]
+            lo = ci[g[rs] + window - 1] - cis + 1 - (window - 1)
+            hi = ci[g[re_]] - cis + 1
+            nch = ci[sj + lens[d] - 1] - cis + 1  # doc length in chars
+            lo = np.maximum(lo, 1)
+            hi = np.minimum(hi, nch - window + 1)
+            ok = lo <= hi
+            yield pd.DataFrame(
+                {
+                    id_col: kept_ids[d[ok]],
+                    "s": lo[ok].astype(np.int32),
+                    "e": hi[ok].astype(np.int32),
+                    "fp": sel[rs][ok].view(np.int64),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
 def substring_span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 50,
     stride: int = 1,
+    detect: str = "winnow",
 ) -> DataFrame:
     """Exact substring-span dedup, first-occurrence-wins (the character-
     level analogue of Lee et al. 2022, "Deduplicating Training Data Makes
@@ -1059,53 +1215,117 @@ def substring_span_dedup(
     sweep setting, not the exactness setting. Returns ``(id,
     clean_text, n_removed)`` over the NORMALIZED text.
 
-    Scale shape: one explode to len/stride window rows per doc (hashes
-    shuffle as 32-char md5, never text), one groupBy for global first
-    occurrence (min struct — map-side partials absorb hot boilerplate
-    hashes exactly like ``paragraph_dedup``), one join-back, a per-doc
-    window for interval merging over DUPLICATED windows only (skewless:
-    a doc's duplicated-window count is bounded by its length), and the
-    final cut is a per-doc higher-order fold over its few merged spans.
+    **Two tiers** (``detect='winnow'``, the default): a winnowing pass
+    (``winnow_runs`` — content-defined fingerprint runs at ~2/(w+1) of
+    corpus positions, computed by an O(bytes) numpy kernel that shuffles
+    nothing) first finds the POSITIONS whose window can possibly be
+    cross-doc duplicated: with ``k + w - 1 == window`` each window-char
+    window contains exactly one full hash window, so a duplicated window
+    at position p forces p's fingerprint value to appear in ≥ 2 rows —
+    and EVERY occurrence of that window (the would-be owner included)
+    lands in a surviving run. The exact stride-hash refine then runs
+    over the merged shared-run intervals only. Output is BYTE-IDENTICAL
+    to ``detect='full'`` (the single-tier audit path): the restriction
+    keeps every occurrence of every cross-doc-shared window, so the
+    per-window first-occurrence owner over candidate positions equals
+    the owner over all positions — no cut missed, no edge moved
+    (regression-tested, incl. misaligned repeats and multi-byte text).
+    Doc-level pruning is NOT enough at scale: organic ≥window repeats in
+    a 500k-doc Zipf corpus touch 99% of docs, but only a few % of
+    positions — position-level pruning is what scales with shared-
+    content volume instead of corpus volume.
+
+    Scale shape: the detect kernel is an Arrow-batched scan (no
+    shuffle); shared-run selection is one narrow count-over-fp window;
+    the refine explodes only candidate positions (hashes shuffle as
+    32-char md5, never text) and finds each hash's first occurrence
+    with a single min-struct WINDOW over the hash partition — one
+    shuffle+sort of candidate rows, replacing the former aggregate +
+    self-join-back that computed the corpus-sized hash explode twice
+    and sorted it twice. Span assembly is a per-doc interval merge over
+    DUPLICATED positions only, and the final cut is one higher-order
+    fold per doc. Persisted intermediates are released via
+    ``cachereg.release_intermediates()`` after consumption.
     """
+    if detect not in ("winnow", "full"):
+        raise ValueError(f"unknown detect {detect!r}")
     n = F.length("_norm")
-    base = _spread(df).select(
-        F.col(id_col), _normalize(F.col(text_col)).alias("_norm")
-    ).persist()
-    w = (
-        base.filter(n >= window)
-        .select(
+    base = register(
+        _spread(df)
+        .select(F.col(id_col), _normalize(F.col(text_col)).alias("_norm"))
+        .persist()
+    )
+
+    if detect == "winnow":
+        runs = winnow_runs(base, id_col, "_norm", window)
+        # fp shared by ≥2 rows ⇒ possibly cross-doc duplicated positions;
+        # same-doc-only repeats survive here (superset — the refine's
+        # owner filter drops them) but never reach the output wrongly
+        shared = F.count("*").over(Window.partitionBy("fp"))
+        cand = (
+            runs.withColumn("_c", shared)
+            .filter(F.col("_c") >= 2)
+            .select(id_col, "s", "e")
+        )
+        # merge overlapping/adjacent intervals per doc BEFORE exploding —
+        # neighbouring runs of different fps overlap, and exploding the
+        # raw runs would emit each shared position several times
+        byid = Window.partitionBy(id_col).orderBy("s")
+        pme = F.max("e").over(byid.rowsBetween(Window.unboundedPreceding, -1))
+        merged = (
+            cand.withColumn(
+                "_nw",
+                F.when(pme.isNull() | (F.col("s") > pme + 1), 1).otherwise(0),
+            )
+            .withColumn("_g", F.sum("_nw").over(byid))
+            .groupBy(id_col, "_g")
+            .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        )
+        pos = merged.join(base, id_col).select(
+            id_col,
+            "_norm",
+            F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
+        )
+        if stride > 1:
+            # preserve the global stride grid (positions ≡ 1 mod stride)
+            pos = pos.filter(F.pmod(F.col("p") - F.lit(1), F.lit(stride)) == 0)
+    else:
+        pos = base.filter(n >= window).select(
             id_col,
             "_norm",
             F.explode(
                 F.sequence(F.lit(1), n - (window - 1), F.lit(stride))
             ).alias("p"),
         )
-        .select(
-            id_col,
-            "p",
-            F.md5(F.col("_norm").substr(F.col("p"), F.lit(window))).alias("wh"),
-        )
+
+    wrows = pos.select(
+        id_col,
+        "p",
+        F.md5(F.col("_norm").substr(F.col("p"), F.lit(window))).alias("wh"),
     )
-    # hint("merge"): one row per DISTINCT window hash — O(corpus) — and
-    # Catalyst's post-aggregate size estimate is unreliable (the same
-    # driver-killing broadcast verify_jaccard hit at 500k docs)
-    owner = w.groupBy("wh").agg(
-        F.min(F.struct(F.col(id_col).alias("oid"), F.col("p").alias("op"))).alias("o")
-    ).hint("merge")
+    # first occurrence per window hash as ONE pass: min-struct window over
+    # the hash partition (no orderBy → whole-partition frame). The former
+    # groupBy+join-back shape computed the hash explode TWICE (partial
+    # aggregation changes the exchange, so Spark can't reuse it across
+    # the aggregate and the probe) and sort-merge-sorted both sides.
+    o = F.min(F.struct(F.col(id_col).alias("oid"), F.col("p").alias("op"))).over(
+        Window.partitionBy("wh")
+    )
     dup = (
-        w.join(owner, "wh")
-        .filter(F.col(id_col) != F.col("o.oid"))
+        wrows.withColumn("_o", o)
+        .filter(F.col(id_col) != F.col("_o.oid"))
         .select(id_col, "p")
     )
-    # gaps-and-islands interval merge: a window starts a new span when its
-    # start exceeds the running max end of all earlier windows in the doc
+    # gaps-and-islands interval merge: a window starts a new span when
+    # its start exceeds the running max end of earlier windows in the doc
     byp = Window.partitionBy(id_col).orderBy("p")
     prev_end = F.max(F.col("p") + window).over(
         byp.rowsBetween(Window.unboundedPreceding, -1)
     )
     spans = (
         dup.withColumn(
-            "_new", F.when(prev_end.isNull() | (F.col("p") > prev_end), 1).otherwise(0)
+            "_new",
+            F.when(prev_end.isNull() | (F.col("p") > prev_end), 1).otherwise(0),
         )
         .withColumn("_g", F.sum("_new").over(byp))
         .groupBy(id_col, "_g")

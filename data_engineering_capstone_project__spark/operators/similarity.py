@@ -17,8 +17,10 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
+from data_engineering_capstone_project__spark.cachereg import register
 from data_engineering_capstone_project__spark.functions.fx import pround
 
 
@@ -126,6 +128,61 @@ def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _srp_bucket_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    named_planes: list[tuple[str, "np.ndarray"]],
+) -> DataFrame:
+    """``(id, vec, <one long column per named plane set>)`` — all SRP
+    bucket ids in ONE Arrow-batched kernel: the L·b (+ reserve)
+    hyperplane projections are a single dense ``X @ Pᵀ`` BLAS product
+    per batch, then a sign test and a power-of-two bit pack.
+
+    Why not the ``lsh_bucket`` expression: each projection there is an
+    ``aggregate(zip_with(...))`` higher-order function — CodegenFallback,
+    interpreted per element with boxing — and an auto-sized multi-table
+    config evaluates L·b of them per row (measured 41.5 s for 4×14
+    planes over 200k 64-dim vectors vs seconds for the matmul). Rows
+    with NULL or wrong-``dim`` vectors are dropped up front — under the
+    expression form their buckets were null-propagated garbage and their
+    pairs died at the cosine verify anyway, so output is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = np.vstack([p for _, p in named_planes]).astype(np.float64)
+    groups = []
+    off = 0
+    for name, p in named_planes:
+        groups.append((name, off, len(p)))
+        off += len(p)
+    PT = P.T.copy()
+    out_schema = T.StructType(
+        [df.schema[id_col], df.schema[vec_col]]
+        + [T.StructField(name, T.LongType(), False) for name, _, _ in groups]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (X @ PT) > 0.0
+            out = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
+            for name, o, b in groups:
+                w = np.int64(1) << np.arange(b, dtype=np.int64)
+                out[name] = bits[:, o : o + b].astype(np.int64) @ w
+            yield pd.DataFrame(out)
+
+    return (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .mapInPandas(gen, out_schema)
+    )
+
+
 def auto_lsh_config(
     n_rows: int,
     threshold: float,
@@ -180,6 +237,7 @@ def lsh_bucket_pairs(
     n_rows: int | None = None,
     target_bucket: int = 32,
     target_recall: float = 0.95,
+    est_filter: bool = True,
 ) -> DataFrame:
     """Near-neighbor pairs via SRP-LSH bucketing + exact in-bucket cosine
     verification. The scale path for ``embedding_near_dups``: the
@@ -212,6 +270,24 @@ def lsh_bucket_pairs(
     column-pruned job; pass ``n_rows`` to skip it when the caller already
     knows the size. Explicit ``n_planes`` preserves the old fixed-config
     behavior (with ``n_tables`` defaulting to 1).
+
+    ``est_filter`` (default on, active when ``n_tables ≥ 2``) prunes
+    bucket collisions by SIGNATURE AGREEMENT before the exact cosine —
+    the same idea as ``minhash_lsh_candidates``'s estimate prune. A
+    colliding pair already carries its sign bits in every OTHER table
+    (the current table's bits agree by construction and carry no
+    information): each of those (L−1)·b bits disagrees independently
+    with probability θ/π (the SRP collision identity), so the XOR
+    popcount ``d`` over the other tables' buckets is Binomial with mean
+    (θ/π)·n_bits. Candidates with ``d`` above the threshold-pair mean
+    plus 4σ are dropped — a baseline-similarity bucket collision (θ far
+    above acos(threshold)) fails with near-certainty, while a true pair
+    at exactly the threshold passes with P ≈ 1−3e-5 per colliding table
+    row (and gets another chance in every other table it collides in).
+    The estimate is a handful of codegen ``bit_count(xor)`` terms per
+    pair vs a dim-wide zip_with/aggregate dot product — at the 500k
+    ladder rung exact cosine on bucket collisions dominated the 74 s
+    cell.
     """
     if n_planes is None:
         if n_rows is None:
@@ -224,30 +300,49 @@ def lsh_bucket_pairs(
             n_tables = auto_l
     if n_tables is None:
         n_tables = 1
+    use_est = est_filter and n_tables >= 2
+    # ONE Arrow-batched kernel computes every table's bucket (and
+    # reserve) bits as a single BLAS matmul — see _srp_bucket_frame for
+    # why this beats L·b higher-order-function projections per row
+    named = [
+        (f"_b{t}", random_hyperplanes(dim, n_planes, seed + 7919 * t))
+        for t in range(n_tables)
+    ]
+    if max_bucket is not None:
+        # per-TABLE reserve planes: if the reserve bits were shared
+        # across tables, a near-pair split by them would be lost in
+        # every oversized bucket simultaneously — independence keeps
+        # the (1 - p^b)^L recall math intact under the guard
+        named += [
+            (f"_rb{t}", random_hyperplanes(dim, 16, seed + 15485863 + 104729 * t))
+            for t in range(n_tables)
+        ]
+    pre = _srp_bucket_frame(df, id_col, vec_col, dim, named)
     tagged = []
     for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed + 7919 * t)
         fields = [
             F.lit(t).alias("tbl"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+            F.col(f"_b{t}").alias("bucket"),
         ]
         if max_bucket is not None:
-            # per-TABLE reserve planes: if the reserve bits were shared
-            # across tables, a near-pair split by them would be lost in
-            # every oversized bucket simultaneously — independence keeps
-            # the (1 - p^b)^L recall math intact under the guard
-            reserve = random_hyperplanes(dim, 16, seed + 15485863 + 104729 * t)
-            fields.append(lsh_bucket(F.col(vec_col), reserve).alias("rb"))
+            fields.append(F.col(f"_rb{t}").alias("rb"))
         tagged.append(F.struct(*fields))
+    carry = [F.array(*[F.col(f"_b{t}") for t in range(n_tables)]).alias("sig")] if use_est else []
     # persisted: the (L·n_planes) hyperplane projections are the expensive
     # expression here, and the self-join consumes this relation on BOTH
     # sides — caching halves the work and keeps each join branch a cheap
     # cache scan (same pattern as minhash_signatures)
-    bucketed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(F.array(*tagged)).alias("_tb"),
-    ).select(id_col, vec_col, "_tb.*").persist()
+    keep_cols = [id_col, vec_col] + (["sig"] if use_est else [])
+    bucketed = register(
+        pre.select(
+            F.col(id_col),
+            F.col(vec_col),
+            *carry,
+            F.explode(F.array(*tagged)).alias("_tb"),
+        )
+        .select(*keep_cols, "_tb.*")
+        .persist()
+    )
 
     join_keys = ["tbl", "bucket"]
     if max_bucket is not None:
@@ -272,19 +367,38 @@ def lsh_bucket_pairs(
         )
         join_keys = ["tbl", "bucket", "sub"]
 
+    sig_a = [F.col("sig").alias("sig_a")] if use_est else []
+    sig_b = [F.col("sig").alias("sig_b")] if use_est else []
     a = bucketed.select(
-        *join_keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        *join_keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), *sig_a
     )
     b = bucketed.select(
-        *join_keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        *join_keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), *sig_b
     )
+    joined = a.join(b, join_keys).filter(F.col("id_a") < F.col("id_b"))
+    if use_est:
+        import math
+
+        # d = sign disagreements over the OTHER tables' (L−1)·b bits (the
+        # current table XORs to 0 — join key); keep pairs with d within
+        # 4σ of the mean a true threshold-pair would show. Plain codegen
+        # bit_count(xor) terms — no higher-order function per pair.
+        nbits = (n_tables - 1) * n_planes
+        frac = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+        dmax = frac * nbits + 4.0 * math.sqrt(max(nbits * frac * (1.0 - frac), 0.0))
+        d = F.bit_count(
+            F.col("sig_a").getItem(0).bitwiseXOR(F.col("sig_b").getItem(0))
+        )
+        for t in range(1, n_tables):
+            d = d + F.bit_count(
+                F.col("sig_a").getItem(t).bitwiseXOR(F.col("sig_b").getItem(t))
+            )
+        joined = joined.filter(d <= F.lit(dmax))
     # dedup AFTER the threshold filter: a pair found in several tables is
     # scored once per table map-side (cheap codegen), but the dedup shuffle
     # then carries only surviving (id_a, id_b, cosine) rows — not vectors.
     return (
-        a.join(b, join_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", pround(cosine(F.col("va"), F.col("vb")), 6))
+        joined.withColumn("cosine", pround(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
@@ -505,9 +619,15 @@ def kmeans_fit(
     """
     if k < 1:
         raise ValueError("kmeans_fit: k must be >= 1")
+    from data_engineering_capstone_project__spark.operators.relational import spread
+
     spark = df.sparkSession
     v = F.col(vec_col).cast("array<double>")
-    base = df.select(v.alias("_v")).filter(
+    # spread BEFORE the iterative passes: a narrow parquet scan of the
+    # vector table yields few partitions (13 at the 500k ladder rung) and
+    # every init/Lloyd pass then runs at a fraction of the cores, with
+    # one straggler task pacing each stage
+    base = spread(df).select(v.alias("_v")).filter(
         F.col("_v").isNotNull() & (F.size("_v") > 0)
     )
 
@@ -589,27 +709,42 @@ def kmeans_fit(
         else:
             centroids = cand.copy()
         # --- Lloyd ----------------------------------------------------------
+        # The mean update aggregates per-dimension sums as ``dim`` separate
+        # SUM columns over the vector elements, grouped by cell ONLY — the
+        # former ``posexplode(_v) → groupBy(cell, pos)`` shape materialized
+        # corpus×dim rows in the map stage before partial aggregation could
+        # absorb them (the explode itself was the measured ladder cost:
+        # 84 s/fit at 500k docs, slope 0.61). Here each corpus row folds
+        # its dim elements straight into the hash-agg buffer (k groups per
+        # partition), so the map stage never materializes element rows and
+        # the shuffle stays ≤ partitions×k rows of width dim+2. dim agg
+        # columns (64 + count + cost = 66) sit inside the session's
+        # ``codegen.maxFields=400`` budget, and the generated code depends
+        # only on dim — still centroid-independent, still codegen-cached
+        # across iterations.
+        dim = int(centroids.shape[1])
         costs: list[float] = []
         for _ in range(n_iter):
             stats = (
                 with_scores(centroids)
                 .withColumn("_cell", _argmin(F.col("_scores")))
                 .withColumn("_d2", _d2)
-                .select("_cell", "_d2", F.posexplode("_v").alias("_pos", "_x"))
-                .groupBy("_cell", "_pos")
+                .groupBy("_cell")
                 .agg(
-                    F.sum("_x").alias("sx"),
                     F.count("*").alias("n"),
-                    F.sum(F.when(F.col("_pos") == 0, F.col("_d2"))).alias("c0"),
+                    F.sum("_d2").alias("c"),
+                    *[
+                        F.sum(F.element_at("_v", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
                 )
                 .collect()
             )
             new = centroids.copy()
             cost = 0.0
             for r in stats:
-                new[r["_cell"], r["_pos"]] = r["sx"] / r["n"]
-                if r["_pos"] == 0 and r["c0"] is not None:
-                    cost += r["c0"]
+                new[r["_cell"], :] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+                cost += r["c"]
             costs.append(float(cost))
             if np.allclose(new, centroids, rtol=0.0, atol=1e-12):
                 centroids = new

@@ -289,6 +289,13 @@ def test_corpus_sized_joins_never_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("SortMergeJoin") >= 2, plan
 
+    # substring_span_dedup's ownership pass is a min-struct WINDOW over
+    # the hash partition — no corpus-sized owner join exists to mispick a
+    # broadcast for (the r4 shape aggregated + joined back and needed the
+    # SMJ pin); the remaining joins descend from the winnow kernel's
+    # mapInPandas node, whose unknown stats block static broadcast (AQE
+    # converts from ACTUAL shuffle sizes, which is safe)
     plan = _physical_plan(dedup.substring_span_dedup(docs))
-    assert "SortMergeJoin" in plan, plan
+    assert "windowspecdefinition(wh" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
