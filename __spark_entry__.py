@@ -2652,8 +2652,12 @@ def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, costs = similarity.kmeans_fit(
         corpus, k=8, vec_col="embedding", n_iter=4, init_rounds=2
     )
+    # RELATIVE tolerance: cost magnitudes grow with SF, and partition-
+    # order-dependent double summation noise near convergence can exceed
+    # any fixed absolute epsilon (ADVICE r4)
     monotone = all(
-        costs[i + 1] <= costs[i] + 1e-9 for i in range(len(costs) - 1)
+        costs[i + 1] <= costs[i] * (1.0 + 1e-12) + 1e-9
+        for i in range(len(costs) - 1)
     )
     # single-centroid optimum: Σ‖x‖² − n·‖mean‖², from one exploded agg
     gstats = (
@@ -2719,9 +2723,17 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 words, F.lit(0).cast("long"), lambda a, w: a + F.length(w) + 1
             ).alias("syms"),
             F.size("tokens").alias("ntok"),
+            # roundtrip WITHOUT stripping sentinels: per word, the token
+            # concatenation is exactly word-chars + '</w>', so compare
+            # against the same construction — a document whose raw text
+            # contains a literal '</w>' can't spuriously fail (stripping
+            # every occurrence, as before, could — ADVICE r4)
             (
-                F.concat_ws("", F.transform("tokens", lambda t: F.replace(t, F.lit("</w>"), F.lit(""))))
-                == F.concat_ws("", words)
+                F.concat_ws("", "tokens")
+                == F.concat_ws(
+                    "",
+                    F.transform(words, lambda w: F.concat(w, F.lit("</w>"))),
+                )
             ).alias("rt"),
         )
         .agg(
@@ -2731,12 +2743,16 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]
     )
+    # a corpus yielding zero merges produces a NULL first_merge — the
+    # oracle's LIMIT-1 subquery then also returns NULL (ADVICE r4: the
+    # unguarded merges[0] raised IndexError instead)
+    first_merge = f"{merges[0][0]} {merges[0][1]}" if merges else None
     return spark.createDataFrame(
         [
             (
                 vocab_words,
                 agg["total_syms"],
-                f"{merges[0][0]} {merges[0][1]}",
+                first_merge,
                 len(merges) == 40,
                 bool(agg["roundtrip_ok"]),
                 agg["total_tokens"] < agg["total_syms"],
@@ -2751,7 +2767,9 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 X_BPE_SQL = r"""
 WITH wx AS (
   SELECT w, COUNT(*) AS f FROM (
-    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    -- explicit Java-\s class: DuckDB/RE2 \s excludes vertical tab
+    -- (\x0b), Java's includes it — pin identical split semantics
+    SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS w
     FROM documents
   ) WHERE w <> '' GROUP BY 1
 ), vw AS (SELECT * FROM wx WHERE f >= 2),

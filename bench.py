@@ -27,7 +27,14 @@ import time
 
 
 def _java_procs() -> dict[int, str]:
-    """pid → truncated cmdline of every running java process."""
+    """pid → truncated cmdline of every running java process.
+
+    Zombie (``<defunct>``) entries are excluded: a defunct process holds
+    no CPU or memory and cannot contend — in round 4 one tripped the
+    contamination flag on the fastest driver bench yet (VERDICT r4 #4).
+    A zombie java pid has state Z in /proc; pgrep still lists it with a
+    ``[java] <defunct>`` cmdline, so filter both signals.
+    """
     try:
         out = subprocess.run(
             ["pgrep", "-a", "java"], capture_output=True, text=True, timeout=10
@@ -37,8 +44,15 @@ def _java_procs() -> dict[int, str]:
     procs = {}
     for line in out.splitlines():
         pid_s, _, cmd = line.partition(" ")
-        if pid_s.isdigit():
-            procs[int(pid_s)] = cmd[:120]
+        if not pid_s.isdigit() or "<defunct>" in cmd:
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat") as f:
+                if f.read().rsplit(")", 1)[1].split()[0] == "Z":
+                    continue
+        except Exception:  # noqa: BLE001 — raced exit; treat as gone
+            continue
+        procs[int(pid_s)] = cmd[:120]
     return procs
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

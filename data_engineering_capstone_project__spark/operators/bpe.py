@@ -141,30 +141,33 @@ def bpe_tokenize(
     application is an irreducible data-dependent loop — the documented
     exception to the no-Python rule) with a per-batch distinct-word
     cache; merges ship in the closure (a few KB — the model, not data).
+
+    Normalization parity is STRUCTURAL: the UDF receives the word array
+    produced by the SAME Spark expression the trainer uses (``_words`` —
+    Java ``lower``/``trim``/ASCII-``\\s`` split), so no Python-side
+    lower/split can ever disagree with training. Earlier versions
+    lowered and split in Python and had to hand-match Java semantics —
+    Python ``str.split()`` splits NBSP/NEL that Java ``\\s`` doesn't,
+    and ``str.lower()`` disagrees with Java ``toLowerCase`` on
+    locale-sensitive code points (e.g. ``İ`` U+0130 maps to ``i̇``
+    two-codepoint in both, but Unicode-version skew between the JVM and
+    CPython tables can still diverge on rare scripts). Feeding the UDF
+    Java-normalized words removes the entire mismatch class
+    (regression-tested with İ/NBSP corpora in ``test_bpe.py``).
     """
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
     @F.pandas_udf("array<string>")
-    def _tok(texts):  # type: ignore[no-untyped-def]
-        import re
-
+    def _tok(word_arrays):  # type: ignore[no-untyped-def]
         import pandas as pd
 
-        # EXACTLY the training-side normalization (``_words``): Spark's
-        # Java regex \s is ASCII-only ([ \t\n\x0b\f\r]), while
-        # Python's str.split() splits on ALL Unicode whitespace (NBSP,
-        # NEL, ...) — a mismatch here produces tokens outside the
-        # trained vocabulary and breaks the roundtrip oracle
-        ws = re.compile("[ \t\n\x0b\f\r]+")
         cache: dict[str, list[str]] = {}
 
-        def enc(t):
-            if t is None:
+        def enc(words):
+            if words is None:
                 return []
             out: list[str] = []
-            for w in ws.split(t.lower()):
-                if not w:
-                    continue
+            for w in words:
                 toks = cache.get(w)
                 if toks is None:
                     toks = _encode_word(w, ranks)
@@ -172,6 +175,6 @@ def bpe_tokenize(
                 out.extend(toks)
             return out
 
-        return pd.Series([enc(t) for t in texts])
+        return pd.Series([enc(a) for a in word_arrays])
 
-    return df.withColumn(out_col, _tok(F.col(text_col)))
+    return df.withColumn(out_col, _tok(_words(F.col(text_col))))

@@ -271,7 +271,9 @@ def minhash_lsh_candidates(
     shingles)."""
     # one row per doc (num_hashes longs) — persisting avoids recomputing the
     # shingle explode + k-hash aggregation for every downstream join branch
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
+    sigs = register(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
+    )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -440,7 +442,7 @@ def verify_jaccard(
     # pairs is consumed twice (candidate-id projection + the output
     # join): persist so an expensive upstream candidate generation
     # (LSH bucketing + signature passes) materializes exactly once
-    pairs = pairs.persist()
+    pairs = register(pairs.persist())
     # shingle ONLY the docs that appear in a pair: at corpus scale the
     # candidate set touches a small fraction of documents, and exploding
     # all N docs to build arrays nobody reads was the verify stage's real
@@ -459,7 +461,7 @@ def verify_jaccard(
     # broadcast that exceeded spark.driver.maxResultSize and killed the
     # job; pinning sort-merge keeps the join shuffle-partitioned at any N
     cand = df.join(cand_ids, id_col, "leftsemi")
-    big_doc_ids = (
+    big_doc_ids = register(
         cand.select(id_col, F.length(_normalize(F.col(text_col))).alias("_len"))
         .filter(F.col("_len") > F.lit(max_array_shingles))
         .select(id_col)
@@ -467,13 +469,12 @@ def verify_jaccard(
     )
 
     def arrays_jaccard(p: DataFrame, docs: DataFrame) -> DataFrame:
-        sh = (
+        sh = register(
             exploded_char_shingles(docs, id_col, text_col, shingle_k)
             .groupBy(id_col)
             .agg(F.collect_set("sh").alias("sh"))
             .persist()
-            .hint("merge")
-        )
+        ).hint("merge")
         return (
             p.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
             .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -492,8 +493,11 @@ def verify_jaccard(
         )
 
     # head(1) is one narrow job over the candidate docs (a length filter,
-    # no explode); empty → the plan is exactly the pre-routing original
+    # no explode); empty → the plan is exactly the pre-routing original.
+    # The routing relation is fully consumed by that probe on this path,
+    # so release it immediately instead of waiting for the registry sweep
     if not big_doc_ids.head(1):
+        big_doc_ids.unpersist()
         return arrays_jaccard(pairs, cand)
 
     ba = big_doc_ids.withColumnRenamed(id_col, "id_a")
@@ -504,9 +508,11 @@ def verify_jaccard(
     rest = pairs.join(F.broadcast(ba), "id_a", "left_anti")
     # select: equi-joins put the key column first — realign before the
     # positional union
-    bigp = big_a.select("id_a", "id_b").unionAll(
-        rest.join(F.broadcast(bb), "id_b", "leftsemi").select("id_a", "id_b")
-    ).persist()
+    bigp = register(
+        big_a.select("id_a", "id_b").unionAll(
+            rest.join(F.broadcast(bb), "id_b", "leftsemi").select("id_a", "id_b")
+        ).persist()
+    )
     smallp = rest.join(F.broadcast(bb), "id_b", "left_anti").select("id_a", "id_b")
     # arrays only for docs a SMALL pair actually references — a doc
     # whose every pair touches an outlier would otherwise be shingled
@@ -524,18 +530,20 @@ def verify_jaccard(
     # input pair row would double every shingle match and inflate
     # n_inter) and joined back so duplicate pair rows still emit
     # duplicate output rows, matching the arrays path.
-    bigd = bigp.distinct().persist()
+    bigd = register(bigp.distinct().persist())
     big_pair_ids = (
         bigd.select(F.col("id_a").alias(id_col))
         .unionAll(bigd.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    exb = exploded_char_shingles(
-        df.join(F.broadcast(big_pair_ids), id_col, "leftsemi"),
-        id_col,
-        text_col,
-        shingle_k,
-    ).persist()
+    exb = register(
+        exploded_char_shingles(
+            df.join(F.broadcast(big_pair_ids), id_col, "leftsemi"),
+            id_col,
+            text_col,
+            shingle_k,
+        ).persist()
+    )
     szb = exb.select(id_col, "_sz").distinct()
     inter = (
         bigd.join(exb.select(F.col(id_col).alias("id_a"), "sh").hint("merge"), "id_a")
@@ -635,7 +643,7 @@ def ngram_jaccard_pairs(
     # prefix ranking join — caching keeps the shingle explode to one run.
     # Codegen explode (see exploded_char_shingles): the HOF array build
     # was the op's real bottleneck, ~35× slower, not the candidate join.
-    sh = exploded_char_shingles(df, id_col, text_col, shingle_k).persist()
+    sh = register(exploded_char_shingles(df, id_col, text_col, shingle_k).persist())
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
     # prefix length |S| - ceil(t*|S|) + 1; the -1e-9 guards against float
     # round-up (2.0000000001 -> ceil 3) which would SHRINK the prefix and

@@ -253,15 +253,51 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
-def decode_image_bytes(payload: bytes) -> np.ndarray:
+def _pil_image():
+    """Pillow's Image module when importable, else None (lazy probe —
+    the container this repo tests in has no Pillow; real deployments
+    often do)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except Exception:  # noqa: BLE001 — absence or broken install both mean "no"
+        return None
+
+
+def decode_image_bytes(payload: bytes, prefer: str = "stdlib") -> np.ndarray:
     """Sniff + decode any supported format → (H, W, 3) uint8 RGB.
 
-    PNG/BMP/PPM decode here; JPEG (baseline + progressive) routes to
-    ``jpegcodec`` (also stdlib+numpy). Raises ``NotImplementedError``
-    for recognized-but-unsupported variants (WebP, arithmetic-coded
-    JPEG — Pillow remains the upgrade path) and ``ValueError`` for
-    unrecognized bytes.
+    ``prefer='stdlib'`` (default): the exact, dependency-free reference
+    codecs — PNG/BMP/PPM decode here; JPEG (baseline + progressive)
+    routes to ``jpegcodec`` (also stdlib+numpy). Raises
+    ``NotImplementedError`` for recognized-but-unsupported variants
+    (WebP, arithmetic-coded JPEG — Pillow remains the upgrade path) and
+    ``ValueError`` for unrecognized bytes. Every oracle-checked query
+    pins this path: its output is bit-deterministic everywhere.
+
+    ``prefer='auto'``: route through Pillow when importable — C-speed
+    libjpeg is the corpus-scale throughput path and also unlocks
+    WebP/arithmetic JPEG — falling back to the stdlib codecs when
+    Pillow is absent or rejects the payload. NOT bit-identical to the
+    reference for lossy formats (libjpeg's IDCT differs) or
+    alpha-compositing corner cases; a throughput knob, never the
+    oracle path.
     """
+    if prefer not in ("stdlib", "auto"):
+        raise ValueError(f"unknown prefer {prefer!r}")
+    if prefer == "auto":
+        Image = _pil_image()
+        if Image is not None:
+            import io
+
+            try:
+                return np.asarray(
+                    Image.open(io.BytesIO(payload or b"")).convert("RGB"),
+                    dtype=np.uint8,
+                )
+            except Exception:  # noqa: BLE001 — let the exact path decide
+                pass
     fmt = sniff_format(payload or b"")
     if fmt == "png":
         return decode_png(payload)

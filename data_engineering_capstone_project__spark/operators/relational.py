@@ -144,7 +144,9 @@ def add_row_id(
         pid = _expression_pid(df, order_cols, n)
         parted = df.withColumn("_pid", pid)
     else:
-        parted = (
+        from data_engineering_capstone_project__spark.cachereg import register
+
+        parted = register(
             df.repartitionByRange(n, *cols)
             .withColumn("_pid", F.spark_partition_id())
             .persist()

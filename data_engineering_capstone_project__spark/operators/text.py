@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_engineering_capstone_project__spark.cachereg import register
 from data_engineering_capstone_project__spark.functions.fx import pround
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -190,7 +191,9 @@ def tf_idf(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WORD_RE)).alias("term"),
     ).filter(F.col("term") != "")
-    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    tf = register(
+        tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n = df.agg(F.count("*").alias("_n_docs"))
     return (
@@ -234,7 +237,9 @@ def unigram_logprob(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WORD_RE)).alias("term"),
     ).filter(F.col("term") != "")
-    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    tf = register(
+        tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    )
     ct = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
     total = ct.agg(F.sum("ct").alias("_T"))
     contrib = (

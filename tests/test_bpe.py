@@ -79,3 +79,36 @@ def test_word_frequencies_matches_python(spark):
         for r in bpe.word_frequencies(df, min_freq=1).collect()
     }
     assert got == {("a", 3), ("b", 3)}
+
+
+def test_bpe_tokenize_java_normalization_parity(spark):
+    """Tokenization must consume EXACTLY the trainer's normalization -
+    Java lower/trim/ASCII-whitespace split - on inputs where Python
+    semantics diverge: NBSP (U+00A0) and NEL (U+0085) are Unicode
+    whitespace for str.split() but NOT for Java's regex \\s (they stay
+    inside one word), and the dotted capital I (U+0130) is
+    locale-sensitive under lowercasing. The reconstruction below fails
+    if the UDF splits or lowercases differently than ``_words``."""
+    texts = [
+        "\u0130stanbul \u0130STANBUL istanbul",
+        "a\u00a0b c\x0bd",      # NBSP glues; vertical tab splits (Java \\s)
+        "weird\u2028line\u0085next",  # LS / NEL: Java keeps them in-word
+        "\u1e9e STRASSE \u00df",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts * 5}))
+    merges = bpe.bpe_train(df, n_merges=25, min_freq=1)
+    out = bpe.bpe_tokenize(df, merges)
+    rows = out.select(
+        F.concat_ws("\x00", bpe._words(F.col("text"))).alias("jw"), "tokens"
+    ).collect()
+    for r in rows:
+        java_words = r["jw"].split("\x00") if r["jw"] else []
+        rebuilt, acc = [], ""
+        for t in r["tokens"]:
+            if t.endswith(bpe.END):
+                rebuilt.append(acc + t[: -len(bpe.END)])
+                acc = ""
+            else:
+                acc += t
+        assert acc == "", r["tokens"]
+        assert rebuilt == java_words, (rebuilt, java_words)

@@ -194,3 +194,45 @@ def test_require_utc_session_guard(spark):
             require_utc_session(spark, "test")
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_decode_image_bytes_auto_prefers_pillow_when_present(monkeypatch):
+    """prefer='auto' must engage Pillow when importable (the corpus-scale
+    throughput route) and fall back to the exact stdlib codec when it is
+    absent; the default path must never touch Pillow."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from data_engineering_capstone_project__spark.operators import imagecodec
+
+    src = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    png = imagecodec.encode_png(src)
+
+    sentinel = np.full((2, 3, 3), 7, dtype=np.uint8)
+    opened = []
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return sentinel
+
+    fake_image_mod = types.SimpleNamespace(open=lambda buf: opened.append(1) or FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    out = imagecodec.decode_image_bytes(png, prefer="auto")
+    assert opened == [1] and (out == sentinel).all()
+
+    # default path: exact stdlib decode, Pillow never consulted
+    out2 = imagecodec.decode_image_bytes(png)
+    assert opened == [1] and (out2 == src).all()
+
+    # auto with Pillow genuinely absent == stdlib, bit-identical
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.delitem(sys.modules, "PIL.Image")
+    out3 = imagecodec.decode_image_bytes(png, prefer="auto")
+    assert (out3 == src).all()
