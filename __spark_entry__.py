@@ -1767,7 +1767,11 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-document repeats ≥ 50 chars are cut from every doc but their
     first occurrence — span-level, not whole-doc. stride=1 → exact
     detection, so the cleaned text is fully SQL-reproducible and the
-    oracle hash-checks every byte of every cleaned document."""
+    oracle hash-checks every byte of every cleaned document. The engine
+    runs the default two-tier path (winnowing detect kernel → stride-1
+    refine over shared-fingerprint regions only) while the oracle below
+    re-derives the SINGLE-tier full semantics independently — a detect
+    tier that missed any position would hash-mismatch here."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return dedup.substring_span_dedup(d, window=50)
 

@@ -14,6 +14,7 @@ from data_engineering_capstone_project__spark.operators.dedup import (  # noqa: 
     ngram_jaccard_pairs,
     simhash_pairs,
     substring_span_dedup,
+    winnow_runs,
 )
 from data_engineering_capstone_project__spark.operators.similarity import (  # noqa: F401
     auto_lsh_config,

@@ -164,6 +164,13 @@ def clean_corpus(
     The third frame is the per-stage survivor counts (one row), computed
     with ``observe``-free aggregation only when collected — deriving it is
     lazy and optional.
+
+    Cache lifecycle: the dedup stages persist internal intermediates
+    (registered in ``cachereg``). The returned frames are lazy and still
+    reference those caches, so the RELEASE belongs to the caller: after
+    the final action (write/collect), call
+    ``cachereg.release_intermediates()`` — releasing earlier is safe but
+    forfeits the reuse the persists bought.
     """
     id_col, text_col = config.id_col, config.text_col
     t = F.col(text_col)

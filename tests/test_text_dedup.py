@@ -732,3 +732,95 @@ def test_bpe_tokenize_java_whitespace_semantics(spark):
     # roundtrip under the SAME normalization: concat == concat of words
     joined = "".join(t.replace("</w>", "") for t in toks)
     assert joined == "foo barfoo barbazbaz"
+
+
+# ---------------------------------------------------------------------------
+# round 5: two-tier substring dedup (winnowing detect) regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_min_matches_naive():
+    import numpy as np
+
+    from data_engineering_capstone_project__spark.operators.dedup import _sliding_min
+
+    rng = np.random.default_rng(3)
+    for n, w in [(1, 1), (5, 3), (26, 26), (100, 7), (257, 26)]:
+        h = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+        if n < w:
+            continue
+        got = _sliding_min(h, w)
+        want = np.array([h[i : i + w].min() for i in range(n - w + 1)])
+        assert (got == want).all(), (n, w)
+
+
+def test_winnow_runs_detects_misaligned_repeats(spark):
+    """The winnowing guarantee is alignment-free: a >=window common
+    substring at DIFFERENT offsets (the case positional-stride schemes
+    miss) must yield a shared fp whose runs cover both positions."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    assert len(boiler) >= 50
+    docs = [
+        (0, "x" * 13 + boiler + "y" * 31),
+        (1, "z" * 37 + boiler + "w" * 5),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = df.selectExpr("doc_id", "regexp_replace(lower(trim(text)), '\\s+', ' ') AS _norm")
+    rows = dedup.winnow_runs(base, "doc_id", "_norm", 50).collect()
+    by_fp = {}
+    for r in rows:
+        by_fp.setdefault(r["fp"], set()).add(r["doc_id"])
+    shared = {fp for fp, ds in by_fp.items() if len(ds) == 2}
+    assert shared, "misaligned >=50-char repeat produced no shared fingerprint"
+    # the duplicated span positions must be covered by shared-fp runs
+    for doc_id, off in [(0, 14), (1, 38)]:  # 1-based start of boiler
+        covered = any(
+            r["s"] <= off <= r["e"]
+            for r in rows
+            if r["doc_id"] == doc_id and r["fp"] in shared
+        )
+        assert covered, (doc_id, off)
+
+
+def test_substring_dedup_winnow_equals_full(spark):
+    """Byte-identical equivalence of the two-tier default and the
+    single-tier audit path across misaligned repeats, exact dups,
+    within-doc repeats, periodic text, multi-byte unicode, short docs."""
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "dzeta", "e", "zeta", "h2", "thth", "iota", "kappa"]
+
+    def mkdoc(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    boiler = mkdoc(30)
+    docs = []
+    for i in range(50):
+        t = mkdoc(rng.randint(5, 70))
+        r = rng.random()
+        if r < 0.3:
+            pos = rng.randint(0, len(t))
+            t = t[:pos] + " " + boiler + " " + t[pos:]
+        elif r < 0.4:
+            t = t + " " + t
+        elif r < 0.5 and docs:
+            t = docs[rng.randrange(len(docs))][1]
+        elif r < 0.55:
+            t = "ab" * rng.randint(30, 100)
+        docs.append((i, t))
+    docs += [(100, "tiny"), (101, ""), (102, boiler[:49])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for stride in (1, 3):
+        full = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in dedup.substring_span_dedup(df, detect="full", stride=stride).collect()
+        }
+        win = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in dedup.substring_span_dedup(df, detect="winnow", stride=stride).collect()
+        }
+        assert full == win, stride
+    from data_engineering_capstone_project__spark.cachereg import release_intermediates
+
+    release_intermediates()

@@ -117,13 +117,17 @@ def ladder_main() -> None:
             2,
         ),
         "paragraph_dedup": (lambda d, e: dedup.paragraph_dedup(d), 2),
-        # the cleaned-text aggregate FORCES the span-removal computation:
-        # a bare .count() on the result lets Catalyst column-prune the
-        # whole hash-explode/cut pipeline (row count == doc count is
-        # derivable without it) and measures ~0.3 s of nothing
+        # the length FILTER forces the span-removal computation under the
+        # harness's .count(): a bare count lets Catalyst column-prune the
+        # whole hash/cut pipeline (row count == doc count is derivable
+        # without it), and a count over a grouping-free SUM aggregate is
+        # pruned the same way (the aggregate provably returns 1 row, so
+        # its expressions are dead) — both "measure" ~0.3 s of nothing.
+        # A filter predicate on clean_text cannot be pruned, and the row
+        # count stays the meaningful doc count.
         "substring_span_dedup": (
-            lambda d, e: dedup.substring_span_dedup(d).select(
-                F.sum(F.length("clean_text")).alias("chars")
+            lambda d, e: dedup.substring_span_dedup(d).filter(
+                F.length("clean_text") >= 0
             ),
             2,
         ),
@@ -158,6 +162,14 @@ def ladder_main() -> None:
                 rows = fn(docs, embs).count()
                 el = time.time() - t0
                 best = el if best is None else min(best, el)
+            # release operator-internal caches between cells so rungs
+            # stay independent (within-cell warm policy unchanged —
+            # CacheManager dedupes the identical plan across the 2 runs)
+            from data_engineering_capstone_project__spark.cachereg import (
+                release_intermediates,
+            )
+
+            release_intermediates()
             results[op][sf] = (best, rows)
             line = f"sf{sf} ({n_docs} docs) {op}: {best:.2f}s, {rows} rows"
             print(line, flush=True)
