@@ -37,6 +37,11 @@ def _vecs(spark):
 
 def test_release_intermediates_clears_all_caches(spark):
     docs, vecs = _docs(spark), _vecs(spark)
+    # earlier tests in the session run persisting operators without
+    # releasing; flush their registered leftovers BEFORE snapshotting
+    # the baseline, or the first release below drops them and the cache
+    # count falls under a stale baseline
+    cachereg.release_intermediates()
     baseline = _n_cached(spark)
 
     consumers = [
