@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2805,6 +2806,104 @@ FROM embeddings
 """
 
 
+def x_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (one-pass sufficient-statistic reduce: per-partition
+    (n, Σx, XᵀX) via a BLAS mapInPandas kernel, dim×dim eigh on the
+    driver) + the projection transform. Bound-checked like x_kmeans — the
+    oracle pins booleans a broken fit or transform must flip:
+    (a) components orthonormal (CᵀC ≈ I at 1e-9); (b) explained variances
+    sorted non-increasing; (c) their sum ≤ the total corpus variance,
+    computed from an INDEPENDENT posexplode aggregation (Σ_d var_d), and
+    positive; (d) the top component captures at least as much variance as
+    the best coordinate axis (PCA optimality vs any axis-aligned
+    projection); (e) the PROJECTED corpus — a second distributed pass
+    through pca_transform — reproduces each eigenvalue as its empirical
+    per-column variance at 1e-6 relative and has per-column mean ≈ 0
+    (centering survived the matmul). n_points and dim are SQL-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    k = 8
+    comps, eig, mean = similarity.pca_fit(base, k=k, vec_col="embedding")
+    dim = comps.shape[1]
+    gram = comps @ comps.T
+    orthonormal = bool(np.abs(gram - np.eye(k)).max() < 1e-9)
+    eigs_desc = bool(np.all(np.diff(eig) <= 1e-12))
+    # independent total/per-axis variance: one exploded aggregation, the
+    # same shape x_kmeans uses for its single-centroid optimum
+    vstats = (
+        base.select(F.posexplode("embedding").alias("_pos", "_x"))
+        .groupBy("_pos")
+        .agg(
+            F.sum("_x").alias("sx"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    n_points = vstats[0]["n"]
+    axis_vars = [(r["sxx"] - r["sx"] * r["sx"] / r["n"]) / r["n"] for r in vstats]
+    total_var = sum(axis_vars)
+    explained = float(np.sum(eig))
+    explained_bounded = bool(0.0 < explained <= total_var * (1.0 + 1e-9))
+    top_beats_axis = bool(eig[0] >= max(axis_vars) * (1.0 - 1e-9))
+    proj = similarity.pca_transform(base, comps, mean, vec_col="embedding")
+    pstats = (
+        proj.select(F.posexplode("pca").alias("_pos", "_y"))
+        .groupBy("_pos")
+        .agg(
+            F.sum("_y").alias("sy"),
+            F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    pvar = {r["_pos"]: (r["syy"] - r["sy"] * r["sy"] / r["n"]) / r["n"] for r in pstats}
+    pmean = {r["_pos"]: r["sy"] / r["n"] for r in pstats}
+    scale = max(total_var / dim, 1e-12)
+    proj_var_ok = all(
+        abs(pvar[i] - float(eig[i])) <= 1e-6 * max(float(eig[i]), scale)
+        for i in range(k)
+    )
+    centered_ok = all(abs(pmean[i]) <= 1e-9 * max(1.0, scale) for i in range(k))
+    return spark.createDataFrame(
+        [
+            (
+                n_points,
+                dim,
+                k,
+                orthonormal,
+                eigs_desc,
+                explained_bounded,
+                top_beats_axis,
+                proj_var_ok,
+                centered_ok,
+            )
+        ],
+        "n_points bigint, dim int, k int, orthonormal boolean, "
+        "eigs_desc boolean, explained_bounded boolean, "
+        "top_beats_axis boolean, proj_var_ok boolean, centered_ok boolean",
+    )
+
+
+X_PCA_SQL = """
+SELECT COUNT(*) AS n_points,
+       CAST(MAX(len(embedding)) AS INT) AS dim,
+       8 AS k,
+       TRUE AS orthonormal,
+       TRUE AS eigs_desc,
+       TRUE AS explained_bounded,
+       TRUE AS top_beats_axis,
+       TRUE AS proj_var_ok,
+       TRUE AS centered_ok
+FROM embeddings
+"""
+
+
 def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregation driven to completion
     (memory sink, complete mode) — same oracle as the batch version."""
@@ -3237,6 +3336,39 @@ n AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT doc_id, term, tf,
        ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df_t), 6) AS tfidf
 FROM tf JOIN dfreq USING (term) CROSS JOIN n
+"""
+
+
+def x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) Okapi BM25 weights (Lucene idf variant, k1=1.2,
+    b=0.75) — tf-saturating, length-normalized lexical relevance for
+    retrieval-style decontamination/quality scoring. Same skew-safe
+    explode → hash-agg → join-back shape as x_tf_idf; avgdl is an exact
+    long-sum/count so the double formula is bit-identical to the oracle."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    return text.bm25(d)
+
+
+X_BM25_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+scalars AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM dl)
+           AS avgdl)
+SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+       ROUND(
+         LN((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+         * CAST(tf.tf AS DOUBLE) * 2.2
+         / (CAST(tf.tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)),
+         6) AS bm25
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scalars
 """
 
 
@@ -4397,6 +4529,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_cosine_topk_many": (x_cosine_topk_many, X_TOPK_MANY_SQL),
     "x_ivf_topk": (x_ivf_topk, X_IVF_SQL),  # bound-checked
     "x_kmeans": (x_kmeans, X_KMEANS_SQL),  # bound-checked
+    "x_pca": (x_pca, X_PCA_SQL),  # bound-checked
     "x_bpe_train": (x_bpe_train, X_BPE_SQL),  # bound-checked
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
@@ -4414,6 +4547,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_boilerplate": (x_boilerplate, X_BOILERPLATE_SQL),
     "x_clean_corpus": (x_clean_corpus, _clean_corpus_sql()),
     "x_tf_idf": (x_tf_idf, X_TFIDF_SQL),
+    "x_bm25": (x_bm25, X_BM25_SQL),
     "x_unigram_logprob": (x_unigram_logprob, X_UNIGRAM_SQL),
     "x_mix_sources": (x_mix_sources, X_MIX_SQL),
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),

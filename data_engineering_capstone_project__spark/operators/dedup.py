@@ -1072,6 +1072,35 @@ def _sliding_min(H, w: int):
     return np.minimum(suf[i], pref[i + w - 1])
 
 
+def _gram_hashes(raw, k: int):
+    """Position-independent hashes of every k-byte gram of ``raw``
+    (uint8 array): ``H[p] = hash(raw[p:p+k])`` for p in [0, len-k],
+    via a wrapping-uint64 polynomial rolling hash — one cumprod for
+    ``B^i``, one cumsum of ``c[i]·B^i`` (so a gram's sum is
+    ``S[p+k]−S[p] = B^p·hash``), one cumprod of ``B^{-1}`` to unscale.
+    O(bytes), no per-position substring. Content-defined: equal gram
+    bytes ⇒ equal hash at ANY two positions (the property winnowing's
+    detection guarantee rests on; hypothesis-tested). Returned as an
+    int64 VIEW — see ``_sliding_min`` for why the comparator runs
+    signed."""
+    import numpy as np
+
+    c = raw.astype(np.uint64)
+    L = len(c)
+    M = L - k + 1
+    B = np.uint64(_WINNOW_B)
+    BINV = np.uint64(_WINNOW_BINV)
+    pows = np.full(L, B, dtype=np.uint64)
+    pows[0] = 1
+    np.cumprod(pows, out=pows)
+    S = np.zeros(L + 1, dtype=np.uint64)
+    np.cumsum(c * pows, out=S[1:])
+    ipows = np.full(M, BINV, dtype=np.uint64)
+    ipows[0] = 1
+    np.cumprod(ipows, out=ipows)
+    return ((S[k:] - S[:-k]) * ipows).view(np.int64)
+
+
 def winnow_runs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1126,8 +1155,6 @@ def winnow_runs(
     )
 
     def gen(batches):
-        B = np.uint64(_WINNOW_B)
-        BINV = np.uint64(_WINNOW_BINV)
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             enc = [t.encode("utf-8") for t in pdf[text_col]]
@@ -1140,27 +1167,12 @@ def winnow_runs(
             kept_ids = ids[keep]
             lens = np.fromiter((len(b) for b in docs), dtype=np.int64, count=len(docs))
             raw = np.frombuffer(b"".join(docs), dtype=np.uint8)
-            c = raw.astype(np.uint64)
-            L = len(c)
-            M = L - k + 1  # k-gram count (boundary-crossing ones never read)
             # ci[b] = 1-based char ordinal of byte b (UTF-8 continuation
             # bytes don't start a char) — exact byte→char position mapping
             ci = np.cumsum((raw & 0xC0) != 0x80)
-            # pows[i] = B^i mod 2^64 via wrapping cumprod; S = prefix sums
-            # of c[i]·B^i, so S[p+k]-S[p] = B^p·hash(c[p:p+k]) and the
-            # B^-p unscale makes hashes position-independent (comparable)
-            pows = np.full(L, B, dtype=np.uint64)
-            pows[0] = 1
-            np.cumprod(pows, out=pows)
-            S = np.zeros(L + 1, dtype=np.uint64)
-            np.cumsum(c * pows, out=S[1:])
-            ipows = np.full(M, BINV, dtype=np.uint64)
-            ipows[0] = 1
-            np.cumprod(ipows, out=ipows)
-            # int64 VIEW for the min selection: the comparator only has
-            # to be deterministic and content-defined, and int64 min has
-            # the fast SIMD loop uint64 lacks (see _sliding_min)
-            H = ((S[k:] - S[:-k]) * ipows).view(np.int64)
+            # position-independent k-gram hashes (boundary-crossing grams
+            # are computed but never read — window starts stay in-doc)
+            H = _gram_hashes(raw, k)
             mins = _sliding_min(H, w)
             # valid window starts for doc j (byte span [s_j, s_j+len_j)):
             # g ∈ [s_j, s_j + len_j - window]

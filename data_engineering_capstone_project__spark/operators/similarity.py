@@ -781,3 +781,129 @@ def kmeans_assign(
         )
         .drop("_scores", "cmat", "ccs")
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA over an embedding column: top-``k`` principal
+    components of the (population) covariance matrix.
+
+    Returns ``(components, explained_variance, mean)`` —
+    ``components`` is ``k×dim`` (rows orthonormal, sorted by variance
+    descending, sign fixed so each row's largest-|·| entry is positive —
+    deterministic across partitionings), ``explained_variance`` the k
+    eigenvalues, ``mean`` the per-dimension corpus mean.
+
+    100 TB shape: ONE corpus pass. Each partition folds its rows into a
+    local ``(n, Σx, XᵀX)`` sufficient statistic inside an Arrow-batched
+    ``mapInPandas`` kernel (a dense BLAS ``XᵀX`` per batch — the same
+    reasoning as ``_srp_bucket_frame``: a per-row ``dim²`` higher-order
+    expression would be interpreted CodegenFallback) and emits exactly one
+    ``dim·(dim+1)+1``-double row. The driver reduces ``n_partitions``
+    such rows (bounded by partition count, never corpus size — the same
+    collect class as k-means centroids) and runs the ``dim×dim``
+    eigendecomposition locally: covariance assembly is associative, so
+    this is exact regardless of row placement, up to float summation
+    order (tested layout-independent at 1e-9, like kmeans_fit).
+
+    Rows with NULL or wrong-width vectors are dropped up front (they
+    carry no covariance information; downstream ``pca_transform`` drops
+    the same rows, keeping fit/transform corpora identical).
+    """
+    import pandas as pd
+
+    dim = df.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+    if dim is None:
+        raise ValueError("pca_fit: no non-empty vectors")
+    dim = dim["d"]
+    if not (1 <= k <= dim):
+        raise ValueError(f"pca_fit: k={k} outside [1, dim={dim}]")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("sums", T.ArrayType(T.DoubleType(), False), False),
+            T.StructField("gram", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(dim, dtype=np.float64)
+        g = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            g += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "sums": [s.tolist()], "gram": [g.ravel().tolist()]}
+            )
+
+    rows = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .mapInPandas(partials, out_schema)
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["sums"]) for r in rows], axis=0)
+    g = np.sum([np.array(r["gram"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    # eigh returns ascending; covariance is symmetric PSD up to float noise
+    eigval, eigvec = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(eigval)[::-1][:k]
+    comps = eigvec[:, order].T
+    # deterministic sign: largest-|entry| coordinate made positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, np.maximum(eigval[order], 0.0), mean
+
+
+def pca_transform(
+    df: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project the embedding column onto fitted components:
+    ``out = (x − mean) @ componentsᵀ`` as an Arrow-batched BLAS matmul —
+    row-local, no shuffle, corpus never leaves its partitions. Appends
+    ``out_col`` (``array<double>`` of length k); rows whose vector is
+    NULL or wrong-width are dropped (the rows ``pca_fit`` never saw)."""
+    import pandas as pd
+
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    dim = comps.shape[1]
+    ct = comps.T.copy()
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType(), False), False)]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Y = (X - mu) @ ct
+            out = {c: pdf[c] for c in cols}
+            out[out_col] = list(map(list, Y))
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .mapInPandas(gen, out_schema)
+    )

@@ -211,6 +211,78 @@ def tf_idf(
     )
 
 
+def bm25(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(doc, term) Okapi BM25 weights over whitespace tokens of
+    lowercased text — the standard lexical relevance weight (tf
+    saturation + document-length normalization), useful in a training-data
+    pipeline for retrieval-based decontamination and quality scoring where
+    raw TF-IDF over-rewards long repetitive documents.
+
+    ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the Lucene/Robertson
+    non-negative variant) and
+    ``bm25 = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with
+    ``dl`` the document token count and ``avgdl`` its corpus mean.
+
+    Scale shape is identical to :func:`tf_idf`: ONE token explode, term
+    frequency by hash aggregation (map-side partials absorb stopword skew
+    before any shuffle — never a per-term window), persisted because it
+    feeds three branches (document frequency, document length, and the
+    weighted join-back). Document length ``dl = Σ tf`` comes from the
+    persisted tf relation, not a second corpus scan, and the two scalar
+    aggregates (N, avgdl) ride one broadcast row. All built-ins, JVM-side.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WORD_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = register(
+        tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # N from the input frame (docs with empty text still count toward N,
+    # exactly as a search index would size its corpus); avgdl over docs
+    # that produced tokens. avgdl as exact-long Σdl / count — ONE double
+    # division — not F.avg over doubles, whose partition-order-dependent
+    # summation would break bit-exact oracle parity at ROUND(…, 6)
+    scalars = F.broadcast(
+        df.agg(F.count("*").alias("_n_docs")).crossJoin(
+            dl.agg(
+                (
+                    F.sum("dl").cast("double") / F.count("*").cast("double")
+                ).alias("_avgdl")
+            )
+        )
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("_avgdl")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .join(scalars)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "dl",
+            pround(idf * tf_d * F.lit(k1 + 1.0) / denom, 6).alias("bm25"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

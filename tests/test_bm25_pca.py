@@ -1,0 +1,140 @@
+"""Round-5 additions: Okapi BM25 weights and distributed one-pass PCA."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.operators import similarity, text
+from data_engineering_capstone_project__spark import cachereg
+
+
+def _bm25_ref(docs, k1=1.2, b=0.75):
+    """Row-at-a-time reference implementation (test oracle only)."""
+    toks = {i: t.lower().split() for i, t in docs}
+    tf = {}
+    for i, ws in toks.items():
+        for w in ws:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    dfreq = {}
+    for (_, w), _ in tf.items():
+        dfreq[w] = dfreq.get(w, 0) + 1
+    n = len(docs)
+    dls = {i: len(ws) for i, ws in toks.items() if ws}
+    avgdl = sum(dls.values()) / len(dls)
+    out = {}
+    for (i, w), f in tf.items():
+        idf = math.log((n - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0)
+        out[(i, w)] = idf * f * (k1 + 1.0) / (
+            f + k1 * (1.0 - b + b * dls[i] / avgdl)
+        )
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "cat cat cat dog"),
+        (4, "a completely different document entirely"),
+        (5, ""),  # counts toward N, contributes no terms
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"], r["bm25"])
+        for r in text.bm25(df).collect()
+    }
+    ref = _bm25_ref(docs)
+    assert set(got) == set(ref)
+    for key, want in ref.items():
+        tf, dl, score = got[key]
+        assert abs(score - round(want, 6)) < 1e-9, key
+    # tf saturation: doc 3's triple 'cat' must score LESS than 3x a single
+    one = ref[(1, "cat")]
+    assert got[(3, "cat")][2] < 3 * one
+    cachereg.release_intermediates()
+
+
+def test_bm25_length_normalization(spark):
+    # same single occurrence of a term: the shorter document scores higher
+    docs = [(1, "rare " + "pad " * 50), (2, "rare pad")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {(r["doc_id"], r["term"]): r["bm25"] for r in text.bm25(df).collect()}
+    assert got[(2, "rare")] > got[(1, "rare")]
+    cachereg.release_intermediates()
+
+
+def _planted_frame(spark, n=400, dim=6, seed=7):
+    rng = np.random.default_rng(seed)
+    # variance concentrated along two known orthogonal directions
+    d1 = np.zeros(dim); d1[0] = 3.0; d1[1] = 4.0   # |d1| = 5
+    d2 = np.zeros(dim); d2[0] = -4.0; d2[1] = 3.0  # |d2| = 5, d1·d2 = 0
+    base = np.full(dim, 2.0)
+    X = (
+        base
+        + rng.normal(size=(n, 1)) * (d1 / 5.0) * 10.0
+        + rng.normal(size=(n, 1)) * (d2 / 5.0) * 3.0
+        + rng.normal(size=(n, dim)) * 0.01
+    )
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"),
+        X,
+        d1 / 5.0,
+        d2 / 5.0,
+    )
+
+
+def test_pca_fit_recovers_planted_directions(spark):
+    df, X, u1, u2 = _planted_frame(spark)
+    comps, eig, mean = similarity.pca_fit(df, k=2)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    # numpy full-covariance oracle
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / len(X)
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(eig, w[:2], rtol=1e-9, atol=1e-9)
+    # recovered directions align with the planted ones (up to sign)
+    assert abs(abs(comps[0] @ u1) - 1.0) < 1e-3
+    assert abs(abs(comps[1] @ u2) - 1.0) < 1e-3
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-9)
+
+
+def test_pca_layout_independence(spark):
+    df, _, _, _ = _planted_frame(spark)
+    a = similarity.pca_fit(df.repartition(1), k=3)
+    b = similarity.pca_fit(df.repartition(16, "vec_id"), k=3)
+    # double summation is partition-order dependent -> allclose, not ==
+    assert np.allclose(a[0], b[0], atol=1e-9)
+    assert np.allclose(a[1], b[1], atol=1e-9)
+    assert np.allclose(a[2], b[2], atol=1e-9)
+
+
+def test_pca_transform_full_rank_roundtrip(spark):
+    df, X, _, _ = _planted_frame(spark, n=100)
+    dim = X.shape[1]
+    comps, eig, mean = similarity.pca_fit(df, k=dim)
+    proj = similarity.pca_transform(df, comps, mean)
+    rows = proj.orderBy("vec_id").collect()
+    Y = np.array([r["pca"] for r in rows])
+    # k = dim: projection is an isometry of the centered data
+    assert np.allclose(Y @ comps + mean, X, atol=1e-8)
+    # malformed rows are dropped, not corrupted
+    bad = spark.createDataFrame(
+        [(999, None), (1000, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = similarity.pca_transform(df.unionByName(bad), comps, mean)
+    assert out.count() == 100
+
+
+def test_pca_explained_variance_monotone_in_k(spark):
+    df, X, _, _ = _planted_frame(spark)
+    totals = []
+    for k in (1, 2, 4):
+        _, eig, _ = similarity.pca_fit(df, k=k)
+        assert np.all(np.diff(eig) <= 1e-12)
+        totals.append(float(np.sum(eig)))
+    assert totals == sorted(totals)
+    Xc = X - X.mean(axis=0)
+    total_var = float(np.trace(Xc.T @ Xc / len(X)))
+    assert totals[-1] <= total_var * (1 + 1e-9)

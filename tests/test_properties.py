@@ -206,6 +206,54 @@ def test_prefix_filter_lossless_on_adversarial_corpus(spark):
         assert got == want, f"threshold {t}: {got ^ want}"
 
 
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=120),
+    st.integers(min_value=1, max_value=130),
+)
+@settings(max_examples=300, deadline=None)
+def test_sliding_min_property(vals, w):
+    """_sliding_min equals the naive per-window min on arbitrary signed
+    inputs and window sizes (incl. w == n and w == 1)."""
+    import numpy as np
+
+    from data_engineering_capstone_project__spark.operators.dedup import _sliding_min
+
+    h = np.array(vals, dtype=np.int64)
+    if w > len(h):
+        return
+    got = _sliding_min(h, w)
+    want = np.array([h[i : i + w].min() for i in range(len(h) - w + 1)])
+    assert (got == want).all()
+
+
+@given(st.binary(min_size=1, max_size=200), st.integers(min_value=1, max_value=20))
+@settings(max_examples=300, deadline=None)
+def test_gram_hashes_content_defined(data, k):
+    """The winnowing rolling hash is position-independent: H[p] equals the
+    directly-computed polynomial hash of raw[p:p+k] at EVERY position, so
+    equal gram bytes always collide (the detection-guarantee property) and
+    unequal hashes imply unequal grams (soundness of the shared-fp test)."""
+    import numpy as np
+
+    from data_engineering_capstone_project__spark.operators.dedup import (
+        _WINNOW_B,
+        _gram_hashes,
+    )
+
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if k > len(raw):
+        return
+    H = _gram_hashes(raw, k)
+    mask = (1 << 64) - 1
+    for p in range(len(raw) - k + 1):
+        want = 0
+        for j in range(k - 1, -1, -1):
+            want = (want * _WINNOW_B + int(raw[p + j])) & mask
+        # direct Horner of raw[p]·B^0 + … + raw[p+k-1]·B^(k-1); compare in
+        # the same int64 bit view the kernel returns
+        assert int(H[p]) == int(np.array([want], dtype=np.uint64).view(np.int64)[0]), p
+
+
 def test_mix_sources_share_property(spark):
     """Realized token shares track targets within hash-granularity +
     sampling tolerance for several target mixes."""
