@@ -94,6 +94,15 @@ def ladder_main() -> None:
         cents, _ = kmeans_fit(e, k=8, vec_col="embedding", n_iter=3, init_rounds=2)
         return kmeans_assign(e, cents).groupBy("cluster").count()
 
+    def _pca_cell(d, e):
+        comps, eig, mean = similarity.pca_fit(e, k=8, vec_col="embedding")
+        # size filter forces the projection under the harness .count()
+        # (the kernel runs regardless — mapInPandas can't be pruned into —
+        # but keep the same honest-forcing shape as every other cell)
+        return similarity.pca_transform(e, comps, mean).filter(
+            F.size("pca") == 8
+        )
+
     def _bpe_cell(d, e):
         from data_engineering_capstone_project__spark.operators import bpe
 
@@ -145,6 +154,10 @@ def ladder_main() -> None:
         # corpus-sized cost is ONE word-count shuffle; the merge loop is
         # bounded by vocabulary, so the cell must flatline-then-linear
         "bpe_train": (_bpe_cell, 2),
+        # fit = ONE sufficient-statistic pass (per-partition n/Σx/XᵀX,
+        # driver eigh is dim³ — corpus-independent); transform = one
+        # row-local matmul pass; the cell runs both
+        "pca_fit_transform": (_pca_cell, 2),
     }
     results: dict[str, dict[str, tuple[float, int]]] = {
         op: {} for op in OPS
