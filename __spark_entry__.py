@@ -3502,6 +3502,47 @@ GROUP BY o_orderpriority
 """
 
 
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES
+    exponential-clock top-k) over documents, weight = text length + 1:
+    priority = −ln(u)/w with u hash-derived (md5 52-bit uniform), k=500
+    smallest win. Exact oracle: DuckDB re-derives the identical integer
+    (list_reduce hex fold ≡ Spark conv(hex)), the identical dyadic
+    uniform, and the identical double formula — row set AND priorities
+    hash-match at pround 6."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        weighted_sample_by_hash,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dd = d.select(
+        "doc_id", (F.length("text") + F.lit(1)).cast("double").alias("w")
+    )
+    out = weighted_sample_by_hash(
+        dd, "w", k=500, key_col="doc_id", salt="ws1", priority_col="_p"
+    )
+    return out.select("doc_id", "w", pround(F.col("_p"), 6).alias("priority"))
+
+
+X_WEIGHTED_SAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id, CAST(LENGTH(text) + 1 AS DOUBLE) AS w,
+         CAST(list_reduce(
+           -- leading '0' seeds the fold's accumulator (first list element)
+           -- with a castable zero digit; it contributes 0*16^13 = nothing
+           str_split('0' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'ws1'), 1, 13), ''),
+           (acc, c) -> CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1
+         ) AS BIGINT) AS v
+  FROM documents),
+pri AS (
+  SELECT doc_id, w,
+         -LN((CAST(v AS DOUBLE) + 0.5) / 4503599627370496.0) / w AS p
+  FROM base WHERE w > 0)
+SELECT doc_id, w, ROUND(p, 6) AS priority
+FROM pri ORDER BY p ASC, doc_id ASC LIMIT 500
+"""
+
+
 def x_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic epoch shuffle: every document gets its 0-based
     training-order position for seed 'epoch1'. Order key is md5(doc_id|seed)
@@ -4552,6 +4593,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_mix_sources": (x_mix_sources, X_MIX_SQL),
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),
+    "x_weighted_sample": (x_weighted_sample, X_WEIGHTED_SAMPLE_SQL),
     "x_corpus_shuffle": (x_corpus_shuffle, X_CORPUS_SHUFFLE_SQL),
     "x_lang_quality_filter": (x_lang_quality_filter, X_LANG_QUALITY_SQL),
     "x_leakage_split": (x_leakage_split, X_LEAKAGE_SPLIT_SQL),

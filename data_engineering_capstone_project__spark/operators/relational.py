@@ -457,6 +457,62 @@ def _hash_threshold(fraction: float) -> str:
     return "g" if v >= 16 ** 4 else format(v, "04x")
 
 
+def weighted_sample_by_hash(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws an exponential arrival time
+    ``priority = −ln(u)/w`` and the ``k`` smallest priorities win —
+    inclusion probability is proportional-to-weight without replacement,
+    the standard way to bias a training corpus toward high-quality
+    documents while keeping diversity.
+
+    The uniform ``u`` is hash-derived, not ``rand()``: the first 52 bits
+    of ``md5(key|salt)`` as ``(v + 0.5) / 2^52`` — so the sample is
+    reproducible across runs, engines, AND task retries (a ``rand()``
+    seed re-draws on Spark retry, silently changing the sample under
+    executor loss; md5 of the row key cannot), and every arithmetic step
+    (dyadic division, libm ln, one double divide) is bit-identical to
+    the DuckDB oracle. Same determinism contract as ``sample_by_hash``;
+    a different ``salt`` is a fresh independent sample.
+
+    Rows with NULL or non-positive weight are excluded (zero-weight rows
+    have infinite arrival time). The global top-k plans as
+    ``TakeOrderedAndProject`` — per-partition partial top-k then a
+    k-bounded merge, never a full sort — so the only cross-cluster
+    traffic is k rows per partition. Appends ``priority_col`` when
+    requested (oracle-comparable at ``pround(…, 6)``).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    w = F.col(weight_col).cast("double")
+    pri = -F.log(u) / w
+    out = (
+        df.filter(w.isNotNull() & (w > 0.0))
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    if priority_col is None:
+        return out.drop("_pri")
+    return out.withColumnRenamed("_pri", priority_col)
+
+
 def _segment_scheme(n: Column, i: int, parts: int) -> tuple[Column, Column]:
     """(start, length) of segment ``i`` in the even ``parts``-way partition
     of a string of length ``n`` — the first ``n % parts`` segments take the

@@ -117,3 +117,70 @@ def test_skew_profile_salt_factor(spark):
     # mean key size is 100/3; hot is 2.7x the mean -> salt 3 levels it
     assert hot["salt_factor"] == 3
     assert rows[2]["salt_factor"] == 1
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """A-ES priorities and the winning row set equal a row-at-a-time
+    reference using the same md5-derived uniform (bit-exact doubles)."""
+    import hashlib
+    import math
+
+    from data_engineering_capstone_project__spark.operators.relational import (
+        weighted_sample_by_hash,
+    )
+
+    rows = [(i, float(1 + (i * 7) % 23)) for i in range(200)]
+    rows += [(900, 0.0), (901, -2.0), (902, None)]  # excluded
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {
+        r["doc_id"]: r["p"]
+        for r in weighted_sample_by_hash(
+            df, "w", k=25, salt="t", priority_col="p"
+        ).collect()
+    }
+
+    def pri(i, w):
+        v = int(hashlib.md5(f"{i}|t".encode()).hexdigest()[:13], 16)
+        return -math.log((v + 0.5) / float(1 << 52)) / w
+
+    want = sorted(((pri(i, w), i) for i, w in rows[:200]), key=lambda t: t)[:25]
+    assert got == {i: p for p, i in want}
+    # layout independence: same sample from any partitioning
+    got2 = {
+        r["doc_id"]
+        for r in weighted_sample_by_hash(
+            df.repartition(13), "w", k=25, salt="t"
+        ).collect()
+    }
+    assert got2 == set(got)
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Heavy rows (w=10) dominate a k=100 sample over light rows (w=1)
+    at 500/500 — a deterministic statistical property of the fixed salt."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        weighted_sample_by_hash,
+    )
+
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy = sum(
+        1
+        for r in weighted_sample_by_hash(df, "w", k=100, salt="bias").collect()
+        if r["doc_id"] < 500
+    )
+    assert heavy >= 70, heavy
+
+
+def test_weighted_sample_plans_as_take_ordered(spark):
+    """The global top-k must plan as TakeOrderedAndProject (k-bounded
+    partial top-k + merge), never a full global Sort."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        weighted_sample_by_hash,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    plan = weighted_sample_by_hash(df, "w", k=50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
