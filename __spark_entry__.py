@@ -3372,6 +3372,60 @@ FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scalars
 """
 
 
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval top-10 per query (two fixed queries over the corpus
+    vocabulary): weights joined to a BROADCAST query-term frame, per-
+    (query,doc) score as an order-independent decimal sum of the 6-dp
+    weights, per-query top-k through the WindowGroupLimit path with a
+    total order (score desc, doc_id asc) — row set, scores, and ranks
+    all hash-exact vs the oracle."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    return text.bm25_topk(
+        d,
+        {"q_scan": "hash scan filter", "q_stream": "stream window watermark"},
+        k=10,
+    )
+
+
+X_BM25_TOPK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+scalars AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM dl)
+           AS avgdl),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(
+           LN((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+           * CAST(tf.tf AS DOUBLE) * 2.2
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)),
+           6) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scalars),
+qterms AS (
+  SELECT * FROM (VALUES
+    ('q_scan', 'hash'), ('q_scan', 'scan'), ('q_scan', 'filter'),
+    ('q_stream', 'stream'), ('q_stream', 'window'), ('q_stream', 'watermark')
+  ) AS t(query_id, term)),
+scores AS (
+  SELECT query_id, doc_id, SUM(CAST(bm25 AS DECIMAL(20,6))) AS score
+  FROM w JOIN qterms USING (term)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rn
+  FROM scores)
+SELECT query_id, doc_id, score, rn FROM ranked WHERE rn <= 10
+"""
+
+
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: doc → (stream, pack_bin) under a
     512-token budget, 32 parallel streams."""
@@ -4589,6 +4643,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_clean_corpus": (x_clean_corpus, _clean_corpus_sql()),
     "x_tf_idf": (x_tf_idf, X_TFIDF_SQL),
     "x_bm25": (x_bm25, X_BM25_SQL),
+    "x_bm25_topk": (x_bm25_topk, X_BM25_TOPK_SQL),
     "x_unigram_logprob": (x_unigram_logprob, X_UNIGRAM_SQL),
     "x_mix_sources": (x_mix_sources, X_MIX_SQL),
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),

@@ -283,6 +283,64 @@ def bm25(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: dict[str, str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: the top-``k`` documents per query, scored as the
+    sum of :func:`bm25` weights over the query's (unique) terms — the
+    lexical-search primitive for retrieval-style decontamination
+    ("which training docs best answer each benchmark question") and
+    quality triage.
+
+    Returns ``(query_id, doc_id, score, rn)``, ``rn`` = 1-based rank by
+    ``(score desc, doc_id asc)`` — a total order, so results are
+    deterministic and oracle-exact. Scores sum the 6-dp-rounded weights
+    as ``decimal(20,6)`` (the :func:`unigram_logprob` trick): decimal
+    addition is associative, so the per-(query, doc) sum is independent
+    of join/partition order — the property that keeps the DuckDB oracle
+    on exact equality.
+
+    Scale shape: the weights relation is corpus-sized but the query-term
+    frame is tiny and BROADCAST, so matching is a map-side hash join —
+    no corpus shuffle beyond :func:`bm25`'s own aggregations; the final
+    per-query top-k goes through :func:`top_k_per_group`
+    (``WindowGroupLimit`` map-side prune — only k rows per partition per
+    query reach the exchange, never each query's full posting union).
+    """
+    from data_engineering_capstone_project__spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    spark = df.sparkSession
+    qt = [
+        (qid, t)
+        for qid, qtext in queries.items()
+        for t in dict.fromkeys(qtext.lower().split())  # unique, order kept
+        if t
+    ]
+    if not qt:
+        raise ValueError("bm25_topk: no non-empty query terms")
+    qterms = spark.createDataFrame(qt, "query_id string, term string")
+    w = bm25(df, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    scores = (
+        w.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("bm25").cast("decimal(20,6)")).alias("score"))
+    )
+    return top_k_per_group(
+        scores,
+        ["query_id"],
+        [F.col("score").desc(), F.col(id_col).asc()],
+        k,
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -138,3 +138,28 @@ def test_pca_explained_variance_monotone_in_k(spark):
     Xc = X - X.mean(axis=0)
     total_var = float(np.trace(Xc.T @ Xc / len(X)))
     assert totals[-1] <= total_var * (1 + 1e-9)
+
+
+def test_bm25_topk_ranking(spark):
+    docs = [
+        (1, "spark shuffle join optimizer"),
+        (2, "spark shuffle"),
+        (3, "cats and dogs and birds"),
+        (4, "shuffle shuffle shuffle shuffle shuffle"),
+        (5, "join order and the optimizer"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = text.bm25_topk(df, {"q": "spark shuffle optimizer"}, k=3).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rn"])]
+    assert len(ranked) == 3
+    assert ranked[0] == 1          # matches all three query terms
+    assert 3 not in ranked         # matches none
+    # scores strictly ordered under the total order
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rn"])]
+    assert scores == sorted(scores, reverse=True)
+    # duplicate query terms are counted once
+    out2 = text.bm25_topk(df, {"q": "spark spark shuffle optimizer"}, k=3).collect()
+    assert {(r["doc_id"], r["score"]) for r in out2} == {
+        (r["doc_id"], r["score"]) for r in out
+    }
+    cachereg.release_intermediates()
