@@ -2055,6 +2055,104 @@ LIMIT 10
 """
 
 
+def x_euclid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact euclidean top-10 for the vec_id=0 query vector
+    (metric counterpart of x_ann_topk; same TakeOrdered shape)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    return similarity.euclidean_topk(e, q, k=10)
+
+
+X_EUCLID_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_distance(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS dist
+FROM embeddings
+ORDER BY ROUND(list_distance(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) ASC, vec_id
+LIMIT 10
+"""
+
+
+def x_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA filter-and-refine ANN (64 → 16 dims, candidate_factor 8,
+    exact rerank). The driver's synthetic embeddings are ISOTROPIC
+    (iid coordinates — flat spectrum), which is precisely the corpus
+    PCA-ANN is NOT for; real embedding matrices are low-rank. So, like
+    x_kmeans, the gate plants the structure the operator targets: a
+    tight 40-point cluster living in the span of 16 coordinate axes,
+    far from the background cloud, query = one planted point. The
+    oracle pins: (a) top-1 is the query row itself at distance 0;
+    (b) every returned distance EQUALS the brute-force distance for
+    that id (refine is exact — approximation can never corrupt a
+    distance); (c) output order is exactly sorted; (d) recall vs the
+    exact euclidean top-10 over the COMBINED corpus ≥ 0.9 — a broken
+    fit, projection, lower-bound ranking, or rerank flips a boolean.
+    n_points (count + 40) and dim are SQL-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    hdr = base.agg(
+        F.max("vec_id").alias("mx"), F.first(F.size("embedding")).alias("dim")
+    ).first()
+    dim, off = hdr["dim"], int(hdr["mx"]) + 1
+    planted_rows = []
+    for i in range(40):
+        v = [0.0] * dim
+        for a in range(16):  # low-rank: all structure in axes 0..15
+            v[a] = 30.0 + 0.37 * ((i * (a + 3)) % 7)  # deterministic spread
+        planted_rows.append((off + i, v))
+    planted = spark.createDataFrame(
+        planted_rows, "vec_id bigint, embedding array<double>"
+    )
+    corpus = base.unionByName(planted)
+    q = planted_rows[0][1]
+    fitted = similarity.pca_fit(corpus, k=16)
+    got = similarity.pca_topk(
+        corpus, q, k=10, n_components=16, candidate_factor=8, fitted=fitted
+    ).collect()
+    brute = similarity.euclidean_topk(corpus, q, k=10).collect()
+    bd = {r["vec_id"]: r["dist"] for r in brute}
+    recall = sum(1 for r in got if r["vec_id"] in bd) / len(brute)
+    top1_self = got[0]["vec_id"] == off and got[0]["dist"] == 0.0
+    dists_exact = all(
+        r["vec_id"] not in bd or r["dist"] == bd[r["vec_id"]] for r in got
+    )
+    order_ok = [r["dist"] for r in got] == sorted(r["dist"] for r in got)
+    n_points = corpus.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_points,
+                dim,
+                len(got),
+                top1_self,
+                dists_exact,
+                order_ok,
+                recall >= 0.9,
+            )
+        ],
+        "n_points bigint, dim int, k int, top1_self boolean, "
+        "dists_exact boolean, order_ok boolean, recall_ok boolean",
+    )
+
+
+X_PCA_TOPK_SQL = """
+SELECT COUNT(*) + 40 AS n_points,
+       CAST(MAX(len(embedding)) AS INT) AS dim,
+       10 AS k,
+       TRUE AS top1_self,
+       TRUE AS dists_exact,
+       TRUE AS order_ok,
+       TRUE AS recall_ok
+FROM embeddings
+"""
+
+
 def x_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window aggregation (10 min) per event type."""
     ev = _t(spark, sf_dir, "events")
@@ -4625,6 +4723,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_ivf_topk": (x_ivf_topk, X_IVF_SQL),  # bound-checked
     "x_kmeans": (x_kmeans, X_KMEANS_SQL),  # bound-checked
     "x_pca": (x_pca, X_PCA_SQL),  # bound-checked
+    "x_euclid_topk": (x_euclid_topk, X_EUCLID_SQL),
+    "x_pca_topk": (x_pca_topk, X_PCA_TOPK_SQL),  # bound-checked
     "x_bpe_train": (x_bpe_train, X_BPE_SQL),  # bound-checked
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),

@@ -783,6 +783,90 @@ def kmeans_assign(
     )
 
 
+def euclidean_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by euclidean distance against one query —
+    the metric counterpart of :func:`cosine_topk` (same one-scan +
+    TakeOrdered shape, no full sort)."""
+    q = _lit_vec(query_vec)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            q,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col), pround(F.sqrt(d2), 6).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pca_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_components: int = 16,
+    candidate_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fitted: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """PCA filter-and-refine euclidean top-k: rank in the reduced space
+    first, exact-rerank a small candidate set in the full space.
+
+    Because the component rows are ORTHONORMAL, the reduced-space
+    distance is a LOWER BOUND on the true distance
+    (``‖C(x−q)‖ ≤ ‖x−q‖``) and captures the bulk of it when the spectrum
+    is concentrated — so the ``candidate_factor·k`` nearest rows in k'
+    dims almost surely contain the true top-k, at k'/dim of the
+    per-row scoring FLOPs (64→16 dims = 4× less scan work; at 100 TB
+    the reduced projection would be precomputed once via
+    :func:`pca_transform` and stored, making every query touch ~k'/dim
+    of the bytes). Refine re-scores ONLY the candidates (≤ m·k rows,
+    driver-bounded) against the full vectors — exact distances, so the
+    output ORDER is always exact; approximation shows up only as
+    (rare, measured) recall loss in the candidate set.
+
+    Pass ``fitted=(components, explained, mean)`` to amortize one
+    :func:`pca_fit` across many queries (the ANN-index pattern).
+    """
+    comps, _, mean = fitted if fitted is not None else pca_fit(
+        df, k=n_components, vec_col=vec_col
+    )
+    proj = pca_transform(df, comps, mean, vec_col=vec_col, out_col="_pv")
+    qr = (np.asarray(query_vec, dtype=np.float64) - mean) @ comps.T
+    qlit = _lit_vec([float(x) for x in qr])
+    d2r = F.aggregate(
+        F.zip_with(F.col("_pv"), qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cands = (
+        proj.select(id_col, F.sqrt(d2r).alias("_dr"))
+        .orderBy(F.col("_dr").asc(), F.col(id_col))
+        .limit(candidate_factor * k)
+    )
+    # refine: exact distance over ONLY the candidate rows — the join
+    # side is ≤ m·k rows, so it broadcasts and the full-vector relation
+    # is probed, not shuffled
+    return euclidean_topk(
+        df.join(F.broadcast(cands.select(id_col)), id_col),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def pca_fit(
     df: DataFrame,
     k: int,

@@ -163,3 +163,35 @@ def test_bm25_topk_ranking(spark):
         (r["doc_id"], r["score"]) for r in out
     }
     cachereg.release_intermediates()
+
+
+def test_euclidean_topk_matches_numpy(spark):
+    df, X, _, _ = _planted_frame(spark, n=150)
+    q = [float(x) for x in X[42]]
+    out = similarity.euclidean_topk(df, q, k=5).collect()
+    d = np.linalg.norm(X - np.array(q), axis=1)
+    want = np.argsort(d, kind="stable")[:5]
+    assert [r["vec_id"] for r in out] == sorted(
+        want.tolist(), key=lambda i: (round(d[i], 6), i)
+    )
+    assert out[0]["vec_id"] == 42 and out[0]["dist"] == 0.0
+
+
+def test_pca_topk_full_recall_on_low_rank_data(spark):
+    """On genuinely low-rank data (the operator's target), filter-and-
+    refine with n_components >= rank returns the EXACT top-k: the
+    reduced distance is then the true distance, so the candidate set
+    provably contains the winners and the rerank emits them in order."""
+    df, X, _, _ = _planted_frame(spark, n=300)
+    q = [float(x) for x in X[7]]
+    exact = [
+        (r["vec_id"], r["dist"])
+        for r in similarity.euclidean_topk(df, q, k=10).collect()
+    ]
+    got = [
+        (r["vec_id"], r["dist"])
+        for r in similarity.pca_topk(
+            df, q, k=10, n_components=4, candidate_factor=3
+        ).collect()
+    ]
+    assert got == exact
