@@ -3695,6 +3695,64 @@ FROM pri ORDER BY p ASC, doc_id ASC LIMIT 500
 """
 
 
+def x_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state approximate profiling (HLL++ cardinality + GK
+    quantiles) on lineitem — the one-scan planner-input profile that
+    replaces a COUNT(DISTINCT) de-dup shuffle and an exact-percentile
+    global sort at 100 TB. Bound-checked: n_rows and the EXACT distinct
+    count are SQL-exact; the oracle pins (a) HLL estimate within 3·rsd
+    of the exact count (the HLL++ error model); (b) each approx
+    percentile's true RANK within 1/accuracy of its target (the GK
+    guarantee, checked engine-side by counting rows ≤ the estimate);
+    (c) estimates properly ordered. A broken sketch merge or rank
+    drift flips a boolean."""
+    from data_engineering_capstone_project__spark.operators import (
+        relational as relational_mod,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    prof = relational_mod.sketch_profile(
+        li, "l_orderkey", "l_extendedprice", rsd=0.05,
+        percentiles=(0.5, 0.95), accuracy=10000,
+    ).collect()[0]
+    n_rows = prof["n_rows"]
+    q50, q95 = prof["approx_ps"]
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("nd"),
+        F.sum((F.col("l_extendedprice") <= q50).cast("long")).alias("le50"),
+        F.sum((F.col("l_extendedprice") <= q95).cast("long")).alias("le95"),
+        F.sum((F.col("l_extendedprice") < q50).cast("long")).alias("lt50"),
+        F.sum((F.col("l_extendedprice") < q95).cast("long")).alias("lt95"),
+    ).collect()[0]
+    nd = exact["nd"]
+    hll_ok = abs(prof["approx_distinct"] - nd) <= 3 * 0.05 * nd
+    # GK: the returned value's rank interval must cover a point within
+    # n/accuracy of the target rank
+    def rank_ok(target, lt, le):
+        lo, hi = lt / n_rows, le / n_rows
+        tol = 1.0 / 10000 + 1.0 / n_rows
+        return lo - tol <= target <= hi + tol
+
+    q50_ok = rank_ok(0.5, exact["lt50"], exact["le50"])
+    q95_ok = rank_ok(0.95, exact["lt95"], exact["le95"])
+    return spark.createDataFrame(
+        [(n_rows, nd, hll_ok, q50_ok, q95_ok, q50 <= q95)],
+        "n_rows bigint, n_distinct_exact bigint, hll_ok boolean, "
+        "q50_ok boolean, q95_ok boolean, ordered_ok boolean",
+    )
+
+
+X_SKETCH_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_distinct_exact,
+       TRUE AS hll_ok,
+       TRUE AS q50_ok,
+       TRUE AS q95_ok,
+       TRUE AS ordered_ok
+FROM lineitem
+"""
+
+
 def x_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic epoch shuffle: every document gets its 0-based
     training-order position for seed 'epoch1'. Order key is md5(doc_id|seed)
@@ -4749,6 +4807,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),
     "x_weighted_sample": (x_weighted_sample, X_WEIGHTED_SAMPLE_SQL),
+    "x_sketch_profile": (x_sketch_profile, X_SKETCH_SQL),  # bound-checked
     "x_corpus_shuffle": (x_corpus_shuffle, X_CORPUS_SHUFFLE_SQL),
     "x_lang_quality_filter": (x_lang_quality_filter, X_LANG_QUALITY_SQL),
     "x_leakage_split": (x_leakage_split, X_LEAKAGE_SPLIT_SQL),

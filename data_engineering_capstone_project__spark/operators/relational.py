@@ -513,6 +513,39 @@ def weighted_sample_by_hash(
     return out.withColumnRenamed("_pri", priority_col)
 
 
+def sketch_profile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rsd: float = 0.05,
+    percentiles: Sequence[float] = (0.5, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """One-pass approximate profile via Spark's built-in mergeable
+    sketches: HyperLogLog++ cardinality of ``key_col``
+    (``approx_count_distinct``, relative sd ``rsd``) and GK quantile
+    summaries of ``value_col`` (``percentile_approx``, error ≤
+    1/``accuracy`` in RANK space per the GK guarantee).
+
+    The 100 TB point: both sketches hold BOUNDED state per partition
+    (HLL registers / GK summary) and merge associatively map-side, so
+    the profile costs one scan + a few-KB shuffle — against
+    ``COUNT(DISTINCT …)``'s full de-dup shuffle and exact percentile's
+    global sort. This is the planner-input profile (how many distinct
+    join keys? where do value thresholds sit?) you compute BEFORE
+    choosing salting factors, bucket counts, or quantile filters.
+
+    Returns one row: ``(n_rows, approx_distinct, approx_ps)``.
+    """
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct(key_col, rsd=rsd).alias("approx_distinct"),
+        F.percentile_approx(
+            value_col, list(percentiles), accuracy
+        ).alias("approx_ps"),
+    )
+
+
 def _segment_scheme(n: Column, i: int, parts: int) -> tuple[Column, Column]:
     """(start, length) of segment ``i`` in the even ``parts``-way partition
     of a string of length ``n`` — the first ``n % parts`` segments take the

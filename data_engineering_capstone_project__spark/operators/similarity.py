@@ -959,18 +959,30 @@ def pca_transform(
     mean: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "pca",
+    whiten: np.ndarray | None = None,
 ) -> DataFrame:
     """Project the embedding column onto fitted components:
     ``out = (x − mean) @ componentsᵀ`` as an Arrow-batched BLAS matmul —
     row-local, no shuffle, corpus never leaves its partitions. Appends
     ``out_col`` (``array<double>`` of length k); rows whose vector is
-    NULL or wrong-width are dropped (the rows ``pca_fit`` never saw)."""
+    NULL or wrong-width are dropped (the rows ``pca_fit`` never saw).
+
+    ``whiten``: pass ``pca_fit``'s explained-variance vector to emit
+    WHITENED coordinates (each component divided by ``sqrt(var)`` —
+    unit variance per output dimension, the usual preprocessing before
+    cosine-based SemDeDup/clustering so high-variance directions don't
+    dominate the metric). Components at numerically-zero variance are
+    passed through unscaled rather than exploding."""
     import pandas as pd
 
     comps = np.asarray(components, dtype=np.float64)
     mu = np.asarray(mean, dtype=np.float64)
     dim = comps.shape[1]
     ct = comps.T.copy()
+    if whiten is not None:
+        ev = np.asarray(whiten, dtype=np.float64)
+        scale = np.where(ev > 1e-12, 1.0 / np.sqrt(np.maximum(ev, 1e-300)), 1.0)
+        ct = (ct * scale).copy()  # fold the per-component scale into the matmul
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(out_col, T.ArrayType(T.DoubleType(), False), False)]

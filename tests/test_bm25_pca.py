@@ -195,3 +195,24 @@ def test_pca_topk_full_recall_on_low_rank_data(spark):
         ).collect()
     ]
     assert got == exact
+
+
+def test_pca_transform_whitening(spark):
+    """Whitened projection has unit variance per output component and
+    equals the plain projection scaled by 1/sqrt(eigenvalue)."""
+    df, X, _, _ = _planted_frame(spark, n=300)
+    comps, eig, mean = similarity.pca_fit(df, k=2)
+    plain = {
+        r["vec_id"]: r["pca"]
+        for r in similarity.pca_transform(df, comps, mean).collect()
+    }
+    white = {
+        r["vec_id"]: r["pca"]
+        for r in similarity.pca_transform(df, comps, mean, whiten=eig).collect()
+    }
+    s = 1.0 / np.sqrt(eig)
+    for i, p in plain.items():
+        assert np.allclose(np.array(p) * s, white[i], atol=1e-9)
+    W = np.array([white[i] for i in sorted(white)])
+    assert np.allclose(W.var(axis=0), 1.0, atol=1e-6)
+    assert np.allclose(W.mean(axis=0), 0.0, atol=1e-9)

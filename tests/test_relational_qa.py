@@ -184,3 +184,28 @@ def test_weighted_sample_plans_as_take_ordered(spark):
     )
     plan = weighted_sample_by_hash(df, "w", k=50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_sketch_profile_bounds(spark, sf_dir):
+    """HLL estimate within its 3-sigma error model; GK percentile ranks
+    within the 1/accuracy guarantee; one-row bounded-state output."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        sketch_profile,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = sketch_profile(
+        o, "o_custkey", "o_totalprice", rsd=0.05, percentiles=(0.25, 0.5, 0.9)
+    ).collect()
+    assert len(row) == 1
+    prof = row[0]
+    exact = o.select("o_custkey").distinct().count()
+    assert abs(prof["approx_distinct"] - exact) <= max(3 * 0.05 * exact, 1)
+    n = prof["n_rows"]
+    vals = sorted(r["o_totalprice"] for r in o.select("o_totalprice").collect())
+    for target, est in zip((0.25, 0.5, 0.9), prof["approx_ps"]):
+        lt = sum(1 for v in vals if v < est)
+        le = sum(1 for v in vals if v <= est)
+        tol = 1.0 / 10000 + 1.0 / n
+        assert lt / n - tol <= target <= le / n + tol, (target, est)
+    assert list(prof["approx_ps"]) == sorted(prof["approx_ps"])
