@@ -25,6 +25,8 @@ AUDIT = {
     "x_tf_idf": "doc-frequency as groupBy(term)+join-back (NO per-term window — skew-safe); explode cached once (InMemoryTableScan feeds both branches)",
     "x_bm25": "tf cached once (InMemoryTableScan feeds df/dl/weight branches); dfreq and dl as groupBy+join-back (no per-term or per-doc window); N+avgdl ride ONE broadcast scalar row; avgdl = exact long-sum/count (oracle-parity)",
     "x_exact_dedup": "fingerprint groupBy with map-side partial min",
+    "x_weighted_sample": "A-ES weighted top-k: md5→uniform→priority all codegen'd at the scan; global k via TakeOrderedAndProject (per-partition partial top-k + k-bounded merge — NEVER a full Sort+Exchange)",
+    "x_bm25_topk": "weights joined to BROADCAST query terms (map-side hash join, no corpus shuffle beyond bm25's aggs); per-query top-k through the WindowGroupLimit map-side prune; decimal score sum is order-independent",
     "x_clean_corpus": "filters+mask fused into one scan project; dedup adds one shuffle",
     "x_topk_per_group": "native WindowGroupLimit plan (probe-selected): Partial map-side prune to k rows per (group, input partition), ONE exchange of pruned rows, Final prune + window",
     "x_unigram_logprob": "tf cached once (InMemoryTableScan both branches); corpus counts agg+join-back (no per-term window); decimal contributions -> order-independent per-doc sum",
