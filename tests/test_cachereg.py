@@ -53,6 +53,8 @@ def test_release_intermediates_clears_all_caches(spark):
             vecs, dim=8, threshold=0.9, n_planes=4, n_tables=3
         ).collect(),
         lambda: text.tf_idf(docs).collect(),
+        lambda: text.bm25(docs).collect(),
+        lambda: text.bm25_topk(docs, {"q": "document boilerplate"}, k=3).collect(),
         # outlier routing inside verify_jaccard (big-doc exploded path)
         lambda: dedup.verify_jaccard(
             docs,
