@@ -3695,6 +3695,50 @@ FROM pri ORDER BY p ASC, doc_id ASC LIMIT 500
 """
 
 
+def x_weighted_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sampling (50 docs per source, weight = text
+    length + 1): A-ES priorities + WindowGroupLimit per-group top-k —
+    balanced per-source draws in one pass. Exact oracle: rows,
+    priorities (pround 6), AND per-group ranks all hash-match."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        weighted_sample_per_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dd = d.select(
+        "source", "doc_id", (F.length("text") + F.lit(1)).cast("double").alias("w")
+    )
+    out = weighted_sample_per_group(
+        dd, ["source"], "w", k=50, key_col="doc_id", salt="wg1",
+        priority_col="_p",
+    )
+    return out.select(
+        "source", "doc_id", "w", pround(F.col("_p"), 6).alias("priority"), "rn"
+    )
+
+
+X_WEIGHTED_GROUPS_SQL = """
+WITH base AS (
+  SELECT source, doc_id, CAST(LENGTH(text) + 1 AS DOUBLE) AS w,
+         CAST(list_reduce(
+           str_split('0' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'wg1'), 1, 13), ''),
+           (acc, c) -> CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1
+         ) AS BIGINT) AS v
+  FROM documents),
+pri AS (
+  SELECT source, doc_id, w,
+         -LN((CAST(v AS DOUBLE) + 0.5) / 4503599627370496.0) / w AS p
+  FROM base WHERE w > 0),
+ranked AS (
+  SELECT source, doc_id, w, p,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY p ASC, doc_id ASC) AS INT) AS rn
+  FROM pri)
+SELECT source, doc_id, w, ROUND(p, 6) AS priority, rn
+FROM ranked WHERE rn <= 50
+"""
+
+
 def x_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state approximate profiling (HLL++ cardinality + GK
     quantiles) on lineitem — the one-scan planner-input profile that
@@ -4807,6 +4851,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),
     "x_weighted_sample": (x_weighted_sample, X_WEIGHTED_SAMPLE_SQL),
+    "x_weighted_sample_groups": (x_weighted_sample_groups, X_WEIGHTED_GROUPS_SQL),
     "x_sketch_profile": (x_sketch_profile, X_SKETCH_SQL),  # bound-checked
     "x_corpus_shuffle": (x_corpus_shuffle, X_CORPUS_SHUFFLE_SQL),
     "x_lang_quality_filter": (x_lang_quality_filter, X_LANG_QUALITY_SQL),

@@ -513,6 +513,49 @@ def weighted_sample_by_hash(
     return out.withColumnRenamed("_pri", priority_col)
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Per-group :func:`weighted_sample_by_hash`: the ``k``
+    smallest-priority rows WITHIN each group — balanced corpus draws
+    (k docs per source/language, biased by quality weight) in one pass.
+
+    Same A-ES priorities (hash-derived, retry-/engine-reproducible); the
+    per-group top-k goes through :func:`top_k_per_group`, so each group
+    is pruned to k rows per input partition map-side before the single
+    exchange — never a per-group full sort, regardless of how skewed
+    group sizes are."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    w = F.col(weight_col).cast("double")
+    out = top_k_per_group(
+        df.filter(w.isNotNull() & (w > 0.0)).withColumn("_pri", -F.log(u) / w),
+        list(group_cols),
+        [F.col("_pri").asc(), F.col(key_col).asc()],
+        k,
+        total_order=True,
+    )
+    if priority_col is None:
+        return out.drop("_pri")
+    return out.withColumnRenamed("_pri", priority_col)
+
+
 def sketch_profile(
     df: DataFrame,
     key_col: str,

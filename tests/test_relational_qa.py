@@ -209,3 +209,33 @@ def test_sketch_profile_bounds(spark, sf_dir):
         tol = 1.0 / 10000 + 1.0 / n
         assert lt / n - tol <= target <= le / n + tol, (target, est)
     assert list(prof["approx_ps"]) == sorted(prof["approx_ps"])
+
+
+def test_weighted_sample_per_group_semantics(spark):
+    """Per-group A-ES: each group yields its own k winners, identical to
+    running the global sampler on that group alone; group sizes under k
+    return the whole group."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        weighted_sample_by_hash,
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float(1 + i % 5)) for i in range(90)]
+    rows += [(500, "tiny", 2.0), (501, "tiny", 3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    out = weighted_sample_per_group(
+        df, ["grp"], "w", k=7, salt="pg"
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert by_grp["tiny"] == {500, 501}  # under k: whole group
+    for g in ("g0", "g1", "g2"):
+        assert len(by_grp[g]) == 7
+        solo = {
+            r["doc_id"]
+            for r in weighted_sample_by_hash(
+                df.filter(F.col("grp") == g), "w", k=7, salt="pg"
+            ).collect()
+        }
+        assert by_grp[g] == solo, g
