@@ -2075,8 +2075,8 @@ LIMIT 10
 
 
 def x_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA filter-and-refine ANN (64 → 16 dims, candidate_factor 8,
-    exact rerank). The driver's synthetic embeddings are ISOTROPIC
+    """PCA filter-and-refine ANN (64 → 16 dims, AUTO-SIZED candidate
+    set, exact rerank). The driver's synthetic embeddings are ISOTROPIC
     (iid coordinates — flat spectrum), which is precisely the corpus
     PCA-ANN is NOT for; real embedding matrices are low-rank. So, like
     x_kmeans, the gate plants the structure the operator targets: a
@@ -2087,8 +2087,13 @@ def x_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that id (refine is exact — approximation can never corrupt a
     distance); (c) output order is exactly sorted; (d) recall vs the
     exact euclidean top-10 over the COMBINED corpus ≥ 0.9 — a broken
-    fit, projection, lower-bound ranking, or rerank flips a boolean.
-    n_points (count + 40) and dim are SQL-exact."""
+    fit, projection, lower-bound ranking, or rerank flips a boolean;
+    (e) NO manual candidate_factor anywhere: the planted run derives
+    its factor from the fitted explained-variance ratio, and a second
+    auto run on the RAW isotropic embeddings (ratio ≈ k/dim < 0.3 →
+    exact-fallback regime) must ALSO hit recall ≥ 0.9 vs brute force
+    (``iso_recall_ok``) — the spectrum-flat safety VERDICT r5 #4 asked
+    for. n_points (count + 40) and dim are SQL-exact."""
     e = _t(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
@@ -2111,9 +2116,9 @@ def x_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(planted)
     q = planted_rows[0][1]
-    fitted = similarity.pca_fit(corpus, k=16)
+    fitted = similarity.pca_fit_stats(corpus, k=16)
     got = similarity.pca_topk(
-        corpus, q, k=10, n_components=16, candidate_factor=8, fitted=fitted
+        corpus, q, k=10, n_components=16, fitted=fitted
     ).collect()
     brute = similarity.euclidean_topk(corpus, q, k=10).collect()
     bd = {r["vec_id"]: r["dist"] for r in brute}
@@ -2123,6 +2128,16 @@ def x_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["vec_id"] not in bd or r["dist"] == bd[r["vec_id"]] for r in got
     )
     order_ok = [r["dist"] for r in got] == sorted(r["dist"] for r in got)
+    # flat-spectrum safety: auto sizing on the RAW isotropic embeddings
+    # (no planted structure, no manual factor) must stay ≥0.9 recall —
+    # the ratio lands under the exact-fallback cut, so this also proves
+    # the fallback path end-to-end
+    iso_q = [float((i * 7) % 5) / 5.0 for i in range(dim)]
+    iso_got = similarity.pca_topk(base, iso_q, k=10, n_components=16).collect()
+    iso_bd = {
+        r["vec_id"] for r in similarity.euclidean_topk(base, iso_q, k=10).collect()
+    }
+    iso_recall = sum(1 for r in iso_got if r["vec_id"] in iso_bd) / len(iso_bd)
     n_points = corpus.count()
     return spark.createDataFrame(
         [
@@ -2134,10 +2149,12 @@ def x_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dists_exact,
                 order_ok,
                 recall >= 0.9,
+                iso_recall >= 0.9,
             )
         ],
         "n_points bigint, dim int, k int, top1_self boolean, "
-        "dists_exact boolean, order_ok boolean, recall_ok boolean",
+        "dists_exact boolean, order_ok boolean, recall_ok boolean, "
+        "iso_recall_ok boolean",
     )
 
 
@@ -2148,7 +2165,8 @@ SELECT COUNT(*) + 40 AS n_points,
        TRUE AS top1_self,
        TRUE AS dists_exact,
        TRUE AS order_ok,
-       TRUE AS recall_ok
+       TRUE AS recall_ok,
+       TRUE AS iso_recall_ok
 FROM embeddings
 """
 
@@ -3449,7 +3467,9 @@ def x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X_BM25_SQL = r"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS term
+  -- Java \s (engine side) includes vertical tab \x0b; RE2's does not —
+  -- pin the identical ASCII class so a \x0b-bearing corpus stays parity
+  SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\x0b\f\r]+')) AS term
   FROM documents),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
@@ -3487,7 +3507,9 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X_BM25_TOPK_SQL = r"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS term
+  -- Java \s (engine side) includes vertical tab \x0b; RE2's does not —
+  -- pin the identical ASCII class so a \x0b-bearing corpus stays parity
+  SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\x0b\f\r]+')) AS term
   FROM documents),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),

@@ -1215,7 +1215,15 @@ def winnow_runs(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+    # NULL text would reach the kernel as None (e.g. substring_span_dedup's
+    # _normalize(NULL) stays NULL) and crash `t.encode` — such rows can't
+    # own or contain a span, so drop them here exactly like detect='full'
+    # drops them via its length filter
+    return (
+        df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .mapInPandas(gen, schema=out_schema)
+    )
 
 
 def substring_span_dedup(

@@ -144,9 +144,16 @@ def add_row_id(
         pid = _expression_pid(df, order_cols, n)
         parted = df.withColumn("_pid", pid)
     else:
-        from data_engineering_capstone_project__spark.cachereg import register
-
-        parted = register(
+        # NOT registered in cachereg: this lineage is NONDETERMINISTIC
+        # (RangePartitioner samples boundaries per execution), and the
+        # partition sizes are collected below — if a global
+        # release_intermediates() unpersisted it before the caller's
+        # final action, recompute could reassign _pid against the
+        # already-collected offsets and emit wrong/duplicate row ids.
+        # cachereg's early-release-is-safe contract only holds for
+        # deterministic relations, so this persist stays unmanaged for
+        # the frame's lifetime (rare path: non-encodable key types only).
+        parted = (
             df.repartitionByRange(n, *cols)
             .withColumn("_pid", F.spark_partition_id())
             .persist()

@@ -280,14 +280,23 @@ def lsh_bucket_pairs(
     with probability θ/π (the SRP collision identity), so the XOR
     popcount ``d`` over the other tables' buckets is Binomial with mean
     (θ/π)·n_bits. Candidates with ``d`` above the threshold-pair mean
-    plus 4σ are dropped — a baseline-similarity bucket collision (θ far
-    above acos(threshold)) fails with near-certainty, while a true pair
-    at exactly the threshold passes with P ≈ 1−3e-5 per colliding table
-    row (and gets another chance in every other table it collides in).
-    The estimate is a handful of codegen ``bit_count(xor)`` terms per
-    pair vs a dim-wide zip_with/aggregate dot product — at the 500k
-    ladder rung exact cosine on bucket collisions dominated the 74 s
-    cell.
+    plus 6σ are dropped — a baseline-similarity bucket collision (θ far
+    above acos(threshold)) still fails with near-certainty.
+
+    NOTE the drop is PER PAIR, not per colliding row: the signatures are
+    computed once per vector before the table explode, so ``d`` is
+    identical in every table the pair collides in — a pair filtered here
+    is filtered in ALL of them simultaneously and does NOT get another
+    chance in another table. The cut must therefore be sized for the
+    whole-pair miss budget, not amortized across tables: at 6σ the
+    one-sided Gaussian tail puts the additional per-true-pair miss at
+    ~1e-9 (versus the ~3e-5 a 4σ cut would silently stack on top of the
+    (1-p^b)^L banding bound). The estimate is a handful of codegen
+    ``bit_count(xor)`` terms per pair vs a dim-wide zip_with/aggregate
+    dot product — at the 500k ladder rung exact cosine on bucket
+    collisions dominated the 74 s cell, and the 6σ-vs-4σ widening keeps
+    essentially all of that pruning (the baseline-collision d sits tens
+    of σ above threshold-pair d at near-dup thresholds).
     """
     if n_planes is None:
         if n_rows is None:
@@ -381,11 +390,13 @@ def lsh_bucket_pairs(
 
         # d = sign disagreements over the OTHER tables' (L−1)·b bits (the
         # current table XORs to 0 — join key); keep pairs with d within
-        # 4σ of the mean a true threshold-pair would show. Plain codegen
-        # bit_count(xor) terms — no higher-order function per pair.
+        # 6σ of the mean a true threshold-pair would show. d is a PAIR
+        # constant (same signatures in every table), so this cut is the
+        # pair's only chance — 6σ keeps the extra miss ~1e-9 per true
+        # pair. Plain codegen bit_count(xor) terms — no HOF per pair.
         nbits = (n_tables - 1) * n_planes
         frac = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
-        dmax = frac * nbits + 4.0 * math.sqrt(max(nbits * frac * (1.0 - frac), 0.0))
+        dmax = frac * nbits + 6.0 * math.sqrt(max(nbits * frac * (1.0 - frac), 0.0))
         d = F.bit_count(
             F.col("sig_a").getItem(0).bitwiseXOR(F.col("sig_b").getItem(0))
         )
@@ -815,10 +826,10 @@ def pca_topk(
     query_vec: list[float],
     k: int = 10,
     n_components: int = 16,
-    candidate_factor: int = 8,
+    candidate_factor: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    fitted: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    fitted: tuple | None = None,
 ) -> DataFrame:
     """PCA filter-and-refine euclidean top-k: rank in the reduced space
     first, exact-rerank a small candidate set in the full space.
@@ -836,12 +847,60 @@ def pca_topk(
     output ORDER is always exact; approximation shows up only as
     (rare, measured) recall loss in the candidate set.
 
-    Pass ``fitted=(components, explained, mean)`` to amortize one
-    :func:`pca_fit` across many queries (the ANN-index pattern).
+    ``candidate_factor=None`` (default) AUTO-SIZES from the fitted
+    explained-variance ratio ``r = Σ explainedₖ / total variance`` — the
+    fraction of expected squared distance the reduced space sees. A
+    concentrated spectrum ranks reliably (r ≥ 0.9 → factor 4); as the
+    spectrum flattens the bound carries less signal, so the candidate
+    set widens (r ≥ 0.75 → 8, r ≥ 0.5 → 16); and on a flat-spectrum
+    corpus (r < 0.5 — e.g. iid-random embeddings, where reduced-space
+    ranking is near-noise and no fixed factor is safe; NOTE sample-
+    eigenvalue spread inflates an isotropic corpus's measured r well
+    above k'/dim — ~0.31–0.38 for the 64-dim test embeddings — which is
+    why the cut sits at 0.5, not nearer k'/dim) it
+    falls back to exact :func:`euclidean_topk` outright — correct by
+    construction, and barely slower than scanning a candidate set that
+    would have had to be most of the corpus anyway. An explicit integer
+    keeps the old fixed-factor behavior.
+
+    Pass ``fitted=(components, explained, mean)`` — or the 4-tuple
+    ``(components, explained, mean, total_var)`` that
+    :func:`pca_fit_stats` returns — to amortize one fit across many
+    queries (the ANN-index pattern). Auto-sizing needs the total
+    variance: with a 3-tuple it is recovered by one narrow
+    ``E‖x‖² − ‖μ‖²`` aggregation pass (cheap next to the fit, but a
+    corpus scan — batch callers should pass the 4-tuple).
     """
-    comps, _, mean = fitted if fitted is not None else pca_fit(
-        df, k=n_components, vec_col=vec_col
-    )
+    if fitted is None:
+        comps, expl, mean, total_var = pca_fit_stats(
+            df, k=n_components, vec_col=vec_col
+        )
+    elif len(fitted) == 4:
+        comps, expl, mean, total_var = fitted
+    else:
+        comps, expl, mean = fitted
+        total_var = None
+    if candidate_factor is None:
+        if total_var is None:
+            # E‖x‖² − ‖μ‖² = tr(cov): one column-pruned aggregate over
+            # the same rows the fit saw (NULL/ragged dropped)
+            dim = int(np.asarray(comps).shape[1])
+            sq = F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            row = (
+                df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+                .agg(F.avg(sq).alias("e2"))
+                .first()
+            )
+            mu = np.asarray(mean, dtype=np.float64)
+            total_var = max(float(row["e2"] or 0.0) - float(mu @ mu), 0.0)
+        ratio = float(np.sum(expl)) / total_var if total_var > 0 else 1.0
+        if ratio < 0.5:
+            return euclidean_topk(df, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+        candidate_factor = 4 if ratio >= 0.9 else (8 if ratio >= 0.75 else 16)
     proj = pca_transform(df, comps, mean, vec_col=vec_col, out_col="_pv")
     qr = (np.asarray(query_vec, dtype=np.float64) - mean) @ comps.T
     qlit = _lit_vec([float(x) for x in qr])
@@ -872,10 +931,27 @@ def pca_fit(
     k: int,
     vec_col: str = "embedding",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA over an embedding column — see :func:`pca_fit_stats`
+    for the full contract; this convenience form drops the total-variance
+    scalar from the return (the historical 3-tuple signature)."""
+    comps, expl, mean, _ = pca_fit_stats(df, k, vec_col=vec_col)
+    return comps, expl, mean
+
+
+def pca_fit_stats(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     """Distributed PCA over an embedding column: top-``k`` principal
     components of the (population) covariance matrix.
 
-    Returns ``(components, explained_variance, mean)`` —
+    Returns ``(components, explained_variance, mean, total_variance)``
+    — ``total_variance`` is ``tr(cov)`` (the sum of ALL eigenvalues, a
+    free by-product of the sufficient-statistic pass), so callers can
+    form the explained-variance RATIO without a second corpus scan —
+    :func:`pca_topk` auto-sizes its candidate set from it, and the
+    4-tuple plugs straight into ``pca_topk(fitted=...)``.
     ``components`` is ``k×dim`` (rows orthonormal, sorted by variance
     descending, sign fixed so each row's largest-|·| entry is positive —
     deterministic across partitionings), ``explained_variance`` the k
@@ -950,7 +1026,8 @@ def pca_fit(
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
-    return comps, np.maximum(eigval[order], 0.0), mean
+    total_var = float(np.maximum(eigval, 0.0).sum())
+    return comps, np.maximum(eigval[order], 0.0), mean, total_var
 
 
 def pca_transform(

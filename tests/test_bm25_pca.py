@@ -216,3 +216,136 @@ def test_pca_transform_whitening(spark):
     W = np.array([white[i] for i in sorted(white)])
     assert np.allclose(W.var(axis=0), 1.0, atol=1e-6)
     assert np.allclose(W.mean(axis=0), 0.0, atol=1e-9)
+
+
+def test_bm25_topk_weights_reuse_and_parity(spark):
+    """Round-6 index pattern: a precomputed (persisted) bm25() frame passed
+    as ``weights=`` must (a) give the same answers as the convenience path
+    and (b) be REUSED — the retrieval plan scans the cache and contains no
+    second corpus-tokenization subtree (fit-once/query-many)."""
+    docs = [
+        (1, "spark shuffle join optimizer"),
+        (2, "spark shuffle"),
+        (3, "cats and dogs and birds"),
+        (4, "shuffle shuffle shuffle shuffle shuffle"),
+        (5, "join order and the optimizer"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    w = text.bm25(df).persist()
+    w.count()  # materialize the index once
+    batches = [{"qa": "spark optimizer"}, {"qb": "join order", "qc": "cats"}]
+    try:
+        for qs in batches:
+            via_weights = text.bm25_topk(None, qs, k=3, weights=w)
+            convenience = text.bm25_topk(df, qs, k=3)
+            assert sorted(map(tuple, via_weights.collect())) == sorted(
+                map(tuple, convenience.collect())
+            )
+            plan = via_weights._jdf.queryExecution().executedPlan().toString()
+            outer = plan.split("InMemoryRelation", 1)[0]
+            # reuse: the weights relation is read from cache ...
+            assert "InMemoryTableScan" in outer
+            # ... and the ONLY tokenization outside the cache is the tiny
+            # query frame (`_qtext`); a second corpus explode/tf subtree
+            # would surface as `trim(text#...)` in the outer plan
+            assert "trim(_qtext" in plan
+            assert "trim(text#" not in outer
+    finally:
+        w.unpersist()
+        cachereg.release_intermediates()
+
+
+def test_bm25_topk_query_tokenization_java_parity(spark):
+    """Query terms must be produced by the CORPUS's tokenization expression
+    (Java lower + ASCII-\\s split), not Python str.lower/split — the İ/NBSP
+    mismatch class ADVICE r5 flagged. NBSP (U+00A0) is NOT whitespace to
+    Java's \\s (stays inside a term) but IS to Python's str.split; \\x0b IS
+    whitespace to Java; İ (U+0130) lowercases through the same expression
+    on both sides whatever Java does with it."""
+    docs = [
+        (1, "a b appears here"),      # term 'a\xa0b' (NBSP kept by Java)
+        (2, "foo bar baseline"),
+        (3, "İstanbul travel notes"),  # İ — locale-sensitive lowering
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    try:
+        # NBSP query term matches the NBSP corpus term (Python split would
+        # have produced 'a', 'b' — unmatchable)
+        out = {r["doc_id"] for r in text.bm25_topk(df, {"q": "a b"}, k=3).collect()}
+        assert out == {1}
+        # \x0b separates terms on BOTH sides (Java \s includes it)
+        out = {r["doc_id"] for r in text.bm25_topk(df, {"q": "foo\x0bbar"}, k=3).collect()}
+        assert 2 in out
+        # İ: whatever Java lower() yields, query and corpus agree by
+        # structural sharing of the expression
+        out = {
+            r["doc_id"]
+            for r in text.bm25_topk(df, {"q": "İstanbul"}, k=3).collect()
+        }
+        assert out == {3}
+        # whitespace-only queries raise (checked via the Spark expression)
+        import pytest
+
+        with pytest.raises(ValueError):
+            text.bm25_topk(df, {"q": " \t "}, k=3)
+        with pytest.raises(ValueError):
+            text.bm25_topk(df, {}, k=3)
+    finally:
+        cachereg.release_intermediates()
+
+
+def test_pca_topk_auto_candidate_factor(spark):
+    """candidate_factor=None derives the candidate budget from the fitted
+    explained-variance ratio; on a flat (isotropic) spectrum it must fall
+    back to the exact path and return EXACTLY the brute-force answer."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((300, 8))
+    iso = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = [float(x) for x in X[5]]
+    exact = [tuple(r) for r in similarity.euclidean_topk(iso, q, k=10).collect()]
+    # ratio ~ 2/8 < 0.3 -> exact fallback, so equality (not just recall)
+    got = [
+        tuple(r)
+        for r in similarity.pca_topk(iso, q, k=10, n_components=2).collect()
+    ]
+    assert got == exact
+    # low-rank corpus: auto sizing keeps the exact answer too (reduced
+    # distance is essentially the true distance there)
+    df, Y, _, _ = _planted_frame(spark, n=300)
+    q2 = [float(x) for x in Y[7]]
+    exact2 = [tuple(r) for r in similarity.euclidean_topk(df, q2, k=10).collect()]
+    got2 = [
+        tuple(r) for r in similarity.pca_topk(df, q2, k=10, n_components=2).collect()
+    ]
+    assert got2 == exact2
+    # the 4-tuple from pca_fit_stats plugs into fitted= (no extra scan path)
+    fitted = similarity.pca_fit_stats(df, k=2)
+    assert len(fitted) == 4 and fitted[3] > 0
+    got3 = [
+        tuple(r)
+        for r in similarity.pca_topk(
+            df, q2, k=10, n_components=2, fitted=fitted
+        ).collect()
+    ]
+    assert got3 == exact2
+    # 3-tuple fitted still works (total variance recovered by one agg pass)
+    got4 = [
+        tuple(r)
+        for r in similarity.pca_topk(
+            df, q2, k=10, n_components=2, fitted=fitted[:3]
+        ).collect()
+    ]
+    assert got4 == exact2
+    # manual override is preserved verbatim
+    got5 = [
+        tuple(r)
+        for r in similarity.pca_topk(
+            df, q2, k=10, n_components=4, candidate_factor=3
+        ).collect()
+    ]
+    assert got5 == exact2

@@ -78,3 +78,71 @@ def test_release_is_idempotent_and_safe(spark):
     df.count()
     assert cachereg.release_intermediates() == 1
     assert cachereg.release_intermediates() == 0
+
+
+def test_scoped_release_is_independent(spark):
+    """Round-6 (VERDICT r5 #3): two pipelines interleaved in one session
+    release their persists independently via scopes; the global
+    release_intermediates() stays the coarse fallback that drains both."""
+    cachereg.release_intermediates()
+    baseline = _n_cached(spark)
+    with cachereg.scope() as s1:
+        a = cachereg.register(_docs(spark).persist())
+    with cachereg.scope() as s2:
+        b = cachereg.register(_docs(spark).select("doc_id").persist())
+    a.count()
+    b.count()
+    assert _n_cached(spark) == baseline + 2
+    assert cachereg.live_count() == 2
+    # releasing s1 leaves s2's cache (and its reuse) intact
+    assert s1.release() == 1
+    assert _n_cached(spark) == baseline + 1
+    b.count()  # still consumable from cache
+    assert s2.release() == 1
+    assert _n_cached(spark) == baseline
+    assert s1.release() == 0 and s2.release() == 0  # idempotent
+
+
+def test_scope_captures_operator_internals(spark):
+    """An operator run inside a scope registers its internal persists into
+    THAT scope — the unscoped registry stays empty, and releasing the
+    scope clears every cache the operator created."""
+    cachereg.release_intermediates()
+    baseline = _n_cached(spark)
+    docs = _docs(spark)
+    with cachereg.scope() as s:
+        pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+    pairs.collect()
+    assert len(cachereg._LIVE) == 0  # nothing leaked to the global list
+    assert s.live_count() >= 1
+    s.release()
+    assert _n_cached(spark) == baseline
+    assert cachereg.live_count() == 0
+
+
+def test_nested_scopes_route_to_innermost(spark):
+    cachereg.release_intermediates()
+    with cachereg.scope() as outer:
+        x = cachereg.register(_docs(spark).persist())
+        with cachereg.scope() as inner:
+            y = cachereg.register(_docs(spark).select("doc_id").persist())
+        z = cachereg.register(_docs(spark).select("text").persist())
+    x.count(), y.count(), z.count()
+    assert inner.live_count() == 1 and outer.live_count() == 2
+    assert inner.release() == 1
+    assert outer.release() == 2
+    assert cachereg.live_count() == 0
+
+
+def test_global_release_drains_scopes_too(spark):
+    cachereg.release_intermediates()
+    baseline = _n_cached(spark)
+    with cachereg.scope() as s:
+        df = cachereg.register(_docs(spark).persist())
+    df.count()
+    unscoped = cachereg.register(_docs(spark).select("doc_id").persist())
+    unscoped.count()
+    assert _n_cached(spark) == baseline + 2
+    assert cachereg.release_intermediates() == 2
+    assert _n_cached(spark) == baseline
+    assert s.live_count() == 0

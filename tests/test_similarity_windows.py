@@ -348,3 +348,25 @@ def test_kmeans_fit_layout_independent_and_dim_guard(spark):
     )
     cc, _ = kmeans_fit(corrupt.repartition(3), k=4, vec_col="embedding", n_iter=3)
     assert np.allclose(c3, cc, rtol=0, atol=1e-9)  # corrupt row dropped
+
+
+def test_kmeans_fit_tolerates_ragged_and_null_vectors(spark):
+    """Mixed-width / NULL vectors must not crash the per-dimension mean
+    update under ANSI mode (ADVICE r5): rows whose width differs from the
+    seed vector's dimension are dropped as corrupt, NULL/empty rows are
+    filtered, and the fit proceeds on the clean remainder."""
+    import pandas as pd
+
+    rows = [[float(i % 3), float(i // 3), 1.0, -1.0] for i in range(30)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"embedding": rows + [[1.0, 2.0], [0.5], []]})
+    )
+    df = df.unionByName(
+        spark.createDataFrame([(None,)], "embedding array<double>")
+    )
+    cents, costs = kmeans_fit(df, k=2, vec_col="embedding", n_iter=4)
+    assert cents.shape == (2, 4)
+    assert all(np.isfinite(cents).ravel())
+    assert costs == sorted(costs, reverse=True) or all(
+        a >= b - 1e-9 for a, b in zip(costs, costs[1:])
+    )

@@ -824,3 +824,33 @@ def test_substring_dedup_winnow_equals_full(spark):
     from data_engineering_capstone_project__spark.cachereg import release_intermediates
 
     release_intermediates()
+
+
+def test_substring_span_dedup_null_text_rows(spark):
+    """NULL text must not crash the winnow detect tier (ADVICE r5:
+    _normalize(NULL) is NULL and reached the kernel's .encode) and must
+    come out identical to detect='full': the row passes through with NULL
+    clean_text while real duplicates around it are still cut."""
+    from data_engineering_capstone_project__spark.cachereg import release_intermediates
+
+    boiler = "this exact boilerplate sentence repeats across documents!! " * 2
+    docs = [
+        (1, boiler + "unique tail one"),
+        (2, None),
+        (3, boiler + "entirely different ending two"),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for detect in ("winnow", "full"):
+        out = {r["doc_id"]: r for r in dedup.substring_span_dedup(df, detect=detect).collect()}
+        release_intermediates()
+        assert set(out) == {1, 2, 3, 4}
+        assert out[2]["clean_text"] is None and out[2]["n_removed"] is None
+        assert out[1]["n_removed"] == 0          # first occurrence owns it
+        assert out[3]["n_removed"] > 0           # later occurrence cut
+        assert boiler.strip() not in out[3]["clean_text"]
+        assert out[4]["n_removed"] == 0
+    # winnow_runs itself skips NULL rows rather than crashing
+    base = df.select("doc_id", dedup._normalize(F.col("text")).alias("_norm"))
+    rows = dedup.winnow_runs(base, "doc_id", "_norm", 50).collect()
+    assert {r["doc_id"] for r in rows} <= {1, 3}
