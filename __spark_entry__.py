@@ -3965,34 +3965,56 @@ FROM u GROUP BY 1, 2
 
 
 def x_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction: plant a deterministic email + phone per document,
-    then mask both (regexp_replace chain — codegen'd, no Python)."""
+    """PII redaction: plant a deterministic email, phone, IPv4, IPv6,
+    SSN-shaped id, and payment-card number per document, then mask all
+    six classes (ONE regexp_replace chain over ``text.PII_PATTERNS`` —
+    codegen'd, no Python; the oracle below is STRING-BUILT from the same
+    pattern list, so engine and oracle can never drift)."""
     d = _t(spark, sf_dir, "documents")
+    pad4 = F.lpad(F.col("doc_id").cast("string"), 4, "0")
     dirty = d.select(
         "doc_id",
         F.concat(
             F.col("text"),
             F.lit(" contact user"), F.col("doc_id"),
-            F.lit("@example.com or call +1 555-010-"),
-            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit("@example.com or call +1 555-010-"), pad4,
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" or 2001:db8::"), (F.col("doc_id") % 9999).cast("string"),
+            F.lit(" ssn 123-45-"), pad4,
+            F.lit(" card 4111 1111 1111 "), pad4,
         ).alias("text"),
     )
     return dirty.select("doc_id", text.mask_pii(F.col("text")).alias("masked"))
 
 
-X_PII_SQL = r"""
+def _pii_oracle_sql() -> str:
+    """The x_pii_mask oracle, composed from the ENGINE's own pattern
+    list: every pattern is in the Java-regex ∩ RE2 common subset (module
+    doc on ``text.PII_PATTERNS``), so DuckDB applies the byte-identical
+    chain in the same order."""
+    expr = "text"
+    for pat, token in text.PII_PATTERNS:
+        expr = f"regexp_replace({expr},\n         '{pat}', '{token}', 'g')"
+    return f"""
 WITH dirty AS (
   SELECT doc_id,
          text || ' contact user' || doc_id
               || '@example.com or call +1 555-010-'
-              || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+              || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              || ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+              || ' or 2001:db8::' || (doc_id % 9999)
+              || ' ssn 123-45-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              || ' card 4111 1111 1111 ' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+           AS text
   FROM documents)
 SELECT doc_id,
-       regexp_replace(
-         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         '\+?\d[\d\s().-]{6,}\d', '<PHONE>', 'g') AS masked
+       {expr} AS masked
 FROM dirty
 """
+
+
+X_PII_SQL = _pii_oracle_sql()
 
 
 def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

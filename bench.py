@@ -88,6 +88,17 @@ HEADLINE = [
     "x_hash_sample",
 ]
 
+# Round-6 additions (VERDICT r5 #7): the headline set predates the
+# round-5 retrieval/sampling/PCA operators. For ONE transition round the
+# artifact reports BOTH totals — `value` moves to the full set while
+# `total_r5_set` preserves round-over-round comparability with
+# BENCH_r01..r05 (which summed only the 25 legacy queries).
+HEADLINE_R6 = [
+    "x_bm25_topk",
+    "x_weighted_sample",
+    "x_pca",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,7 +123,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     retried: list[str] = []
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_R6:
         fn = qs[name]
 
         # run 1 pays codegen compile + JIT for the plan shape and is
@@ -144,6 +155,7 @@ def main() -> None:
         timings[name] = round(med, 3)
         spreads[name] = round(spr, 3)
     total = round(sum(timings.values()), 3)
+    total_r5_set = round(sum(timings[n] for n in HEADLINE), 3)
     post = _java_procs()
     foreign_post = {
         pid: cmd
@@ -160,6 +172,12 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
+                # sum over the 25-query set BENCH_r01..r05 measured —
+                # compare THIS to earlier rounds; `value` now includes
+                # the round-6 additions (x_bm25_topk/x_weighted_sample/
+                # x_pca) and is the forward-going headline
+                "total_r5_set": total_r5_set,
+                "headline_additions": HEADLINE_R6,
                 "queries": timings,
                 "spread": spreads,
                 "runs_per_query": n_runs,

@@ -479,15 +479,44 @@ def pack_sequences(
     )
 
 
+# PII patterns shared by mask_pii and its DuckDB oracle. Every construct
+# here is in the COMMON subset of Java regex and RE2 (no lookaround, no
+# backrefs; ASCII \d; \b word boundaries; whitespace spelled as the
+# explicit ASCII class rather than \s, whose membership differs between
+# the two engines on \x0b) — so the oracle can run the *identical*
+# pattern strings and parity holds by construction.
+#
+# ORDER MATTERS: IP/SSN/card shapes are digit runs with separators, i.e.
+# substrings the greedy PHONE pattern would swallow — the chain masks
+# the more specific shapes first, phone last.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # full 8-group IPv6, or any '::'-compressed form with >=1 leading group
+    (
+        r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+        r"|\b(?:[0-9A-Fa-f]{1,4}:)+:(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4})*)?\b",
+        "<IP>",
+    ),
+    # dotted-quad (conservative: masks 999.x too — over-masking is the
+    # safe direction for a training-data scrubber)
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # SSN-shaped ids: the fixed 3-2-4 hyphenation
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # 13-16 digit payment-card shapes, optional space/dash group separators
+    (r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b", "<CARD>"),
+    (r"\+?\d[\d\t\n\x0b\f\r ().-]{6,}\d", "<PHONE>"),
+]
+
+
 def mask_pii(text: Column) -> Column:
-    """Redact common PII shapes (emails, long digit runs / phone-like
-    sequences) before training — pure regexp_replace chain, codegen'd."""
-    no_email = F.regexp_replace(
-        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
-    )
-    return F.regexp_replace(
-        no_email, r"\+?\d[\d\s().-]{6,}\d", "<PHONE>"
-    )
+    """Redact common PII shapes before training: emails, IPv4/IPv6
+    addresses, SSN-shaped ids, payment-card numbers, and phone-like digit
+    runs — one pure ``regexp_replace`` chain over :data:`PII_PATTERNS`
+    (codegen'd, no Python, no extra scan per class)."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
 
 
 def repetition_score_of_words(words: Column, ngram_words: int = 3) -> Column:

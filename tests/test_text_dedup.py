@@ -854,3 +854,37 @@ def test_substring_span_dedup_null_text_rows(spark):
     base = df.select("doc_id", dedup._normalize(F.col("text")).alias("_norm"))
     rows = dedup.winnow_runs(base, "doc_id", "_norm", 50).collect()
     assert {r["doc_id"] for r in rows} <= {1, 3}
+
+
+def test_mask_pii_extended_classes(spark):
+    """Round-6 (VERDICT r5 #6): IPv4/IPv6, SSN-shaped, and payment-card
+    masking, with the specific-before-generic chain order (an IP or card
+    must never be half-eaten by the greedy phone pattern)."""
+    from pyspark.sql import functions as F
+    from data_engineering_capstone_project__spark.operators.text import mask_pii
+
+    cases = [
+        (1, "server at 192.168.0.1 went down", "server at <IP> went down"),
+        (2, "v6 peer fe80::1 and 2001:db8::8a2e:370:7334 up",
+            "v6 peer <IP> and <IP> up"),
+        (3, "full 2001:0db8:85a3:0000:0000:8a2e:0370:7334 form",
+            "full <IP> form"),
+        (4, "ssn is 123-45-6789 ok", "ssn is <SSN> ok"),
+        (5, "card 4111 1111 1111 1111 on file", "card <CARD> on file"),
+        (6, "card 4111-1111-1111-1111 on file", "card <CARD> on file"),
+        (7, "pan 4111111111111111 raw", "pan <CARD> raw"),
+        (8, "call +1 (555) 123-4567 today", "call <PHONE> today"),
+        (9, "mail a.b+c@ex.org now", "mail <EMAIL> now"),
+        (10, "meet at 12:30 pm on 3.14 day", "meet at 12:30 pm on 3.14 day"),
+        (11, "combo x@y.io 10.0.0.7 123-45-6789 4111 1111 1111 0042 5551234567",
+             "combo <EMAIL> <IP> <SSN> <CARD> <PHONE>"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["masked"]
+        for r in df.select("doc_id", mask_pii(F.col("text")).alias("masked")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
