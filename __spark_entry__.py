@@ -3264,6 +3264,86 @@ SELECT * FROM (VALUES
 """
 
 
+def x_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame pixel decode (round 6 — closes the feasible part
+    of the video boundary, VERDICT r5 next-round #4): deterministic
+    MJPEG AVI containers built in-process (RIFF writer + this repo's own
+    baseline-JPEG encoder), frame-sampled by ``sample_video_frames
+    (fake=False)``, which walks the RIFF chunks and decodes each sampled
+    frame through the exact stdlib JPEG path.
+
+    The gate BIT-CHECKS the operator against the single-image decode
+    path: for every sampled row, ``px_sum``/``frame_w``/``frame_h`` must
+    equal ``imagecodec.decode_image_bytes`` run driver-side on that
+    frame's bytes, and ``sha256`` must be the digest of the frame's own
+    chunk payload. Grid shape (3 media × ts {0,500,1000} from 5 frames
+    at 4 fps → duration 1250 ms) is SQL-exact."""
+    import hashlib as _hashlib
+
+    import numpy as _np
+
+    from data_engineering_capstone_project__spark.operators import (
+        avicodec as ac,
+        imagecodec as ic,
+        jpegcodec as jc,
+        multimodal as mm,
+    )
+
+    w, h, n_frames, fps, every_ms = 16, 12, 5, 4.0, 500
+    payloads, frame_bytes = {}, {}
+    for i in range(3):
+        frames = []
+        for f in range(n_frames):
+            arr = _np.zeros((h, w, 3), dtype=_np.uint8)
+            for c in range(3):
+                arr[:, :, c] = (
+                    3 * _np.arange(w)[None, :]
+                    + 5 * _np.arange(h)[:, None]
+                    + 7 * f + 11 * i + c
+                ) % 256
+            frames.append(jc.encode_jpeg(arr, quality=90))
+        payloads[i] = ac.encode_avi_mjpeg(frames, w, h, fps=fps)
+        frame_bytes[i] = frames
+    rows = [
+        (i, "video", payloads[i], "video/x-msvideo", w, h, None)
+        for i in range(3)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.sample_video_frames(media, every_ms=every_ms, fake=False).collect()
+    usec = 1_000_000 / fps
+    out = []
+    for r in got:
+        idx = min(int(r["frame_ts_ms"] * 1000 // usec), n_frames - 1)
+        fb = frame_bytes[r["media_id"]][idx]
+        ref = ic.decode_image_bytes(fb)
+        px_ok = (
+            r["px_sum"] == int(ref.astype(_np.int64).sum())
+            and r["frame_w"] == ref.shape[1]
+            and r["frame_h"] == ref.shape[0]
+        )
+        sha_ok = r["sha256"] == _hashlib.sha256(fb).hexdigest()
+        out.append(
+            (r["media_id"], r["frame_ts_ms"], r["frame_w"], r["frame_h"],
+             bool(px_ok), bool(sha_ok))
+        )
+    return spark.createDataFrame(
+        sorted(out),
+        "media_id bigint, frame_ts_ms bigint, frame_w int, frame_h int, "
+        "px_ok boolean, sha_ok boolean",
+    )
+
+
+X_VIDEO_FRAMES_SQL = """
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(ts AS BIGINT) AS frame_ts_ms,
+       CAST(16 AS INTEGER) AS frame_w,
+       CAST(12 AS INTEGER) AS frame_h,
+       TRUE AS px_ok,
+       TRUE AS sha_ok
+FROM range(3) t(i), (VALUES (0), (500), (1000)) v(ts)
+"""
+
+
 def x_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode in the driver contract (rows-only: no FFT in the
     SQL oracle): deterministic PCM-16 sine-wave WAVs built with the
@@ -4880,6 +4960,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
     "x_image_pixel_stats": (x_image_pixel_stats, X_IMAGE_PIXEL_SQL),
     "x_audio_features": (x_audio_features, X_AUDIO_SQL),  # closed-form-pinned
+    "x_video_frames": (x_video_frames, X_VIDEO_FRAMES_SQL),  # bit-checked vs single-image decode
     "ref_pipeline_e2e": (ref_pipeline_e2e, REF_PIPELINE_SQL),
     "ref_multistate_e2e": (ref_multistate_e2e, REF_MULTISTATE_SQL),
     "x_dedup_clusters": (x_dedup_clusters, X_CLUSTER_SQL),

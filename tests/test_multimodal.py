@@ -236,3 +236,127 @@ def test_decode_image_bytes_auto_prefers_pillow_when_present(monkeypatch):
     monkeypatch.delitem(sys.modules, "PIL.Image")
     out3 = imagecodec.decode_image_bytes(png, prefer="auto")
     assert (out3 == src).all()
+
+
+# ---------------------------------------------------------------- AVI/MJPEG
+
+
+def _avi_fixture(n_frames=5, w=16, h=12, fps=4.0, quality=90):
+    import numpy as np
+    from data_engineering_capstone_project__spark.operators import (
+        avicodec as ac,
+        jpegcodec as jc,
+    )
+
+    frames = []
+    for f in range(n_frames):
+        arr = np.zeros((h, w, 3), dtype=np.uint8)
+        for c in range(3):
+            arr[:, :, c] = (
+                3 * np.arange(w)[None, :] + 5 * np.arange(h)[:, None] + 7 * f + c
+            ) % 256
+        frames.append(jc.encode_jpeg(arr, quality=quality))
+    return ac.encode_avi_mjpeg(frames, w, h, fps=fps), frames
+
+
+def test_avi_mjpeg_roundtrip_bitexact():
+    """Writer → parser round-trip: frame chunk payloads come back
+    BYTE-IDENTICAL, and timing/dims survive."""
+    from data_engineering_capstone_project__spark.operators import avicodec as ac
+
+    payload, frames = _avi_fixture(n_frames=5, fps=4.0)
+    assert ac.is_avi(payload)
+    meta = ac.parse_avi_mjpeg(payload)
+    assert meta["frames"] == frames            # bit-exact
+    assert meta["n_frames"] == 5
+    assert meta["usec_per_frame"] == 250_000
+    assert meta["duration_ms"] == 1250
+    assert (meta["width"], meta["height"]) == (16, 12)
+    assert ac.probe_avi_duration_ms(payload) == 1250
+    # odd-length frame bodies exercise the word padding path
+    odd = [b"\xff\xd8" + b"x" * 31, b"\xff\xd8" + b"y" * 32]
+    p2 = ac.encode_avi_mjpeg(odd, 4, 4, fps=2.0)
+    assert ac.parse_avi_mjpeg(p2)["frames"] == odd
+
+
+def test_avi_frames_decode_like_single_images():
+    """Each parsed frame decodes EXACTLY like the same JPEG bytes through
+    the single-image path (the container adds nothing and loses nothing)."""
+    import numpy as np
+    from data_engineering_capstone_project__spark.operators import (
+        avicodec as ac,
+        imagecodec as ic,
+        jpegcodec as jc,
+    )
+
+    payload, frames = _avi_fixture(n_frames=3)
+    for got, orig in zip(ac.parse_avi_mjpeg(payload)["frames"], frames):
+        assert np.array_equal(ic.decode_image_bytes(got), jc.decode_jpeg(orig))
+
+
+def test_avi_truncation_fuzz():
+    """Structural damage raises named ValueErrors, never IndexError or
+    silent partial results — the same contract as the image codecs."""
+    import pytest
+    from data_engineering_capstone_project__spark.operators import avicodec as ac
+
+    payload, _ = _avi_fixture(n_frames=3)
+    for cut in [4, 11, 12, 20, 57, 100, len(payload) // 2, len(payload) - 1]:
+        with pytest.raises(ValueError):
+            ac.parse_avi_mjpeg(payload[:cut])
+        assert ac.probe_avi_duration_ms(payload[:cut]) is None
+    assert ac.probe_avi_duration_ms(b"junk") is None
+    assert ac.probe_avi_duration_ms(b"") is None
+    with pytest.raises(ValueError):
+        ac.parse_avi_mjpeg(b"RIFF\x00\x00\x00\x00AVI ")  # header only
+    with pytest.raises(ValueError):
+        ac.encode_avi_mjpeg([], 4, 4)
+
+
+def test_avi_non_mjpeg_handler_raises():
+    import pytest
+    from data_engineering_capstone_project__spark.operators import avicodec as ac
+
+    payload, _ = _avi_fixture(n_frames=2)
+    assert b"vidsMJPG" in payload
+    hacked = payload.replace(b"vidsMJPG", b"vidsH264", 1)
+    with pytest.raises(NotImplementedError):
+        ac.parse_avi_mjpeg(hacked)
+    assert ac.probe_avi_duration_ms(hacked) is None
+
+
+def test_sample_video_frames_real_avi(spark):
+    """fake=False on an MJPEG AVI yields REAL per-frame pixel stats:
+    px_sum/w/h bit-checked against single-image decode of the sampled
+    frame's bytes; sha256 is the frame's own digest; an MP4 in the same
+    frame keeps its metadata-only contract (NULL pixel columns)."""
+    import hashlib
+
+    import numpy as np
+    from data_engineering_capstone_project__spark.operators import (
+        avicodec as ac,
+        imagecodec as ic,
+    )
+
+    payload, frames = _avi_fixture(n_frames=5, fps=4.0)  # 250 ms/frame
+    rows = [
+        (1, "video", payload, "video/x-msvideo", 16, 12, None),
+        (2, "video", _mp4_bytes(1.2), "video/mp4", 16, 16, None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {
+        (r["media_id"], r["frame_ts_ms"]): r
+        for r in mm.sample_video_frames(df, every_ms=500, fake=False).collect()
+    }
+    # AVI: duration 1250 ms -> ts {0,500,1000} -> frame idx {0,2,4}
+    assert sorted(ts for m, ts in out if m == 1) == [0, 500, 1000]
+    for ts, idx in [(0, 0), (500, 2), (1000, 4)]:
+        r = out[(1, ts)]
+        ref = ic.decode_image_bytes(frames[idx])
+        assert r["px_sum"] == int(ref.astype(np.int64).sum())
+        assert (r["frame_w"], r["frame_h"]) == (16, 12)
+        assert abs(r["px_mean"] - float(ref.mean())) < 1e-9
+        assert r["sha256"] == hashlib.sha256(frames[idx]).hexdigest()
+    # MP4: honest metadata-only rows
+    assert sorted(ts for m, ts in out if m == 2) == [0, 500, 1000]
+    assert out[(2, 0)]["px_sum"] is None and out[(2, 0)]["frame_w"] is None
