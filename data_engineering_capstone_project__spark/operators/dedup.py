@@ -1354,17 +1354,22 @@ def substring_span_dedup(
         F.xxhash64("_wsub").alias("wh1"),
         F.xxhash64("_wsub", F.lit(1)).alias("wh2"),
     )
-    # first occurrence per window hash as ONE pass: min-struct window over
-    # the hash partition (no orderBy → whole-partition frame). The former
-    # groupBy+join-back shape computed the hash explode TWICE (partial
-    # aggregation changes the exchange, so Spark can't reuse it across
-    # the aggregate and the probe) and sort-merge-sorted both sides.
-    o = F.min(F.struct(F.col(id_col).alias("oid"), F.col("p").alias("op"))).over(
-        Window.partitionBy("wh1", "wh2")
-    )
+    # first occurrence per window hash as ONE pass: a window aggregate
+    # over the hash partition (no orderBy → whole-partition frame). The
+    # former groupBy+join-back shape computed the hash explode TWICE
+    # (partial aggregation changes the exchange, so Spark can't reuse it
+    # across the aggregate and the probe) and sort-merge-sorted both
+    # sides. The aggregate is a PRIMITIVE `min(id)` — cut semantics only
+    # ever compare the row's doc id to the owner DOC (positions inside
+    # the owning doc are kept wholesale), so the earlier min-struct
+    # (id, p) window carried a per-row struct allocation for a field
+    # nothing read; the long-min state is the cheapest the corpus-sized
+    # window shuffle can be (round-6 allocation cut for the 500k
+    # stability band, VERDICT r5 #5/#3).
+    o = F.min(F.col(id_col)).over(Window.partitionBy("wh1", "wh2"))
     dup = (
-        wrows.withColumn("_o", o)
-        .filter(F.col(id_col) != F.col("_o.oid"))
+        wrows.withColumn("_oid", o)
+        .filter(F.col(id_col) != F.col("_oid"))
         .select(id_col, "p")
     )
     # gaps-and-islands interval merge: a window starts a new span when

@@ -222,6 +222,134 @@ def ladder_main() -> None:
     print("appended ladder section to SCALING.md")
 
 
+# Fresh-JVM child for the substring stability protocol: ONE cell per
+# process so accumulated JVM/GC state can't bleed between runs (the r5
+# observation: an identical plan's 500k wall time spanned 24–115 s
+# within one long-lived JVM). The forcing aggregate hashes every cleaned
+# byte (xxhash64 over clean_text, XOR-combined — order-independent, no
+# ANSI sum overflow), so the run simultaneously proves the output
+# byte-identical across runs.
+_SUBSTRING_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from data_engineering_capstone_project__spark.session import get_spark
+from data_engineering_capstone_project__spark.operators import dedup
+from data_engineering_capstone_project__spark.cachereg import release_intermediates
+spark = get_spark(app_name="substring_stability")
+docs = spark.read.parquet(sys.argv[1] + "/documents.parquet")
+# warm the ACTUAL text bytes outside the measured window — a bare
+# count() satisfies itself from parquet footers and leaves the data
+# pages cold, so run 1 after unrelated machine activity would measure
+# disk, not the operator
+docs.agg(F.sum(F.length("text"))).collect()
+
+
+def cell():
+    out = dedup.substring_span_dedup(docs)
+    row = out.agg(
+        F.count("*").alias("rows"),
+        F.bit_xor(F.xxhash64("doc_id", "clean_text", "n_removed")).alias("ck"),
+    ).collect()[0]
+    release_intermediates()
+    return row
+
+
+# discarded warm-up execution: codegen/JIT compile, memory-pool sizing,
+# and shuffle-dir setup all land here (bench.py's run-1 policy) — a
+# GC-logged probe showed back-to-back steady-state runs within ~5%
+# while JVM-cold first executions spanned 49-99 s
+cell()
+t0 = time.time()
+row = cell()
+el = time.time() - t0
+print(json.dumps({"sec": round(el, 2), "rows": row["rows"],
+                  "checksum": int(row["ck"])}))
+spark.stop()
+"""
+
+
+def substring_stability_main(runs: int = 4) -> None:
+    """Pinned measurement protocol for the 500k substring cell (VERDICT
+    r5 next-round #5): ``runs`` consecutive FRESH-JVM single-cell runs.
+    Each subprocess measures exactly one substring_span_dedup execution
+    (scan pre-warmed) and reports (sec, rows, content checksum); the
+    parent appends the table + the max/min spread to SCALING.md. A
+    future regression is judged against THIS protocol's band, not the
+    long-lived-JVM ladder cell whose 4× GC noise made regressions
+    undetectable.
+
+    Per-run records accumulate in ``/tmp/substring_stability.jsonl`` as
+    they land, so a wall-clock-capped caller can split the protocol
+    across invocations (``--runs N`` each) and the report covers every
+    recorded run; delete the jsonl to start a fresh series."""
+    import json
+    import os
+    import subprocess
+
+    sf_dir = "/tmp/spark_graft_ladder/500000"
+    log_path = "/tmp/substring_stability.jsonl"
+    if not os.path.isdir(sf_dir):
+        raise SystemExit("run tools/gen_scale_data.py --big first")
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    for i in range(runs):
+        proc = subprocess.run(
+            [sys.executable, "-c", _SUBSTRING_CHILD, sf_dir],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        if proc.returncode != 0:
+            raise SystemExit(f"child run {i} failed:\n{proc.stderr[-2000:]}")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"run {i + 1}/{runs}: {rec['sec']}s, {rec['rows']} rows, "
+              f"checksum {rec['checksum']}", flush=True)
+    with open(log_path) as f:
+        results = [json.loads(line) for line in f if line.strip()]
+    secs = sorted(r["sec"] for r in results)
+    med = secs[len(secs) // 2]
+    spread = (secs[-1] - secs[0]) / med if med else float("inf")
+    identical = len({(r["rows"], r["checksum"]) for r in results}) == 1
+    lines = [
+        "",
+        "## Substring 500k stability protocol (fresh-JVM steady-state runs)",
+        "",
+        "Each run is ONE steady-state `substring_span_dedup` execution in",
+        "its OWN JVM: text bytes pre-read (a bare count() only touches",
+        "parquet footers), one full warm-up execution discarded (codegen/",
+        "JIT/memory-pool sizing — bench.py's run-1 policy), forcing",
+        "aggregate hashes every cleaned byte. Diagnosis across the round-6",
+        "series: identical plans, byte-identical outputs, ZERO Full GCs",
+        "(-Xlog:gc probe), yet wall times still span up to ~2.8× — the",
+        "residual variance is MACHINE-level (shared-host contention), not",
+        "the operator. The regression metric is therefore the MINIMUM over",
+        "the series: the floor is the operator's cost and is stable to a",
+        "few percent run-to-run; everything above it is contention.",
+        "",
+        "| run | sec |",
+        "|---|---|",
+    ]
+    for i, r in enumerate(results):
+        lines.append(f"| {i + 1} | {r['sec']:.2f} |")
+    lines += [
+        "",
+        f"floor (min) {secs[0]:.2f} s — the regression metric; median "
+        f"{med:.2f} s; max-min spread {100 * spread:.0f}% of median "
+        f"(machine noise band); output "
+        f"{'byte-identical across runs' if identical else 'DIVERGED'} "
+        f"(rows {results[0]['rows']}, xor-of-xxhash64 checksum "
+        f"{results[0]['checksum']}).",
+        "",
+    ]
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines))
+    print(f"floor {secs[0]:.2f}s, median {med:.2f}s, spread "
+          f"{100 * spread:.0f}%, identical={identical}; appended to SCALING.md")
+
+
 def main() -> None:
     spark = get_spark(app_name="scale_sweep")
     qs = entrymod.queries()
@@ -267,5 +395,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--ladder" in sys.argv:
         ladder_main()
+    elif "--substring-stability" in sys.argv:
+        substring_stability_main()
     else:
         main()
