@@ -3626,6 +3626,195 @@ SELECT query_id, doc_id, score, rn FROM ranked WHERE rn <= 10
 """
 
 
+def x_bm25_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval with a DATAFRAME query set (round 6): the queries
+    are themselves a table — here the first three documents, the
+    retrieval-decontamination shape ("which corpus docs answer each
+    benchmark item") where the query set must never funnel through the
+    driver. Engine tokenizes the query frame with the corpus\'s own
+    Spark expression and joins without a forced broadcast hint (AQE
+    sizes it); row set, scores, and ranks are hash-exact."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    qdf = d.filter(F.col("doc_id") < 3).select(
+        F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias("query_id"),
+        "text",
+    )
+    return text.bm25_topk(d, qdf, k=5)
+
+
+X_BM25_TOPK_FRAME_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\x0b\f\r]+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+scalars AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM dl)
+           AS avgdl),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(
+           LN((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+           * CAST(tf.tf AS DOUBLE) * 2.2
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)),
+           6) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scalars),
+qterms AS (
+  SELECT DISTINCT 'q' || CAST(doc_id AS VARCHAR) AS query_id, term
+  FROM tok WHERE doc_id < 3 AND term <> ''),
+scores AS (
+  SELECT query_id, doc_id, SUM(CAST(bm25 AS DECIMAL(20,6))) AS score
+  FROM w JOIN qterms USING (term)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rn
+  FROM scores)
+SELECT query_id, doc_id, score, rn FROM ranked WHERE rn <= 5
+"""
+
+
+def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average BIGRAM log-probability under the corpus\'s own
+    bigram model (round 6) — one order up from x_unigram_logprob: word
+    salad / shuffled boilerplate keeps common WORDS but uncommon word
+    ORDER, so it passes unigram scoring and fails here. One posexplode +
+    one per-doc window lead (partition = a single document — skew-free
+    by construction), then the tf_idf-style skew-safe agg + join-back;
+    decimal contributions keep the per-doc sum order-independent for
+    exact oracle parity."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    return text.bigram_logprob(d)
+
+
+X_BIGRAM_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\x0b\f\r]+'),
+           t -> t <> '') AS a
+  FROM documents),
+bg AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        FROM arrs WHERE len(a) >= 2)),
+tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, SUM(tf) AS c2 FROM tf GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(tf) AS c1 FROM tf GROUP BY 1),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         SUM(CAST(tf * LN(CAST(c2 AS DOUBLE) / c1) AS DECIMAL(20,6))) AS slp
+  FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       FLOOR(CAST(slp AS DOUBLE) / n_bigrams * 1e6 + 0.5) / 1e6 AS avg_logprob
+FROM per
+"""
+
+
+def x_pca_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched PCA filter-and-refine ANN (round 6): three queries from
+    the planted low-rank cluster answered in ONE corpus pass
+    (fitted= amortizes the fit — the retrieval-index pattern), plus an
+    auto-run on the RAW isotropic embeddings with a two-query frame that
+    must EQUAL euclidean_topk_many exactly (the flat-spectrum fallback,
+    batch form). Booleans: per-query row counts, distances bit-equal to
+    per-query brute force, rank order, recall >= 0.9, and the isotropic
+    exact-equality."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    hdr = base.agg(
+        F.max("vec_id").alias("mx"), F.first(F.size("embedding")).alias("dim")
+    ).first()
+    dim, off = hdr["dim"], int(hdr["mx"]) + 1
+    planted_rows = []
+    for i in range(40):
+        v = [0.0] * dim
+        for a in range(16):
+            v[a] = 30.0 + 0.37 * ((i * (a + 3)) % 7)
+        planted_rows.append((off + i, v))
+    planted = spark.createDataFrame(
+        planted_rows, "vec_id bigint, embedding array<double>"
+    )
+    corpus = base.unionByName(planted)
+    qrows = [("qa", planted_rows[0][1]), ("qb", planted_rows[5][1]),
+             ("qc", planted_rows[17][1])]
+    qframe = spark.createDataFrame(qrows, "q_id string, q_vec array<double>")
+    fitted = similarity.pca_fit_stats(corpus, k=16)
+    got = similarity.pca_topk_many(
+        corpus, qframe, k=10, n_components=16, fitted=fitted
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["q_id"], []).append(r)
+    rows_ok = sorted(per_q) == ["qa", "qb", "qc"] and all(
+        len(v) == 10 for v in per_q.values()
+    )
+    dists_exact = order_ok = True
+    recall_min = 1.0
+    for qid, qv in qrows:
+        brute = {r["vec_id"]: r["dist"]
+                 for r in similarity.euclidean_topk(corpus, qv, k=10).collect()}
+        mine = sorted(per_q.get(qid, []), key=lambda r: r["rank"])
+        dists_exact &= all(
+            r["vec_id"] not in brute or r["dist"] == brute[r["vec_id"]]
+            for r in mine
+        )
+        order_ok &= [r["dist"] for r in mine] == sorted(r["dist"] for r in mine)
+        recall_min = min(
+            recall_min,
+            sum(1 for r in mine if r["vec_id"] in brute) / max(len(brute), 1),
+        )
+    iso_q = [
+        ("i0", [float((j * 7) % 5) / 5.0 for j in range(dim)]),
+        ("i1", [float((j * 3) % 4) / 4.0 for j in range(dim)]),
+    ]
+    iso_frame = spark.createDataFrame(iso_q, "q_id string, q_vec array<double>")
+    iso_got = sorted(
+        map(tuple, similarity.pca_topk_many(
+            base, iso_frame, k=10, n_components=16
+        ).collect())
+    )
+    iso_want = sorted(
+        map(tuple, similarity.euclidean_topk_many(
+            base, iso_frame, k=10
+        ).collect())
+    )
+    return spark.createDataFrame(
+        [
+            (
+                3,
+                10,
+                bool(rows_ok),
+                bool(dists_exact),
+                bool(order_ok),
+                recall_min >= 0.9,
+                iso_got == iso_want,
+            )
+        ],
+        "n_queries int, k int, rows_ok boolean, dists_exact boolean, "
+        "order_ok boolean, recall_ok boolean, iso_exact_equal boolean",
+    )
+
+
+X_PCA_TOPK_MANY_SQL = """
+SELECT 3 AS n_queries, 10 AS k,
+       TRUE AS rows_ok, TRUE AS dists_exact, TRUE AS order_ok,
+       TRUE AS recall_ok, TRUE AS iso_exact_equal
+"""
+
+
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: doc → (stream, pack_bin) under a
     512-token budget, 32 parallel streams."""
@@ -4951,6 +5140,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_pca": (x_pca, X_PCA_SQL),  # bound-checked
     "x_euclid_topk": (x_euclid_topk, X_EUCLID_SQL),
     "x_pca_topk": (x_pca_topk, X_PCA_TOPK_SQL),  # bound-checked
+    "x_pca_topk_many": (x_pca_topk_many, X_PCA_TOPK_MANY_SQL),  # bound-checked
     "x_bpe_train": (x_bpe_train, X_BPE_SQL),  # bound-checked
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
@@ -4971,7 +5161,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_tf_idf": (x_tf_idf, X_TFIDF_SQL),
     "x_bm25": (x_bm25, X_BM25_SQL),
     "x_bm25_topk": (x_bm25_topk, X_BM25_TOPK_SQL),
+    "x_bm25_topk_frame": (x_bm25_topk_frame, X_BM25_TOPK_FRAME_SQL),
     "x_unigram_logprob": (x_unigram_logprob, X_UNIGRAM_SQL),
+    "x_bigram_logprob": (x_bigram_logprob, X_BIGRAM_SQL),
     "x_mix_sources": (x_mix_sources, X_MIX_SQL),
     "x_pack_sequences": (x_pack_sequences, X_PACK_SQL),
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),

@@ -821,6 +821,90 @@ def euclidean_topk(
     )
 
 
+def euclidean_topk_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact euclidean top-k for a *set* of query vectors — the metric
+    counterpart of :func:`cosine_topk_many` (broadcast queries, one
+    corpus scan scoring every (vector, query) pair, two-phase per-query
+    top-k through ``top_k_per_group``'s map-side prune; the order
+    ``(dist, id)`` is total, so ranks are deterministic).
+
+    Returns ``(q_id, vec_id, dist, rank)``.
+    """
+    from data_engineering_capstone_project__spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(query_vec_col),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        pround(F.sqrt(d2), 6).alias("dist"),
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("dist").asc(), F.col(id_col).asc()],
+        k=k,
+        rank_col="rank",
+        total_order=True,
+    )
+
+
+def _unpack_fitted(df, n_components, vec_col, fitted):
+    """Normalize a ``fitted=`` argument to ``(comps, expl, mean,
+    total_var-or-None)``, fitting fresh when absent."""
+    if fitted is None:
+        return pca_fit_stats(df, k=n_components, vec_col=vec_col)
+    if len(fitted) == 4:
+        return fitted
+    comps, expl, mean = fitted
+    return comps, expl, mean, None
+
+
+def _auto_candidate_factor(df, comps, expl, mean, total_var, vec_col):
+    """Candidate budget from the fitted explained-variance ratio
+    (:func:`pca_topk`'s auto-sizing contract); ``None`` means the
+    flat-spectrum exact-fallback regime. Recovers the total variance
+    with one ``E‖x‖² − ‖μ‖²`` scan when the 3-tuple ``fitted`` form
+    didn't carry it."""
+    if total_var is None:
+        # E‖x‖² − ‖μ‖² = tr(cov): one column-pruned aggregate over
+        # the same rows the fit saw (NULL/ragged dropped)
+        dim = int(np.asarray(comps).shape[1])
+        sq = F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        row = (
+            df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+            .agg(F.avg(sq).alias("e2"))
+            .first()
+        )
+        mu = np.asarray(mean, dtype=np.float64)
+        total_var = max(float(row["e2"] or 0.0) - float(mu @ mu), 0.0)
+    ratio = float(np.sum(expl)) / total_var if total_var > 0 else 1.0
+    if ratio < 0.5:
+        return None
+    return 4 if ratio >= 0.9 else (8 if ratio >= 0.75 else 16)
+
+
 def pca_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -871,36 +955,15 @@ def pca_topk(
     ``E‖x‖² − ‖μ‖²`` aggregation pass (cheap next to the fit, but a
     corpus scan — batch callers should pass the 4-tuple).
     """
-    if fitted is None:
-        comps, expl, mean, total_var = pca_fit_stats(
-            df, k=n_components, vec_col=vec_col
-        )
-    elif len(fitted) == 4:
-        comps, expl, mean, total_var = fitted
-    else:
-        comps, expl, mean = fitted
-        total_var = None
+    comps, expl, mean, total_var = _unpack_fitted(
+        df, n_components, vec_col, fitted
+    )
     if candidate_factor is None:
-        if total_var is None:
-            # E‖x‖² − ‖μ‖² = tr(cov): one column-pruned aggregate over
-            # the same rows the fit saw (NULL/ragged dropped)
-            dim = int(np.asarray(comps).shape[1])
-            sq = F.aggregate(
-                F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            row = (
-                df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
-                .agg(F.avg(sq).alias("e2"))
-                .first()
-            )
-            mu = np.asarray(mean, dtype=np.float64)
-            total_var = max(float(row["e2"] or 0.0) - float(mu @ mu), 0.0)
-        ratio = float(np.sum(expl)) / total_var if total_var > 0 else 1.0
-        if ratio < 0.5:
+        candidate_factor = _auto_candidate_factor(
+            df, comps, expl, mean, total_var, vec_col
+        )
+        if candidate_factor is None:  # flat spectrum → exact fallback
             return euclidean_topk(df, query_vec, k=k, id_col=id_col, vec_col=vec_col)
-        candidate_factor = 4 if ratio >= 0.9 else (8 if ratio >= 0.75 else 16)
     proj = pca_transform(df, comps, mean, vec_col=vec_col, out_col="_pv")
     qr = (np.asarray(query_vec, dtype=np.float64) - mean) @ comps.T
     qlit = _lit_vec([float(x) for x in qr])
@@ -923,6 +986,100 @@ def pca_topk(
         k=k,
         id_col=id_col,
         vec_col=vec_col,
+    )
+
+
+def pca_topk_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_components: int = 16,
+    candidate_factor: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    fitted: tuple | None = None,
+) -> DataFrame:
+    """Batched PCA filter-and-refine ANN: :func:`pca_topk` for a SET of
+    query vectors in one corpus pass — the retrieval-index shape
+    (``fitted=pca_fit_stats(...)`` amortizes the fit) joined with the
+    batch shape (:func:`cosine_topk_many` / :func:`euclidean_topk_many`).
+
+    Returns ``(q_id, vec_id, dist, rank)`` — distances exact, per-query
+    order exact; approximation confined to candidate recall, governed by
+    the same auto-sized factor / flat-spectrum exact-fallback contract
+    as :func:`pca_topk`.
+
+    Scale shape: the corpus projects ONCE (row-local matmul); the
+    queries project through the same ``pca_transform`` kernel and the
+    reduced query frame broadcasts; reduced-space candidate top-
+    ``factor·k`` per query goes through ``top_k_per_group``'s map-side
+    prune (never a per-query full sort); the exact rerank touches only
+    candidate rows — a semi-join of ≤ queries·factor·k ids probed
+    against the full vectors, then one more map-side-pruned per-query
+    top-k. At 100 TB with a stored projection every query batch reads
+    ~k\'/dim of the corpus bytes plus the candidate rows.
+    """
+    from data_engineering_capstone_project__spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    comps, expl, mean, total_var = _unpack_fitted(
+        df, n_components, vec_col, fitted
+    )
+    if candidate_factor is None:
+        candidate_factor = _auto_candidate_factor(
+            df, comps, expl, mean, total_var, vec_col
+        )
+        if candidate_factor is None:  # flat spectrum → exact fallback
+            return euclidean_topk_many(
+                df, queries, k=k, id_col=id_col, vec_col=vec_col,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+            )
+    proj = pca_transform(df, comps, mean, vec_col=vec_col, out_col="_pv")
+    qproj = pca_transform(
+        queries, comps, mean, vec_col=query_vec_col, out_col="_qpv"
+    ).select(query_id_col, query_vec_col, "_qpv")
+    d2r = F.aggregate(
+        F.zip_with(F.col("_pv"), F.col("_qpv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored_r = proj.crossJoin(
+        F.broadcast(qproj.select(query_id_col, "_qpv"))
+    ).select(F.col(query_id_col), F.col(id_col), F.sqrt(d2r).alias("_dr"))
+    cands = top_k_per_group(
+        scored_r,
+        [query_id_col],
+        [F.col("_dr").asc(), F.col(id_col).asc()],
+        k=candidate_factor * k,
+    ).select(query_id_col, id_col)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(query_vec_col),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rerank = (
+        df.join(F.broadcast(cands), id_col)
+        .join(F.broadcast(qproj.select(query_id_col, query_vec_col)), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            pround(F.sqrt(d2), 6).alias("dist"),
+        )
+    )
+    return top_k_per_group(
+        rerank,
+        [query_id_col],
+        [F.col("dist").asc(), F.col(id_col).asc()],
+        k=k,
+        rank_col="rank",
+        total_order=True,
     )
 
 

@@ -298,13 +298,15 @@ def bm25(
 
 def bm25_topk(
     df: DataFrame | None,
-    queries: dict[str, str],
+    queries: dict[str, str] | DataFrame,
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
     weights: DataFrame | None = None,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
 ) -> DataFrame:
     """BM25 retrieval: the top-``k`` documents per query, scored as the
     sum of :func:`bm25` weights over the query's (unique) terms — the
@@ -330,34 +332,50 @@ def bm25_topk(
     ``(id_col, term, bm25)`` columns as :func:`bm25` emits them.
 
     Query terms are derived by the CORPUS's own tokenization expression
-    (:func:`_lower_terms`, evaluated by Spark on a literal one-row-per-
-    query frame — not Python ``str.lower/split``): Java's ``\\s`` class
-    and ``lower`` casing differ from Python's on e.g. U+00A0 NBSP (Java
-    keeps it inside a term, Python splits) and İ (U+0130), so
-    driver-side tokenization could produce query terms the corpus side
-    can never contain. Structural sharing makes the two sides agree by
+    (:func:`_lower_terms`, evaluated by Spark on the query frame — not
+    Python ``str.lower/split``): Java's ``\\s`` class and ``lower``
+    casing differ from Python's on e.g. U+00A0 NBSP (Java keeps it
+    inside a term, Python splits) and İ (U+0130), so driver-side
+    tokenization could produce query terms the corpus side can never
+    contain. Structural sharing makes the two sides agree by
     construction (the BPE train/tokenize parity fix, round 5 #6).
 
-    Scale shape: the weights relation is corpus-sized but the query-term
-    frame is tiny and BROADCAST, so matching is a map-side hash join —
-    no corpus shuffle beyond :func:`bm25`'s own aggregations; the final
-    per-query top-k goes through :func:`top_k_per_group`
-    (``WindowGroupLimit`` map-side prune — only k rows per partition per
-    query reach the exchange, never each query's full posting union).
+    ``queries`` is either a dict (id → query text; driver-bounded, the
+    interactive form) or a **DataFrame** of ``(query_id_col,
+    query_text_col)`` — the scale form for retrieval-style
+    decontamination, where the query set is itself a table (every
+    benchmark question, another corpus' documents, ...) and must never
+    funnel through the driver.
+
+    Scale shape: the weights relation is corpus-sized; a dict query set
+    is tiny and its term frame is BROADCAST (map-side hash join — no
+    corpus shuffle beyond :func:`bm25`'s own aggregations), while a
+    DataFrame query set joins without a forced hint so AQE picks
+    broadcast vs shuffle from its actual size. The final per-query
+    top-k goes through :func:`top_k_per_group` (``WindowGroupLimit``
+    map-side prune — only k rows per partition per query reach the
+    exchange, never each query's full posting union).
     """
     from data_engineering_capstone_project__spark.operators.relational import (
         top_k_per_group,
     )
 
-    if not queries:
-        raise ValueError("bm25_topk: no queries")
     w = weights if weights is not None else bm25(
         df, id_col=id_col, text_col=text_col, k1=k1, b=b
     )
-    spark = w.sparkSession
-    qdf = spark.createDataFrame(
-        list(queries.items()), "query_id string, _qtext string"
-    )
+    if isinstance(queries, DataFrame):
+        qdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_text_col).alias("_qtext"),
+        )
+        force_broadcast = False
+    else:
+        if not queries:
+            raise ValueError("bm25_topk: no queries")
+        qdf = w.sparkSession.createDataFrame(
+            list(queries.items()), "query_id string, _qtext string"
+        )
+        force_broadcast = True
     # array_distinct keeps per-query terms unique without a shuffle; the
     # empty-string slot (split of blank text) is filtered after explode
     qterms = (
@@ -367,10 +385,12 @@ def bm25_topk(
         )
         .filter(F.col("term") != "")
     )
-    if qterms.isEmpty():  # tiny LocalTableScan job — never touches the corpus
-        raise ValueError("bm25_topk: no non-empty query terms")
+    if force_broadcast:
+        if qterms.isEmpty():  # tiny LocalTableScan job — never the corpus
+            raise ValueError("bm25_topk: no non-empty query terms")
+        qterms = F.broadcast(qterms)
     scores = (
-        w.join(F.broadcast(qterms), "term")
+        w.join(qterms, "term")
         .groupBy("query_id", id_col)
         .agg(F.sum(F.col("bm25").cast("decimal(20,6)")).alias("score"))
     )
@@ -429,6 +449,71 @@ def unigram_logprob(
             "n_tokens",
             pround(
                 F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average bigram log-probability under the corpus's own
+    bigram model — one order up from :func:`unigram_logprob`'s perplexity
+    proxy, and a materially sharper quality signal: a doc of common words
+    in UNCOMMON order (word salad, shuffled boilerplate, keyword
+    stuffing) scores high under unigrams but low here.
+
+    Returns ``(id, n_bigrams, avg_logprob)`` with
+    ``avg_logprob = Σ ln(c₂(w₁,w₂) / c₁(w₁)) / n_bigrams`` over the
+    doc's positional bigrams, where ``c₂`` is the corpus count of the
+    bigram and ``c₁`` the corpus count of ``w₁`` as a bigram LEFT (i.e.
+    a proper conditional: Σ_w₂ P(w₂|w₁) = 1). Documents with fewer than
+    two tokens have no bigrams and do not appear.
+
+    Scale shape: ONE ``posexplode`` and ONE window ``lead`` partitioned
+    by document (each partition is a single doc's tokens — bounded by
+    document length, skew-free by construction) produce the positional
+    bigram relation; everything after is hash aggregation + join-back,
+    the same skew-safe shape as :func:`tf_idf` (a hot bigram collapses
+    map-side before any shuffle). The per-(doc, w₁, w₂) contributions
+    are cast to decimal(20,6) before the per-doc sum so the aggregation
+    is exact and order-independent — the DuckDB oracle matches
+    bit-for-bit.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(_lower_terms(F.col(text_col)), lambda t: t != "")
+        ).alias("pos", "w1"),
+    )
+    nxt = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = register(
+        toks.withColumn("w2", F.lead("w1").over(nxt))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+        .persist()  # feeds the two corpus-count branches AND the join-back
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = bigrams.groupBy("w1").agg(F.sum("tf").alias("c1"))
+    contrib = (
+        F.col("tf") * F.log(F.col("c2").cast("double") / F.col("c1"))
+    ).cast("decimal(20,6)")
+    return (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(contrib).alias("_sum_lp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            pround(
+                F.col("_sum_lp").cast("double") / F.col("n_bigrams"), 6
             ).alias("avg_logprob"),
         )
     )

@@ -349,3 +349,51 @@ def test_pca_topk_auto_candidate_factor(spark):
         ).collect()
     ]
     assert got5 == exact2
+
+
+def test_euclidean_topk_many_matches_solo(spark):
+    import numpy as np
+
+    df, X, _, _ = _planted_frame(spark, n=200)
+    qrows = [("qa", [float(x) for x in X[3]]), ("qb", [float(x) for x in X[50]])]
+    qf = spark.createDataFrame(qrows, "q_id string, q_vec array<double>")
+    got = {}
+    for r in similarity.euclidean_topk_many(df, qf, k=7).collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], r["dist"]))
+    for qid, qv in qrows:
+        solo = similarity.euclidean_topk(df, qv, k=7).collect()
+        mine = [x[1:] for x in sorted(got[qid])]
+        assert mine == [(r["vec_id"], r["dist"]) for r in solo]
+
+
+def test_pca_topk_many_exact_on_low_rank_and_iso_fallback(spark):
+    import numpy as np
+
+    df, X, _, _ = _planted_frame(spark, n=250)
+    qrows = [("qa", [float(x) for x in X[7]]), ("qb", [float(x) for x in X[99]])]
+    qf = spark.createDataFrame(qrows, "q_id string, q_vec array<double>")
+    fitted = similarity.pca_fit_stats(df, k=2)
+    got = sorted(
+        map(tuple, similarity.pca_topk_many(
+            df, qf, k=8, n_components=2, fitted=fitted
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, similarity.euclidean_topk_many(df, qf, k=8).collect())
+    )
+    assert got == want  # low-rank: reduced ranking is exact end-to-end
+    # isotropic corpus -> auto falls back to the exact batch path
+    rng = np.random.default_rng(3)
+    Y = rng.standard_normal((200, 8))
+    iso = spark.createDataFrame(
+        [(i, [float(x) for x in Y[i]]) for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    qf2 = spark.createDataFrame(
+        [("i0", [float(x) for x in Y[11]])], "q_id string, q_vec array<double>"
+    )
+    got2 = sorted(
+        map(tuple, similarity.pca_topk_many(iso, qf2, k=6, n_components=2).collect())
+    )
+    want2 = sorted(map(tuple, similarity.euclidean_topk_many(iso, qf2, k=6).collect()))
+    assert got2 == want2

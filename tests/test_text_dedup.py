@@ -888,3 +888,76 @@ def test_mask_pii_extended_classes(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_bigram_logprob_values(spark):
+    """Hand-computed bigram model on a tiny corpus; single-token docs
+    have no bigrams and disappear."""
+    import math
+
+    from data_engineering_capstone_project__spark.operators import text
+    from data_engineering_capstone_project__spark.cachereg import release_intermediates
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.bigram_logprob(docs).collect()}
+    release_intermediates()
+    assert set(rows) == {1, 2}  # doc 3 has no bigrams
+    # corpus: c2(a,b)=2 c2(b,a)=1 c2(a,c)=1 c2(b,b)=1; c1(a)=3 c1(b)=2
+    d1 = (math.log(2 / 3) + math.log(1 / 3) + math.log(1 / 2)) / 3
+    d2 = (math.log(2 / 3) + math.log(1 / 2)) / 2
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 2
+    assert abs(rows[1]["avg_logprob"] - d1) < 2e-6
+    assert abs(rows[2]["avg_logprob"] - d2) < 2e-6
+    # word order matters: same words, scrambled order -> lower score
+    ordered = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(10)]
+        + [(100, "fox the jumps brown quick")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_logprob"] for r in text.bigram_logprob(ordered).collect()}
+    release_intermediates()
+    assert out[100] < out[0]
+
+
+def test_bm25_topk_frame_queries_match_dict(spark):
+    """A DataFrame query set gives the same ranking as the dict form
+    (modulo the caller-chosen id), with custom column names supported."""
+    from pyspark.sql import functions as F
+    from data_engineering_capstone_project__spark.operators import text
+    from data_engineering_capstone_project__spark.cachereg import release_intermediates
+
+    docs = [
+        (1, "spark shuffle join optimizer"),
+        (2, "spark shuffle"),
+        (3, "cats and dogs and birds"),
+        (4, "shuffle shuffle shuffle shuffle shuffle"),
+        (5, "join order and the optimizer"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    want = {
+        (r["doc_id"], r["score"], r["rn"])
+        for r in text.bm25_topk(df, {"q": "spark shuffle optimizer"}, k=3).collect()
+    }
+    qdf = spark.createDataFrame(
+        [("q", "spark shuffle optimizer")], "qid string, qtext string"
+    )
+    got = {
+        (r["doc_id"], r["score"], r["rn"])
+        for r in text.bm25_topk(
+            df, qdf, k=3, query_id_col="qid", query_text_col="qtext"
+        ).collect()
+    }
+    assert got == want
+    # weights= composes with the frame form too
+    w = text.bm25(df)
+    got2 = {
+        (r["doc_id"], r["score"], r["rn"])
+        for r in text.bm25_topk(
+            None, qdf, k=3, weights=w, query_id_col="qid", query_text_col="qtext"
+        ).collect()
+    }
+    assert got2 == want
+    release_intermediates()
