@@ -1763,6 +1763,123 @@ FROM ({X_NGRAM_SQL})
 """
 
 
+def x_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup JOIN (round 6): corpus A = 300 documents;
+    corpus B = 20 lightly-edited copies of A's first docs (a short
+    suffix — still well above the 0.8 Jaccard threshold for most) plus
+    10 fresh unique items. The LSH join must recover the edited-copy
+    pairs without broadcasting either side. Bound-checked like
+    x_minhash_pairs: the oracle independently computes the EXACT
+    cross-side J >= 0.8 pair count by shingle join, and pins recall
+    >= 0.9, found-subset-of-exact, and per-pair exact-jaccard booleans."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    edited = d.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" zz11 zz22 zz33")).alias("text")
+    )
+    fresh = spark.range(10).select(
+        (F.col("id") + 10000).alias("doc_id"),
+        F.concat(F.lit("unique benchmark item "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    bench = edited.unionByName(fresh)
+    found = dedup.minhash_lsh_join(d, bench, jaccard_threshold=0.8).collect()
+
+    # exact cross pair set via the lossless shingle join, computed
+    # engine-side the same way the oracle does. Pre-project _norm and
+    # the shingle ARRAY before size/explode read them — shingles_of_norm
+    # is a HOF whose lambda would re-evaluate an inline regexp_replace
+    # per ELEMENT (the 35x closure trap SCALE.md documents; measured
+    # here: 233 s -> seconds)
+    def sh(df):
+        normed = df.select(
+            "doc_id", dedup._normalize(F.col("text")).alias("_norm")
+        )
+        arred = normed.select(
+            "doc_id",
+            F.array_distinct(dedup.shingles_of_norm(F.col("_norm"), 5)).alias(
+                "_arr"
+            ),
+        )
+        return arred.select(
+            "doc_id", F.size("_arr").alias("sz"), F.explode("_arr").alias("g")
+        )
+
+    inter = (
+        sh(d).alias("a")
+        .join(sh(bench).alias("b"), F.col("a.g") == F.col("b.g"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("ni"))
+        .select(
+            "id_a",
+            "id_b",
+            pround(
+                F.col("ni").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("ni")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    )
+    exact_set = {(r["id_a"], r["id_b"]) for r in inter}
+    found_set = {(r["id_a"], r["id_b"]) for r in found}
+    recall_ok = (
+        len(found_set & exact_set) / len(exact_set) >= 0.9 if exact_set else True
+    )
+    return spark.createDataFrame(
+        [(
+            len(exact_set),
+            bool(recall_ok),
+            found_set <= exact_set,
+            all(r["jaccard"] >= 0.8 for r in found),
+        )],
+        "n_exact_pairs bigint, recall_ge_090 boolean, "
+        "subset_of_exact boolean, pairs_jaccard_verified boolean",
+    )
+
+
+X_MINHASH_JOIN_SQL = r"""
+WITH a_docs AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 300
+), b_docs AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(LOWER(TRIM(text || ' zz11 zz22 zz33')), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 10000 + i, 'unique benchmark item ' || i
+  FROM range(10) r(i)
+), sa AS MATERIALIZED (
+  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM (
+    SELECT doc_id,
+           list_distinct([substr(t, i, 5) FOR i IN range(1, GREATEST(LENGTH(t) - 4, 1) + 1)]) AS s
+    FROM a_docs)
+), sb AS MATERIALIZED (
+  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM (
+    SELECT doc_id,
+           list_distinct([substr(t, i, 5) FOR i IN range(1, GREATEST(LENGTH(t) - 4, 1) + 1)]) AS s
+    FROM b_docs)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         CAST(COUNT(*) AS DOUBLE) AS n_inter
+  FROM sa a JOIN sb b ON a.g = b.g
+  GROUP BY 1, 2, 3, 4
+)
+SELECT COUNT(*) AS n_exact_pairs,
+       TRUE AS recall_ge_090,
+       TRUE AS subset_of_exact,
+       TRUE AS pairs_jaccard_verified
+FROM inter
+WHERE ROUND(n_inter / (sz_a + sz_b - n_inter), 6) >= 0.8
+"""
+
+
 def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup (Lee et al. 2022 shape): verbatim
     cross-document repeats ≥ 50 chars are cut from every doc but their
@@ -5108,6 +5225,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_embedding_contamination": (x_embedding_contamination, X_EMB_CONTAM_SQL),
     "x_ngram_jaccard": (x_ngram_jaccard, X_NGRAM_SQL),
     "x_minhash_pairs": (x_minhash_pairs, X_MINHASH_SQL),  # bound-checked
+    "x_minhash_join": (x_minhash_join, X_MINHASH_JOIN_SQL),  # bound-checked
     "x_simhash": (x_simhash, X_SIMHASH_SQL),  # bound-checked
     "x_lsh_near_dups": (x_lsh_near_dups, X_LSH_SQL),  # bound-checked
     "x_substring_dedup": (x_substring_dedup, X_SUBSTRING_SQL),

@@ -403,6 +403,80 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    est_filter: bool = True,
+    n_rows: int | None = None,
+    baseline_j: float = 0.2,
+) -> DataFrame:
+    """CROSS-corpus near-duplicate JOIN via banded MinHash LSH: pairs
+    ``(id_a ∈ df_a, id_b ∈ df_b, jaccard)`` with exact shingle Jaccard
+    ≥ threshold — the fuzzy train/eval decontamination primitive when
+    the benchmark side is itself corpus-sized. ``contamination_check``
+    broadcasts the benchmark's shingles (right for a small eval set);
+    this operator banding-joins BOTH sides, so neither corpus is ever
+    broadcast or driver-bounded, and work is Σ_bucket n_aᵇ·n_bᵇ — the
+    LSH candidate economics of ``minhash_lsh_pairs``, across corpora.
+
+    Implementation: each side's rows are tagged into a struct id
+    ``(side, id)`` and pushed through the SAME single-corpus machinery
+    (one union, one signature pass with shared hash seeds — a pair can
+    only collide if both sides hashed identically, so sharing the
+    banding is what makes the cross join correct), then candidates are
+    restricted to cross-side pairs BEFORE the exact verify (within-side
+    candidates are free to generate — they ride the same buckets — but
+    never pay verification). Struct ordering puts side 0 first, so
+    ``id_a`` is always the ``df_a`` row. All of
+    ``minhash_lsh_pairs``'s hardening rides along: auto band config
+    (sized from the COMBINED count), shingle-size prefilter,
+    signature-agreement estimate prune, outlier verify routing, and the
+    cachereg persist lifecycle.
+
+    Both frames must expose the same ``id_col``/``text_col`` names and
+    id TYPE (rename upstream otherwise); ids may overlap across frames
+    — the side tag disambiguates.
+    """
+    def tag(df: DataFrame, side: int) -> DataFrame:
+        return df.select(
+            F.struct(
+                F.lit(side).alias("s"), F.col(id_col).alias("i")
+            ).alias("_cid"),
+            F.col(text_col),
+        )
+
+    combined = tag(df_a, 0).unionByName(tag(df_b, 1))
+    if num_hashes is None:
+        if n_rows is None:
+            n_rows = combined.count()
+        auto_nh, auto_b = auto_minhash_config(
+            n_rows, jaccard_threshold, baseline_j=baseline_j
+        )
+        num_hashes = auto_nh
+        if bands is None:
+            bands = auto_b
+    if bands is None:
+        bands = 8
+    cand = minhash_lsh_candidates(
+        combined, "_cid", text_col, num_hashes, bands, shingle_k,
+        jaccard_threshold, est_filter=est_filter,
+    ).filter(F.col("id_a.s") != F.col("id_b.s"))
+    out = verify_jaccard(combined, cand, "_cid", text_col, shingle_k).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    return out.select(
+        F.col("id_a.i").alias("id_a"),
+        F.col("id_b.i").alias("id_b"),
+        "jaccard",
+    )
+
+
 def verify_jaccard(
     df: DataFrame,
     pairs: DataFrame,

@@ -961,3 +961,47 @@ def test_bm25_topk_frame_queries_match_dict(spark):
     }
     assert got2 == want
     release_intermediates()
+
+
+def test_minhash_lsh_join_cross_corpus(spark):
+    """Cross-corpus near-dup JOIN: finds A-B edited copies, never emits
+    within-side pairs, disambiguates overlapping id spaces, and the
+    jaccard values are exact."""
+    from data_engineering_capstone_project__spark.cachereg import release_intermediates
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today "
+    a_rows = [
+        (1, base * 3),
+        (2, "completely different content about spark shuffles and joins " * 3),
+        (3, "another unrelated document on parquet footers and row groups " * 3),
+        # within-A near-dups — must NOT appear in the cross join output
+        (4, base * 3 + "tail"),
+    ]
+    b_rows = [
+        (1, base * 3 + " edited"),       # same id as A's 1 — near-dup of A1/A4
+        (7, "totally fresh benchmark question nine"),
+        (2, "completely different content about spark shuffles and joins " * 3),  # exact dup of A2
+    ]
+    da = spark.createDataFrame(a_rows, "doc_id long, text string")
+    db = spark.createDataFrame(b_rows, "doc_id long, text string")
+    found = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_join(da, db, jaccard_threshold=0.8).collect()
+    }
+    release_intermediates()
+    assert (1, 1) in found and (4, 1) in found and (2, 2) in found
+    assert found[(2, 2)] == 1.0
+    assert all(0.8 <= j <= 1.0 for j in found.values())
+    # no within-side pairs: every key is (A id, B id) and (1,4)-style
+    # A-A near-dups are absent (id 4 exists only in A, 7 only in B)
+    assert (4, 7) not in found and (1, 4) not in found
+    # exact jaccard parity for the edited pair vs a direct set computation
+    def shset(df, i):
+        row = df.filter(F.col("doc_id") == i).select(
+            dedup._normalize(F.col("text")).alias("_n")
+        ).select(dedup.shingles_of_norm(F.col("_n"), 5).alias("sh")).first()
+        return set(row["sh"])
+
+    sa, sb = shset(da, 1), shset(db, 1)
+    want = round(len(sa & sb) / len(sa | sb), 6)
+    assert abs(found[(1, 1)] - want) < 1e-9
