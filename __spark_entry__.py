@@ -2288,6 +2288,67 @@ FROM embeddings
 """
 
 
+def x_jl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (round 6): 64 → 16 dims
+    with a seeded Gaussian matrix — the zero-corpus-pass reduction
+    (nothing is fitted; two corpora projected with one seed share a
+    space). Bound-checked: n/out_dim SQL-exact; engine-side booleans pin
+    (a) bit-determinism across two invocations, (b) numpy parity at 1e-9
+    on a sampled prefix (the kernel IS a matmul; BLAS blocking makes
+    bit-equality batch-shape-dependent),
+    (c) mean-squared-norm preservation within [0.7, 1.3] (E ratio = 1
+    by the JL identity), (d) per-pair distance ratios within [0.5, 1.5]
+    for five fixed pairs (≈ ±3.6σ at out_dim 16 — a broken scaling or
+    matrix fails deterministically)."""
+    import numpy as _np
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    out = similarity.jl_transform(base, 16, seed=7)
+    rows = out.orderBy("vec_id").limit(200).collect()
+    rows2 = similarity.jl_transform(base, 16, seed=7).orderBy("vec_id").limit(
+        200
+    ).collect()
+    det_ok = [(r["vec_id"], r["jl"]) for r in rows] == [
+        (r["vec_id"], r["jl"]) for r in rows2
+    ]
+    X = _np.array([r["embedding"] for r in rows], dtype=_np.float64)
+    J = _np.array([r["jl"] for r in rows], dtype=_np.float64)
+    dim = X.shape[1]
+    R = _np.random.default_rng(7).standard_normal((16, dim)) / _np.sqrt(16)
+    # allclose, not array_equal: BLAS dgemm blocking (hence summation
+    # order) varies with the matrix M-dimension, so per-batch results
+    # agree with a whole-matrix reference only to the last ulp
+    numpy_ok = bool(_np.allclose(J, X @ R.T, rtol=0.0, atol=1e-9))
+    norm_ratio = float((J * J).sum() / (X * X).sum())
+    norm_ok = 0.7 <= norm_ratio <= 1.3
+    pair_ok = True
+    for a, b in [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)]:
+        do = float(_np.linalg.norm(X[a] - X[b]))
+        dj = float(_np.linalg.norm(J[a] - J[b]))
+        if do > 0:
+            pair_ok &= 0.5 <= dj / do <= 1.5
+    n = out.count()
+    return spark.createDataFrame(
+        [(n, 16, bool(det_ok), numpy_ok, bool(norm_ok), bool(pair_ok))],
+        "n bigint, out_dim int, deterministic boolean, numpy_exact boolean, "
+        "norm_preserved boolean, pairs_preserved boolean",
+    )
+
+
+X_JL_SQL = """
+SELECT COUNT(*) AS n, 16 AS out_dim,
+       TRUE AS deterministic, TRUE AS numpy_exact,
+       TRUE AS norm_preserved, TRUE AS pairs_preserved
+FROM embeddings
+"""
+
+
 def x_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window aggregation (10 min) per event type."""
     ev = _t(spark, sf_dir, "events")
@@ -3234,6 +3295,39 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 X_STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def x_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC decontamination (round 6): documents arrive as a
+    stream and are dropped when their exact fingerprint is already in a
+    static corpus index (docs < 200 here) — the training-data ingest
+    guard. Stateless per micro-batch (static lookup join — no watermark,
+    no state store); the oracle is plain fingerprint anti-membership,
+    so the result is hash-exact including cross-id exact-dup texts."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+        decontaminate_stream,
+        run_stream_to_table,
+        stream_documents,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    idx = corpus_fingerprint_index(corpus)
+    out = run_stream_to_table(
+        decontaminate_stream(stream_documents(spark, sf_dir), idx),
+        mode="append",
+    )
+    return out.select("doc_id")
+
+
+X_STREAM_DECONTAMINATE_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS f
+  FROM documents)
+SELECT doc_id FROM fp
+WHERE f NOT IN (SELECT f FROM fp WHERE doc_id < 200)
+"""
 
 
 def x_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5259,11 +5353,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_euclid_topk": (x_euclid_topk, X_EUCLID_SQL),
     "x_pca_topk": (x_pca_topk, X_PCA_TOPK_SQL),  # bound-checked
     "x_pca_topk_many": (x_pca_topk_many, X_PCA_TOPK_MANY_SQL),  # bound-checked
+    "x_jl_transform": (x_jl_transform, X_JL_SQL),  # bound-checked
     "x_bpe_train": (x_bpe_train, X_BPE_SQL),  # bound-checked
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_stream_join": (x_stream_join, X_STREAM_JOIN_SQL),
     "x_stream_dedup": (x_stream_dedup, X_STREAM_DEDUP_SQL),
+    "x_stream_decontaminate": (x_stream_decontaminate, X_STREAM_DECONTAMINATE_SQL),
     "x_stream_sessions": (x_stream_sessions, X_STREAM_SESSIONS_SQL),
     "x_multimodal_features": (x_multimodal_features, X_MULTIMODAL_SQL),
     "x_image_pixel_stats": (x_image_pixel_stats, X_IMAGE_PIXEL_SQL),

@@ -1187,6 +1187,48 @@ def pca_fit_stats(
     return comps, np.maximum(eigval[order], 0.0), mean, total_var
 
 
+def jl_transform(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "jl",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection:
+    ``out = x @ Rᵀ / √out_dim`` with ``R`` a seeded Gaussian
+    ``out_dim×dim`` matrix — the ZERO-corpus-pass dimensionality
+    reduction (Johnson & Lindenstrauss 1984; Dasgupta & Gupta 2003 for
+    the Gaussian form). Pairwise distances are preserved within
+    ``1±ε`` w.h.p. for ``out_dim = O(ln n / ε²)``, independent of the
+    input dimension or any data statistics.
+
+    vs :func:`pca_fit`/:func:`pca_transform`: PCA needs one sufficient-
+    statistic pass over the corpus and concentrates variance optimally;
+    JL needs NOTHING from the data (the matrix comes from the seed), so
+    it composes with streaming, sharding, and multi-corpus settings
+    where a shared fit is awkward — and two corpora projected with the
+    same seed land in the SAME space. The projection itself reuses the
+    :func:`pca_transform` kernel (row-local Arrow-batched BLAS matmul,
+    no shuffle; NULL/ragged rows dropped).
+
+    ``dim`` (input width) is peeked from the first non-empty vector when
+    not given — pass it to keep plan construction job-free.
+    """
+    if out_dim < 1:
+        raise ValueError("jl_transform: out_dim must be >= 1")
+    if dim is None:
+        row = df.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+        if row is None:
+            raise ValueError("jl_transform: no non-empty vectors")
+        dim = row["d"]
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    return pca_transform(
+        df, R, np.zeros(dim), vec_col=vec_col, out_col=out_col
+    )
+
+
 def pca_transform(
     df: DataFrame,
     components: np.ndarray,

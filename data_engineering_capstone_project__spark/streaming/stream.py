@@ -141,6 +141,73 @@ def dedup_stream(
     )
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (schema from the batch
+    reader; glob-filtered directory source, one file per micro-batch) —
+    the ingest shape of a continuously-arriving training-data feed."""
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def corpus_fingerprint_index(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """The STATIC side of streaming decontamination: one row per distinct
+    normalized-text fingerprint in the corpus (the same md5-over-
+    whitespace-normalized-lowercase key ``exact_dedup`` shuffles on).
+    At 100 TB this index is written once (ideally bucketed by ``fp``)
+    and re-read by every ingest stream — it is a DISTINCT projection of
+    32-char keys, orders of magnitude smaller than the corpus text."""
+    from data_engineering_capstone_project__spark.operators.text import (
+        fingerprint,
+    )
+
+    return corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+
+
+def decontaminate_stream(
+    stream: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    keep: str = "clean",
+) -> DataFrame:
+    """Stream-STATIC decontamination: route incoming documents by exact-
+    fingerprint membership in a static corpus index — the streaming
+    member of the dedup/decontamination ladder (a training-data ingest
+    pipeline drops documents already in the training set, or — with
+    ``keep='contaminated'`` — surfaces benchmark leaks as they arrive).
+
+    ``keep='clean'``: pass documents whose fingerprint is NOT in the
+    index (stream-static LEFT OUTER join + null filter — Structured
+    Streaming has no stream-static anti join, but the null-filtered
+    outer join is the supported equivalent and stays STATELESS: the
+    static side is just a lookup, so there is no watermark, no state
+    store, and no late-data semantics to reason about).
+    ``keep='contaminated'``: the LEFT SEMI form. Either way each
+    micro-batch is a hash join against the (broadcastable) index.
+    """
+    from data_engineering_capstone_project__spark.operators.text import (
+        fingerprint,
+    )
+
+    if keep not in ("clean", "contaminated"):
+        raise ValueError(f"decontaminate_stream: unknown keep={keep!r}")
+    tagged = stream.withColumn("_fp", fingerprint(F.col(text_col)))
+    idx = F.broadcast(corpus_fps.select(F.col("fp"), F.lit(True).alias("_hit")))
+    if keep == "contaminated":
+        return tagged.join(
+            idx.drop("_hit"), tagged["_fp"] == F.col("fp"), "left_semi"
+        ).drop("_fp")
+    return (
+        tagged.join(idx, tagged["_fp"] == F.col("fp"), "left_outer")
+        .filter(F.col("_hit").isNull())
+        .drop("_fp", "fp", "_hit")
+    )
+
+
 def stateful_running_count(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -272,3 +272,55 @@ def test_sessionize_stream_matches_batch(spark, sf_dir):
     a = sorted((r["user_id"], r["n_events"]) for r in got.collect())
     b = sorted((r["user_id"], r["n_events"]) for r in batch_sessions.collect())
     assert a == b
+
+
+def test_decontaminate_stream_routes_by_fingerprint(spark, tmp_path):
+    """Stream-static decontamination: clean docs pass, corpus-known docs
+    (by exact normalized fingerprint, any id) drop; keep='contaminated'
+    is the complement; bad keep raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+        decontaminate_stream,
+        run_stream_to_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "known document alpha"), (2, "Known   DOCUMENT alpha"),  # same fp
+         (3, "another known text")],
+        "doc_id long, text string",
+    )
+    idx = corpus_fingerprint_index(corpus)
+    assert idx.count() == 2  # rows 1-2 collapse to one fingerprint
+    incoming = spark.createDataFrame(
+        [(10, "fresh never seen content"),
+         (11, "KNOWN document    ALPHA"),       # normalizes into the index
+         (12, "another known text"),
+         (13, "also new material here")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "stream_src")
+    incoming.write.parquet(src)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    clean = run_stream_to_table(
+        decontaminate_stream(stream, idx), mode="append"
+    )
+    assert {r["doc_id"] for r in clean.collect()} == {10, 13}
+    assert set(clean.columns) == {"doc_id", "text"}  # helper cols dropped
+    stream2 = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    dirty = run_stream_to_table(
+        decontaminate_stream(stream2, idx, keep="contaminated"), mode="append"
+    )
+    assert {r["doc_id"] for r in dirty.collect()} == {11, 12}
+    with pytest.raises(ValueError):
+        decontaminate_stream(stream, idx, keep="nope")

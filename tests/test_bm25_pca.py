@@ -397,3 +397,49 @@ def test_pca_topk_many_exact_on_low_rank_and_iso_fallback(spark):
     )
     want2 = sorted(map(tuple, similarity.euclidean_topk_many(iso, qf2, k=6).collect()))
     assert got2 == want2
+
+
+def test_jl_transform_exact_and_distance_preserving(spark):
+    """JL projection: exact numpy parity (the kernel is a matmul),
+    linearity, determinism across seeds/frames, and statistical distance
+    preservation at the JL-predicted concentration."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((300, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: np.array(r["jl"])
+        for r in similarity.jl_transform(df, 8, seed=11).collect()
+    }
+    R = np.random.default_rng(11).standard_normal((8, 32)) / np.sqrt(8)
+    want = X @ R.T
+    for i in range(300):
+        # 1e-12 closeness, not bit-equality: BLAS blocking differs by
+        # batch M-dimension, shifting last-ulp summation order
+        assert np.allclose(out[i], want[i], rtol=0.0, atol=1e-12)
+    # same seed on a DIFFERENT frame lands in the same space (the
+    # multi-corpus composition property)
+    df2 = spark.createDataFrame(
+        [(900, [float(x) for x in X[0]])], "vec_id bigint, embedding array<double>"
+    )
+    other = similarity.jl_transform(df2, 8, seed=11).collect()[0]["jl"]
+    assert np.allclose(np.array(other), want[0], rtol=0.0, atol=1e-12)
+    # distance concentration: mean squared-distance ratio ~= 1
+    d_orig = np.linalg.norm(X[:100] - X[100:200], axis=1)
+    J = want
+    d_jl = np.linalg.norm(J[:100] - J[100:200], axis=1)
+    ratio = (d_jl ** 2 / d_orig ** 2)
+    assert 0.85 <= ratio.mean() <= 1.15
+    # ragged/NULL rows are dropped, same contract as pca_transform
+    bad = spark.createDataFrame(
+        [(901, None), (902, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert similarity.jl_transform(df.unionByName(bad), 8, seed=11).count() == 300
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.jl_transform(df, 0)
