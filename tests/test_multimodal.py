@@ -360,3 +360,44 @@ def test_sample_video_frames_real_avi(spark):
     # MP4: honest metadata-only rows
     assert sorted(ts for m, ts in out if m == 2) == [0, 500, 1000]
     assert out[(2, 0)]["px_sum"] is None and out[(2, 0)]["frame_w"] is None
+
+
+def test_avi_roundtrip_property_fuzz():
+    """Property fuzz: ANY frame payload bytes round-trip bit-exactly
+    through the writer/parser (the container is payload-agnostic), at
+    every fps representation; random truncations never escape
+    ValueError/NotImplementedError."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_engineering_capstone_project__spark.operators import avicodec as ac
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        frames=st.lists(st.binary(min_size=0, max_size=80), min_size=1, max_size=6),
+        w=st.integers(min_value=1, max_value=2000),
+        h=st.integers(min_value=1, max_value=2000),
+        fps=st.sampled_from([1.0, 4.0, 23.976, 29.97, 60.0]),
+    )
+    def roundtrip(frames, w, h, fps):
+        payload = ac.encode_avi_mjpeg(frames, w, h, fps=fps)
+        meta = ac.parse_avi_mjpeg(payload)
+        assert meta["frames"] == frames
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["usec_per_frame"] == int(round(1_000_000 / fps))
+
+    roundtrip()
+
+    @settings(max_examples=60, deadline=None)
+    @given(cut=st.integers(min_value=0, max_value=400), data=st.data())
+    def truncation(cut, data):
+        import pytest
+
+        payload, _ = _avi_fixture(n_frames=2)
+        cut = min(cut, len(payload) - 1)
+        try:
+            ac.parse_avi_mjpeg(payload[:cut])
+        except (ValueError, NotImplementedError):
+            pass  # the only acceptable escapes
+        assert ac.probe_avi_duration_ms(payload[:cut]) in (None,)
+
+    truncation()

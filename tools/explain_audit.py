@@ -24,6 +24,8 @@ AUDIT = {
     "w1_row_number": "no single-partition window: quantile pids + broadcast offsets",
     "x_tf_idf": "doc-frequency as groupBy(term)+join-back (NO per-term window — skew-safe); explode cached once (InMemoryTableScan feeds both branches)",
     "x_bm25": "tf cached once (InMemoryTableScan feeds df/dl/weight branches); dfreq and dl as groupBy+join-back (no per-term or per-doc window); N+avgdl ride ONE broadcast scalar row; avgdl = exact long-sum/count (oracle-parity)",
+    "x_bigram_logprob": "ONE posexplode + ONE per-document window lead (partition = a single doc — skew-free, no corpus-wide sort); bigram relation cached once, feeds c2/c1 aggregates + join-back (tf_idf's skew-safe shape); decimal contributions keep per-doc sums order-independent",
+    "x_bm25_topk_frame": "DataFrame query set: query frame tokenized by the corpus's own expression; term join carries NO forced broadcast hint (AQE sizes it from the actual query-set width); per-query top-k via WindowGroupLimit",
     "x_exact_dedup": "fingerprint groupBy with map-side partial min",
     "x_weighted_sample": "A-ES weighted top-k: md5→uniform→priority all codegen'd at the scan; global k via TakeOrderedAndProject (per-partition partial top-k + k-bounded merge — NEVER a full Sort+Exchange)",
     "x_bm25_topk": "weights joined to BROADCAST query terms (map-side hash join, no corpus shuffle beyond bm25's aggs); per-query top-k through the WindowGroupLimit map-side prune; decimal score sum is order-independent",
