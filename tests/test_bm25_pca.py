@@ -443,3 +443,36 @@ def test_jl_transform_exact_and_distance_preserving(spark):
 
     with pytest.raises(ValueError):
         similarity.jl_transform(df, 0)
+
+
+def test_round6_edge_cases(spark):
+    """Empty/degenerate inputs take the graceful path: an empty query
+    FRAME yields an empty result (no driver-side guard applies — the
+    scale path must not run count jobs on query tables); bigram of an
+    empty/too-short corpus is empty; euclidean_topk_many with k larger
+    than the corpus returns everything ranked."""
+    import numpy as np
+    from data_engineering_capstone_project__spark.operators import text
+    from data_engineering_capstone_project__spark.cachereg import (
+        release_intermediates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id int, text string"
+    )
+    empty_q = spark.createDataFrame([], "query_id string, text string")
+    assert text.bm25_topk(docs, empty_q, k=3).count() == 0
+    release_intermediates()
+    short = spark.createDataFrame([(1, "solo"), (2, " ")], "doc_id int, text string")
+    assert text.bigram_logprob(short).count() == 0
+    release_intermediates()
+    X = np.arange(12, dtype=float).reshape(3, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(3)],
+        "vec_id bigint, embedding array<double>",
+    )
+    qf = spark.createDataFrame(
+        [("q", [0.0, 1.0, 2.0, 3.0])], "q_id string, q_vec array<double>"
+    )
+    out = similarity.euclidean_topk_many(df, qf, k=10).collect()
+    assert len(out) == 3 and [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
