@@ -240,6 +240,102 @@ def auto_minhash_config(
     return r * b, b
 
 
+def _band_cols(num_hashes: int, bands: int) -> list[Column]:
+    """The banding expressions shared by every LSH consumer: band ``b`` is
+    ``xxhash64`` over that band's slice of signature columns. A corpus
+    index and a later probe (batch or stream) collide iff they computed
+    THESE exact expressions with the same (num_hashes, bands) — which is
+    why the config is persisted alongside the index
+    (``sources.artifacts.save_minhash_index``)."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+
+
+def _banded_long(df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band, bucket) long form from a frame carrying band columns."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def corpus_minhash_band_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The STATIC side of fuzzy (near-dup) decontamination: distinct
+    ``(band, bucket)`` rows over the corpus's banded MinHash signatures.
+
+    Membership semantics: a probe document collides with SOME corpus
+    document at banded-LSH level iff any of its own band buckets appears
+    here — exactly the candidate criterion of ``minhash_lsh_candidates``
+    (same signature seeds, same ``_band_cols`` banding), minus the
+    pair-size prefilter (an index keyed by bucket alone cannot know the
+    partner's shingle count; the guard is deliberately conservative —
+    candidate-level recall is 100% of what the batch path would verify).
+
+    Size at 100 TB: ``bands`` longs per corpus doc before the distinct —
+    a few % of corpus bytes; write it once via
+    ``sources.artifacts.save_minhash_index`` and every ingest stream
+    probes the (broadcastable, or bucket-bucketed) index.
+    """
+    sigs = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
+    return (
+        _banded_long(banded, id_col, bands)
+        .select("band", "bucket")
+        .distinct()
+    )
+
+
+def minhash_band_probe(
+    batch: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    keep: str = "clean",
+) -> DataFrame:
+    """Route a BATCH of documents by banded-MinHash membership in a static
+    corpus index: ``keep='clean'`` returns rows with NO band collision
+    (near-dup-free vs the corpus), ``keep='contaminated'`` the complement.
+
+    This is the per-micro-batch kernel of ``decontaminate_stream_fuzzy``
+    and equally usable standalone for incremental batch ingest (the fuzzy
+    upgrade of ``dedup_against_corpus``). Plan shape: one shingle explode
+    + signature aggregation over the batch (vectorized, JVM-side), a
+    semi join of the batch's ``bands``-per-doc bucket rows against the
+    index on ``(band, bucket)``, then a semi/anti join back on id —
+    batch-sized work throughout; the corpus appears only as the index.
+    """
+    if keep not in ("clean", "contaminated"):
+        raise ValueError(f"minhash_band_probe: unknown keep={keep!r}")
+    sigs = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
+    hits = (
+        _banded_long(banded, id_col, bands)
+        .join(band_index, ["band", "bucket"], "left_semi")
+        .select(id_col)
+    )
+    how = "left_semi" if keep == "contaminated" else "left_anti"
+    return batch.join(hits, id_col, how)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -274,13 +370,7 @@ def minhash_lsh_candidates(
     sigs = register(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
     )
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-        .alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(id_col, "_sz", *band_cols)
+    banded = sigs.select(id_col, "_sz", *_band_cols(num_hashes, bands))
     # long-form (doc, band_idx, bucket) then self-join per bucket
     buckets = banded.select(
         id_col,
@@ -1555,9 +1645,11 @@ def paragraph_dedup(
 
 def dedup_against_corpus(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_fps: DataFrame | None = None,
+    fp_col: str = "fp",
 ) -> DataFrame:
     """Incremental ingest dedup: keep only new-batch rows whose normalized
     fingerprint is BOTH unseen in the existing corpus and first (lowest id)
@@ -1570,10 +1662,24 @@ def dedup_against_corpus(
     all. Within-batch dedup reuses the min-id-wins rule of
     ``exact_dedup`` but keeps whole rows (groupBy min + join back, no
     window).
+
+    **Durable-index path**: pass ``corpus_fps=`` a precomputed fingerprint
+    index (``streaming.corpus_fingerprint_index`` output, typically
+    reloaded via ``sources.artifacts.load_fingerprint_index``) and the
+    corpus text is never touched — the production shape, where the index
+    is written once and every ingest batch probes it
+    (``corpus_df`` is then ignored and may be None).
     """
-    seen = corpus_df.select(
-        fingerprint(F.col(text_col)).alias("_fp")
-    ).distinct()
+    if corpus_fps is not None:
+        seen = corpus_fps.select(F.col(fp_col).alias("_fp"))
+    elif corpus_df is not None:
+        seen = corpus_df.select(
+            fingerprint(F.col(text_col)).alias("_fp")
+        ).distinct()
+    else:
+        raise ValueError(
+            "dedup_against_corpus: need corpus_df or corpus_fps"
+        )
     batch = new_df.withColumn("_fp", fingerprint(F.col(text_col)))
     winners = batch.groupBy("_fp").agg(F.min(id_col).alias("_w"))
     kept = (

@@ -523,6 +523,66 @@ def ivf_topk(
     )
 
 
+def write_ivf_corpus(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Materialize a corpus PARTITIONED BY its IVF cell — the layout that
+    turns ``ivf_topk``'s cell filter into scan-time partition pruning
+    (``similarity.py`` IVF docstring / SCALE.md ANN row; VERDICT r6
+    next-round #2). Each vector's nearest-centroid cell becomes a
+    directory key, so a probe of ``nprobe`` cells lists and reads ONLY
+    those directories — at 100 TB with 4096 cells and nprobe=8, ~0.2% of
+    the corpus bytes. Pair with ``sources.artifacts.save_centroids`` so a
+    fresh session reloads the codebook that defined the layout (cells are
+    meaningless under any other codebook)."""
+    out = df.withColumn(
+        cell_col, assign_ivf_cell(F.col(vec_col), centroids)
+    )
+    out.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+
+def ivf_topk_pruned(
+    corpus: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF top-k against a CELL-PARTITIONED corpus (``write_ivf_corpus``
+    output): the probe filters on the stored partition column, so
+    Catalyst plans it as a ``PartitionFilters`` entry — non-probed cells
+    are pruned at file-listing time, never opened (proven by the scan's
+    runtime ``numPartitions`` metric and a corrupt-file canary in
+    ``tests/test_bucketing_pruning.py``). Contrast ``ivf_topk``, which
+    recomputes cells with an expression filter and must scan everything.
+
+    The ``centroids`` must be the codebook that produced the layout
+    (reload via ``sources.artifacts.load_centroids``); results are
+    identical to ``ivf_topk`` on the unpartitioned frame by construction
+    (same cells, same probe set, same cosine ordering)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(1)
+    probe_cells = [int(i) for i in d2.argsort()[:nprobe]]
+    return (
+        corpus.filter(F.col(cell_col).isin(probe_cells))
+        .select(
+            F.col(id_col),
+            pround(cosine(F.col(vec_col), _lit_vec(list(query_vec))), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1,0 +1,414 @@
+"""Durable fit artifacts: save/load for fitted models and dedup indexes.
+
+A 100 TB pipeline fits nothing per run: BM25 corpus weights, PCA models,
+k-means/IVF codebooks, and dedup fingerprint/MinHash indexes are computed
+ONCE on the corpus and then probed by every later batch, stream, or query
+session. Within a session the engine already amortizes these via the
+``weights=`` / ``fitted=`` / ``corpus_fps=`` parameters; this module makes
+the artifacts durable so a FRESH session reloads them instead of refitting
+(VERDICT r6 next-round #1).
+
+Storage layout — the versioned-snapshot idiom of ``write_versioned``
+(``sources/io.py:261``) generalized to multi-part artifacts::
+
+    path/
+      LATEST              <- pointer file, swapped atomically LAST
+      v=1/
+        _META.json        <- params + framework versions + corpus digest
+        <part>/...parquet <- one parquet dir per named DataFrame part
+
+Guarantees inherited from the pointer protocol: readers never observe a
+partial artifact (the pointer names a version only after every part and
+the meta are fully written); concurrent writers each claim their own
+``v=N`` by atomic ``mkdir``; old versions remain readable for pinning/
+rollback until expired. Numeric fidelity: every tensor travels as parquet
+``double`` columns — an exact IEEE-754 round trip, so a reloaded model
+answers BIT-IDENTICALLY to the fit-time object (gated by
+``x_pca_persisted`` / ``x_bm25_topk_indexed``).
+
+Staleness: ``corpus_digest`` produces a cheap order-independent content
+fingerprint (count + XOR of row hashes — one scan, no shuffle beyond a
+scalar agg); savers stamp it into the meta and ``is_current`` lets callers
+refit when the corpus moved. This is advisory (a digest collision is
+~2⁻⁶⁴), not a lock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "save_artifact",
+    "load_artifact",
+    "load_artifact_meta",
+    "list_artifact_versions",
+    "expire_artifact_versions",
+    "corpus_digest",
+    "is_current",
+    "save_bm25_index",
+    "load_bm25_index",
+    "save_pca_model",
+    "load_pca_model",
+    "save_centroids",
+    "load_centroids",
+    "save_fingerprint_index",
+    "load_fingerprint_index",
+    "save_minhash_index",
+    "load_minhash_index",
+]
+
+_META = "_META.json"
+_LATEST = "LATEST"
+
+
+# ---------------------------------------------------------------- generic
+
+
+def save_artifact(
+    path: str,
+    parts: dict[str, DataFrame],
+    meta: dict | None = None,
+) -> int:
+    """Write a multi-part artifact as one atomic versioned snapshot.
+
+    Every DataFrame in ``parts`` lands under ``path/v=N/<name>``; ``meta``
+    (JSON-serializable) is written alongside as ``_META.json``; only then
+    is the ``LATEST`` pointer swapped (``os.replace`` — atomic on POSIX).
+    A writer that dies mid-way leaves an orphan ``v=N`` no reader ever
+    sees. Returns the committed version number.
+
+    Part names are path components — keep them ``[A-Za-z0-9_]``.
+    """
+    for name in parts:
+        if not name or any(c in name for c in "/\\. "):
+            raise ValueError(f"save_artifact: bad part name {name!r}")
+    os.makedirs(path, exist_ok=True)
+    n = 0
+    for d in os.listdir(path):
+        if d.startswith("v=") and d[2:].isdigit():
+            n = max(n, int(d[2:]))
+    while True:
+        n += 1
+        target = os.path.join(path, f"v={n}")
+        try:
+            os.mkdir(target)  # atomic claim: exactly one writer gets N
+            break
+        except FileExistsError:
+            continue
+    for name, df in parts.items():
+        df.write.mode("overwrite").parquet(os.path.join(target, name))
+    with open(os.path.join(target, _META), "w") as f:
+        json.dump({"parts": sorted(parts), **(meta or {})}, f)
+    tmp = os.path.join(path, f".{_LATEST}.tmp.{n}")
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.replace(tmp, os.path.join(path, _LATEST))  # atomic commit
+    return n
+
+
+def _resolve_version(path: str, version: int | None) -> int:
+    if version is None:
+        with open(os.path.join(path, _LATEST)) as f:
+            version = int(f.read().strip())
+    return version
+
+
+def load_artifact_meta(path: str, version: int | None = None) -> dict:
+    """The committed (or pinned) version's ``_META.json``."""
+    v = _resolve_version(path, version)
+    with open(os.path.join(path, f"v={v}", _META)) as f:
+        return json.load(f)
+
+
+def load_artifact(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+) -> tuple[dict[str, DataFrame], dict]:
+    """Read back ``(parts, meta)`` for the committed (or pinned) version."""
+    v = _resolve_version(path, version)
+    base = os.path.join(path, f"v={v}")
+    with open(os.path.join(base, _META)) as f:
+        meta = json.load(f)
+    parts = {
+        name: spark.read.parquet(os.path.join(base, name))
+        for name in meta["parts"]
+    }
+    return parts, meta
+
+
+def list_artifact_versions(path: str) -> list[int]:
+    """Committed + orphan snapshot versions present under ``path``."""
+    return sorted(
+        int(d[2:])
+        for d in os.listdir(path)
+        if d.startswith("v=") and d[2:].isdigit()
+    )
+
+
+def expire_artifact_versions(path: str, keep: int = 1) -> list[int]:
+    """Retention: drop old versions, keeping the newest ``keep`` committed
+    ones (the pointer target always survives; claims newer than the
+    pointer belong to in-flight writers and are never touched)."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    with open(os.path.join(path, _LATEST)) as f:
+        latest = int(f.read().strip())
+    committed = [v for v in list_artifact_versions(path) if v <= latest]
+    keep_set = set(sorted(committed, reverse=True)[:keep]) | {latest}
+    removed = []
+    for v in committed:
+        if v not in keep_set:
+            shutil.rmtree(os.path.join(path, f"v={v}"))
+            removed.append(v)
+    return removed
+
+
+def corpus_digest(df: DataFrame, cols: list[str] | None = None) -> str:
+    """Order-independent content fingerprint of a corpus: row count +
+    XOR of per-row ``xxhash64`` over ``cols`` (default: all columns).
+    One scan, scalar aggregate — cheap enough to run per load to decide
+    fit-vs-reload. XOR is commutative/associative, so the digest is
+    independent of partitioning and row order."""
+    cs = cols or df.columns
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in cs])).alias("x"),
+    ).first()
+    return f"{row['n']}:{row['x']}"
+
+
+def is_current(path: str, digest: str, version: int | None = None) -> bool:
+    """True when a committed artifact exists at ``path`` and its stamped
+    ``corpus_digest`` equals ``digest`` (refit trigger otherwise)."""
+    try:
+        meta = load_artifact_meta(path, version)
+    except (FileNotFoundError, NotADirectoryError, ValueError):
+        return False
+    return meta.get("corpus_digest") == digest
+
+
+# ------------------------------------------------------- numpy <-> frame
+
+
+def _matrix_frame(spark: SparkSession, name: str, mat: np.ndarray) -> DataFrame:
+    """A matrix as (row_idx, row array<double>) — exact double round trip,
+    row order recoverable by sort regardless of file/partition layout."""
+    m = np.asarray(mat, dtype=np.float64)
+    rows = [(i, [float(x) for x in m[i]]) for i in range(m.shape[0])]
+    return spark.createDataFrame(rows, "row_idx int, vals array<double>")
+
+
+def _frame_matrix(df: DataFrame) -> np.ndarray:
+    rows = df.orderBy("row_idx").collect()
+    return np.array([r["vals"] for r in rows], dtype=np.float64)
+
+
+# ----------------------------------------------------------------- BM25
+
+
+def save_bm25_index(
+    weights: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    corpus_digest: str | None = None,
+) -> int:
+    """Persist a :func:`~...operators.text.bm25` weights frame — the
+    fit-once/query-many retrieval index. The weights relation is
+    corpus-scale (one row per (doc, term)), so this is a plain
+    distributed parquet write; ``bm25_topk(weights=load_bm25_index(...))``
+    then answers query batches with zero corpus passes."""
+    return save_artifact(
+        path,
+        {"weights": weights},
+        {
+            "kind": "bm25",
+            "id_col": id_col,
+            "k1": k1,
+            "b": b,
+            "corpus_digest": corpus_digest,
+        },
+    )
+
+
+def load_bm25_index(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    parts, meta = load_artifact(spark, path, version)
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"not a bm25 artifact: {path} ({meta.get('kind')})")
+    return parts["weights"]
+
+
+# ------------------------------------------------------------------ PCA
+
+
+def save_pca_model(
+    spark: SparkSession,
+    path: str,
+    components: np.ndarray,
+    explained_variance: np.ndarray,
+    mean: np.ndarray,
+    total_variance: float,
+    corpus_digest: str | None = None,
+) -> int:
+    """Persist a :func:`pca_fit_stats` 4-tuple. All numerics travel as
+    parquet doubles (exact round trip — the reload is bit-identical, so
+    ``pca_transform``/``pca_topk(fitted=...)`` against the loaded model
+    reproduce the fit-session plans and outputs exactly)."""
+    comps = np.asarray(components, dtype=np.float64)
+    scalars = spark.createDataFrame(
+        [(
+            [float(x) for x in np.asarray(explained_variance, np.float64)],
+            [float(x) for x in np.asarray(mean, np.float64)],
+            float(total_variance),
+        )],
+        "eig array<double>, mean array<double>, total_var double",
+    )
+    return save_artifact(
+        path,
+        {"components": _matrix_frame(spark, "components", comps),
+         "scalars": scalars},
+        {
+            "kind": "pca",
+            "k": int(comps.shape[0]),
+            "dim": int(comps.shape[1]),
+            "corpus_digest": corpus_digest,
+        },
+    )
+
+
+def load_pca_model(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """Reload ``(components, explained_variance, mean, total_variance)``
+    — plugs straight into ``pca_transform`` / ``pca_topk(fitted=...)``."""
+    parts, meta = load_artifact(spark, path, version)
+    if meta.get("kind") != "pca":
+        raise ValueError(f"not a pca artifact: {path} ({meta.get('kind')})")
+    comps = _frame_matrix(parts["components"])
+    row = parts["scalars"].first()
+    return (
+        comps,
+        np.array(row["eig"], dtype=np.float64),
+        np.array(row["mean"], dtype=np.float64),
+        float(row["total_var"]),
+    )
+
+
+# ----------------------------------------------------- k-means / IVF
+
+
+def save_centroids(
+    spark: SparkSession,
+    path: str,
+    centroids: np.ndarray,
+    corpus_digest: str | None = None,
+    kind: str = "centroids",
+) -> int:
+    """Persist a k-means/IVF codebook (k x dim doubles) — the fit-once
+    artifact behind ``kmeans_assign``, ``ivf_topk``, and the cell-
+    partitioned corpus layout (``x_ivf_pruned``)."""
+    return save_artifact(
+        path,
+        {"centroids": _matrix_frame(spark, "centroids", centroids)},
+        {
+            "kind": kind,
+            "k": int(np.asarray(centroids).shape[0]),
+            "dim": int(np.asarray(centroids).shape[1]),
+            "corpus_digest": corpus_digest,
+        },
+    )
+
+
+def load_centroids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> np.ndarray:
+    parts, meta = load_artifact(spark, path, version)
+    if meta.get("kind") not in ("centroids", "ivf", "kmeans"):
+        raise ValueError(f"not a centroid artifact: {path} ({meta.get('kind')})")
+    return _frame_matrix(parts["centroids"])
+
+
+# ------------------------------------------- dedup / decontamination
+
+
+def save_fingerprint_index(
+    fps: DataFrame,
+    path: str,
+    fp_col: str = "fp",
+    corpus_digest: str | None = None,
+) -> int:
+    """Persist an exact-dedup fingerprint index (one 32-char md5 per
+    distinct normalized corpus text — ``corpus_fingerprint_index``).
+    At 100 TB this is the index ``dedup_against_corpus`` and
+    ``decontaminate_stream`` probe every ingest: orders of magnitude
+    smaller than the corpus, written once, re-read per batch/stream.
+    Rows are repartitioned by the fingerprint before writing so any
+    later bucketed/clustered probe layout can build on stable files."""
+    return save_artifact(
+        path,
+        {"fps": fps.repartition(F.col(fp_col))},
+        {"kind": "fingerprints", "fp_col": fp_col, "corpus_digest": corpus_digest},
+    )
+
+
+def load_fingerprint_index(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    parts, meta = load_artifact(spark, path, version)
+    if meta.get("kind") != "fingerprints":
+        raise ValueError(f"not a fingerprint artifact: {path} ({meta.get('kind')})")
+    return parts["fps"]
+
+
+def save_minhash_index(
+    band_index: DataFrame,
+    path: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    corpus_digest: str | None = None,
+) -> int:
+    """Persist a banded-MinHash bucket index (distinct ``(band, bucket)``
+    rows from ``corpus_minhash_band_index``) together with the hash
+    config that produced it. The config is PART of the index: a probe
+    only collides with the corpus if both sides used identical
+    ``num_hashes``/``bands``/``shingle_k`` (the seeds are baked into the
+    engine's ``xxhash64(shingle, i)`` scheme), so loaders get it back
+    and must feed it to the probe side — ``decontaminate_stream_fuzzy``
+    does this automatically."""
+    return save_artifact(
+        path,
+        {"bands": band_index},
+        {
+            "kind": "minhash_bands",
+            "num_hashes": int(num_hashes),
+            "bands": int(bands),
+            "shingle_k": int(shingle_k),
+            "corpus_digest": corpus_digest,
+        },
+    )
+
+
+def load_minhash_index(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[DataFrame, dict]:
+    """Reload ``(band_index, config)`` — config carries ``num_hashes``,
+    ``bands``, ``shingle_k`` for the probe side."""
+    parts, meta = load_artifact(spark, path, version)
+    if meta.get("kind") != "minhash_bands":
+        raise ValueError(f"not a minhash artifact: {path} ({meta.get('kind')})")
+    return parts["bands"], {
+        "num_hashes": meta["num_hashes"],
+        "bands": meta["bands"],
+        "shingle_k": meta["shingle_k"],
+    }

@@ -208,6 +208,86 @@ def decontaminate_stream(
     )
 
 
+def decontaminate_stream_fuzzy(
+    stream: DataFrame,
+    band_index: DataFrame,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "clean",
+    sink_path: str | None = None,
+) -> DataFrame:
+    """Stream-static NEAR-dup decontamination: route arriving documents by
+    banded-MinHash membership in a static corpus index — the fuzzy upgrade
+    of :func:`decontaminate_stream` (VERDICT r6 next-round #5). Exact
+    fingerprints catch byte-level re-ingests; this tier also drops
+    documents that are near-duplicates (Jaccard ≥ the threshold the index
+    was banded for) of anything already in the training set.
+
+    ``band_index`` is ``operators.dedup.corpus_minhash_band_index`` output
+    — distinct ``(band, bucket)`` rows, typically reloaded via
+    ``sources.artifacts.load_minhash_index`` (which also returns the
+    ``num_hashes``/``bands``/``shingle_k`` config the index was built
+    with; the stream side MUST use the same config or nothing collides).
+
+    Implementation is ``foreachBatch``: each micro-batch runs the exact
+    BATCH probe kernel (``minhash_band_probe`` — vectorized shingle
+    explode + signature aggregation + two semi/anti joins), so the
+    streaming guard's per-document decision is IDENTICAL BY CONSTRUCTION
+    to the batch path (same hash seeds, same banding expressions). This
+    is the scalable shape for a signature computation that needs a
+    groupBy: a per-row higher-order min-hash expression would be
+    interpreted CodegenFallback (the SRP lesson), and a streaming
+    aggregation would drag in state-store semantics the guard doesn't
+    need — inside foreachBatch the micro-batch is a plain bounded frame.
+
+    Synchronous driver (bounded sources / tests): processes all available
+    input and returns the routed result as a batch DataFrame. With
+    ``sink_path`` the per-batch output is also appended as parquet (the
+    production sink; exactly-once per micro-batch relies on the sink's
+    idempotence — use the versioned sink for atomic publishing).
+    """
+    from data_engineering_capstone_project__spark.operators.dedup import (
+        minhash_band_probe,
+    )
+
+    spark = stream.sparkSession
+    acc: list[DataFrame] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = minhash_band_probe(
+            batch_df,
+            band_index,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            keep=keep,
+        )
+        if sink_path is not None:
+            routed.write.mode("append").parquet(sink_path)
+        else:
+            # bounded test/driver path: accumulate micro-batch results as
+            # a persisted union (each micro-batch is small by definition)
+            acc.append(routed.persist())
+            acc[-1].count()
+
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if sink_path is not None:
+        return spark.read.parquet(sink_path)
+    out = spark.createDataFrame([], stream.schema)
+    for part in acc:
+        out = out.unionByName(part)
+    return out
+
+
 def stateful_running_count(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -1,0 +1,302 @@
+"""Durable fit artifacts: atomic versioned save/load, fresh-session reload
+parity, and the IVF cell-partitioned scan-pruning path (VERDICT r6
+next-round #1/#2/#5)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.operators import dedup, similarity, text
+from data_engineering_capstone_project__spark.plans.inspect import (
+    executed_scan_metrics,
+    partition_filters,
+)
+from data_engineering_capstone_project__spark.sources import artifacts as art
+
+
+# ---------------------------------------------------------------- generic
+
+
+def test_save_load_roundtrip_and_meta(spark, tmp_path):
+    p = str(tmp_path / "a1")
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("y"))
+    v = art.save_artifact(p, {"main": df}, {"kind": "demo", "alpha": 0.5})
+    assert v == 1
+    parts, meta = art.load_artifact(spark, p)
+    assert meta["kind"] == "demo" and meta["alpha"] == 0.5
+    assert sorted(r["y"] for r in parts["main"].collect()) == [
+        2 * i for i in range(10)
+    ]
+
+
+def test_versions_bump_and_pin(spark, tmp_path):
+    p = str(tmp_path / "a2")
+    art.save_artifact(p, {"m": spark.range(1)}, {"tag": "first"})
+    art.save_artifact(p, {"m": spark.range(5)}, {"tag": "second"})
+    assert art.list_artifact_versions(p) == [1, 2]
+    assert art.load_artifact_meta(p)["tag"] == "second"
+    parts, meta = art.load_artifact(spark, p, version=1)  # time travel
+    assert meta["tag"] == "first" and parts["m"].count() == 1
+
+
+def test_orphan_claim_invisible(spark, tmp_path):
+    """A crashed writer's claimed-but-uncommitted version is never read."""
+    p = str(tmp_path / "a3")
+    art.save_artifact(p, {"m": spark.range(3)}, {"tag": "good"})
+    os.mkdir(os.path.join(p, "v=2"))  # simulated dead writer's claim
+    assert art.load_artifact_meta(p)["tag"] == "good"
+    # next writer skips the orphaned claim rather than reusing it
+    v = art.save_artifact(p, {"m": spark.range(4)}, {"tag": "next"})
+    assert v == 3 and art.load_artifact_meta(p)["tag"] == "next"
+
+
+def test_expire_keeps_latest(spark, tmp_path):
+    p = str(tmp_path / "a4")
+    for i in range(4):
+        art.save_artifact(p, {"m": spark.range(i + 1)}, {"i": i})
+    removed = art.expire_artifact_versions(p, keep=2)
+    assert removed == [1, 2]
+    assert art.load_artifact_meta(p)["i"] == 3
+    parts, _ = art.load_artifact(spark, p, version=3)
+    assert parts["m"].count() == 3
+
+
+def test_bad_part_name_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="bad part name"):
+        art.save_artifact(str(tmp_path / "a5"), {"..": spark.range(1)})
+
+
+def test_corpus_digest_order_independent(spark, tmp_path):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    d1 = art.corpus_digest(df)
+    d2 = art.corpus_digest(df.orderBy(F.col("id").desc()).repartition(7))
+    assert d1 == d2
+    assert art.corpus_digest(df.filter("id < 99")) != d1
+    p = str(tmp_path / "a6")
+    assert not art.is_current(p, d1)  # nothing saved yet
+    art.save_artifact(p, {"m": df}, {"corpus_digest": d1})
+    assert art.is_current(p, d1)
+    assert not art.is_current(p, "0:0")
+
+
+# -------------------------------------------------- typed model artifacts
+
+
+def test_pca_model_bit_identical_roundtrip(spark, sf_dir, tmp_path):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    comps, eig, mean, tv = similarity.pca_fit_stats(e, k=4)
+    p = str(tmp_path / "pca")
+    art.save_pca_model(spark, p, comps, eig, mean, tv, corpus_digest="d")
+    c2, e2, m2, tv2 = art.load_pca_model(spark, p)
+    # parquet doubles are an exact IEEE round trip: bit identity, not allclose
+    assert np.array_equal(comps, c2)
+    assert np.array_equal(eig, e2)
+    assert np.array_equal(mean, m2)
+    assert tv == tv2
+    with pytest.raises(ValueError, match="not a centroid artifact"):
+        art.load_centroids(spark, p)
+
+
+def test_centroids_roundtrip(spark, tmp_path):
+    cents = np.arange(24, dtype=np.float64).reshape(4, 6) / 7.0
+    p = str(tmp_path / "cents")
+    art.save_centroids(spark, p, cents)
+    assert np.array_equal(art.load_centroids(spark, p), cents)
+    assert art.load_artifact_meta(p)["k"] == 4
+
+
+def test_bm25_index_fresh_session_parity(spark, sf_dir, tmp_path):
+    """The production retrieval shape: fit + save in one session; a FRESH
+    session (new session state, nothing fitted) reloads the index and
+    must answer query batches identically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = text.bm25(docs)
+    p = str(tmp_path / "bm25")
+    art.save_bm25_index(w, p, corpus_digest=art.corpus_digest(docs, ["doc_id", "text"]))
+    queries = {"q0": "the data pipeline", "q1": "model training quality"}
+    fit_rows = sorted(
+        (r["query_id"], r["doc_id"], str(r["score"]), r["rn"])
+        for r in text.bm25_topk(None, queries, k=5, weights=w).collect()
+    )
+    fresh = spark.newSession()
+    w2 = art.load_bm25_index(fresh, p)
+    got = sorted(
+        (r["query_id"], r["doc_id"], str(r["score"]), r["rn"])
+        for r in text.bm25_topk(None, queries, k=5, weights=w2).collect()
+    )
+    # (q1's terms may be absent from the tiny sf0.001 vocabulary — parity
+    # is the claim; q0's stopword-ish terms guarantee a non-empty result)
+    assert got == fit_rows and len(got) >= 5
+
+
+def test_fingerprint_index_dedup_parity(spark, sf_dir, tmp_path):
+    """dedup_against_corpus probing a SAVED index equals the text path."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        corpus.filter(F.col("doc_id") < 10).withColumn(
+            "doc_id", F.col("doc_id") + 500000
+        )
+    )
+    expected = sorted(
+        r["doc_id"] for r in dedup.dedup_against_corpus(batch, corpus).collect()
+    )
+    p = str(tmp_path / "fps")
+    art.save_fingerprint_index(corpus_fingerprint_index(corpus), p)
+    fresh = spark.newSession()
+    idx = art.load_fingerprint_index(fresh, p)
+    batch2 = fresh.read.parquet(f"{sf_dir}/documents.parquet")
+    batch2 = batch2.filter(F.col("doc_id") % 2 == 1).unionByName(
+        batch2.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 10))
+        .withColumn("doc_id", F.col("doc_id") + 500000)
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_against_corpus(batch2, corpus_fps=idx).collect()
+    )
+    assert got == expected and len(got) > 0
+    with pytest.raises(ValueError, match="need corpus_df or corpus_fps"):
+        dedup.dedup_against_corpus(batch)
+
+
+def test_minhash_index_roundtrip_and_probe(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    nh, b = 32, 8
+    idx = dedup.corpus_minhash_band_index(corpus, num_hashes=nh, bands=b)
+    p = str(tmp_path / "mh")
+    art.save_minhash_index(idx, p, num_hashes=nh, bands=b, shingle_k=5)
+    fresh = spark.newSession()
+    loaded, cfg = art.load_minhash_index(fresh, p)
+    assert cfg == {"num_hashes": nh, "bands": b, "shingle_k": 5}
+    batch = fresh.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") >= 100
+    )
+    clean = dedup.minhash_band_probe(
+        batch, loaded, num_hashes=nh, bands=b, keep="clean"
+    )
+    contam = dedup.minhash_band_probe(
+        batch, loaded, num_hashes=nh, bands=b, keep="contaminated"
+    )
+    n_batch, n_clean, n_contam = batch.count(), clean.count(), contam.count()
+    assert n_clean + n_contam == n_batch
+    # an exact copy of a corpus doc collides in EVERY band -> always dropped
+    copy = corpus.limit(1).withColumn("doc_id", F.lit(999999).cast("long"))
+    assert (
+        dedup.minhash_band_probe(
+            copy, loaded, num_hashes=nh, bands=b, keep="clean"
+        ).count()
+        == 0
+    )
+
+
+# ------------------------------------------------- IVF partition pruning
+
+
+def test_ivf_corpus_scan_pruning(spark, sf_dir, tmp_path):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = similarity.kmeans_centroids(e, n_centroids=8, n_iter=5, sample_rows=300)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    path = str(tmp_path / "ivf_corpus")
+    similarity.write_ivf_corpus(e, path, cents)
+    corpus = spark.read.parquet(path)
+    n_cells = corpus.select("ivf_cell").distinct().count()
+    assert n_cells > 4  # the probe below must have something to prune
+    pruned = similarity.ivf_topk_pruned(corpus, q, cents, k=10, nprobe=4)
+    # 1. static plan: the cell filter reached PartitionFilters
+    pf = partition_filters(pruned)
+    assert any("ivf_cell" in f for f in pf), pf
+    # 2. runtime scan metrics: only the nprobe probed directories listed
+    m = executed_scan_metrics(pruned)
+    assert m["numPartitions"] == 4, m
+    # 3. results identical to the expression-filter ivf_topk on the raw frame
+    base = similarity.ivf_topk(e, q, cents, k=10, nprobe=4)
+    assert [tuple(r) for r in pruned.collect()] == [
+        tuple(r) for r in base.collect()
+    ]
+    # 4. corrupt-file canary: garbage in a NON-probed cell is never opened
+    qa = np.asarray(q)
+    probe = set(
+        int(i)
+        for i in ((cents - qa[None, :]) ** 2).sum(1).argsort()[:4]
+    )
+    victim = next(
+        r["ivf_cell"]
+        for r in corpus.select("ivf_cell").distinct().collect()
+        if r["ivf_cell"] not in probe
+    )
+    with open(os.path.join(path, f"ivf_cell={victim}", "junk.parquet"), "w") as fh:
+        fh.write("not a parquet file")
+    reread = spark.read.parquet(path)
+    pruned2 = similarity.ivf_topk_pruned(reread, q, cents, k=10, nprobe=4)
+    assert [tuple(r) for r in pruned2.collect()] == [
+        tuple(r) for r in base.collect()
+    ]
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Could not read"):
+        reread.filter(F.col("ivf_cell") == victim).collect()
+
+
+# ------------------------------------------- fuzzy stream decontamination
+
+
+def test_decontaminate_stream_fuzzy_matches_batch(spark, sf_dir, tmp_path):
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        decontaminate_stream_fuzzy,
+        stream_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 200)
+    nh, b = 32, 8
+    idx = dedup.corpus_minhash_band_index(corpus, num_hashes=nh, bands=b).persist()
+    idx.count()
+    streamed = decontaminate_stream_fuzzy(
+        stream_documents(spark, sf_dir), idx, num_hashes=nh, bands=b
+    )
+    got = sorted(r["doc_id"] for r in streamed.select("doc_id").collect())
+    batch_ref = dedup.minhash_band_probe(docs, idx, num_hashes=nh, bands=b)
+    expected = sorted(r["doc_id"] for r in batch_ref.select("doc_id").collect())
+    assert got == expected
+    # exact corpus members collide in every band -> never pass the guard
+    assert all(d >= 200 for d in got)
+    # near-dup semantics: some non-corpus docs must also have been dropped
+    # on this tiny-vocab corpus (band collisions beyond exact membership)
+    n_total = docs.count()
+    assert len(got) < n_total - 200
+    idx.unpersist()
+
+
+def test_decontaminate_stream_fuzzy_sink_path(spark, sf_dir, tmp_path):
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        decontaminate_stream_fuzzy,
+        stream_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 200)
+    idx = dedup.corpus_minhash_band_index(corpus, num_hashes=16, bands=4)
+    sink = str(tmp_path / "clean_out")
+    out = decontaminate_stream_fuzzy(
+        stream_documents(spark, sf_dir),
+        idx,
+        num_hashes=16,
+        bands=4,
+        keep="contaminated",
+        sink_path=sink,
+    )
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert set(range(200)) <= got  # every exact corpus member surfaced
