@@ -5261,6 +5261,514 @@ FROM embeddings WHERE vec_id < 1000
 # Contract surface
 # ---------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Durable fit artifacts (round 7): fit-once/query-many models and indexes
+# persisted via the atomic versioned artifact store and RELOADED IN A FRESH
+# SESSION (``spark.newSession()`` — new session state, nothing fitted) before
+# answering. The gates prove the production cross-session story: a 100 TB
+# pipeline refits nothing per run.
+
+_ARTIFACT_ROOT = "/tmp/spark_graft_artifacts/r7"
+
+
+def _artifact_dir(name: str, digest: str) -> str:
+    safe = digest.replace(":", "_").replace("-", "m")
+    return f"{_ARTIFACT_ROOT}/{name}_{safe}"
+
+
+def x_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval through a PERSISTED index: the weights frame is fit
+    and saved once (digest-keyed — refit only when the corpus content
+    changes), then a FRESH session reloads it and answers the same query
+    batch as ``x_bm25_topk`` with ZERO corpus passes. Hash-exact against
+    the same from-scratch oracle, so any loss in the save/load round trip
+    (float fidelity, row loss, schema drift) fails the gate. This is also
+    the headline bench entry for the recommended production retrieval
+    shape (VERDICT r6 #8): steady-state runs measure reload + query, not
+    the fit."""
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    dg = art.corpus_digest(d, ["doc_id", "text"])
+    path = _artifact_dir("bm25", dg)
+    if not art.is_current(path, dg):
+        art.save_bm25_index(text.bm25(d), path, corpus_digest=dg)
+    fresh = spark.newSession()
+    w = art.load_bm25_index(fresh, path)
+    return text.bm25_topk(
+        None,
+        {"q_scan": "hash scan filter", "q_stream": "stream window watermark"},
+        k=10,
+        weights=w,
+    )
+
+
+def x_pca_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA model persistence + fresh-session reload: the fitted
+    ``(components, eigenvalues, mean, total_variance)`` travel as parquet
+    doubles (exact IEEE round trip — bit identity unit-proved in
+    ``tests/test_artifacts.py``); here a FRESH session reloads the model
+    and must be able to USE it — the loaded components stay orthonormal,
+    and a full distributed ``pca_transform`` of the corpus under the
+    loaded model reproduces each eigenvalue as its empirical per-column
+    variance (1e-6 relative) with per-column mean ≈ 0. A stale, corrupt,
+    or lossy artifact flips a boolean. n_points and dim are SQL-exact."""
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    k = 8
+    dg = art.corpus_digest(e, ["vec_id", "embedding"])
+    path = _artifact_dir("pca", dg)
+    if not art.is_current(path, dg):
+        comps, eig, mean, tv = similarity.pca_fit_stats(base, k, vec_col="embedding")
+        art.save_pca_model(spark, path, comps, eig, mean, tv, corpus_digest=dg)
+    fresh = spark.newSession()
+    comps, eig, mean, tv = art.load_pca_model(fresh, path)
+    dim = comps.shape[1]
+    gram = comps @ comps.T
+    orthonormal = bool(np.abs(gram - np.eye(k)).max() < 1e-9)
+    base_f = fresh.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    proj = similarity.pca_transform(base_f, comps, mean, vec_col="embedding")
+    pstats = (
+        proj.select(F.posexplode("pca").alias("_pos", "_y"))
+        .groupBy("_pos")
+        .agg(
+            F.sum("_y").alias("sy"),
+            F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    n_points = pstats[0]["n"]
+    pvar = {r["_pos"]: (r["syy"] - r["sy"] * r["sy"] / r["n"]) / r["n"] for r in pstats}
+    pmean = {r["_pos"]: r["sy"] / r["n"] for r in pstats}
+    scale = max(tv / dim, 1e-12)
+    proj_var_ok = all(
+        abs(pvar[i] - float(eig[i])) <= 1e-6 * max(float(eig[i]), scale)
+        for i in range(k)
+    )
+    centered_ok = all(abs(pmean[i]) <= 1e-9 * max(1.0, scale) for i in range(k))
+    return spark.createDataFrame(
+        [(n_points, dim, k, orthonormal, proj_var_ok, centered_ok)],
+        "n_points bigint, dim int, k int, loaded_orthonormal boolean, "
+        "proj_var_matches_eig boolean, centered_ok boolean",
+    )
+
+
+X_PCA_PERSISTED_SQL = """
+SELECT COUNT(*) AS n_points,
+       CAST(MAX(len(embedding)) AS INT) AS dim,
+       8 AS k,
+       TRUE AS loaded_orthonormal,
+       TRUE AS proj_var_matches_eig,
+       TRUE AS centered_ok
+FROM embeddings
+"""
+
+
+def _incr_dedup_batch(docs: DataFrame) -> DataFrame:
+    """The x_incremental_dedup batch shape (odd-id docs + planted corpus
+    re-ingests + planted within-batch copies), from any session's docs."""
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            corpus.filter(F.col("doc_id") < 20).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 10)).withColumn(
+                "doc_id", F.col("doc_id") + 2000000
+            )
+        )
+    )
+
+
+def x_incremental_dedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup against a WRITTEN fingerprint index
+    (upgrading ``x_incremental_dedup`` per VERDICT r6 #1): the corpus's
+    fingerprint index is persisted once via the versioned artifact store;
+    a FRESH session reloads it and runs ``dedup_against_corpus(
+    corpus_fps=...)`` — the corpus text is never touched at probe time.
+    Same oracle as ``x_incremental_dedup``, hash-exact: a lossy index
+    write (dropped/duplicated fingerprints) changes the kept set."""
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    dg = art.corpus_digest(corpus, ["doc_id", "text"])
+    path = _artifact_dir("fps_even", dg)
+    if not art.is_current(path, dg):
+        art.save_fingerprint_index(
+            corpus_fingerprint_index(corpus), path, corpus_digest=dg
+        )
+    fresh = spark.newSession()
+    idx = art.load_fingerprint_index(fresh, path)
+    batch = _incr_dedup_batch(fresh.read.parquet(f"{sf_dir}/documents.parquet"))
+    return dedup.dedup_against_corpus(batch, corpus_fps=idx)
+
+
+def x_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRUE scan-time partition pruning, end-to-end (VERDICT
+    r6 #2): the codebook is fit and saved once, the corpus is written
+    ``partitionBy('ivf_cell')`` under the same digest key, and a FRESH
+    session reloads both and probes. The oracle pins three booleans a
+    broken layout or probe must flip: (a) the probe's cell filter reached
+    the scan's ``PartitionFilters`` (static plan property — the pruning
+    contract); (b) the executed scan's runtime ``numPartitions`` metric
+    shows only the ``nprobe`` probed directories were LISTED (with >
+    nprobe cells present — ground truth, not a plan string); (c) the
+    pruned top-10 equals ``ivf_topk`` on the unpartitioned frame.
+    n_vectors is SQL-exact (the partitioned copy lost nothing)."""
+    from data_engineering_capstone_project__spark.plans.inspect import (
+        executed_scan_metrics,
+        partition_filters,
+    )
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    dg = art.corpus_digest(e, ["vec_id", "embedding"])
+    cpath = _artifact_dir("ivf_centroids", dg)
+    data_path = _artifact_dir("ivf_corpus", dg) + "/data"
+    if not art.is_current(cpath, dg):
+        cents = similarity.kmeans_centroids(
+            base, n_centroids=8, n_iter=5, sample_rows=500
+        )
+        # corpus first, pointer (centroids artifact) last: a crash between
+        # the two leaves no committed artifact, so the next run refits
+        similarity.write_ivf_corpus(base, data_path, cents)
+        art.save_centroids(spark, cpath, cents, corpus_digest=dg)
+    fresh = spark.newSession()
+    cents = art.load_centroids(fresh, cpath)
+    corpus = fresh.read.parquet(data_path)
+    qrow = base.filter(F.col("vec_id") == 1).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    nprobe = 4
+    pruned = similarity.ivf_topk_pruned(corpus, q, cents, k=10, nprobe=nprobe)
+    plan_pruned = any("ivf_cell" in f for f in partition_filters(pruned))
+    metrics = executed_scan_metrics(pruned)
+    n_cells = corpus.select("ivf_cell").distinct().count()
+    scan_pruned = (
+        0 < metrics.get("numPartitions", 0) <= nprobe and n_cells > nprobe
+    )
+    n_vectors = corpus.count()
+    baseline = similarity.ivf_topk(base, q, cents, k=10, nprobe=nprobe)
+    matches = [tuple(r) for r in pruned.collect()] == [
+        tuple(r) for r in baseline.collect()
+    ]
+    return spark.createDataFrame(
+        [(n_vectors, 8, nprobe, plan_pruned, scan_pruned, matches)],
+        "n_vectors bigint, n_centroids int, nprobe int, "
+        "plan_has_partition_filter boolean, scan_listed_le_nprobe boolean, "
+        "matches_unpruned boolean",
+    )
+
+
+X_IVF_PRUNED_SQL = """
+SELECT COUNT(*) AS n_vectors,
+       8 AS n_centroids,
+       4 AS nprobe,
+       TRUE AS plan_has_partition_filter,
+       TRUE AS scan_listed_le_nprobe,
+       TRUE AS matches_unpruned
+FROM embeddings
+"""
+
+
+def x_stream_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static NEAR-dup decontamination (VERDICT r6 #5): documents
+    arrive as a stream and are dropped when any of their MinHash band
+    buckets appears in a static corpus index (docs < 200). The banding is
+    not SQL-expressible, so the gate is bound-checked in the house style:
+    SQL-exact stream/corpus counts plus oracle-pinned booleans —
+    (a) the streamed kept-set EQUALS the batch ``minhash_band_probe``
+    kept-set on identical data (the two paths share one kernel via
+    foreachBatch, so inequality means the streaming plumbing corrupted
+    rows); (b) every corpus member (an exact dup collides in EVERY band)
+    was dropped; (c) the guard subsumes the exact tier — no kept doc has
+    a fingerprint present in the corpus; (d) the fuzzy tier actually adds
+    drops beyond its own corpus membership (near-dup collisions exist on
+    this corpus)."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+        decontaminate_stream_fuzzy,
+        stream_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 200)
+    nh, nb = 32, 8
+    idx = dedup.corpus_minhash_band_index(
+        corpus, num_hashes=nh, bands=nb
+    ).persist()
+    idx.count()  # materialize once: every micro-batch probes it
+    streamed = decontaminate_stream_fuzzy(
+        stream_documents(spark, sf_dir), idx, num_hashes=nh, bands=nb
+    )
+    kept = {r["doc_id"] for r in streamed.select("doc_id").collect()}
+    batch_kept = {
+        r["doc_id"]
+        for r in dedup.minhash_band_probe(d, idx, num_hashes=nh, bands=nb)
+        .select("doc_id")
+        .collect()
+    }
+    matches_batch = kept == batch_kept
+    corpus_dropped = all(i >= 200 for i in kept)
+    # exact-tier reference: fingerprint NON-membership in the corpus index
+    # (NOT dedup_against_corpus, whose within-batch min-id rule also drops
+    # stream-internal copies the corpus guard rightly passes)
+    exact_clean = {
+        r["doc_id"]
+        for r in d.withColumn("_f", text.fingerprint(F.col("text")))
+        .join(
+            corpus_fingerprint_index(corpus),
+            F.col("_f") == F.col("fp"),
+            "left_anti",
+        )
+        .select("doc_id")
+        .collect()
+    }
+    subsumes_exact = kept <= exact_clean
+    n_stream = d.count()
+    n_corpus = corpus.count()
+    fuzzy_adds_drops = len(kept) < n_stream - n_corpus
+    idx.unpersist()
+    return spark.createDataFrame(
+        [(
+            n_stream,
+            n_corpus,
+            matches_batch,
+            corpus_dropped,
+            subsumes_exact,
+            fuzzy_adds_drops,
+        )],
+        "n_stream bigint, n_corpus bigint, matches_batch_probe boolean, "
+        "corpus_members_all_dropped boolean, subsumes_exact_tier boolean, "
+        "fuzzy_adds_drops boolean",
+    )
+
+
+X_STREAM_DECON_FUZZY_SQL = """
+SELECT (SELECT COUNT(*) FROM documents) AS n_stream,
+       (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
+       TRUE AS matches_batch_probe,
+       TRUE AS corpus_members_all_dropped,
+       TRUE AS subsumes_exact_tier,
+       TRUE AS fuzzy_adds_drops
+"""
+
+
+def x_ivf_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF retrieval (one corpus pass for a whole query FRAME —
+    the decontamination-at-scale ANN shape). Bound-checked like
+    ``x_ivf_topk``, per query: each of the three query vectors gets a
+    planted near-duplicate (id 999000+q, +0.01 on coordinate 0), the gate
+    emits the EXACT batched brute-force top-10 (hash-checked vs SQL) plus
+    two booleans the oracle pins TRUE — every planted neighbor sits in
+    its query's IVF top-2, and per-query IVF recall@10 vs exact clears
+    0.5 for ALL queries. A broken probe-cell derivation (the zipped
+    argsort), cell join, or group-limit flips a boolean."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qrows = sorted(
+        base.filter(F.col("vec_id").isin(1, 2, 3)).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    planted = spark.createDataFrame(
+        [
+            (999000 + r["vec_id"], [float(r["embedding"][0]) + 0.01]
+             + [float(x) for x in r["embedding"][1:]])
+            for r in qrows
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    corpus = base.unionByName(planted)
+    qdf = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],
+        "q_id bigint, q_vec array<double>",
+    )
+    cents = similarity.kmeans_centroids(
+        corpus, n_centroids=8, n_iter=5, sample_rows=500
+    )
+    ivf = similarity.ivf_topk_many(
+        corpus, qdf, cents, k=10, nprobe=4
+    ).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(ivf, key=lambda r: (r["q_id"], r["rank"])):
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    exact = similarity.cosine_topk_many(corpus, qdf, k=10)
+    exact_by_q: dict[int, set[int]] = {}
+    for r in exact.collect():
+        exact_by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    planted_ok = all(
+        999000 + q in by_q.get(q, [])[:2] for q in (1, 2, 3)
+    )
+    recall_ok = all(
+        len(set(by_q.get(q, [])) & exact_by_q[q]) / 10 >= 0.5
+        for q in (1, 2, 3)
+    )
+    return exact.withColumn(
+        "ivf_planted_in_top2_all", F.lit(planted_ok)
+    ).withColumn("ivf_recall_ge_05_all", F.lit(recall_ok))
+
+
+X_IVF_MANY_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM base WHERE vec_id IN (1,2,3)),
+planted AS (
+  SELECT 999000 + q_id AS vec_id,
+         [CASE WHEN i = 1 THEN qv[i] + 0.01 ELSE qv[i] END
+          FOR i IN range(1, len(qv) + 1)] AS embedding
+  FROM q),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         list_cosine_similarity(c.embedding, q.qv) AS raw
+  FROM corpus c CROSS JOIN q)
+SELECT q_id, vec_id, ROUND(raw, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY q_id ORDER BY ROUND(raw, 6) DESC, vec_id) AS BIGINT)
+         AS rank,
+       TRUE AS ivf_planted_in_top2_all,
+       TRUE AS ivf_recall_ge_05_all
+FROM scored QUALIFY rank <= 10
+"""
+
+
+def x_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: a cell-partitioned corpus
+    absorbs a NEW vector via ``append_ivf_corpus`` (cell assigned under
+    the existing codebook, appended into that cell's directory — no
+    refit, no rewrite), and the pruned probe immediately retrieves it.
+    Oracle pins: n_total is SQL-exact (base corpus + the one appended
+    row — the append lost/duplicated nothing), the appended near-dup
+    sits in the probe's top-2, and the probe still scanned ≤ nprobe
+    partitions (appending didn't break the pruned layout)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_capstone_project__spark.plans.inspect import (
+        executed_scan_metrics,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qrow = base.filter(F.col("vec_id") == 1).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    cents = similarity.kmeans_centroids(
+        base, n_centroids=8, n_iter=5, sample_rows=500
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        similarity.write_ivf_corpus(base, tmp, cents)
+        newbie = spark.createDataFrame(
+            [(999001, [q[0] + 0.01, *q[1:]])],
+            "vec_id bigint, embedding array<double>",
+        )
+        similarity.append_ivf_corpus(newbie, tmp, cents)
+        corpus = spark.read.parquet(tmp)
+        n_total = corpus.count()
+        pruned = similarity.ivf_topk_pruned(corpus, q, cents, k=10, nprobe=4)
+        metrics = executed_scan_metrics(pruned)
+        top = [r["vec_id"] for r in pruned.collect()]
+        planted_found = 999001 in top[:2]
+        scan_ok = 0 < metrics.get("numPartitions", 0) <= 4
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_total, planted_found, scan_ok)],
+        "n_total bigint, appended_in_top2 boolean, scan_listed_le_nprobe boolean",
+    )
+
+
+X_IVF_APPEND_SQL = """
+SELECT COUNT(*) + 1 AS n_total,
+       TRUE AS appended_in_top2,
+       TRUE AS scan_listed_le_nprobe
+FROM embeddings
+"""
+
+
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between versioned-sink snapshots: v1 publishes docs
+    < 300, v2 publishes docs < 200 plus docs in [300, 320) — the diff
+    must be exactly 100 deletes and 20 inserts, hash-exact including the
+    change tags. Exercises the full publish→publish→diff lifecycle of
+    the atomic snapshot sink (exceptAll multiset semantics, no key
+    column assumed)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_capstone_project__spark.sources.io import (
+        snapshot_diff,
+        write_versioned,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="snapdiff_")
+    try:
+        write_versioned(d.filter(F.col("doc_id") < 300), tmp)
+        write_versioned(
+            d.filter(
+                (F.col("doc_id") < 200)
+                | ((F.col("doc_id") >= 300) & (F.col("doc_id") < 320))
+            ),
+            tmp,
+        )
+        rows = [
+            (r["doc_id"], r["_change"])
+            for r in snapshot_diff(spark, tmp, 1, 2)
+            .select("doc_id", "_change")
+            .collect()
+        ]
+    finally:
+        # the diff frame reads the snapshot files lazily — materialized
+        # above (bounded: deletes + inserts), so the tempdir can go
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, change string")
+
+
+X_SNAPSHOT_DIFF_SQL = """
+SELECT doc_id, 'insert' AS change FROM documents
+WHERE doc_id >= 300 AND doc_id < 320
+UNION ALL
+SELECT doc_id, 'delete' AS change FROM documents
+WHERE doc_id >= 200 AND doc_id < 300
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -5401,6 +5909,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_length_buckets": (x_length_buckets, X_LENGTH_BUCKETS_SQL),
     "x_linear_score": (x_linear_score, X_LINEAR_SCORE_SQL),
     "x_semantic_dedup": (x_semantic_dedup, X_SEMANTIC_SQL),  # bound-checked
+    # round 7: durable fit artifacts + pruning + fuzzy stream guard
+    "x_bm25_topk_indexed": (x_bm25_topk_indexed, X_BM25_TOPK_SQL),
+    "x_pca_persisted": (x_pca_persisted, X_PCA_PERSISTED_SQL),  # bound-checked
+    "x_incremental_dedup_persisted": (
+        x_incremental_dedup_persisted,
+        X_INCR_DEDUP_SQL,
+    ),
+    "x_ivf_pruned": (x_ivf_pruned, X_IVF_PRUNED_SQL),  # bound-checked
+    "x_stream_decontaminate_fuzzy": (
+        x_stream_decontaminate_fuzzy,
+        X_STREAM_DECON_FUZZY_SQL,
+    ),  # bound-checked
+    "x_ivf_topk_many": (x_ivf_topk_many, X_IVF_MANY_SQL),  # bound-checked
+    "x_ivf_append": (x_ivf_append, X_IVF_APPEND_SQL),  # bound-checked
+    "x_snapshot_diff": (x_snapshot_diff, X_SNAPSHOT_DIFF_SQL),
 }
 
 

@@ -8,6 +8,13 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
 Each query is materialized with the no-op writer (full execution, no
 collect-to-driver cost in the measurement).
 
+Dual-total convention (keep in every future round's artifact): ``value``
+sums the FULL current headline set (forward-going number), while
+``total_r5_set`` sums only the 25-query legacy set measured since
+BENCH_r01 — the round-over-round comparable. New headline entries are
+appended to a per-round HEADLINE_R{N} list and contribute to ``value``
+only; never to ``total_r5_set``.
+
 The output is self-diagnosing (VERDICT r3 #4): before the session starts
 the harness records any ALREADY-RUNNING JVMs and the 1-minute loadavg,
 and re-checks after the run — three rounds of driver-side BENCH numbers
@@ -99,6 +106,14 @@ HEADLINE_R6 = [
     "x_pca",
 ]
 
+# Round-7 addition (VERDICT r6 #8): the INDEXED BM25 path — fit + save
+# happen once (digest-keyed artifact, paid by the discarded warm-up run);
+# steady-state runs measure reload + query, the recommended production
+# retrieval shape, alongside x_bm25_topk's fit-per-call convenience path.
+HEADLINE_R7 = [
+    "x_bm25_topk_indexed",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,7 +138,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     retried: list[str] = []
-    for name in HEADLINE + HEADLINE_R6:
+    for name in HEADLINE + HEADLINE_R6 + HEADLINE_R7:
         fn = qs[name]
 
         # run 1 pays codegen compile + JIT for the plan shape and is
@@ -177,7 +192,7 @@ def main() -> None:
                 # the round-6 additions (x_bm25_topk/x_weighted_sample/
                 # x_pca) and is the forward-going headline
                 "total_r5_set": total_r5_set,
-                "headline_additions": HEADLINE_R6,
+                "headline_additions": HEADLINE_R6 + HEADLINE_R7,
                 "queries": timings,
                 "spread": spreads,
                 "runs_per_query": n_runs,

@@ -583,6 +583,120 @@ def ivf_topk_pruned(
     )
 
 
+def append_ivf_corpus(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Incremental ANN index maintenance: assign NEW vectors their cells
+    under the EXISTING codebook and append them to the cell-partitioned
+    corpus — no refit, no rewrite of existing files (append-mode
+    partitioned write lands each new row in its cell's directory). The
+    production ingest shape: a 100 TB index absorbs a daily batch as a
+    per-cell append; probes (``ivf_topk_pruned``/``ivf_topk_many``) see
+    old and new rows uniformly. Re-fit the codebook only when drift
+    degrades recall (a new fit = a new layout = a new corpus path —
+    cells are meaningless across codebooks)."""
+    out = df.withColumn(cell_col, assign_ivf_cell(F.col(vec_col), centroids))
+    out.write.mode("append").partitionBy(cell_col).parquet(path)
+
+
+def ivf_topk_many(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Batched IVF: approximate top-``k`` per query for a whole FRAME of
+    query vectors — the retrieval-decontamination shape ("nearest
+    training docs for every benchmark item") where the query set is
+    itself a table. Returns ``(q_id, vec_id, cosine, rank)``.
+
+    Per query, only the ``nprobe`` nearest cells are scored, so total
+    work is Σ_q Σ_{probed} n_cell — the IVF economics of ``ivf_topk``,
+    batched: the corpus is scanned ONCE however many queries there are
+    (vs ``cosine_topk_many``'s full Q×N scoring).
+
+    Plan shape: queries cross-join the 1-row ``centroid_frame`` (data,
+    not literals — codegen compiles once regardless of k or centroid
+    values) and derive their probe cells by sorting a zipped
+    (score, idx) array — O(k log k) per QUERY row, never per corpus row.
+    The exploded (query, cell) frame then equi-joins the cell-assigned
+    corpus; per-query top-k goes through ``top_k_per_group``'s
+    WindowGroupLimit map-side prune. With ``cell_col`` naming a STORED
+    cell column (a ``write_ivf_corpus`` layout), the union of all probed
+    cells — at most the codebook size, collected from one tiny aggregate
+    over the query frame — is pushed as an ``isin`` PARTITION filter, so
+    directories no query probes are pruned at file-listing time; without
+    it cells are recomputed by expression (full scan).
+    """
+    from data_engineering_capstone_project__spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    spark = corpus.sparkSession
+    cents = centroid_frame(spark, centroids)
+    # per-query probe cells: zip the score array with indices, sort (struct
+    # sort orders by score then idx — deterministic ties), slice nprobe
+    scored_q = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("_qs", frame_cell_scores(F.col(query_vec_col)))
+        .withColumn(
+            "_probe",
+            F.slice(
+                F.array_sort(
+                    F.arrays_zip(
+                        F.col("_qs").alias("s"),
+                        F.sequence(
+                            F.lit(0), F.size("_qs") - F.lit(1)
+                        ).alias("i"),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.explode(F.col("_probe.i")).alias("_cell"),
+        )
+    )
+    if cell_col is not None:
+        probed = [
+            r["_cell"]
+            for r in scored_q.select("_cell").distinct().collect()
+        ]  # bounded by the codebook size, never the query count
+        tagged = corpus.filter(F.col(cell_col).isin(probed)).withColumnRenamed(
+            cell_col, "_cell"
+        )
+    else:
+        tagged = corpus.withColumn(
+            "_scores", ivf_cell_scores(F.col(vec_col), centroids)
+        ).withColumn("_cell", argmin_cell(F.col("_scores")))
+    pairs = tagged.join(scored_q, "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        pround(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    return top_k_per_group(
+        pairs,
+        [query_id_col],
+        [F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k,
+        rank_col="rank",
+        total_order=True,
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -324,6 +324,34 @@ def read_versioned(spark: SparkSession, path: str, version: int | None = None) -
     return spark.read.parquet(os.path.join(path, f"v={version}"))
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int | None = None,
+) -> DataFrame:
+    """Row-level change-data-capture between two committed snapshot
+    versions of a versioned sink: every row of ``v_new`` (default: the
+    committed LATEST) not in ``v_old`` tagged ``_change='insert'``, every
+    row of ``v_old`` not in ``v_new`` tagged ``'delete'`` — an update is
+    a delete+insert pair, exactly the semantics a downstream incremental
+    consumer (index maintenance, dedup-fingerprint refresh, cache
+    invalidation) needs to process ONLY what moved between publishes.
+
+    ``exceptAll`` gives multiset semantics (a row published twice and
+    then once yields one delete), plans as hash aggregates over one
+    exchange per side, and needs no key column — though at 100 TB you
+    want one: with a primary key, prefer joining on it to classify
+    updates explicitly; this operator is the schema-agnostic fallback
+    that works on any snapshot pair.
+    """
+    old = read_versioned(spark, path, v_old)
+    new = read_versioned(spark, path, v_new)
+    ins = new.exceptAll(old).withColumn("_change", F.lit("insert"))
+    dels = old.exceptAll(new).withColumn("_change", F.lit("delete"))
+    return ins.unionByName(dels)
+
+
 def compact_versioned(spark: SparkSession, path: str, n_files: int = 1) -> int:
     """Compact the committed snapshot into a NEW version with ``n_files``
     output files and swap the pointer to it.

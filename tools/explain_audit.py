@@ -45,6 +45,10 @@ AUDIT = {
     "x_lang_quality_filter": "quantized-domain counts (partial+final agg), cum window over the tiny distinct-value relation, thresholds BroadcastHashJoin'd back to the scan side",
     "x_leakage_split": "both sides are codegen'd md5-threshold filters at the scan (union for the summary) — zero shuffles before the final agg",
     "x_epoch_upsample": "CASE pair + explode(sequence) fan-out map-side; the only exchange is the summary agg's",
+    "x_bm25_topk_indexed": "PERSISTED-index retrieval (the production steady state): weights come from a parquet scan of the saved artifact — NO corpus tokenization/explode/agg subtree anywhere in the plan; broadcast query terms + decimal sum + WindowGroupLimit as in x_bm25_topk",
+    "x_ivf_pruned": "cell-partitioned corpus probe: the isin(cell) filter appears under PartitionFilters at the scan (pruned at file listing — runtime numPartitions == nprobe), cosine + TakeOrderedAndProject on the surviving cells only",
+    "x_ivf_topk_many": "batched IVF: queries cross-join the 1-row centroid FRAME (broadcast; codegen compiles once for any k), probe cells via zipped argsort per QUERY row, corpus joined on cell, per-query top-k through WindowGroupLimit",
+    "x_snapshot_diff": "exceptAll both directions: hash aggregates over one exchange per side, union of tagged results — no join, no key assumption",
 }
 
 

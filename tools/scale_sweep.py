@@ -350,6 +350,318 @@ def substring_stability_main(runs: int = 4) -> None:
           f"{100 * spread:.0f}%, identical={identical}; appended to SCALING.md")
 
 
+# Generic fresh-JVM floor child (VERDICT r6 next-round #3): ONE measured
+# steady-state execution of a named ladder cell per process, so the floor
+# series extends beyond substring to kmeans_fit and srp_lsh_pairs. Same
+# protocol: data pages pre-warmed (footer-only count() is not a warm-up),
+# one full warm-up execution discarded, forcing aggregate checksums the
+# output so byte-divergence across runs is visible. Optional
+# --memory-pressure mode runs the cell with the driver JVM HALVED (8g vs
+# the 16g default) and an event log, and reports shuffle spill bytes —
+# evidence that the operator degrades to spill, not OOM, under pressure
+# (VERDICT r6 next-round #6).
+_FLOOR_CHILD = r"""
+import glob, json, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+
+op = sys.argv[2]
+pressure = len(sys.argv) > 3 and sys.argv[3] == "--memory-pressure"
+extra = {}
+evdir = None
+if pressure:
+    import os, tempfile
+    evdir = tempfile.mkdtemp(prefix="spark_ev_")
+    extra = {"spark.eventLog.enabled": "true",
+             "spark.eventLog.dir": "file://" + evdir}
+    os.environ["SPARK_DRIVER_MEMORY"] = "8g"  # halved vs engine default
+
+from data_engineering_capstone_project__spark.session import get_spark
+from data_engineering_capstone_project__spark.operators import dedup, similarity
+from data_engineering_capstone_project__spark.cachereg import release_intermediates
+
+spark = get_spark(app_name=f"floor_{op}", extra_conf=extra)
+docs = spark.read.parquet(sys.argv[1] + "/documents.parquet")
+embs = spark.read.parquet(sys.argv[1] + "/embeddings.parquet")
+# warm the data pages of whichever table the cell scans
+docs.agg(F.sum(F.length("text"))).collect()
+embs.agg(F.sum(F.size("embedding"))).collect()
+
+
+def planted(e):
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = base.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dup)
+
+
+def cell():
+    if op == "substring":
+        out = dedup.substring_span_dedup(docs)
+        row = out.agg(
+            F.count("*").alias("rows"),
+            F.bit_xor(F.xxhash64("doc_id", "clean_text", "n_removed")).alias("ck"),
+        ).collect()[0]
+    elif op == "kmeans_fit":
+        cents, _ = similarity.kmeans_fit(
+            embs, k=8, vec_col="embedding", n_iter=3, init_rounds=2
+        )
+        out = similarity.kmeans_assign(embs, cents).groupBy("cluster").count()
+        row = out.agg(
+            F.sum("count").alias("rows"),
+            F.bit_xor(F.xxhash64("cluster", "count")).alias("ck"),
+        ).collect()[0]
+    elif op == "srp_lsh_pairs":
+        out = similarity.lsh_bucket_pairs(planted(embs), threshold=0.99)
+        row = out.agg(
+            F.count("*").alias("rows"),
+            F.bit_xor(F.xxhash64("id_a", "id_b")).alias("ck"),
+        ).collect()[0]
+    elif op == "minhash":
+        out = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+        row = out.agg(
+            F.count("*").alias("rows"),
+            F.bit_xor(F.xxhash64("id_a", "id_b")).alias("ck"),
+        ).collect()[0]
+    else:
+        raise SystemExit(f"unknown op {op}")
+    release_intermediates()
+    return {"rows": int(row["rows"]), "ck": int(row["ck"] or 0)}
+
+
+cell()  # discarded warm-up: codegen/JIT/memory-pool sizing
+t0 = time.time()
+row = cell()
+el = time.time() - t0
+rec = {"op": op, "sec": round(el, 2), **row}
+if evdir:
+    spark.stop()  # flush the event log before parsing
+    import os
+
+    sm = sd = 0
+    # Spark may write a single file OR a rolling eventlog_v2_* DIRECTORY
+    # of events_* files — walk everything, skip markers/directories
+    paths = []
+    for root, _dirs, files in os.walk(evdir):
+        paths += [os.path.join(root, f) for f in files]
+    for p in paths:
+        with open(p, errors="ignore") as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                if not isinstance(ev, dict):
+                    continue  # rolling-log marker lines parse as scalars
+                if ev.get("Event") == "SparkListenerTaskEnd":
+                    tm = ev.get("Task Metrics") or {}
+                    sm += tm.get("Memory Bytes Spilled", 0)
+                    sd += tm.get("Disk Bytes Spilled", 0)
+    rec["spill_mem_mb"] = round(sm / 2**20, 1)
+    rec["spill_disk_mb"] = round(sd / 2**20, 1)
+    rec["driver_memory"] = "8g"
+print(json.dumps(rec))
+"""
+
+FLOOR_OPS = ("substring", "kmeans_fit", "srp_lsh_pairs", "minhash")
+
+
+def floor_main(op: str, runs: int = 4, pressure: bool = False) -> None:
+    """Fresh-JVM floor series for a named 500k ladder cell (generalizing
+    the substring stability protocol — VERDICT r6 #3), or a single
+    memory-pressure run (#6). Appends a SCALING.md section; per-run
+    records accumulate in /tmp/floor_<op>[_pressure].jsonl so the series
+    can be split across invocations."""
+    import json
+    import os
+    import subprocess
+
+    if op not in FLOOR_OPS:
+        raise SystemExit(f"--floor op must be one of {FLOOR_OPS}")
+    sf_dir = "/tmp/spark_graft_ladder/500000"
+    if not os.path.isdir(sf_dir):
+        raise SystemExit("run tools/gen_scale_data.py --big first")
+    tag = f"{op}_pressure" if pressure else op
+    log_path = f"/tmp/floor_{tag}.jsonl"
+    args = [sys.executable, "-c", _FLOOR_CHILD, sf_dir, op]
+    if pressure:
+        args.append("--memory-pressure")
+        runs = min(runs, 1) or 1
+    for i in range(runs):
+        proc = subprocess.run(
+            args, capture_output=True, text=True, timeout=2400
+        )
+        if proc.returncode != 0:
+            raise SystemExit(f"child run {i} failed:\n{proc.stderr[-2000:]}")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"run {i + 1}/{runs}: {rec}", flush=True)
+    with open(log_path) as f:
+        results = [json.loads(line) for line in f if line.strip()]
+    secs = sorted(r["sec"] for r in results)
+    med = secs[len(secs) // 2]
+    spread = (secs[-1] - secs[0]) / med if med else float("inf")
+    identical = len({(r["rows"], r["ck"]) for r in results}) == 1
+    title = (
+        f"## {op} 500k memory-pressure run (driver heap halved to 8g)"
+        if pressure
+        else f"## {op} 500k stability protocol (fresh-JVM steady-state runs)"
+    )
+    lines = ["", title, ""]
+    if pressure:
+        r = results[-1]
+        lines += [
+            "Same fresh-JVM steady-state protocol as the floor series, with",
+            "`spark.driver.memory` HALVED (8g vs the engine's 16g default —",
+            "local mode, so this is the whole JVM heap) and the event log on.",
+            "The claim under test: the operator's shuffles degrade to SPILL,",
+            "never OOM, and the output stays byte-identical to the",
+            "unpressured floor series (VERDICT r6 #6).",
+            "",
+            "| sec | rows | checksum | shuffle spill (mem) | spill (disk) |",
+            "|---|---|---|---|---|",
+            f"| {r['sec']:.2f} | {r['rows']} | {r['ck']} "
+            f"| {r['spill_mem_mb']} MB | {r['spill_disk_mb']} MB |",
+            "",
+            "Exit 0 (no OOM); spill figures include the discarded warm-up",
+            "execution (the event log covers the whole JVM).",
+            "",
+        ]
+    else:
+        lines += [
+            "Same pinned protocol as the substring series (data pages",
+            "pre-warmed, one discarded warm-up execution, forcing aggregate",
+            "checksums the output): the regression metric is the series",
+            "FLOOR (min) — everything above it is shared-host contention",
+            "(see the substring protocol's GC-probe diagnosis).",
+            "",
+            "| run | sec |",
+            "|---|---|",
+        ]
+        for i, r in enumerate(results):
+            lines.append(f"| {i + 1} | {r['sec']:.2f} |")
+        lines += [
+            "",
+            f"floor (min) {secs[0]:.2f} s — the regression metric; median "
+            f"{med:.2f} s; max-min spread {100 * spread:.0f}% of median "
+            f"(machine noise band); output "
+            f"{'identical across runs' if identical else 'DIVERGED'} "
+            f"(rows {results[0]['rows']}, xor-of-xxhash64 checksum "
+            f"{results[0]['ck']}).",
+            "",
+        ]
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines))
+    print(f"appended {tag} section to SCALING.md")
+
+
+def minhash_cap_main() -> None:
+    """Measure auto_minhash_config RECALL past the hash cap (VERDICT r6
+    #4): the config search steps its recall target down once no
+    ≤max_hashes banding meets the candidate budget (≥ ~50M docs at the
+    defaults). This protocol (a) prints the config ladder across N so the
+    step-down point is explicit, and (b) applies the POST-CAP config (the
+    one a 100M-doc corpus would get) to the 50k ladder corpus, where
+    exact ground truth is computable, and reports DELIVERED recall vs the
+    stepped target. Appends a SCALING.md section."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import dedup
+
+    sf_dir = "/tmp/spark_graft_ladder/50000"
+    if not os.path.isdir(sf_dir):
+        raise SystemExit("run tools/gen_scale_data.py first")
+    t = 0.8
+    ladder = []
+    for n in (1e6, 1e7, 3e7, 5e7, 1e8, 1e9):
+        nh, b = dedup.auto_minhash_config(int(n), t)
+        r = nh // b
+        # which recall target did the search settle on? replay the
+        # step-down exactly as auto_minhash_config does
+        import math
+
+        target = None
+        for rec in (0.99, 0.95, 0.9, 0.8, 0.5):
+            pr = t**r
+            need_b = max(
+                1, math.ceil(math.log(max(1.0 - rec, 1e-12)) / math.log(1.0 - pr))
+            )
+            if need_b <= b:
+                target = rec
+                break
+        ladder.append((int(n), nh, b, r, target))
+        print(f"N={int(n):>12,}: num_hashes={nh}, bands={b}, r={r}, "
+              f"recall_target={target}")
+    # the post-cap config: first ladder row whose target stepped below 0.99
+    post = next((row for row in ladder if row[4] and row[4] < 0.99), None)
+    if post is None:
+        raise SystemExit("no step-down found — widen the ladder")
+    n_post, nh, b, r, target = post
+    spark = get_spark(app_name="minhash_cap")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # exact ground truth: lossless AllPairs-prefiltered n-gram Jaccard
+    truth = {
+        (x["id_a"], x["id_b"])
+        for x in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
+    }
+    # delivered: the stepped post-cap banding, exact verify (the pipeline)
+    got = {
+        (x["id_a"], x["id_b"])
+        for x in dedup.minhash_lsh_pairs(
+            docs, num_hashes=nh, bands=b, jaccard_threshold=t
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth) if truth else 1.0
+    print(f"post-cap config (N={n_post:,}): num_hashes={nh} bands={b} r={r} "
+          f"stepped target={target}; delivered recall on 50k planted corpus "
+          f"= {recall:.4f} ({len(got & truth)}/{len(truth)} true pairs)")
+    lines = [
+        "",
+        "## auto_minhash_config past the hash cap (stepped-recall measurement)",
+        "",
+        "The config search caps signatures at max_hashes=256; when no",
+        "banding under the cap meets the ~linear candidate budget it steps",
+        "the recall TARGET down (0.99 → 0.95 → …) rather than go quietly",
+        "quadratic. The step-down point and the recall actually DELIVERED",
+        "by the first post-cap config, measured against exact lossless",
+        "ground truth (`ngram_jaccard_pairs`) on the 50k planted ladder",
+        "corpus (threshold 0.8):",
+        "",
+        "| N (docs) | num_hashes | bands | r | stepped target |",
+        "|---|---|---|---|---|",
+    ]
+    for n, nh_, b_, r_, tg in ladder:
+        lines.append(f"| {n:,} | {nh_} | {b_} | {r_} | {tg} |")
+    lines += [
+        "",
+        f"Post-cap config (N={n_post:,}): delivered recall **{recall:.4f}**",
+        f"({len(got & truth)}/{len(truth)} true ≥0.8-Jaccard pairs) vs the",
+        f"stepped target {target}. The target is the recall at EXACTLY",
+        "J = threshold; real near-dup pairs sit above the threshold where",
+        "band-collision probability is higher, so delivered recall",
+        "exceeding the stepped target is the expected geometry — the",
+        "step-down is a worst-case floor, not the operating recall.",
+        "",
+    ]
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines))
+    with open("/tmp/minhash_cap.json", "w") as f:
+        json.dump({"ladder": ladder, "recall": recall}, f)
+    print("appended minhash-cap section to SCALING.md")
+
+
 def main() -> None:
     spark = get_spark(app_name="scale_sweep")
     qs = entrymod.queries()
@@ -397,5 +709,15 @@ if __name__ == "__main__":
         ladder_main()
     elif "--substring-stability" in sys.argv:
         substring_stability_main()
+    elif "--floor" in sys.argv:
+        _op = sys.argv[sys.argv.index("--floor") + 1]
+        _runs = (
+            int(sys.argv[sys.argv.index("--runs") + 1])
+            if "--runs" in sys.argv
+            else 4
+        )
+        floor_main(_op, runs=_runs, pressure="--memory-pressure" in sys.argv)
+    elif "--minhash-cap" in sys.argv:
+        minhash_cap_main()
     else:
         main()
