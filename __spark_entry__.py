@@ -5769,6 +5769,177 @@ WHERE doc_id >= 200 AND doc_id < 300
 """
 
 
+def x_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL incremental ingest loop, two batches deep: dedup batch 1
+    against the corpus fingerprint index, ADMIT its survivors into the
+    index (``extend_fingerprint_index``), then dedup batch 2 against the
+    extended index. Batch 2 plants copies of batch-1 documents
+    (id+2000000) — droppable ONLY because the admission step worked —
+    and copies of original-corpus documents (id+3000000) — proving the
+    extension retained the old index. Hash-exact: the oracle replays the
+    whole loop in fingerprint SQL."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+        extend_fingerprint_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 100)
+    b1 = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).unionByName(
+        d.filter(F.col("doc_id") < 10).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    b2 = (
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+        .unionByName(
+            d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110)).withColumn(
+                "doc_id", F.col("doc_id") + 2000000
+            )
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).withColumn(
+                "doc_id", F.col("doc_id") + 3000000
+            )
+        )
+    )
+    idx0 = corpus_fingerprint_index(corpus)
+    kept1 = dedup.dedup_against_corpus(b1, corpus_fps=idx0)
+    idx1 = extend_fingerprint_index(idx0, kept1)
+    kept2 = dedup.dedup_against_corpus(b2, corpus_fps=idx1)
+    return kept1.select("doc_id", F.lit(1).alias("batch")).unionByName(
+        kept2.select("doc_id", F.lit(2).alias("batch"))
+    )
+
+
+X_INGEST_LOOP_SQL = r"""
+WITH fpd AS (
+  SELECT doc_id,
+         md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS f
+  FROM documents),
+corpus_fp AS (SELECT DISTINCT f FROM fpd WHERE doc_id < 100),
+b1 AS (
+  SELECT doc_id, f FROM fpd WHERE doc_id >= 100 AND doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000, f FROM fpd WHERE doc_id < 10),
+b1w AS (SELECT f, MIN(doc_id) AS w FROM b1 GROUP BY f),
+kept1 AS (
+  SELECT b1.doc_id, b1.f FROM b1 JOIN b1w ON b1.f = b1w.f AND b1.doc_id = b1w.w
+  WHERE b1.f NOT IN (SELECT f FROM corpus_fp)),
+idx1 AS (SELECT f FROM corpus_fp UNION SELECT f FROM kept1),
+b2 AS (
+  SELECT doc_id, f FROM fpd WHERE doc_id >= 200 AND doc_id < 300
+  UNION ALL
+  SELECT doc_id + 2000000, f FROM fpd WHERE doc_id >= 100 AND doc_id < 110
+  UNION ALL
+  SELECT doc_id + 3000000, f FROM fpd WHERE doc_id >= 10 AND doc_id < 20),
+b2w AS (SELECT f, MIN(doc_id) AS w FROM b2 GROUP BY f),
+kept2 AS (
+  SELECT b2.doc_id FROM b2 JOIN b2w ON b2.f = b2w.f AND b2.doc_id = b2w.w
+  WHERE b2.f NOT IN (SELECT f FROM idx1))
+SELECT doc_id, 1 AS batch FROM kept1
+UNION ALL
+SELECT doc_id, 2 AS batch FROM kept2
+"""
+
+
+def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: per query, a lexical
+    BM25 top-10 and an embedding-cosine top-10 (same id space) fuse as
+    ``Σ 1/(60 + rank)``. Queries are documents 0–2 (text side) and the
+    same-id embeddings (vector side). Hash-exact end-to-end: both
+    source rankings and the fused contributions are decimal
+    order-independent and the oracle replays the entire pipeline
+    (BM25 + cosine + fusion) in SQL."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    qdf = d.filter(F.col("doc_id") < 3).select(
+        F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias("query_id"),
+        "text",
+    )
+    lex = text.bm25_topk(d, qdf, k=10).select(
+        "query_id", "doc_id", F.col("rn").cast("long").alias("rank")
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qe = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    sem = similarity.cosine_topk_many(base, qe, k=10).select(
+        F.concat(F.lit("q"), F.col("q_id").cast("string")).alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return text.rrf_fuse([lex, sem], k0=60, k=10)
+
+
+X_RRF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\x0b\f\r]+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+scalars AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM dl)
+           AS avgdl),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(
+           LN((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+           * CAST(tf.tf AS DOUBLE) * 2.2
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)),
+           6) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scalars),
+qterms AS (
+  SELECT DISTINCT 'q' || CAST(doc_id AS VARCHAR) AS query_id, term
+  FROM tok WHERE doc_id < 3 AND term <> ''),
+lex_scores AS (
+  SELECT query_id, doc_id, SUM(CAST(bm25 AS DECIMAL(20,6))) AS score
+  FROM w JOIN qterms USING (term)
+  GROUP BY 1, 2),
+lex AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM lex_scores QUALIFY rank <= 10),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+sem_scored AS (
+  SELECT 'q' || CAST(q.qid AS VARCHAR) AS query_id, e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS cos
+  FROM embeddings e CROSS JOIN q),
+sem AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM sem_scored QUALIFY rank <= 10),
+contrib AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(1.0 / (60.0 + rank), 6) AS DECIMAL(20,6)) AS c FROM lex
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(ROUND(1.0 / (60.0 + rank), 6) AS DECIMAL(20,6)) AS c FROM sem),
+fused AS (
+  SELECT query_id, doc_id, SUM(c) AS rrf FROM contrib GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM fused QUALIFY rank <= 10
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -5924,6 +6095,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_ivf_topk_many": (x_ivf_topk_many, X_IVF_MANY_SQL),  # bound-checked
     "x_ivf_append": (x_ivf_append, X_IVF_APPEND_SQL),  # bound-checked
     "x_snapshot_diff": (x_snapshot_diff, X_SNAPSHOT_DIFF_SQL),
+    "x_ingest_loop": (x_ingest_loop, X_INGEST_LOOP_SQL),
+    "x_rrf_fusion": (x_rrf_fusion, X_RRF_SQL),
 }
 
 

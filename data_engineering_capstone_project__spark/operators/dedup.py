@@ -301,6 +301,28 @@ def corpus_minhash_band_index(
     )
 
 
+def extend_minhash_band_index(
+    index: DataFrame,
+    admitted: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """ADMIT newly-ingested documents into a banded-MinHash index: union
+    of the existing ``(band, bucket)`` rows and the admitted batch's —
+    the fuzzy counterpart of ``extend_fingerprint_index``, closing the
+    incremental loop for the NEAR-dup guard (``minhash_band_probe`` /
+    ``decontaminate_stream_fuzzy``). The config MUST match the index's
+    (persisted with it by ``save_minhash_index``); batch-sized signature
+    work plus an index-sized distinct."""
+    new_bands = corpus_minhash_band_index(
+        admitted, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    return index.unionByName(new_bands).distinct()
+
+
 def minhash_band_probe(
     batch: DataFrame,
     band_index: DataFrame,

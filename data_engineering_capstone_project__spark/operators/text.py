@@ -402,6 +402,69 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09): combine per-query
+    rankings from heterogeneous retrievers — e.g. lexical BM25
+    (:func:`bm25_topk`) and embedding ANN (``cosine_topk_many`` /
+    ``pca_topk_many``) — into one hybrid ranking by
+    ``rrf(d) = Σ_sources 1/(k0 + rank_source(d))``. The standard hybrid
+    retrieval shape for decontamination and quality triage: lexical
+    catches verbatim/term overlap the embedding space smooths over,
+    embeddings catch paraphrases lexical misses, and RRF needs no score
+    calibration between them (ranks only).
+
+    Each input frame carries ``(query_id_col, id_col, rank_col)`` (extra
+    columns ignored); a document absent from a source simply contributes
+    nothing. Returns ``(query_id, doc_id, rrf, rank)``.
+
+    Determinism/oracle parity: each contribution is rounded to 6 dp and
+    summed as ``decimal(20,6)`` (associative — partition/union order
+    can't change the sum; the :func:`bm25_topk` trick), and the final
+    rank is a total order (rrf desc, id asc). Scale shape: sources
+    union map-side (already top-k-sized per query — k·|queries| rows
+    each, never corpus-sized), one hash aggregation on
+    (query, doc), per-query top-k through the WindowGroupLimit prune.
+    """
+    from functools import reduce
+
+    from data_engineering_capstone_project__spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    contribs = [
+        r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            pround(
+                F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double")),
+                6,
+            )
+            .cast("decimal(20,6)")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), contribs)
+    scores = union.groupBy(query_id_col, id_col).agg(F.sum("_c").alias("rrf"))
+    return top_k_per_group(
+        scores,
+        [query_id_col],
+        [F.col("rrf").desc(), F.col(id_col).asc()],
+        k=k,
+        rank_col="rank",
+        total_order=True,
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

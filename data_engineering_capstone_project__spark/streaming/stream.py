@@ -168,6 +168,24 @@ def corpus_fingerprint_index(corpus: DataFrame, text_col: str = "text") -> DataF
     return corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
 
 
+def extend_fingerprint_index(
+    index: DataFrame, admitted: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """ADMIT newly-ingested documents into an exact-fingerprint dedup
+    index: the union of the existing index and the admitted batch's
+    distinct fingerprints — the write-back half of the incremental
+    ingest loop (``dedup_against_corpus`` / ``decontaminate_stream``
+    drop what the index already holds; this makes the survivors part of
+    the index so the NEXT batch dedups against them too).
+
+    Work is batch-sized plus an index-sized distinct; persist the result
+    as a new artifact version (``sources.artifacts.save_fingerprint_index``
+    — atomic swap, so concurrent readers keep probing the old version
+    until the new one commits)."""
+    batch_fps = corpus_fingerprint_index(admitted, text_col=text_col)
+    return index.unionByName(batch_fps).distinct()
+
+
 def decontaminate_stream(
     stream: DataFrame,
     corpus_fps: DataFrame,

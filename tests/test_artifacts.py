@@ -300,3 +300,53 @@ def test_decontaminate_stream_fuzzy_sink_path(spark, sf_dir, tmp_path):
     )
     got = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert set(range(200)) <= got  # every exact corpus member surfaced
+
+
+def test_extend_fingerprint_index_loop(spark, sf_dir):
+    """Admitting batch-1 survivors makes batch-2 copies of them drop."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+        extend_fingerprint_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 50)
+    b1 = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+    idx0 = corpus_fingerprint_index(corpus)
+    kept1 = dedup.dedup_against_corpus(b1, corpus_fps=idx0)
+    idx1 = extend_fingerprint_index(idx0, kept1)
+    # batch 2 = exact copies of batch-1 rows under new ids
+    b2 = b1.withColumn("doc_id", F.col("doc_id") + 700000)
+    kept2 = dedup.dedup_against_corpus(b2, corpus_fps=idx1)
+    assert kept2.count() == 0
+    # without admission the copies would have passed
+    assert dedup.dedup_against_corpus(b2, corpus_fps=idx0).count() > 0
+    # the extended index still holds the original corpus fingerprints
+    assert (
+        dedup.dedup_against_corpus(
+            corpus.withColumn("doc_id", F.col("doc_id") + 800000),
+            corpus_fps=idx1,
+        ).count()
+        == 0
+    )
+
+
+def test_extend_minhash_band_index_loop(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 50)
+    b1 = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+    idx0 = dedup.corpus_minhash_band_index(corpus, num_hashes=16, bands=4)
+    idx1 = dedup.extend_minhash_band_index(
+        idx0, b1, num_hashes=16, bands=4
+    ).persist()
+    # exact copies of b1 docs now collide in every band
+    copies = b1.withColumn("doc_id", F.col("doc_id") + 700000)
+    assert (
+        dedup.minhash_band_probe(
+            copies, idx1, num_hashes=16, bands=4, keep="clean"
+        ).count()
+        == 0
+    )
+    # extension is monotone: the old index rows are all still present
+    assert idx0.exceptAll(idx1).count() == 0
+    idx1.unpersist()

@@ -476,3 +476,44 @@ def test_round6_edge_cases(spark):
     )
     out = similarity.euclidean_topk_many(df, qf, k=10).collect()
     assert len(out) == 3 and [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two 3-doc rankings, k0=60: fused scores match the hand-computed
+    reciprocal-rank sums and a doc present in only one source still
+    contributes."""
+    from decimal import Decimal
+
+    from data_engineering_capstone_project__spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3)],
+        "query_id string, doc_id int, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", 11, 1), ("q", 10, 2), ("q", 99, 3)],
+        "query_id string, doc_id int, rank int",
+    )
+    got = {
+        r["doc_id"]: (r["rrf"], r["rank"])
+        for r in rrf_fuse([a, b], k0=60, k=10).collect()
+    }
+    # contributions are 6-dp-rounded before the decimal sum
+    c = lambda r: Decimal(str(round(1.0 / (60 + r), 6)))
+    assert got[10][0] == c(1) + c(2)
+    assert got[11][0] == c(2) + c(1)
+    assert got[12][0] == c(3)
+    assert got[99][0] == c(3)
+    # 10 and 11 tie exactly (same contribution multiset) -> id-asc tiebreak
+    assert got[10][1] == 1 and got[11][1] == 2
+    # single-source docs tie at rank 3/4, id asc
+    assert got[12][1] == 3 and got[99][1] == 4
+
+
+def test_rrf_fuse_requires_rankings(spark):
+    import pytest as _pytest
+
+    from data_engineering_capstone_project__spark.operators.text import rrf_fuse
+
+    with _pytest.raises(ValueError, match="no rankings"):
+        rrf_fuse([])
