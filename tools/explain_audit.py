@@ -46,10 +46,37 @@ AUDIT = {
     "x_leakage_split": "both sides are codegen'd md5-threshold filters at the scan (union for the summary) — zero shuffles before the final agg",
     "x_epoch_upsample": "CASE pair + explode(sequence) fan-out map-side; the only exchange is the summary agg's",
     "x_bm25_topk_indexed": "PERSISTED-index retrieval (the production steady state): weights come from a parquet scan of the saved artifact — NO corpus tokenization/explode/agg subtree anywhere in the plan; broadcast query terms + decimal sum + WindowGroupLimit as in x_bm25_topk",
-    "x_ivf_pruned": "cell-partitioned corpus probe: the isin(cell) filter appears under PartitionFilters at the scan (pruned at file listing — runtime numPartitions == nprobe), cosine + TakeOrderedAndProject on the surviving cells only",
+    "ivf_pruned_probe": "cell-partitioned corpus probe (the x_ivf_pruned gate wraps this in driver-side verification, so the audited plan here is the probe itself): the isin(cell) filter appears under PartitionFilters at the scan (pruned at file listing — runtime numPartitions == nprobe), cosine + TakeOrderedAndProject on the surviving cells only",
     "x_ivf_topk_many": "batched IVF: queries cross-join the 1-row centroid FRAME (broadcast; codegen compiles once for any k), probe cells via zipped argsort per QUERY row, corpus joined on cell, per-query top-k through WindowGroupLimit",
     "x_snapshot_diff": "exceptAll both directions: hash aggregates over one exchange per side, union of tagged results — no join, no key assumption",
+    "x_rrf_fusion": "hybrid fusion: both source top-k's are already k-per-query sized before the union; one hash agg on (query,doc) of decimal contributions (order-independent), final rank via WindowGroupLimit",
+    "x_ingest_loop": "two-round fingerprint loop: each round is one batch-side groupBy(min) + join-back + LEFT ANTI against the (index-sized) fingerprint relation; the admit step is a union+distinct of 32-char keys, never text",
 }
+
+
+def _ivf_pruned_probe(spark, sf_dir):
+    """Build the pruned IVF probe over a freshly-written cell-partitioned
+    corpus (the x_ivf_pruned gate's inner plan, minus the driver-side
+    verification wrapper that hides it behind a LocalTableScan)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = similarity.kmeans_centroids(e, n_centroids=8, n_iter=5, sample_rows=500)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    tmp = tempfile.mkdtemp(prefix="explain_ivf_")
+    similarity.write_ivf_corpus(e, tmp, cents)
+    corpus = spark.read.parquet(tmp)
+    return similarity.ivf_topk_pruned(corpus, q, cents, k=10, nprobe=4)
+
+
+CUSTOM = {"ivf_pruned_probe": _ivf_pruned_probe}
 
 
 def main() -> None:
@@ -68,9 +95,18 @@ def main() -> None:
         "",
     ]
     for name, note in AUDIT.items():
-        df = qs[name](spark, sf_dir)
+        df = CUSTOM[name](spark, sf_dir) if name in CUSTOM else qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(mode)
         tree = plan.split("\n\n")[0]
+        # partition pruning lives in the node DETAILS, not the tree —
+        # surface any non-empty PartitionFilters so the audit is visible
+        pf = [
+            ln.strip()
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "[]" not in ln.replace(" ", "")
+        ]
+        if pf:
+            tree += "\n" + "\n".join(f"-- {x}" for x in pf)
         out.append(f"## {name}")
         out.append("")
         out.append(f"*{note}*")
