@@ -5940,6 +5940,105 @@ FROM fused QUALIFY rank <= 10
 """
 
 
+def x_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ingest pipeline end-to-end (plans/ingest.py):
+    bootstrap both durable dedup indexes over a corpus, run two ingest
+    ticks (exact tier → fuzzy band probe → admit survivors → publish as
+    a new corpus-log version), then replay the last batch to prove crash
+    safety. Bound-checked: SQL-exact corpus/batch counts plus booleans a
+    broken stage must flip — per-tick row conservation (dropped_exact +
+    dropped_fuzzy + published = batch), planted exact dups (of the
+    corpus in tick 1, of a tick-1 SURVIVOR in tick 2 — the admission
+    proof) never published, artifact/corpus versions advance 1→2→3, the
+    publication-log union equals bootstrap + both ticks' survivors, and
+    a full REPLAY of batch 2 publishes zero rows (the admit-then-publish
+    order makes re-ingest after a crash conservative)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 200)
+    b1 = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)).unionByName(
+        corpus.filter(F.col("doc_id") == 0).withColumn(
+            "doc_id", F.col("doc_id") + 5000000
+        )
+    )
+    root = tempfile.mkdtemp(prefix="ingest_e2e_")
+    try:
+        ingest.init_ingest_indexes(spark, corpus, root)
+        surv1, s1 = ingest.ingest_batch(spark, b1, root)
+        surv1_ids = {r["doc_id"] for r in surv1.select("doc_id").collect()}
+        surv1.unpersist()
+        # tick 2 plants an exact copy of a tick-1 survivor: only the
+        # ADMISSION step can drop it
+        anchor = min(surv1_ids) if surv1_ids else 200
+        b2 = d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).unionByName(
+            d.filter(F.col("doc_id") == anchor).withColumn(
+                "doc_id", F.col("doc_id") + 6000000
+            )
+        )
+        surv2, s2 = ingest.ingest_batch(spark, b2, root)
+        surv2_ids = {r["doc_id"] for r in surv2.select("doc_id").collect()}
+        surv2.unpersist()
+        conservation = (
+            s1.n_exact_dropped + s1.n_fuzzy_dropped + s1.n_published == s1.n_batch
+            and s2.n_exact_dropped + s2.n_fuzzy_dropped + s2.n_published
+            == s2.n_batch
+        )
+        planted_dropped = (
+            5000000 not in surv1_ids and anchor + 6000000 not in surv2_ids
+        )
+        versions_ok = (
+            (s1.fp_index_version, s1.mh_index_version, s1.corpus_version)
+            == (2, 2, 2)
+            and (s2.fp_index_version, s2.mh_index_version, s2.corpus_version)
+            == (3, 3, 3)
+        )
+        n_corpus = corpus.count()
+        full = ingest.read_ingest_corpus(spark, root)
+        log_union_ok = (
+            full.count() == n_corpus + s1.n_published + s2.n_published
+        )
+        # replay: every row re-drops — published rows at the exact tier
+        # (their fps were admitted), fuzzy-dropped rows at the fuzzy tier
+        # again (the band index only grew) — so nothing republishes
+        _, s3 = ingest.ingest_batch(spark, b2, root)
+        replay_drops_all = s3.n_published == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            n_corpus,
+            s1.n_batch,
+            s2.n_batch,
+            conservation,
+            planted_dropped,
+            versions_ok,
+            log_union_ok,
+            replay_drops_all,
+        )],
+        "n_corpus bigint, n_b1 bigint, n_b2 bigint, conservation_ok boolean, "
+        "planted_dups_never_published boolean, versions_advance boolean, "
+        "publication_log_union_ok boolean, replay_publishes_zero boolean",
+    )
+
+
+X_INGEST_E2E_SQL = """
+SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
+       (SELECT COUNT(*) + 1 FROM documents
+         WHERE doc_id >= 200 AND doc_id < 400) AS n_b1,
+       (SELECT COUNT(*) + 1 FROM documents
+         WHERE doc_id >= 400 AND doc_id < 500) AS n_b2,
+       TRUE AS conservation_ok,
+       TRUE AS planted_dups_never_published,
+       TRUE AS versions_advance,
+       TRUE AS publication_log_union_ok,
+       TRUE AS replay_publishes_zero
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -6097,6 +6196,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_snapshot_diff": (x_snapshot_diff, X_SNAPSHOT_DIFF_SQL),
     "x_ingest_loop": (x_ingest_loop, X_INGEST_LOOP_SQL),
     "x_rrf_fusion": (x_rrf_fusion, X_RRF_SQL),
+    "x_ingest_e2e": (x_ingest_e2e, X_INGEST_E2E_SQL),  # bound-checked
 }
 
 

@@ -1,0 +1,193 @@
+"""The production ingest tick: durable-index dedup → admission → publish.
+
+This is the integration surface the round-7 pieces compose into — what a
+100 TB training-data pipeline actually runs every batch, with NOTHING
+refit per run:
+
+1. **load** the exact fingerprint index and the banded MinHash index from
+   the versioned artifact store (fit once at bootstrap);
+2. **drop** batch rows that are exact duplicates (within the batch or
+   against the corpus index) or NEAR-duplicates of corpus content
+   (band-collision probe);
+3. **admit** the survivors' fingerprints and band buckets back into both
+   indexes as NEW artifact versions (atomic pointer swaps — concurrent
+   readers keep the old versions until commit);
+4. **publish** the survivors as a new version of the corpus PUBLICATION
+   LOG (``write_versioned`` per batch — append-shaped, the corpus is
+   never rewritten; readers never see a partial batch, and each version
+   IS the batch-level delta downstream consumers process).
+
+Every stage is an operator gated elsewhere (``x_incremental_dedup*``,
+``x_stream_decontaminate_fuzzy``, ``x_ingest_loop``, ``x_snapshot_diff``);
+this module pins their composition and is gated end-to-end by
+``x_ingest_e2e``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.operators import dedup
+from data_engineering_capstone_project__spark.sources import artifacts as art
+from data_engineering_capstone_project__spark.sources.io import (
+    read_versioned,
+    write_versioned,
+)
+from data_engineering_capstone_project__spark.streaming.stream import (
+    corpus_fingerprint_index,
+    extend_fingerprint_index,
+)
+
+_FP = "fingerprints"
+_MH = "minhash"
+_CORPUS = "corpus"
+
+
+@dataclass
+class IngestStats:
+    """Driver-sized accounting for one tick (row counts only)."""
+
+    n_batch: int
+    n_exact_dropped: int
+    n_fuzzy_dropped: int
+    n_published: int
+    fp_index_version: int
+    mh_index_version: int
+    corpus_version: int
+
+
+def init_ingest_indexes(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> None:
+    """Bootstrap: fit both dedup indexes over the existing corpus and
+    publish corpus + indexes as version 1 artifacts under ``root``.
+    Runs ONCE per corpus; every later tick is :func:`ingest_batch`."""
+    dg = art.corpus_digest(corpus, [id_col, text_col])
+    art.save_fingerprint_index(
+        corpus_fingerprint_index(corpus, text_col=text_col),
+        os.path.join(root, _FP),
+        corpus_digest=dg,
+    )
+    art.save_minhash_index(
+        dedup.corpus_minhash_band_index(
+            corpus, id_col, text_col, num_hashes, bands, shingle_k
+        ),
+        os.path.join(root, _MH),
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        corpus_digest=dg,
+    )
+    write_versioned(corpus, os.path.join(root, _CORPUS))
+
+
+def read_ingest_corpus(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The published corpus. Versions form a PUBLICATION LOG — v1 is the
+    bootstrap corpus and every later version is one tick's survivors (an
+    append-shaped publish: a 100 TB corpus is never rewritten per batch)
+    — so the default reads the UNION of every committed version;
+    ``version=k`` pins one publication (the bootstrap, or one batch)."""
+    path = os.path.join(root, _CORPUS)
+    if version is not None:
+        return read_versioned(spark, path, version)
+    from data_engineering_capstone_project__spark.sources.io import (
+        list_versions,
+    )
+
+    with open(os.path.join(path, "LATEST")) as f:
+        latest = int(f.read().strip())
+    out = None
+    for v in list_versions(path):
+        if v > latest:
+            continue  # in-flight writer's claim — not committed
+        df = read_versioned(spark, path, v)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, IngestStats]:
+    """One ingest tick against the durable indexes under ``root``.
+
+    Exact tier first (cheapest: one 32-char anti join + within-batch
+    min-id dedup), then the fuzzy band probe on what remains — both
+    probes are batch-sized; the corpus participates only as its indexes.
+    Survivors are admitted into BOTH indexes and published as a new
+    corpus snapshot version; returns ``(published_survivors, stats)``.
+
+    Crash safety: admissions and the publish are separate atomic
+    versioned commits. The admit-then-publish order makes a crash
+    between them conservative — re-ingesting the same batch finds its
+    fingerprints already admitted and drops every row (no duplicate
+    publication; the index is strictly a superset of published content).
+    """
+    fp_path = os.path.join(root, _FP)
+    mh_path = os.path.join(root, _MH)
+    fp_idx = art.load_fingerprint_index(spark, fp_path)
+    mh_idx, cfg = art.load_minhash_index(spark, mh_path)
+    n_batch = batch.count()
+
+    exact_kept = dedup.dedup_against_corpus(
+        batch, text_col=text_col, id_col=id_col, corpus_fps=fp_idx
+    ).persist()
+    n_exact_kept = exact_kept.count()
+
+    survivors = dedup.minhash_band_probe(
+        exact_kept,
+        mh_idx,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=cfg["num_hashes"],
+        bands=cfg["bands"],
+        shingle_k=cfg["shingle_k"],
+        keep="clean",
+    ).persist()
+    n_published = survivors.count()
+
+    dg = f"extended:{art.corpus_digest(survivors, [id_col, text_col])}"
+    fp_v = art.save_fingerprint_index(
+        extend_fingerprint_index(fp_idx, survivors, text_col=text_col),
+        fp_path,
+        corpus_digest=dg,
+    )
+    mh_v = art.save_minhash_index(
+        dedup.extend_minhash_band_index(
+            mh_idx, survivors, id_col, text_col,
+            cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
+        ),
+        mh_path,
+        num_hashes=cfg["num_hashes"],
+        bands=cfg["bands"],
+        shingle_k=cfg["shingle_k"],
+        corpus_digest=dg,
+    )
+    corpus_v = write_versioned(survivors, os.path.join(root, _CORPUS))
+    exact_kept.unpersist()
+    stats = IngestStats(
+        n_batch=n_batch,
+        n_exact_dropped=n_batch - n_exact_kept,
+        n_fuzzy_dropped=n_exact_kept - n_published,
+        n_published=n_published,
+        fp_index_version=fp_v,
+        mh_index_version=mh_v,
+        corpus_version=corpus_v,
+    )
+    return survivors, stats

@@ -350,3 +350,37 @@ def test_extend_minhash_band_index_loop(spark, sf_dir):
     # extension is monotone: the old index rows are all still present
     assert idx0.exceptAll(idx1).count() == 0
     idx1.unpersist()
+
+
+def test_ingest_pipeline_ticks(spark, sf_dir, tmp_path):
+    """Bootstrap → two ticks → replay, on the real corpus: conservation,
+    admission, publication-log union, crash-replay conservatism."""
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    root = str(tmp_path / "ingest")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    s1_df, s1 = ingest.ingest_batch(spark, b1, root)
+    ids1 = {r["doc_id"] for r in s1_df.select("doc_id").collect()}
+    s1_df.unpersist()
+    assert s1.n_exact_dropped + s1.n_fuzzy_dropped + s1.n_published == s1.n_batch
+    assert (s1.fp_index_version, s1.corpus_version) == (2, 2)
+    # tick 2: exact copy of a tick-1 survivor must drop via ADMISSION
+    anchor = min(ids1)
+    b2 = docs.filter(F.col("doc_id") == anchor).withColumn(
+        "doc_id", F.col("doc_id") + 900000
+    )
+    s2_df, s2 = ingest.ingest_batch(spark, b2, root)
+    assert s2.n_published == 0 and s2.n_exact_dropped == 1
+    s2_df.unpersist()
+    # publication log: full corpus = bootstrap + tick-1 survivors
+    full = ingest.read_ingest_corpus(spark, root)
+    assert full.count() == 100 + s1.n_published
+    # pinned version = one publication
+    assert ingest.read_ingest_corpus(spark, root, version=2).count() == s1.n_published
+    # replay of b1 publishes nothing
+    s3_df, s3 = ingest.ingest_batch(spark, b1, root)
+    assert s3.n_published == 0
+    s3_df.unpersist()

@@ -299,3 +299,50 @@ def test_corpus_sized_joins_never_broadcast(spark, sf_dir):
     assert "windowspecdefinition(wh" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_fingerprint_index_probe_no_index_shuffle(spark, sf_dir):
+    """SCALE.md's incremental-dedup row: 'store corpus fingerprints
+    bucketed by fp and the probe needs no corpus-side shuffle'. Write the
+    index as a bucketed table; the batch's LEFT ANTI fingerprint probe
+    (forced to sort-merge so broadcasting can't mask the layout) must
+    shuffle ONLY the batch side — exactly one Exchange in the whole plan,
+    and the index feeds the join from its bucketed scan."""
+    from data_engineering_capstone_project__spark.operators.text import (
+        fingerprint,
+    )
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS fp_idx_b")
+    shutil.rmtree(os.path.join(warehouse, "fp_idx_b"), ignore_errors=True)
+    write_bucketed(
+        corpus_fingerprint_index(corpus), "fp_idx_b", ["fp"], n_buckets=8
+    )
+    idx = spark.table("fp_idx_b")
+    batch = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "_fp", fingerprint(F.col("text"))
+    )
+    probe = batch.join(
+        idx.hint("merge"), batch["_fp"] == idx["fp"], "left_anti"
+    )
+    plan = _physical_plan(probe)
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the batch side only
+    assert "Bucketed: true" in plan and "fp_idx_b" in plan, plan
+    # the one Exchange partitions the BATCH's fingerprint, not the index
+    ex_line = next(ln for ln in plan.splitlines() if "Exchange" in ln)
+    assert "_fp" in ex_line, plan
+    # semantics: equals the unbucketed anti-membership probe
+    expect = batch.join(
+        corpus_fingerprint_index(corpus),
+        batch["_fp"] == F.col("fp"),
+        "left_anti",
+    )
+    assert sorted(r["doc_id"] for r in probe.collect()) == sorted(
+        r["doc_id"] for r in expect.collect()
+    )

@@ -674,6 +674,69 @@ def minhash_cap_main() -> None:
     print("appended minhash-cap section to SCALING.md")
 
 
+R7_QUERIES = [
+    "x_bm25_topk_indexed",
+    "x_pca_persisted",
+    "x_incremental_dedup_persisted",
+    "x_ivf_pruned",
+    "x_ivf_topk_many",
+    "x_ivf_append",
+    "x_stream_decontaminate_fuzzy",
+    "x_snapshot_diff",
+    "x_ingest_loop",
+    "x_rrf_fusion",
+]
+
+
+def round7_main() -> None:
+    """SF sweep for the round-7 operators (appends a SCALING.md section,
+    same best-of-2 policy as the main table)."""
+    spark = get_spark(app_name="r7_sweep")
+    qs = entrymod.queries()
+    times: dict[str, dict[str, float]] = {q: {} for q in R7_QUERIES}
+    for sf in SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        for name in R7_QUERIES:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            times[name][sf] = best
+    lines = [
+        "",
+        "## Round-7 new operators (driver SFs, 100× range)",
+        "",
+        "Same policy as the main table (best of 2, steady state). The",
+        "persisted-artifact gates include their digest check + reload on",
+        "every call (the artifact already exists after run 1, so the fit",
+        "never recurs); x_ivf_pruned / x_ivf_append / x_snapshot_diff",
+        "rewrite their corpus/snapshot fixtures per call by design (the",
+        "lifecycle IS the operator), so their constants include the",
+        "write. Flat slopes at these sizes mean per-query constants",
+        "dominate; the scale-relevant shapes are audited in EXPLAIN.md",
+        "(partition-filter pruning, WindowGroupLimit, LeftAnti probes)",
+        "and SCALE.md's shuffle-budget rows.",
+        "",
+        "| query | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | exp |",
+        "|---|---|---|---|---|",
+    ]
+    for name in R7_QUERIES:
+        t = times[name]
+        exp = (math.log(t["0.1"]) - math.log(t["0.001"])) / math.log(100)
+        lines.append(
+            f"| {name} | {t['0.001']:.2f} | {t['0.01']:.2f} | {t['0.1']:.2f} "
+            f"| {exp:.2f} |"
+        )
+    lines.append("")
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines))
+    print(f"appended round-7 section ({len(R7_QUERIES)} queries)")
+
+
 def main() -> None:
     spark = get_spark(app_name="scale_sweep")
     qs = entrymod.queries()
@@ -731,5 +794,7 @@ if __name__ == "__main__":
         floor_main(_op, runs=_runs, pressure="--memory-pressure" in sys.argv)
     elif "--minhash-cap" in sys.argv:
         minhash_cap_main()
+    elif "--round7" in sys.argv:
+        round7_main()
     else:
         main()
