@@ -1731,7 +1731,16 @@ def x_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair contained in the exact set, and every pair exact-Jaccard
     verified at threshold. A degraded banding or broken verify fails the
     gate; the full pair-set equality is additionally unit-proved on
-    planted corpora (tests/test_text_dedup.py)."""
+    planted corpora (tests/test_text_dedup.py).
+
+    Past the hash cap the auto config steps its recall TARGET down
+    (0.95 → … → 0.5 at 1B docs) rather than go quadratic; the recall
+    those stepped configs actually DELIVER is measured against exact
+    lossless ground truth on the 50k planted ladder corpus — 0.9995 at
+    the first post-cap config, 0.9817 even at the 1B-doc config
+    (SCALING.md "past the hash cap"): the stepped target is the
+    worst-case bound at exactly J = threshold, not the operating
+    recall."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     found = dedup.minhash_lsh_pairs(d, jaccard_threshold=0.8).collect()
     exact = dedup.ngram_jaccard_pairs(d, threshold=0.8, prefilter="none").collect()
@@ -6039,6 +6048,113 @@ SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
 """
 
 
+def x_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS ingest loop (plans/ingest.run_stream_ingest): two
+    micro-batches arrive as separate files (mod-times pin the order);
+    micro-batch B plants exact copies of batch-A documents, droppable
+    ONLY because batch A's tick ADMITTED its survivors into the durable
+    indexes — the cross-micro-batch admission a static stream-start
+    index (plain decontaminate_stream) can never provide. Bound-checked:
+    SQL-exact corpus/batch counts plus booleans — two ticks ran, every
+    planted cross-batch copy was suppressed, the streamed publications
+    EQUAL sequential ingest_batch ticks on a second root (determinism of
+    the whole loop), and the publication-log union accounts for every
+    published row."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 200)
+    a = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    b = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)).unionByName(
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210)).withColumn(
+            "doc_id", F.col("doc_id") + 7000000
+        )
+    )
+    src = tempfile.mkdtemp(prefix="stream_ingest_src_")
+    root = tempfile.mkdtemp(prefix="stream_ingest_root_")
+    root2 = tempfile.mkdtemp(prefix="stream_ingest_root2_")
+    try:
+        # one file per micro-batch, modification times pin processing order
+        for name, df, mtime in (("a", a, 1_000_000), ("b", b, 2_000_000)):
+            stage = os.path.join(src, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{name}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (mtime, mtime))
+        ingest.init_ingest_indexes(spark, corpus, root)
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stats = ingest.run_stream_ingest(stream, root)
+        two_batches = len(stats) == 2
+        # reference: the same two batches as sequential BATCH ticks
+        ingest.init_ingest_indexes(spark, corpus, root2)
+        sa, s_a = ingest.ingest_batch(spark, a, root2)
+        sa.unpersist()
+        sb, s_b = ingest.ingest_batch(spark, b, root2)
+        sb.unpersist()
+        streamed = {
+            r["doc_id"]
+            for r in ingest.read_ingest_corpus(spark, root)
+            .select("doc_id")
+            .collect()
+        }
+        batched = {
+            r["doc_id"]
+            for r in ingest.read_ingest_corpus(spark, root2)
+            .select("doc_id")
+            .collect()
+        }
+        matches_batch_ticks = streamed == batched
+        cross_batch_suppressed = all(
+            i + 7000000 not in streamed for i in range(200, 210)
+        )
+        n_corpus = corpus.count()
+        log_union_ok = two_batches and len(streamed) == n_corpus + sum(
+            s.n_published for s in stats
+        )
+    finally:
+        for p in (src, root, root2):
+            shutil.rmtree(p, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            n_corpus,
+            a.count(),
+            b.count(),
+            two_batches,
+            cross_batch_suppressed,
+            matches_batch_ticks,
+            log_union_ok,
+        )],
+        "n_corpus bigint, n_a bigint, n_b bigint, two_batches boolean, "
+        "cross_batch_copies_suppressed boolean, matches_batch_ticks boolean, "
+        "publication_log_union_ok boolean",
+    )
+
+
+X_STREAM_INGEST_SQL = """
+SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
+       (SELECT COUNT(*) FROM documents
+         WHERE doc_id >= 200 AND doc_id < 300) AS n_a,
+       (SELECT COUNT(*) + 10 FROM documents
+         WHERE doc_id >= 300 AND doc_id < 400) AS n_b,
+       TRUE AS two_batches,
+       TRUE AS cross_batch_copies_suppressed,
+       TRUE AS matches_batch_ticks,
+       TRUE AS publication_log_union_ok
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -6197,6 +6313,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_ingest_loop": (x_ingest_loop, X_INGEST_LOOP_SQL),
     "x_rrf_fusion": (x_rrf_fusion, X_RRF_SQL),
     "x_ingest_e2e": (x_ingest_e2e, X_INGEST_E2E_SQL),  # bound-checked
+    "x_stream_ingest": (x_stream_ingest, X_STREAM_INGEST_SQL),  # bound-checked
 }
 
 

@@ -191,3 +191,44 @@ def ingest_batch(
         corpus_version=corpus_v,
     )
     return survivors, stats
+
+
+def run_stream_ingest(
+    stream: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[IngestStats]:
+    """The CONTINUOUS form of the ingest loop: every micro-batch runs one
+    full :func:`ingest_batch` tick (exact tier → fuzzy probe → admit →
+    publish) via ``foreachBatch`` — so a document admitted in micro-batch
+    N dedups micro-batch N+1, with the same crash-replay conservatism as
+    the batch tick (each micro-batch's admissions and publish are atomic
+    versioned commits; Structured Streaming's checkpoint replays a failed
+    batch, which then re-drops everything it already admitted).
+
+    Loading the index INSIDE the tick is what makes the loop work on a
+    stream: each micro-batch probes the LATEST committed versions,
+    including its predecessors' admissions — a static index captured at
+    stream start (the plain ``decontaminate_stream`` shape) can never see
+    them. Synchronous driver (bounded sources / tests): processes all
+    available input; returns per-micro-batch stats, in order. Production
+    would ``.start()`` the same ``foreachBatch`` writer asynchronously.
+    """
+    collected: list[tuple[int, IngestStats]] = []
+
+    def tick(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        surv, stats = ingest_batch(
+            batch_df.sparkSession, batch_df, root, text_col, id_col
+        )
+        surv.unpersist()
+        collected.append((batch_id, stats))
+
+    q = stream.writeStream.foreachBatch(tick).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return [s for _, s in sorted(collected, key=lambda t: t[0])]

@@ -384,3 +384,43 @@ def test_ingest_pipeline_ticks(spark, sf_dir, tmp_path):
     s3_df, s3 = ingest.ingest_batch(spark, b1, root)
     assert s3.n_published == 0
     s3_df.unpersist()
+
+
+def test_run_stream_ingest_cross_batch_admission(spark, sf_dir, tmp_path):
+    """Micro-batch B's copies of batch-A survivors drop because A's tick
+    admitted them — the property a static stream-start index can't give."""
+    import os
+    import shutil
+
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    a = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    b = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110)).withColumn(
+        "doc_id", F.col("doc_id") + 700000
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for name, df, mtime in (("a", a, 1_000_000), ("b", b, 2_000_000)):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stats = ingest.run_stream_ingest(stream, root)
+    assert len(stats) == 2
+    published = {
+        r["doc_id"]
+        for r in ingest.read_ingest_corpus(spark, root).select("doc_id").collect()
+    }
+    assert all(i + 700000 not in published for i in range(100, 110))
+    assert published >= {r["doc_id"] for r in corpus.select("doc_id").collect()}
