@@ -59,6 +59,8 @@ __all__ = [
     "load_centroids",
     "save_fingerprint_index",
     "load_fingerprint_index",
+    "save_bpe_model",
+    "load_bpe_model",
     "save_minhash_index",
     "load_minhash_index",
 ]
@@ -368,6 +370,40 @@ def load_fingerprint_index(
     if meta.get("kind") != "fingerprints":
         raise ValueError(f"not a fingerprint artifact: {path} ({meta.get('kind')})")
     return parts["fps"]
+
+
+def save_bpe_model(
+    spark: SparkSession,
+    path: str,
+    merges: list[tuple[str, str]],
+    corpus_digest: str | None = None,
+) -> int:
+    """Persist a trained BPE merge list (``operators.bpe.bpe_train``
+    output). Merge ORDER is the model — rank decides greedy application
+    — so each row carries its rank and the loader restores the exact
+    sequence. A tokenizer is the most fit-once artifact of all: it must
+    be BIT-stable across every pipeline that touches the corpus (train,
+    eval, decontamination all tokenize identically or token counts lie).
+    """
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    frame = spark.createDataFrame(rows, "rank int, a string, b string")
+    return save_artifact(
+        path,
+        {"merges": frame},
+        {"kind": "bpe", "n_merges": len(rows), "corpus_digest": corpus_digest},
+    )
+
+
+def load_bpe_model(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[tuple[str, str]]:
+    """Reload the ordered merge list — plugs straight into
+    ``operators.bpe.bpe_tokenize(merges=...)``."""
+    parts, meta = load_artifact(spark, path, version)
+    if meta.get("kind") != "bpe":
+        raise ValueError(f"not a bpe artifact: {path} ({meta.get('kind')})")
+    rows = parts["merges"].orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]
 
 
 def save_minhash_index(

@@ -424,3 +424,47 @@ def test_run_stream_ingest_cross_batch_admission(spark, sf_dir, tmp_path):
     }
     assert all(i + 700000 not in published for i in range(100, 110))
     assert published >= {r["doc_id"] for r in corpus.select("doc_id").collect()}
+
+
+def test_bpe_model_roundtrip_and_fresh_session_tokenize(spark, sf_dir, tmp_path):
+    """The tokenizer artifact: a fresh session reloads the merge list and
+    tokenizes BIT-identically to the fit session."""
+    from data_engineering_capstone_project__spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    merges = bpe.bpe_train(docs, n_merges=25, min_freq=2)
+    p = str(tmp_path / "bpe")
+    art.save_bpe_model(spark, p, merges)
+    fresh = spark.newSession()
+    loaded = art.load_bpe_model(fresh, p)
+    assert loaded == merges  # exact order, exact pairs
+    d2 = fresh.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    fit_tok = [
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in bpe.bpe_tokenize(docs, merges).select("doc_id", "tokens").collect()
+    ]
+    got = [
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in bpe.bpe_tokenize(d2, loaded).select("doc_id", "tokens").collect()
+    ]
+    assert sorted(got) == sorted(fit_tok)
+    # wrong-kind load raises
+    art.save_centroids(spark, str(tmp_path / "cents2"), np.eye(3))
+    with pytest.raises(ValueError, match="not a bpe artifact"):
+        art.load_bpe_model(spark, str(tmp_path / "cents2"))
+
+
+def test_ingest_empty_batch_tick(spark, sf_dir, tmp_path):
+    """An empty batch is a no-op tick: nothing published, versions still
+    advance atomically (an empty publication is a valid commit)."""
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 50)
+    root = str(tmp_path / "root_empty")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    empty = docs.filter(F.col("doc_id") < 0)
+    surv, s = ingest.ingest_batch(spark, empty, root)
+    assert s.n_batch == 0 and s.n_published == 0
+    surv.unpersist()
+    assert ingest.read_ingest_corpus(spark, root).count() == 50
