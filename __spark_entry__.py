@@ -5588,6 +5588,115 @@ SELECT (SELECT COUNT(*) FROM documents) AS n_stream,
 """
 
 
+def x_stream_decontaminate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static VERIFIED near-dup decontamination: the precision
+    upgrade of ``x_stream_decontaminate_fuzzy`` (closes the r7 known
+    limitation — "the fuzzy guard drops on band collision"). The static
+    index carries doc ids (``corpus_minhash_doc_index``); each
+    micro-batch's band collisions become (probe, corpus) candidate
+    pairs verified by EXACT shingle Jaccard against the corpus text,
+    and only proven near-dups (J ≥ 0.9) are dropped. Bound-checked in
+    the house style: SQL-exact stream/corpus counts plus oracle-pinned
+    booleans — (a) the streamed kept-set EQUALS the batch
+    ``minhash_band_probe_verified`` kept-set on identical data;
+    (b) it EQUALS the complement of the batch cross-corpus
+    ``minhash_lsh_join`` hit-set at the same (num_hashes, bands,
+    threshold) — the verified guard's decision semantics ARE the batch
+    join's, by construction; (c) every corpus member was dropped (an
+    exact dup verifies at J = 1); (d) the unverified fuzzy kept-set is
+    a subset (verification only ever ADDS documents back); (e)
+    verification actually rescued documents the candidate-level guard
+    would have thrown away (false-positive band collisions exist at
+    this threshold on this corpus)."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        decontaminate_stream_verified,
+        stream_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 200)
+    nh, nb, thr = 32, 8, 0.9
+    doc_idx = dedup.corpus_minhash_doc_index(
+        corpus, num_hashes=nh, bands=nb
+    ).persist()
+    doc_idx.count()  # materialize once: every micro-batch probes it
+    band_idx = dedup.corpus_minhash_band_index(
+        corpus, num_hashes=nh, bands=nb
+    ).persist()
+    streamed = decontaminate_stream_verified(
+        stream_documents(spark, sf_dir),
+        doc_idx,
+        corpus,
+        num_hashes=nh,
+        bands=nb,
+        jaccard_threshold=thr,
+    )
+    kept = {r["doc_id"] for r in streamed.select("doc_id").collect()}
+    batch_kept = {
+        r["doc_id"]
+        for r in dedup.minhash_band_probe_verified(
+            d, doc_idx, corpus, num_hashes=nh, bands=nb, jaccard_threshold=thr
+        )
+        .select("doc_id")
+        .collect()
+    }
+    fuzzy_kept = {
+        r["doc_id"]
+        for r in dedup.minhash_band_probe(d, band_idx, num_hashes=nh, bands=nb)
+        .select("doc_id")
+        .collect()
+    }
+    join_hits = {
+        r["id_a"]
+        for r in dedup.minhash_lsh_join(
+            d,
+            corpus,
+            num_hashes=nh,
+            bands=nb,
+            jaccard_threshold=thr,
+            est_filter=False,
+        )
+        .select("id_a")
+        .collect()
+    }
+    all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    matches_batch = kept == batch_kept
+    matches_lsh_join = kept == all_ids - join_hits
+    corpus_dropped = all(i >= 200 for i in kept)
+    supersets_fuzzy = fuzzy_kept <= kept
+    rescues = len(kept) > len(fuzzy_kept)
+    n_stream = d.count()
+    n_corpus = corpus.count()
+    doc_idx.unpersist()
+    band_idx.unpersist()
+    return spark.createDataFrame(
+        [(
+            n_stream,
+            n_corpus,
+            matches_batch,
+            matches_lsh_join,
+            corpus_dropped,
+            supersets_fuzzy,
+            rescues,
+        )],
+        "n_stream bigint, n_corpus bigint, matches_batch_probe boolean, "
+        "matches_lsh_join_complement boolean, corpus_members_all_dropped "
+        "boolean, supersets_unverified_tier boolean, verification_rescues "
+        "boolean",
+    )
+
+
+X_STREAM_DECON_VERIFIED_SQL = """
+SELECT (SELECT COUNT(*) FROM documents) AS n_stream,
+       (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
+       TRUE AS matches_batch_probe,
+       TRUE AS matches_lsh_join_complement,
+       TRUE AS corpus_members_all_dropped,
+       TRUE AS supersets_unverified_tier,
+       TRUE AS verification_rescues
+"""
+
+
 def x_ivf_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF retrieval (one corpus pass for a whole query FRAME —
     the decontamination-at-scale ANN shape). Bound-checked like
@@ -6306,6 +6415,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_stream_decontaminate_fuzzy": (
         x_stream_decontaminate_fuzzy,
         X_STREAM_DECON_FUZZY_SQL,
+    ),  # bound-checked
+    "x_stream_decontaminate_verified": (
+        x_stream_decontaminate_verified,
+        X_STREAM_DECON_VERIFIED_SQL,
     ),  # bound-checked
     "x_ivf_topk_many": (x_ivf_topk_many, X_IVF_MANY_SQL),  # bound-checked
     "x_ivf_append": (x_ivf_append, X_IVF_APPEND_SQL),  # bound-checked

@@ -323,6 +323,125 @@ def extend_minhash_band_index(
     return index.unionByName(new_bands).distinct()
 
 
+def corpus_minhash_doc_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Id-CARRYING banded-MinHash index: distinct ``(band, bucket,
+    corpus_id)`` rows — the static side of VERIFIED fuzzy
+    decontamination (:func:`minhash_band_probe_verified`).
+
+    The id-free ``corpus_minhash_band_index`` answers "did the probe
+    collide with SOMETHING"; carrying the id answers "with WHOM", which
+    is what an exact-Jaccard verify tier needs (candidates become
+    (probe, corpus) PAIRS that a text lookup can verify). Cost: the
+    same ``bands`` rows per corpus doc, but the distinct no longer
+    collapses same-bucket docs — the index is ≤ bands·N rows either
+    way, a few % of corpus bytes.
+    """
+    sigs = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
+    return (
+        _banded_long(banded, id_col, bands)
+        .select("band", "bucket", F.col(id_col).alias("corpus_id"))
+        .distinct()
+    )
+
+
+def extend_minhash_doc_index(
+    index: DataFrame,
+    admitted: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """ADMIT newly-ingested documents into an id-carrying MinHash index
+    (the verified-tier counterpart of ``extend_minhash_band_index``):
+    union of the existing ``(band, bucket, corpus_id)`` rows and the
+    admitted batch's. Config MUST match the index's."""
+    new_rows = corpus_minhash_doc_index(
+        admitted, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    return index.unionByName(new_rows).distinct()
+
+
+def minhash_band_probe_verified(
+    batch: DataFrame,
+    doc_index: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    keep: str = "clean",
+) -> DataFrame:
+    """Route a BATCH of documents by VERIFIED near-dup membership in a
+    static corpus: band collisions against an id-carrying MinHash index
+    (``corpus_minhash_doc_index``) become candidate (probe, corpus)
+    pairs, each verified by EXACT shingle-set Jaccard against the
+    corpus text before any document is dropped.
+
+    This closes the candidate-level guard's precision gap: the
+    unverified ``minhash_band_probe`` drops on band collision alone
+    (recall-oriented, conservative — a false-positive collision costs a
+    good document), while this tier only drops documents with a proven
+    Jaccard ≥ ``jaccard_threshold`` partner in the corpus. Decision
+    semantics are therefore identical to the batch cross-corpus
+    ``minhash_lsh_join`` at the same (num_hashes, bands, threshold):
+    kept = probe docs with no verified join partner.
+
+    Plan shape: batch-sized signature pass; a ``(band, bucket)``
+    equi-join against the index produces the candidate pairs; ONLY
+    candidate corpus docs are fetched from ``corpus`` (a semi-join by
+    id — at 100 TB keep the corpus bucketed by ``id_col`` so the fetch
+    probes buckets instead of scanning) and only candidate docs are
+    shingled (``verify_jaccard`` semi-joins before the explode). The
+    corpus text relation is never broadcast and never fully shingled.
+    """
+    if keep not in ("clean", "contaminated"):
+        raise ValueError(f"minhash_band_probe_verified: unknown keep={keep!r}")
+    sigs = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
+    cand = (
+        _banded_long(banded, id_col, bands)
+        .join(doc_index, ["band", "bucket"])
+        .select(F.col(id_col).alias("_pid"), "corpus_id")
+        .distinct()
+    )
+
+    def tag(df: DataFrame, side: int, did: Column) -> DataFrame:
+        return df.select(
+            F.struct(F.lit(side).alias("s"), did.alias("i")).alias("_cid"),
+            F.col(text_col),
+        )
+
+    combined = tag(batch, 0, F.col(id_col)).unionByName(
+        tag(corpus, 1, F.col(id_col))
+    )
+    pairs = cand.select(
+        F.struct(F.lit(0).alias("s"), F.col("_pid").alias("i")).alias("id_a"),
+        F.struct(F.lit(1).alias("s"), F.col("corpus_id").alias("i")).alias(
+            "id_b"
+        ),
+    )
+    verified_hits = (
+        verify_jaccard(combined, pairs, "_cid", text_col, shingle_k)
+        .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
+        .select(F.col("id_a.i").alias(id_col))
+        .distinct()
+    )
+    how = "left_semi" if keep == "contaminated" else "left_anti"
+    return batch.join(verified_hits, id_col, how)
+
+
 def minhash_band_probe(
     batch: DataFrame,
     band_index: DataFrame,

@@ -63,6 +63,8 @@ __all__ = [
     "load_bpe_model",
     "save_minhash_index",
     "load_minhash_index",
+    "save_minhash_doc_index",
+    "load_minhash_doc_index",
 ]
 
 _META = "_META.json"
@@ -433,6 +435,52 @@ def save_minhash_index(
             "corpus_digest": corpus_digest,
         },
     )
+
+
+def save_minhash_doc_index(
+    doc_index: DataFrame,
+    path: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    jaccard_threshold: float | None = None,
+    corpus_digest: str | None = None,
+) -> int:
+    """Persist an id-CARRYING banded-MinHash index (distinct ``(band,
+    bucket, corpus_id)`` rows from ``corpus_minhash_doc_index``) with its
+    hash config — the static side of the VERIFIED decontamination tier
+    (``minhash_band_probe_verified`` / ``decontaminate_stream_verified``).
+    ``jaccard_threshold`` rides along as the operating threshold the
+    index was intended for (informational; probes may override)."""
+    return save_artifact(
+        path,
+        {"bands": doc_index},
+        {
+            "kind": "minhash_docs",
+            "num_hashes": int(num_hashes),
+            "bands": int(bands),
+            "shingle_k": int(shingle_k),
+            "jaccard_threshold": jaccard_threshold,
+            "corpus_digest": corpus_digest,
+        },
+    )
+
+
+def load_minhash_doc_index(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[DataFrame, dict]:
+    """Reload ``(doc_index, config)`` for the verified probe side."""
+    parts, meta = load_artifact(spark, path, version)
+    if meta.get("kind") != "minhash_docs":
+        raise ValueError(
+            f"not a minhash doc-index artifact: {path} ({meta.get('kind')})"
+        )
+    return parts["bands"], {
+        "num_hashes": meta["num_hashes"],
+        "bands": meta["bands"],
+        "shingle_k": meta["shingle_k"],
+        "jaccard_threshold": meta.get("jaccard_threshold"),
+    }
 
 
 def load_minhash_index(

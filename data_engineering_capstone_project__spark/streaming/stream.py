@@ -306,6 +306,77 @@ def decontaminate_stream_fuzzy(
     return out
 
 
+def decontaminate_stream_verified(
+    stream: DataFrame,
+    doc_index: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "clean",
+    sink_path: str | None = None,
+) -> DataFrame:
+    """Stream-static VERIFIED near-dup decontamination: the precision
+    upgrade of :func:`decontaminate_stream_fuzzy`. Arriving documents
+    that band-collide with the id-carrying corpus index
+    (``operators.dedup.corpus_minhash_doc_index``) are verified by
+    EXACT shingle-set Jaccard against the colliding corpus documents'
+    text, and dropped only on a proven Jaccard ≥ ``jaccard_threshold``
+    — a false-positive band collision no longer costs a good document.
+
+    ``corpus`` is the text lookup side (only CANDIDATE corpus docs are
+    fetched and shingled per micro-batch; at 100 TB keep it bucketed by
+    ``id_col``). The index config must match the index (persist both
+    via ``sources.artifacts.save_minhash_doc_index``).
+
+    Same ``foreachBatch`` architecture as the fuzzy guard: each
+    micro-batch runs the exact BATCH kernel
+    (``minhash_band_probe_verified``), so streaming decisions are
+    identical by construction to the batch cross-corpus
+    ``minhash_lsh_join`` at the same config and threshold.
+    """
+    from data_engineering_capstone_project__spark.operators.dedup import (
+        minhash_band_probe_verified,
+    )
+
+    spark = stream.sparkSession
+    acc: list[DataFrame] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = minhash_band_probe_verified(
+            batch_df,
+            doc_index,
+            corpus,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold,
+            keep=keep,
+        )
+        if sink_path is not None:
+            routed.write.mode("append").parquet(sink_path)
+        else:
+            acc.append(routed.persist())
+            acc[-1].count()
+
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if sink_path is not None:
+        return spark.read.parquet(sink_path)
+    out = spark.createDataFrame([], stream.schema)
+    for part in acc:
+        out = out.unionByName(part)
+    return out
+
+
 def stateful_running_count(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -468,3 +468,156 @@ def test_ingest_empty_batch_tick(spark, sf_dir, tmp_path):
     assert s.n_batch == 0 and s.n_published == 0
     surv.unpersist()
     assert ingest.read_ingest_corpus(spark, root).count() == 50
+
+
+# --------------------------------------- verified fuzzy decontamination
+
+
+def test_minhash_band_probe_verified_semantics(spark, sf_dir):
+    """The verified tier's decision semantics ARE the batch cross-corpus
+    ``minhash_lsh_join``'s at the same config/threshold: kept = probe
+    docs with no verified join partner. Verification only ever ADDS
+    documents back relative to the candidate-level guard, and exact
+    corpus members (J = 1) always drop."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 50)
+    nh, b, thr = 32, 8, 0.9
+    doc_idx = dedup.corpus_minhash_doc_index(
+        corpus, num_hashes=nh, bands=b
+    ).persist()
+    band_idx = dedup.corpus_minhash_band_index(
+        corpus, num_hashes=nh, bands=b
+    ).persist()
+    kept_v = {
+        r["doc_id"]
+        for r in dedup.minhash_band_probe_verified(
+            docs, doc_idx, corpus, num_hashes=nh, bands=b,
+            jaccard_threshold=thr,
+        ).select("doc_id").collect()
+    }
+    kept_f = {
+        r["doc_id"]
+        for r in dedup.minhash_band_probe(
+            docs, band_idx, num_hashes=nh, bands=b
+        ).select("doc_id").collect()
+    }
+    assert kept_f <= kept_v  # verification is purely precision-restoring
+    assert len(kept_v) > len(kept_f)  # false-positive collisions rescued
+    assert all(i >= 50 for i in kept_v)  # exact members verify at J=1
+    join_hits = {
+        r["id_a"]
+        for r in dedup.minhash_lsh_join(
+            docs, corpus, num_hashes=nh, bands=b, jaccard_threshold=thr,
+            est_filter=False,
+        ).select("id_a").collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept_v == all_ids - join_hits
+    # clean/contaminated partition the batch
+    n_contam = dedup.minhash_band_probe_verified(
+        docs, doc_idx, corpus, num_hashes=nh, bands=b,
+        jaccard_threshold=thr, keep="contaminated",
+    ).count()
+    assert len(kept_v) + n_contam == docs.count()
+    with pytest.raises(ValueError, match="unknown keep"):
+        dedup.minhash_band_probe_verified(
+            docs, doc_idx, corpus, keep="bogus"
+        )
+    doc_idx.unpersist()
+    band_idx.unpersist()
+
+
+def test_decontaminate_stream_verified_matches_batch(spark, sf_dir):
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        decontaminate_stream_verified,
+        stream_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 50)
+    nh, b, thr = 32, 8, 0.9
+    doc_idx = dedup.corpus_minhash_doc_index(
+        corpus, num_hashes=nh, bands=b
+    ).persist()
+    doc_idx.count()
+    streamed = decontaminate_stream_verified(
+        stream_documents(spark, sf_dir), doc_idx, corpus,
+        num_hashes=nh, bands=b, jaccard_threshold=thr,
+    )
+    got = sorted(r["doc_id"] for r in streamed.select("doc_id").collect())
+    expected = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_band_probe_verified(
+            docs, doc_idx, corpus, num_hashes=nh, bands=b,
+            jaccard_threshold=thr,
+        ).select("doc_id").collect()
+    )
+    assert got == expected and len(got) > 0
+    doc_idx.unpersist()
+
+
+def test_minhash_doc_index_roundtrip_and_extend(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 50)
+    nh, b, thr = 16, 4, 0.9
+    idx = dedup.corpus_minhash_doc_index(corpus, num_hashes=nh, bands=b)
+    p = str(tmp_path / "mhdoc")
+    art.save_minhash_doc_index(
+        idx, p, num_hashes=nh, bands=b, shingle_k=5, jaccard_threshold=thr
+    )
+    fresh = spark.newSession()
+    loaded, cfg = art.load_minhash_doc_index(fresh, p)
+    assert cfg == {
+        "num_hashes": nh, "bands": b, "shingle_k": 5,
+        "jaccard_threshold": thr,
+    }
+    batch = fresh.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") >= 50
+    )
+    corpus2 = fresh.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    kept_loaded = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_band_probe_verified(
+            batch, loaded, corpus2, num_hashes=nh, bands=b,
+            jaccard_threshold=thr,
+        ).select("doc_id").collect()
+    )
+    kept_insession = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_band_probe_verified(
+            docs.filter(F.col("doc_id") >= 50), idx, corpus,
+            num_hashes=nh, bands=b, jaccard_threshold=thr,
+        ).select("doc_id").collect()
+    )
+    assert kept_loaded == kept_insession
+    # wrong-kind load raises
+    band_p = str(tmp_path / "mhband")
+    art.save_minhash_index(
+        dedup.corpus_minhash_band_index(corpus, num_hashes=nh, bands=b),
+        band_p, num_hashes=nh, bands=b, shingle_k=5,
+    )
+    with pytest.raises(ValueError, match="not a minhash doc-index"):
+        art.load_minhash_doc_index(fresh, band_p)
+    # extend: admitted docs' exact copies now verify-drop against the
+    # extended index (corpus text side must include the admitted docs)
+    b1 = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 60))
+    idx1 = dedup.extend_minhash_doc_index(idx, b1, num_hashes=nh, bands=b)
+    copies = b1.withColumn("doc_id", F.col("doc_id") + 700000)
+    corpus_plus = corpus.unionByName(b1)
+    assert (
+        dedup.minhash_band_probe_verified(
+            copies, idx1, corpus_plus, num_hashes=nh, bands=b,
+            jaccard_threshold=thr,
+        ).count()
+        == 0
+    )
+    # against the UNextended index the copies pass (no corpus partner)
+    assert (
+        dedup.minhash_band_probe_verified(
+            copies, idx, corpus, num_hashes=nh, bands=b,
+            jaccard_threshold=thr,
+        ).count()
+        > 0
+    )
