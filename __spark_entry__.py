@@ -4250,6 +4250,67 @@ FROM ranked WHERE rn <= 50
 """
 
 
+def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): steer the raw corpus
+    (doc_id ≥ 300) toward the target domain (doc_id < 300) by hashed
+    unigram+bigram bag likelihood ratios, then Gumbel-top-k select 200
+    docs without replacement. The ENTIRE pipeline — the pinned-class
+    tokenization, indexed-transform bigrams, md5-fold bucket hash
+    (mod 4096), add-1-smoothed log ratios, per-doc sums, hash-derived
+    Gumbel noise, and the top-k — is replicated verbatim in the oracle
+    SQL; the gate emits ids + integer gram counts ONLY (both engines
+    rank with their own 1-ulp-level libm logs, which cannot move a
+    selection whose neighbor gaps are Gumbel-continuous), so the row
+    set is hash-exact."""
+    d = _t(spark, sf_dir, "documents")
+    raw = d.filter(F.col("doc_id") >= 300)
+    tgt = d.filter(F.col("doc_id") < 300)
+    sel = text.dsir_resample(raw, tgt, k=200, n_buckets=4096)
+    return sel.select("doc_id", "n_grams")
+
+
+X_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(ts || list_filter(
+           list_transform(ts, (x, i) -> CASE WHEN i < len(ts) THEN x || ' ' || ts[i+1] END),
+           g -> g IS NOT NULL)) AS g
+  FROM toks),
+bucketed AS (
+  SELECT doc_id,
+         CAST(list_reduce(
+           str_split('0' || substr(md5(g || '|' || 'dsir'), 1, 13), ''),
+           (acc, c) -> CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1
+         ) AS BIGINT) % 4096 AS bucket,
+         doc_id >= 300 AS is_raw
+  FROM grams),
+raw_cnt AS (SELECT bucket, COUNT(*) AS cq FROM bucketed WHERE is_raw GROUP BY 1),
+tgt_cnt AS (SELECT bucket, COUNT(*) AS ct FROM bucketed WHERE NOT is_raw GROUP BY 1),
+tot AS (SELECT (SELECT SUM(cq) FROM raw_cnt) AS tq, (SELECT SUM(ct) FROM tgt_cnt) AS tt),
+ratio AS (
+  SELECT r.bucket,
+         LN((COALESCE(t.ct, 0)::DOUBLE + 1.0) / (tot.tt::DOUBLE + 4096.0))
+       - LN((r.cq::DOUBLE + 1.0) / (tot.tq::DOUBLE + 4096.0)) AS lr
+  FROM raw_cnt r LEFT JOIN tgt_cnt t USING (bucket) CROSS JOIN tot),
+lw AS (
+  SELECT b.doc_id, COUNT(*) AS n_grams, SUM(ratio.lr) AS logw
+  FROM bucketed b JOIN ratio USING (bucket)
+  WHERE b.is_raw GROUP BY 1),
+keyed AS (
+  SELECT doc_id, n_grams,
+         logw + (-LN(-LN((CAST(list_reduce(
+           str_split('0' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'g1'), 1, 13), ''),
+           (acc, c) -> CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1
+         ) AS BIGINT)::DOUBLE + 0.5) / 4503599627370496.0))) AS key
+  FROM lw)
+SELECT doc_id, n_grams FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 200
+"""
+
+
 def x_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state approximate profiling (HLL++ cardinality + GK
     quantiles) on lineitem — the one-scan planner-input profile that
@@ -6386,6 +6447,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_hash_sample": (x_hash_sample, X_HASH_SAMPLE_SQL),
     "x_weighted_sample": (x_weighted_sample, X_WEIGHTED_SAMPLE_SQL),
     "x_weighted_sample_groups": (x_weighted_sample_groups, X_WEIGHTED_GROUPS_SQL),
+    "x_dsir_select": (x_dsir_select, X_DSIR_SQL),
     "x_sketch_profile": (x_sketch_profile, X_SKETCH_SQL),  # bound-checked
     "x_corpus_shuffle": (x_corpus_shuffle, X_CORPUS_SHUFFLE_SQL),
     "x_lang_quality_filter": (x_lang_quality_filter, X_LANG_QUALITY_SQL),

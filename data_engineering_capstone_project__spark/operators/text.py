@@ -864,3 +864,176 @@ def hashed_linear_score(
     z = F.lit(float(bias)) + F.col("_sw").cast("double") / F.col("n_tokens")
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) if sigmoid else z
     return agg.select(id_col, "n_tokens", pround(score, 6).alias("score"))
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Hashed bag-of-n-grams featurization (the DSIR feature map, Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): one output row per word UNIGRAM and BIGRAM occurrence,
+    ``(id, bucket)`` with ``bucket = h(gram) mod n_buckets``.
+
+    Tokenization is the engine's one lexical expression
+    (:func:`_lower_terms` — structural sharing keeps every consumer
+    parity-identical); bigrams are built from the SAME token array via
+    an indexed ``transform`` (array-level, no second split). The hash is
+    the engine's portable uniform (first 52 bits of ``md5(gram|salt)``,
+    the ``weighted_sample_by_hash`` idiom) — deterministic across runs,
+    engines, and task retries, and exactly replicable in ANSI SQL, so
+    the downstream importance weights are oracle-checkable end-to-end.
+
+    100 TB: pure codegen (split/transform/explode/md5) — rows out are
+    ~2× token count; no shuffle until the consumer aggregates.
+    """
+    toks = F.filter(_lower_terms(F.col(text_col)), lambda t: t != F.lit(""))
+    d = df.select(F.col(id_col), toks.alias("_ts"))
+    bigrams = F.filter(
+        F.transform(
+            F.col("_ts"),
+            lambda t, i: F.when(
+                i < F.size(F.col("_ts")) - 1,
+                F.concat_ws(" ", t, F.element_at(F.col("_ts"), i + F.lit(2))),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    grams = d.select(
+        F.col(id_col), F.explode(F.concat(F.col("_ts"), bigrams)).alias("_g")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("_g"), F.lit(salt))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(n_buckets)
+    )
+    return grams.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance log-weights: score every ``raw`` document by how
+    much more likely its hashed n-gram bag is under the TARGET
+    distribution than under the raw distribution —
+    ``logw(doc) = Σ_g [ln p_target(bucket(g)) − ln p_raw(bucket(g))]``
+    with add-``alpha`` smoothing over the ``n_buckets`` domain. The
+    standard recipe for steering a crawl-scale corpus toward a
+    high-quality target domain without training a classifier.
+
+    Returns ``(id, n_grams, logw)`` — one row per raw doc with ≥1 gram.
+
+    Plan shape at 100 TB: two linear featurization passes; the bucket
+    count tables aggregate to ≤ ``n_buckets`` rows each and their
+    log-ratio JOIN TABLE is broadcast (8192 rows — never a shuffle on
+    the corpus side); the only corpus-sized shuffle is the per-doc sum,
+    keyed by ``id_col`` with map-side partial aggregation. Nothing is
+    ever collected to the driver.
+    """
+    raw_grams = hashed_ngram_buckets(raw, id_col, text_col, n_buckets, salt)
+    tgt_grams = hashed_ngram_buckets(target, id_col, text_col, n_buckets, salt)
+    raw_cnt = raw_grams.groupBy("bucket").agg(F.count("*").alias("_cq"))
+    tgt_cnt = tgt_grams.groupBy("bucket").agg(F.count("*").alias("_ct"))
+    # raw totals/target totals as 1-row broadcast scalars (house style)
+    tq = raw_cnt.agg(F.sum("_cq").alias("_tq"))
+    tt = tgt_cnt.agg(F.sum("_ct").alias("_tt"))
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * n_buckets)
+    ratio = (
+        raw_cnt.join(tgt_cnt, "bucket", "left_outer")
+        .crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + a)
+                    / (F.col("_tt").cast("double") + ab)
+                )
+                - F.log(
+                    (F.col("_cq").cast("double") + a)
+                    / (F.col("_tq").cast("double") + ab)
+                )
+            ).alias("_lr"),
+        )
+    )
+    return (
+        raw_grams.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"), F.sum("_lr").alias("logw"))
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+    gumbel: bool = True,
+    noise_salt: str = "g1",
+) -> DataFrame:
+    """DSIR importance RESAMPLING: select ``k`` raw documents via
+    Gumbel-top-k over the importance log-weights — sampling without
+    replacement with inclusion probability ∝ importance weight, i.e.
+    the resampling half of Xie et al.'s recipe (``gumbel=False``
+    degenerates to deterministic top-k by weight, the "hard selection"
+    variant).
+
+    The Gumbel noise is hash-derived, not ``rand()``: ``−ln(−ln u)``
+    with ``u`` the dyadic 52-bit md5 uniform of ``(id, noise_salt)`` —
+    reproducible across runs, engines, and Spark task retries, and
+    replicable in the DuckDB oracle. A different ``noise_salt`` is a
+    fresh independent draw.
+
+    Returns ``(id, n_grams, logw, key)`` for the selected docs; join
+    back on ``id_col`` (broadcast — k rows) for the full documents.
+    Top-k plans as ``TakeOrderedAndProject``: per-partition partial
+    top-k, k-row merge — never a global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lw = dsir_log_weights(
+        raw, target, id_col, text_col, n_buckets, alpha, salt
+    )
+    if gumbel:
+        v = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col(id_col).cast("string"), F.lit(noise_salt)
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+        key = F.col("logw") + (-F.log(-F.log(u)))
+    else:
+        key = F.col("logw")
+    return (
+        lw.withColumn("key", key)
+        .orderBy(F.col("key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

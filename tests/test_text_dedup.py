@@ -1005,3 +1005,53 @@ def test_minhash_lsh_join_cross_corpus(spark):
     sa, sb = shset(da, 1), shset(db, 1)
     want = round(len(sa & sb) / len(sa | sb), 6)
     assert abs(found[(1, 1)] - want) < 1e-9
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def test_hashed_ngram_buckets_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = text.hashed_ngram_buckets(df, n_buckets=64).collect()
+    per = {}
+    for r in rows:
+        per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
+        assert 0 <= r["bucket"] < 64
+    # 3 unigrams + 2 bigrams; 1 unigram; blank/null yield nothing
+    assert per == {1: 5, 2: 1}
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    tgt_text = "alpha beta gamma delta epsilon zeta " * 5
+    junk_text = "uno dos tres cuatro cinco seis " * 5
+    target = spark.createDataFrame(
+        [(100 + i, tgt_text) for i in range(4)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, tgt_text), (2, tgt_text + "eta theta"), (3, tgt_text),
+         (4, junk_text), (5, junk_text), (6, junk_text)],
+        "doc_id long, text string",
+    )
+    lw = {r["doc_id"]: r["logw"] for r in
+          text.dsir_log_weights(raw, target, n_buckets=256).collect()}
+    assert min(lw[1], lw[2], lw[3]) > max(lw[4], lw[5], lw[6])
+    sel = text.dsir_resample(raw, target, k=3, n_buckets=256, gumbel=False)
+    assert {r["doc_id"] for r in sel.collect()} == {1, 2, 3}
+
+
+def test_dsir_resample_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.filter(F.col("doc_id") >= 100)
+    tgt = docs.filter(F.col("doc_id") < 100)
+    a = [tuple(r) for r in text.dsir_resample(
+        raw, tgt, k=25, n_buckets=512).select("doc_id", "n_grams").collect()]
+    b = [tuple(r) for r in text.dsir_resample(
+        raw, tgt, k=25, n_buckets=512).select("doc_id", "n_grams").collect()]
+    assert a == b and len(a) == 25
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        text.dsir_resample(raw, tgt, k=0)
