@@ -106,12 +106,16 @@ HEADLINE_R6 = [
     "x_pca",
 ]
 
-# Round-7 addition (VERDICT r6 #8): the INDEXED BM25 path — fit + save
-# happen once (digest-keyed artifact, paid by the discarded warm-up run);
+# Round-7 additions: the INDEXED BM25 path (VERDICT r6 #8 — fit + save
+# happen once, digest-keyed artifact, paid by the discarded warm-up run;
 # steady-state runs measure reload + query, the recommended production
-# retrieval shape, alongside x_bm25_topk's fit-per-call convenience path.
+# retrieval shape, alongside x_bm25_topk's fit-per-call convenience path)
+# and DSIR importance resampling (hashed n-gram likelihood ratios +
+# Gumbel top-k — two linear featurization passes, broadcast ratio table,
+# one doc-keyed shuffle, TakeOrderedAndProject).
 HEADLINE_R7 = [
     "x_bm25_topk_indexed",
+    "x_dsir_select",
 ]
 
 

@@ -405,6 +405,15 @@ def minhash_band_probe_verified(
     probes buckets instead of scanning) and only candidate docs are
     shingled (``verify_jaccard`` semi-joins before the explode). The
     corpus text relation is never broadcast and never fully shingled.
+
+    SIZE THE BANDING FROM N: candidate-verify volume under fixed
+    banding grows ~quadratically (random pairs at baseline similarity
+    J₀ collide per band with probability J₀^rows_per_band) — the
+    ladder measured the default 32/8 config jumping 18 s → 238 s over
+    the 50k → 500k rung, while ``auto_minhash_config(total_docs,
+    threshold, baseline_j=…)`` holds the slope (SCALING.md). The
+    config must match the index's (persisted with it by
+    ``save_minhash_doc_index``).
     """
     if keep not in ("clean", "contaminated"):
         raise ValueError(f"minhash_band_probe_verified: unknown keep={keep!r}")

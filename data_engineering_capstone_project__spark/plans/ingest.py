@@ -69,26 +69,49 @@ def init_ingest_indexes(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    verify_jaccard_threshold: float | None = None,
 ) -> None:
     """Bootstrap: fit both dedup indexes over the existing corpus and
     publish corpus + indexes as version 1 artifacts under ``root``.
-    Runs ONCE per corpus; every later tick is :func:`ingest_batch`."""
+    Runs ONCE per corpus; every later tick is :func:`ingest_batch`.
+
+    ``verify_jaccard_threshold`` selects the VERIFIED fuzzy tier for the
+    whole loop: the MinHash index is saved id-CARRYING
+    (``minhash_docs`` kind) and every tick verifies band collisions by
+    exact Jaccard against the publication log's text at this threshold
+    before dropping — the mode choice travels WITH the index artifact,
+    so ticks self-configure and a loop can never mix probe semantics.
+    Default (None) keeps the cheaper candidate-level guard (drop on
+    collision — conservative, no corpus text fetch per tick)."""
     dg = art.corpus_digest(corpus, [id_col, text_col])
     art.save_fingerprint_index(
         corpus_fingerprint_index(corpus, text_col=text_col),
         os.path.join(root, _FP),
         corpus_digest=dg,
     )
-    art.save_minhash_index(
-        dedup.corpus_minhash_band_index(
-            corpus, id_col, text_col, num_hashes, bands, shingle_k
-        ),
-        os.path.join(root, _MH),
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_k=shingle_k,
-        corpus_digest=dg,
-    )
+    if verify_jaccard_threshold is None:
+        art.save_minhash_index(
+            dedup.corpus_minhash_band_index(
+                corpus, id_col, text_col, num_hashes, bands, shingle_k
+            ),
+            os.path.join(root, _MH),
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            corpus_digest=dg,
+        )
+    else:
+        art.save_minhash_doc_index(
+            dedup.corpus_minhash_doc_index(
+                corpus, id_col, text_col, num_hashes, bands, shingle_k
+            ),
+            os.path.join(root, _MH),
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            jaccard_threshold=verify_jaccard_threshold,
+            corpus_digest=dg,
+        )
     write_versioned(corpus, os.path.join(root, _CORPUS))
 
 
@@ -128,8 +151,13 @@ def ingest_batch(
     """One ingest tick against the durable indexes under ``root``.
 
     Exact tier first (cheapest: one 32-char anti join + within-batch
-    min-id dedup), then the fuzzy band probe on what remains — both
-    probes are batch-sized; the corpus participates only as its indexes.
+    min-id dedup), then the fuzzy tier on what remains — the
+    candidate-level band probe by default, or the VERIFIED probe
+    (exact-Jaccard against the publication log's candidate docs) when
+    the bootstrap saved an id-carrying index
+    (``init_ingest_indexes(verify_jaccard_threshold=...)``). Both
+    probes are batch-sized; the corpus participates only as its indexes
+    (plus, in verified mode, a candidate-sized text fetch).
     Survivors are admitted into BOTH indexes and published as a new
     corpus snapshot version; returns ``(published_survivors, stats)``.
 
@@ -142,7 +170,18 @@ def ingest_batch(
     fp_path = os.path.join(root, _FP)
     mh_path = os.path.join(root, _MH)
     fp_idx = art.load_fingerprint_index(spark, fp_path)
-    mh_idx, cfg = art.load_minhash_index(spark, mh_path)
+    # the fuzzy-tier MODE travels with the index artifact: a
+    # ``minhash_docs`` kind selects the verified probe (exact-Jaccard
+    # check against the publication log before any drop), so every tick
+    # of a loop — batch or streaming — probes with the same semantics
+    # the bootstrap chose
+    verified = (
+        art.load_artifact_meta(mh_path).get("kind") == "minhash_docs"
+    )
+    if verified:
+        mh_idx, cfg = art.load_minhash_doc_index(spark, mh_path)
+    else:
+        mh_idx, cfg = art.load_minhash_index(spark, mh_path)
     n_batch = batch.count()
 
     exact_kept = dedup.dedup_against_corpus(
@@ -150,16 +189,35 @@ def ingest_batch(
     ).persist()
     n_exact_kept = exact_kept.count()
 
-    survivors = dedup.minhash_band_probe(
-        exact_kept,
-        mh_idx,
-        id_col=id_col,
-        text_col=text_col,
-        num_hashes=cfg["num_hashes"],
-        bands=cfg["bands"],
-        shingle_k=cfg["shingle_k"],
-        keep="clean",
-    ).persist()
+    if verified:
+        # candidate corpus text comes from the publication log — exactly
+        # the documents the index covers (bootstrap + every admitted
+        # survivor); only CANDIDATE docs are fetched/shingled (at 100 TB
+        # keep the log bucketed by id so the fetch probes buckets)
+        corpus_text = read_ingest_corpus(spark, root)
+        survivors = dedup.minhash_band_probe_verified(
+            exact_kept,
+            mh_idx,
+            corpus_text,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=cfg["num_hashes"],
+            bands=cfg["bands"],
+            shingle_k=cfg["shingle_k"],
+            jaccard_threshold=cfg["jaccard_threshold"],
+            keep="clean",
+        ).persist()
+    else:
+        survivors = dedup.minhash_band_probe(
+            exact_kept,
+            mh_idx,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=cfg["num_hashes"],
+            bands=cfg["bands"],
+            shingle_k=cfg["shingle_k"],
+            keep="clean",
+        ).persist()
     n_published = survivors.count()
 
     dg = f"extended:{art.corpus_digest(survivors, [id_col, text_col])}"
@@ -168,17 +226,31 @@ def ingest_batch(
         fp_path,
         corpus_digest=dg,
     )
-    mh_v = art.save_minhash_index(
-        dedup.extend_minhash_band_index(
-            mh_idx, survivors, id_col, text_col,
-            cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
-        ),
-        mh_path,
-        num_hashes=cfg["num_hashes"],
-        bands=cfg["bands"],
-        shingle_k=cfg["shingle_k"],
-        corpus_digest=dg,
-    )
+    if verified:
+        mh_v = art.save_minhash_doc_index(
+            dedup.extend_minhash_doc_index(
+                mh_idx, survivors, id_col, text_col,
+                cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
+            ),
+            mh_path,
+            num_hashes=cfg["num_hashes"],
+            bands=cfg["bands"],
+            shingle_k=cfg["shingle_k"],
+            jaccard_threshold=cfg["jaccard_threshold"],
+            corpus_digest=dg,
+        )
+    else:
+        mh_v = art.save_minhash_index(
+            dedup.extend_minhash_band_index(
+                mh_idx, survivors, id_col, text_col,
+                cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
+            ),
+            mh_path,
+            num_hashes=cfg["num_hashes"],
+            bands=cfg["bands"],
+            shingle_k=cfg["shingle_k"],
+            corpus_digest=dg,
+        )
     corpus_v = write_versioned(survivors, os.path.join(root, _CORPUS))
     exact_kept.unpersist()
     stats = IngestStats(

@@ -621,3 +621,47 @@ def test_minhash_doc_index_roundtrip_and_extend(spark, sf_dir, tmp_path):
         ).count()
         > 0
     )
+
+
+def test_ingest_pipeline_verified_mode(spark, sf_dir, tmp_path):
+    """verify_jaccard_threshold at bootstrap upgrades EVERY tick to the
+    verified fuzzy tier (mode travels with the index artifact): an exact
+    copy of a corpus doc still drops (J=1), band-colliding docs BELOW
+    the threshold now publish, and admission still suppresses tick-2
+    copies of tick-1 survivors under the verified probe."""
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    # reference: the unverified loop on the same data
+    root_u = str(tmp_path / "ingest_u")
+    ingest.init_ingest_indexes(spark, corpus, root_u)
+    su_df, su = ingest.ingest_batch(spark, b1, root_u)
+    su_df.unpersist()
+    # verified loop at a threshold high enough that some band collisions
+    # fail the exact check (tiny-vocab corpus: collisions abound)
+    root_v = str(tmp_path / "ingest_v")
+    ingest.init_ingest_indexes(
+        spark, corpus, root_v, verify_jaccard_threshold=0.9
+    )
+    s1_df, s1 = ingest.ingest_batch(spark, b1, root_v)
+    ids1 = {r["doc_id"] for r in s1_df.select("doc_id").collect()}
+    s1_df.unpersist()
+    assert s1.n_exact_dropped + s1.n_fuzzy_dropped + s1.n_published == s1.n_batch
+    # verification only ever ADDS documents back vs the candidate guard
+    assert s1.n_published > su.n_published
+    assert s1.n_exact_dropped == su.n_exact_dropped
+    # tick 2: exact copy of a corpus doc drops (verifies at J = 1, via
+    # the exact tier); copy of a tick-1 SURVIVOR drops via admission
+    anchor = min(ids1)
+    b2 = docs.filter(F.col("doc_id") == anchor).withColumn(
+        "doc_id", F.col("doc_id") + 900000
+    )
+    s2_df, s2 = ingest.ingest_batch(spark, b2, root_v)
+    assert s2.n_published == 0
+    s2_df.unpersist()
+    # replay conservatism holds in verified mode too
+    s3_df, s3 = ingest.ingest_batch(spark, b1, root_v)
+    assert s3.n_published == 0
+    s3_df.unpersist()

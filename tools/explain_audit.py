@@ -51,6 +51,8 @@ AUDIT = {
     "x_snapshot_diff": "exceptAll both directions: hash aggregates over one exchange per side, union of tagged results — no join, no key assumption",
     "x_rrf_fusion": "hybrid fusion: both source top-k's are already k-per-query sized before the union; one hash agg on (query,doc) of decimal contributions (order-independent), final rank via WindowGroupLimit",
     "x_ingest_loop": "two-round fingerprint loop: each round is one batch-side groupBy(min) + join-back + LEFT ANTI against the (index-sized) fingerprint relation; the admit step is a union+distinct of 32-char keys, never text",
+    "x_dsir_select": "DSIR: hashed n-gram featurization is pure codegen at the scan (split + indexed transform + explode + md5/conv); the ≤n_buckets-row log-ratio table rides a BroadcastHashJoin onto the gram stream; the ONLY corpus-sized exchange is the per-doc sum (hashpartitioning(doc_id), map-side partials); Gumbel-top-k via TakeOrderedAndProject — audit: no SortMergeJoin, no global Sort",
+    "verified_probe": "verified fuzzy decontamination kernel (the x_stream_decontaminate_verified gate wraps it in driver-side set comparisons): batch signatures via explode+groupBy min-hashes; candidate pairs from the (band,bucket) equi-join against the id-carrying index; verify_jaccard shingles ONLY candidate docs (left-semi before the explode; sort-merge pinned for the corpus-sized shingle-array join — never broadcast); final routing is one LEFT ANTI on id",
 }
 
 
@@ -76,7 +78,25 @@ def _ivf_pruned_probe(spark, sf_dir):
     return similarity.ivf_topk_pruned(corpus, q, cents, k=10, nprobe=4)
 
 
-CUSTOM = {"ivf_pruned_probe": _ivf_pruned_probe}
+def _verified_probe(spark, sf_dir):
+    """The raw verified-probe kernel (the gate's plan collapses to a
+    LocalTableScan of booleans; this is the plan worth auditing)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") < 200)
+    idx = dedup.corpus_minhash_doc_index(corpus)
+    return dedup.minhash_band_probe_verified(
+        d, idx, corpus, jaccard_threshold=0.9
+    )
+
+
+CUSTOM = {
+    "ivf_pruned_probe": _ivf_pruned_probe,
+    "verified_probe": _verified_probe,
+}
 
 
 def main() -> None:

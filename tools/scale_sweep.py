@@ -48,12 +48,14 @@ if __import__("os").path.isdir("/tmp/spark_graft_ladder/500000"):
     LADDER_SFS.append(("500k", "/tmp/spark_graft_ladder/500000"))
 
 
-def ladder_main() -> None:
+def ladder_main(only: set[str] | None = None) -> None:
     """Dedup-ladder sweep across a 10× doc range (5k → 50k docs, all from
     tools/gen_scale_data.py — sparse-vocab corpus with planted dups; see
     that module for why the driver's tiny-vocab docs can't be scaled):
     wall time AND result counts per op, so superlinear candidate growth
-    is visible even where constants hide runtime."""
+    is visible even where constants hide runtime. ``only`` (CLI
+    ``--ops a,b``) restricts to a subset and appends a dedicated
+    section instead of the full table."""
     import os
 
     from pyspark.sql import functions as F
@@ -111,6 +113,40 @@ def ladder_main() -> None:
             [(len(merges),)], "n_merges int"
         )
 
+    def _dsir_cell(d, e):
+        from data_engineering_capstone_project__spark.operators import (
+            text as text_mod,
+        )
+
+        # target = 2% slice, raw = the rest; k fixed at 500 so the row
+        # count is constant and runtime carries the whole signal (the
+        # TakeOrdered limit cannot be satisfied without computing every
+        # doc's key, so nothing is pruned)
+        tgt = d.filter(F.col("doc_id") % 50 == 0)
+        raw = d.filter(F.col("doc_id") % 50 != 0)
+        return text_mod.dsir_resample(raw, tgt, k=500)
+
+    def _verified_probe_cell(d, e):
+        # 10% of docs act as the static corpus; the index is (re)built
+        # inside the cell (fit-once in production — both halves are
+        # linear, so the combined cell must stay ≲ linear too).
+        # Banding is auto-sized from N (the production guidance): the
+        # DEFAULT 32/8 config was ladder-measured going quadratic in
+        # candidate-verify volume at the 500k rung (238 s vs 18 s at
+        # 50k — the fixed-banding hazard auto_minhash_config exists
+        # for; baseline_j=0.07 is this corpus's measured baseline)
+        corpus = d.filter(F.col("doc_id") % 10 == 0)
+        batch = d.filter(F.col("doc_id") % 10 != 0)
+        nh, nb = dedup.auto_minhash_config(
+            d.count(), 0.8, baseline_j=0.07
+        )
+        idx = dedup.corpus_minhash_doc_index(
+            corpus, num_hashes=nh, bands=nb
+        )
+        return dedup.minhash_band_probe_verified(
+            batch, idx, corpus, num_hashes=nh, bands=nb
+        )
+
     # (builder, measurement runs)
     OPS = {
         "exact_dedup": (lambda d, e: dedup.exact_dedup(d), 2),
@@ -134,6 +170,11 @@ def ladder_main() -> None:
         # its expressions are dead) — both "measure" ~0.3 s of nothing.
         # A filter predicate on clean_text cannot be pruned, and the row
         # count stays the meaningful doc count.
+        # rows fixed at k: runtime is the signal (see _dsir_cell)
+        "dsir_resample": (_dsir_cell, 2),
+        # signatures + index join + exact verify of colliding pairs —
+        # rows = kept docs (planted near-dups of the corpus slice drop)
+        "minhash_probe_verified": (_verified_probe_cell, 2),
         "substring_span_dedup": (
             lambda d, e: dedup.substring_span_dedup(d).filter(
                 F.length("clean_text") >= 0
@@ -159,6 +200,11 @@ def ladder_main() -> None:
         # row-local matmul pass; the cell runs both
         "pca_fit_transform": (_pca_cell, 2),
     }
+    if only:
+        unknown = only - set(OPS)
+        if unknown:
+            raise SystemExit(f"--ops unknown: {sorted(unknown)}")
+        OPS = {k: v for k, v in OPS.items() if k in only}
     results: dict[str, dict[str, tuple[float, int]]] = {
         op: {} for op in OPS
     }
@@ -191,7 +237,8 @@ def ladder_main() -> None:
                 f.write(line + "\n")
     lines = [
         "",
-        "## Dedup-ladder sweep (generated sparse corpus)",
+        "## Dedup-ladder sweep (generated sparse corpus)"
+        + (f" — subset {sorted(OPS)}" if only else ""),
         "",
         "Data: `tools/gen_scale_data.py` — driver-shaped documents over a",
         "5,000-word vocabulary with 2% planted exact + 2% near duplicates",
@@ -781,7 +828,12 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--ladder" in sys.argv:
-        ladder_main()
+        _only = (
+            set(sys.argv[sys.argv.index("--ops") + 1].split(","))
+            if "--ops" in sys.argv
+            else None
+        )
+        ladder_main(only=_only)
     elif "--substring-stability" in sys.argv:
         substring_stability_main()
     elif "--floor" in sys.argv:
