@@ -4250,6 +4250,38 @@ FROM ranked WHERE rn <= 50
 """
 
 
+def x_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items sketch over lineitem.l_quantity with
+    k=100 ≥ the 50 distinct values — the EXACT regime, where the sketch
+    provably equals a full groupBy count with zero decrements, so the
+    oracle is plain hash-exact GROUP BY counts (the distributed
+    plumbing — per-partition Arrow kernel, summary merge, scalar
+    cross-join — is what's on trial; the approximation guarantees of
+    the decrement regime are unit-tested with planted skew, where no
+    SQL oracle can express the order-dependent counters)."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        frequent_items_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = frequent_items_sketch(li, "l_quantity", k=100)
+    return out.select(
+        F.col("item").cast("double").alias("item"),
+        "est_count",
+        "err_bound",
+        "n_rows",
+    )
+
+
+X_FREQ_ITEMS_SQL = """
+SELECT l_quantity AS item,
+       CAST(COUNT(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound,
+       (SELECT COUNT(l_quantity) FROM lineitem) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+
 def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): steer the raw corpus
     (doc_id ≥ 300) toward the target domain (doc_id < 300) by hashed
@@ -6448,6 +6480,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_weighted_sample": (x_weighted_sample, X_WEIGHTED_SAMPLE_SQL),
     "x_weighted_sample_groups": (x_weighted_sample_groups, X_WEIGHTED_GROUPS_SQL),
     "x_dsir_select": (x_dsir_select, X_DSIR_SQL),
+    "x_freq_items": (x_freq_items, X_FREQ_ITEMS_SQL),
     "x_sketch_profile": (x_sketch_profile, X_SKETCH_SQL),  # bound-checked
     "x_corpus_shuffle": (x_corpus_shuffle, X_CORPUS_SHUFFLE_SQL),
     "x_lang_quality_filter": (x_lang_quality_filter, X_LANG_QUALITY_SQL),

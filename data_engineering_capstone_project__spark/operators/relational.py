@@ -12,7 +12,9 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from data_engineering_capstone_project__spark.cachereg import register
 from data_engineering_capstone_project__spark.functions.fx import pad_key
 
 _SIZE_SUFFIX = {
@@ -593,6 +595,84 @@ def sketch_profile(
         F.percentile_approx(
             value_col, list(percentiles), accuracy
         ).alias("approx_ps"),
+    )
+
+
+def frequent_items_sketch(
+    df: DataFrame, col: str, k: int = 100
+) -> DataFrame:
+    """Misra-Gries heavy hitters in ONE bounded-state pass — the third
+    member of the planner-input profiling trio (HLL++ cardinality + GK
+    quantiles in :func:`sketch_profile`; this one answers "WHICH keys
+    are hot", the direct input to salting factors and skew-join hints,
+    where :func:`skew_profile`'s exact groupBy pays a full count
+    shuffle).
+
+    Per partition, an Arrow-batched kernel folds ``value_counts`` into
+    ≤ ``k`` counters; overflow subtracts the (k+1)-th largest counter
+    value from ALL counters and drops the non-positive (the batched
+    Misra-Gries decrement — each round removes that value from ≥ k+1
+    counters, so a partition's total decrement ≤ N_p/(k+1)). Summaries
+    merge by plain per-item SUM (each partition's counter is within
+    [true_p − dec_p, true_p], so the sums telescope), giving the
+    classic guarantees with ``err`` = Σ partition decrements:
+
+    - ``est_count ≤ true count ≤ est_count + err``;
+    - every item with true count > ``err`` (≤ N/(k+1)) IS present;
+    - with ≤ k distinct values the sketch is EXACT (err = 0).
+
+    Shuffle cost: ≤ (k+1) rows per partition (k counters + one
+    decrement row), independent of N — vs the full-width exchange of
+    an exact groupBy count. Returns ``(item, est_count, err_bound,
+    n_rows)`` with the scalars repeated per row (one cross-joined
+    1-row relation). Items ride as strings (the hash key the kernel
+    counted); cast back as needed.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("item", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("dec", T.LongType()),
+        ]
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        dec_total = 0
+        for pdf in batches:
+            vc = pdf[col].astype("string").dropna().value_counts()
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[k]  # the (k+1)-th largest
+                counters = {
+                    i: c - d for i, c in counters.items() if c - d > 0
+                }
+                dec_total += d
+        rows = [(i, c, 0) for i, c in counters.items()]
+        rows.append((None, 0, dec_total))
+        yield pd.DataFrame(rows, columns=["item", "cnt", "dec"])
+
+    summaries = register(
+        df.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(mg, out_schema)
+        .persist()
+    )
+    scalars = F.broadcast(
+        summaries.agg(F.sum("dec").alias("err_bound")).crossJoin(
+            df.agg(F.count(col).alias("n_rows"))
+        )
+    )
+    return (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("est_count"))
+        .crossJoin(scalars)
     )
 
 

@@ -945,7 +945,13 @@ def dsir_log_weights(
     keyed by ``id_col`` with map-side partial aggregation. Nothing is
     ever collected to the driver.
     """
-    raw_grams = hashed_ngram_buckets(raw, id_col, text_col, n_buckets, salt)
+    # the raw gram stream feeds BOTH the bucket-count branch and the
+    # per-doc sum: persist so the corpus featurization pass (scan +
+    # split + explode + md5) runs once, not twice — (long, long) rows,
+    # ~2× token count, the same compact-relation persist bm25's tf uses
+    raw_grams = register(
+        hashed_ngram_buckets(raw, id_col, text_col, n_buckets, salt).persist()
+    )
     tgt_grams = hashed_ngram_buckets(target, id_col, text_col, n_buckets, salt)
     raw_cnt = raw_grams.groupBy("bucket").agg(F.count("*").alias("_cq"))
     tgt_cnt = tgt_grams.groupBy("bucket").agg(F.count("*").alias("_ct"))

@@ -239,3 +239,54 @@ def test_weighted_sample_per_group_semantics(spark):
             ).collect()
         }
         assert by_grp[g] == solo, g
+
+
+# --------------------------------------------- Misra-Gries frequent items
+
+
+def test_frequent_items_exact_regime(spark):
+    """k >= distinct values: the sketch IS the exact groupBy count."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        frequent_items_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in ["a"] * 7 + ["b"] * 5 + ["c"] * 3 + [None] * 2],
+        "x string",
+    ).repartition(3)
+    out = frequent_items_sketch(df, "x", k=10).collect()
+    got = {r["item"]: r["est_count"] for r in out}
+    assert got == {"a": 7, "b": 5, "c": 3}
+    assert all(r["err_bound"] == 0 and r["n_rows"] == 15 for r in out)
+
+
+def test_frequent_items_decrement_regime_guarantees(spark):
+    """k < distinct values, adversarially interleaved input: the MG
+    guarantees hold — est <= true <= est + err, err <= N/(k+1), and
+    every item with true count > err is present (the heavy hitter
+    cannot be evicted)."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        frequent_items_sketch,
+    )
+
+    # 60 x 'hot', 25 x 'warm', 15 x 'cold', interleaved so counters
+    # churn; single partition makes the decrement path deterministic
+    vals = (["hot", "warm", "cold"] * 15) + (["hot", "warm"] * 10) + ["hot"] * 5
+    true = {"hot": 30, "warm": 25, "cold": 15}
+    n = len(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "x string").coalesce(1)
+    rows = frequent_items_sketch(df, "x", k=2).collect()
+    assert rows, "sketch must emit survivors"
+    err = rows[0]["err_bound"]
+    assert 0 < err <= n // 3  # decrements happened; bound N/(k+1)
+    for r in rows:
+        t = true[r["item"]]
+        assert r["est_count"] <= t <= r["est_count"] + err
+    present = {r["item"] for r in rows}
+    for item, t in true.items():
+        if t > err:
+            assert item in present
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        frequent_items_sketch(df, "x", k=0)
