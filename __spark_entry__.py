@@ -4250,6 +4250,41 @@ FROM ranked WHERE rn <= 50
 """
 
 
+def x_dsir_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR through a PERSISTED model: the log-ratio table is fit and
+    saved once (digest-keyed), then a FRESH session reloads it and
+    selects with ZERO target passes (``dsir_resample(ratio=…)``) — the
+    production data-selection steady state. Hash-exact against the SAME
+    from-scratch oracle as ``x_dsir_select``: any loss in the save/load
+    round trip (double fidelity, bucket-row loss, config drift) changes
+    the selection and fails the gate."""
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    d = _t(spark, sf_dir, "documents")
+    dg = art.corpus_digest(d, ["doc_id", "text"])
+    path = _artifact_dir("dsir", dg)
+    if not art.is_current(path, dg):
+        ratio = text.dsir_fit(
+            d.filter(F.col("doc_id") >= 300),
+            d.filter(F.col("doc_id") < 300),
+            n_buckets=4096,
+        )
+        art.save_dsir_model(
+            ratio, path, n_buckets=4096, alpha=1.0, salt="dsir",
+            corpus_digest=dg,
+        )
+    fresh = spark.newSession()
+    ratio, cfg = art.load_dsir_model(fresh, path)
+    raw = fresh.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") >= 300
+    )
+    sel = text.dsir_resample(
+        raw, None, k=200, n_buckets=cfg["n_buckets"], salt=cfg["salt"],
+        ratio=ratio,
+    )
+    return sel.select("doc_id", "n_grams")
+
+
 def x_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent-items sketch over lineitem.l_quantity with
     k=100 ≥ the 50 distinct values — the EXACT regime, where the sketch
@@ -6481,6 +6516,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_weighted_sample_groups": (x_weighted_sample_groups, X_WEIGHTED_GROUPS_SQL),
     "x_dsir_select": (x_dsir_select, X_DSIR_SQL),
     "x_freq_items": (x_freq_items, X_FREQ_ITEMS_SQL),
+    "x_dsir_persisted": (x_dsir_persisted, X_DSIR_SQL),
     "x_sketch_profile": (x_sketch_profile, X_SKETCH_SQL),  # bound-checked
     "x_corpus_shuffle": (x_corpus_shuffle, X_CORPUS_SHUFFLE_SQL),
     "x_lang_quality_filter": (x_lang_quality_filter, X_LANG_QUALITY_SQL),

@@ -116,6 +116,10 @@ HEADLINE_R6 = [
 HEADLINE_R7 = [
     "x_bm25_topk_indexed",
     "x_dsir_select",
+    # the persisted-model DSIR path (fit+save paid by the discarded
+    # warm-up run; steady state = digest check + reload + score+top-k,
+    # zero target passes — the production data-selection shape)
+    "x_dsir_persisted",
 ]
 
 

@@ -952,6 +952,37 @@ def dsir_log_weights(
     raw_grams = register(
         hashed_ngram_buckets(raw, id_col, text_col, n_buckets, salt).persist()
     )
+    ratio = dsir_fit(
+        raw, target, id_col, text_col, n_buckets, alpha, salt,
+        raw_grams=raw_grams,
+    )
+    return dsir_score(
+        raw, ratio, id_col, text_col, n_buckets, salt, grams=raw_grams
+    )
+
+
+def dsir_fit(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+    raw_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Fit the DSIR MODEL: the ``(bucket, _lr)`` log-ratio table —
+    ``ln p_target(b) − ln p_raw(b)`` with add-``alpha`` smoothing over
+    the ``n_buckets`` domain, from one featurization pass over each
+    corpus. ≤ ``n_buckets`` rows: THE fit-once artifact of data
+    selection (persist via ``sources.artifacts.save_dsir_model``; a
+    100 TB scoring pass reloads it and never re-reads the target).
+    ``raw_grams`` lets a caller share an already-persisted gram stream
+    (``dsir_log_weights`` does, so its fit+score runs one raw pass)."""
+    if raw_grams is None:
+        raw_grams = hashed_ngram_buckets(
+            raw, id_col, text_col, n_buckets, salt
+        )
     tgt_grams = hashed_ngram_buckets(target, id_col, text_col, n_buckets, salt)
     raw_cnt = raw_grams.groupBy("bucket").agg(F.count("*").alias("_cq"))
     tgt_cnt = tgt_grams.groupBy("bucket").agg(F.count("*").alias("_ct"))
@@ -960,7 +991,7 @@ def dsir_log_weights(
     tt = tgt_cnt.agg(F.sum("_ct").alias("_tt"))
     a = F.lit(float(alpha))
     ab = F.lit(float(alpha) * n_buckets)
-    ratio = (
+    return (
         raw_cnt.join(tgt_cnt, "bucket", "left_outer")
         .crossJoin(F.broadcast(tq))
         .crossJoin(F.broadcast(tt))
@@ -978,8 +1009,31 @@ def dsir_log_weights(
             ).alias("_lr"),
         )
     )
+
+
+def dsir_score(
+    df: DataFrame,
+    ratio: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    salt: str = "dsir",
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """Score ANY document frame against a fitted DSIR model (the
+    ``(bucket, _lr)`` table from :func:`dsir_fit`, possibly reloaded
+    from the artifact store): ``(id, n_grams, logw)`` per doc with ≥1
+    gram. The featurization MUST use the model's ``n_buckets``/``salt``
+    (persisted with it). One featurization pass + a broadcast join +
+    one doc-keyed shuffle — the 100 TB scoring shape; grams absent
+    from the model's raw fit simply carry its smoothed default via the
+    inner join on the bucket domain actually present in the table
+    (buckets unseen at fit time score 0 contributions — they do not
+    join; a bucket the fit never saw carries no evidence either way)."""
+    if grams is None:
+        grams = hashed_ngram_buckets(df, id_col, text_col, n_buckets, salt)
     return (
-        raw_grams.join(F.broadcast(ratio), "bucket")
+        grams.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_grams"), F.sum("_lr").alias("logw"))
     )
@@ -987,7 +1041,7 @@ def dsir_log_weights(
 
 def dsir_resample(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -996,6 +1050,7 @@ def dsir_resample(
     salt: str = "dsir",
     gumbel: bool = True,
     noise_salt: str = "g1",
+    ratio: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance RESAMPLING: select ``k`` raw documents via
     Gumbel-top-k over the importance log-weights — sampling without
@@ -1017,9 +1072,16 @@ def dsir_resample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    lw = dsir_log_weights(
-        raw, target, id_col, text_col, n_buckets, alpha, salt
-    )
+    if ratio is not None:
+        # fitted-model path (``ratio`` from dsir_fit / load_dsir_model):
+        # zero target passes — the production steady state
+        lw = dsir_score(raw, ratio, id_col, text_col, n_buckets, salt)
+    elif target is None:
+        raise ValueError("dsir_resample: need target or ratio")
+    else:
+        lw = dsir_log_weights(
+            raw, target, id_col, text_col, n_buckets, alpha, salt
+        )
     if gumbel:
         v = F.conv(
             F.substring(

@@ -65,6 +65,8 @@ __all__ = [
     "load_minhash_index",
     "save_minhash_doc_index",
     "load_minhash_doc_index",
+    "save_dsir_model",
+    "load_dsir_model",
 ]
 
 _META = "_META.json"
@@ -480,6 +482,48 @@ def load_minhash_doc_index(
         "bands": meta["bands"],
         "shingle_k": meta["shingle_k"],
         "jaccard_threshold": meta.get("jaccard_threshold"),
+    }
+
+
+def save_dsir_model(
+    ratio: DataFrame,
+    path: str,
+    n_buckets: int,
+    alpha: float,
+    salt: str,
+    corpus_digest: str | None = None,
+) -> int:
+    """Persist a fitted DSIR model — the ``(bucket, _lr)`` log-ratio
+    table from ``text.dsir_fit`` (≤ n_buckets rows of (long, double);
+    doubles round-trip exactly through parquet) together with the
+    featurization config. The config is PART of the model: a scoring
+    pass only lands grams in the right buckets with identical
+    ``n_buckets``/``salt``, so loaders get it back and must feed it to
+    ``dsir_score``."""
+    return save_artifact(
+        path,
+        {"ratio": ratio},
+        {
+            "kind": "dsir_ratio",
+            "n_buckets": int(n_buckets),
+            "alpha": float(alpha),
+            "salt": salt,
+            "corpus_digest": corpus_digest,
+        },
+    )
+
+
+def load_dsir_model(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[DataFrame, dict]:
+    """Reload ``(ratio, config)`` for fresh-session DSIR scoring."""
+    parts, meta = load_artifact(spark, path, version)
+    if meta.get("kind") != "dsir_ratio":
+        raise ValueError(f"not a dsir artifact: {path} ({meta.get('kind')})")
+    return parts["ratio"], {
+        "n_buckets": meta["n_buckets"],
+        "alpha": meta["alpha"],
+        "salt": meta["salt"],
     }
 
 

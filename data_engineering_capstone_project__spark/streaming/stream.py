@@ -377,6 +377,63 @@ def decontaminate_stream_verified(
     return out
 
 
+def dsir_score_stream(
+    stream: DataFrame,
+    ratio: DataFrame,
+    n_buckets: int,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sink_path: str | None = None,
+) -> DataFrame:
+    """Score an arriving document stream against a FITTED DSIR model
+    (the ``(bucket, _lr)`` table, typically reloaded via
+    ``sources.artifacts.load_dsir_model`` — which also returns the
+    ``n_buckets``/``salt`` the stream side MUST reuse): per micro-batch,
+    the exact batch kernel (``text.dsir_score`` — featurize, broadcast
+    ratio join, per-doc sum) runs inside ``foreachBatch``, so streaming
+    scores are identical by construction to a batch scoring pass. The
+    model never refits per batch — this is the steady-state data
+    selection shape (score at ingest, select downstream).
+
+    Emits ``(id, n_grams, logw)`` per scored document. Synchronous
+    driver for bounded sources/tests; ``sink_path`` appends parquet.
+    """
+    from data_engineering_capstone_project__spark.operators.text import (
+        dsir_score,
+    )
+
+    spark = stream.sparkSession
+    acc: list[DataFrame] = []
+    out_schema = None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = dsir_score(
+            batch_df, ratio, id_col, text_col, n_buckets, salt
+        )
+        if sink_path is not None:
+            scored.write.mode("append").parquet(sink_path)
+        else:
+            acc.append(scored.persist())
+            acc[-1].count()
+
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if sink_path is not None:
+        return spark.read.parquet(sink_path)
+    if not acc:
+        return spark.createDataFrame(
+            [], f"{id_col} long, n_grams bigint, logw double"
+        )
+    out = acc[0]
+    for part in acc[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def stateful_running_count(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -665,3 +665,65 @@ def test_ingest_pipeline_verified_mode(spark, sf_dir, tmp_path):
     s3_df, s3 = ingest.ingest_batch(spark, b1, root_v)
     assert s3.n_published == 0
     s3_df.unpersist()
+
+
+def test_dsir_model_roundtrip_and_fresh_session_scoring(spark, sf_dir, tmp_path):
+    """The fitted log-ratio table reloads in a FRESH session and scores
+    identically (parquet doubles round-trip exactly); the streaming
+    scorer through the same model equals the batch pass."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        dsir_score_stream,
+        stream_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.filter(F.col("doc_id") >= 100)
+    tgt = docs.filter(F.col("doc_id") < 100)
+    nb = 512
+    ratio = text.dsir_fit(raw, tgt, n_buckets=nb)
+    p = str(tmp_path / "dsir")
+    art.save_dsir_model(ratio, p, n_buckets=nb, alpha=1.0, salt="dsir")
+    fit_rows = sorted(
+        (r["doc_id"], r["n_grams"], str(r["logw"]))
+        for r in text.dsir_score(raw, ratio, n_buckets=nb).collect()
+    )
+    fresh = spark.newSession()
+    ratio2, cfg = art.load_dsir_model(fresh, p)
+    assert cfg == {"n_buckets": nb, "alpha": 1.0, "salt": "dsir"}
+    raw2 = fresh.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") >= 100
+    )
+    got = sorted(
+        (r["doc_id"], r["n_grams"], str(r["logw"]))
+        for r in text.dsir_score(
+            raw2, ratio2, n_buckets=cfg["n_buckets"], salt=cfg["salt"]
+        ).collect()
+    )
+    assert got == fit_rows and len(got) > 0
+    # resample through the loaded model: ids equal the fit-path selection
+    sel_fit = {
+        r["doc_id"]
+        for r in text.dsir_resample(raw, tgt, k=50, n_buckets=nb).collect()
+    }
+    sel_loaded = {
+        r["doc_id"]
+        for r in text.dsir_resample(
+            raw2, None, k=50, n_buckets=nb, ratio=ratio2
+        ).collect()
+    }
+    assert sel_loaded == sel_fit
+    with pytest.raises(ValueError, match="need target or ratio"):
+        text.dsir_resample(raw, None, k=5)
+    with pytest.raises(ValueError, match="not a dsir artifact"):
+        art.save_centroids(spark, str(tmp_path / "c3"), np.eye(2))
+        art.load_dsir_model(spark, str(tmp_path / "c3"))
+    # streaming scorer == batch scorer over the same model (whole-table
+    # stream includes the target docs; compare on the raw slice)
+    streamed = dsir_score_stream(
+        stream_documents(spark, sf_dir), ratio, n_buckets=nb
+    ).filter(F.col("doc_id") >= 100)
+    s_rows = sorted(
+        (r["doc_id"], r["n_grams"], str(r["logw"]))
+        for r in streamed.collect()
+    )
+    assert s_rows == fit_rows

@@ -52,6 +52,7 @@ AUDIT = {
     "x_rrf_fusion": "hybrid fusion: both source top-k's are already k-per-query sized before the union; one hash agg on (query,doc) of decimal contributions (order-independent), final rank via WindowGroupLimit",
     "x_ingest_loop": "two-round fingerprint loop: each round is one batch-side groupBy(min) + join-back + LEFT ANTI against the (index-sized) fingerprint relation; the admit step is a union+distinct of 32-char keys, never text",
     "x_dsir_select": "DSIR: hashed n-gram featurization is pure codegen at the scan (split + indexed transform + explode + md5/conv); the ≤n_buckets-row log-ratio table rides a BroadcastHashJoin onto the gram stream; the ONLY corpus-sized exchange is the per-doc sum (hashpartitioning(doc_id), map-side partials); Gumbel-top-k via TakeOrderedAndProject — audit: no SortMergeJoin, no global Sort",
+    "x_dsir_persisted": "PERSISTED-model DSIR (the production steady state): the ratio table comes from a parquet scan of the saved artifact — NO target-corpus subtree and NO raw bucket-count/fit subtree anywhere in the plan (compare x_dsir_select: two count branches + scalar cross-joins); one raw featurization pass, broadcast ratio join, doc-keyed sum, TakeOrderedAndProject",
     "verified_probe": "verified fuzzy decontamination kernel (the x_stream_decontaminate_verified gate wraps it in driver-side set comparisons): batch signatures via explode+groupBy min-hashes; candidate pairs from the (band,bucket) equi-join against the id-carrying index; verify_jaccard shingles ONLY candidate docs (left-semi before the explode; sort-merge pinned for the corpus-sized shingle-array join — never broadcast); final routing is one LEFT ANTI on id",
 }
 

@@ -732,6 +732,11 @@ R7_QUERIES = [
     "x_snapshot_diff",
     "x_ingest_loop",
     "x_rrf_fusion",
+    # session-2 additions
+    "x_stream_decontaminate_verified",
+    "x_dsir_select",
+    "x_dsir_persisted",
+    "x_freq_items",
 ]
 
 
