@@ -478,6 +478,20 @@ def cell():
             F.count("*").alias("rows"),
             F.bit_xor(F.xxhash64("id_a", "id_b")).alias("ck"),
         ).collect()[0]
+    elif op == "dsir":
+        from data_engineering_capstone_project__spark.operators import text as text_mod
+        out = text_mod.dsir_resample(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            k=500,
+        )
+        # checksum the SELECTION (ids + integer gram counts): the float
+        # key sums in partition order and may wobble in the last ulp,
+        # but a 1e-13 wobble cannot move a Gumbel-continuous top-k
+        row = out.agg(
+            F.count("*").alias("rows"),
+            F.bit_xor(F.xxhash64("doc_id", "n_grams")).alias("ck"),
+        ).collect()[0]
     else:
         raise SystemExit(f"unknown op {op}")
     release_intermediates()
@@ -518,7 +532,7 @@ if evdir:
 print(json.dumps(rec))
 """
 
-FLOOR_OPS = ("substring", "kmeans_fit", "srp_lsh_pairs", "minhash")
+FLOOR_OPS = ("substring", "kmeans_fit", "srp_lsh_pairs", "minhash", "dsir")
 
 
 def floor_main(op: str, runs: int = 4, pressure: bool = False) -> None:
