@@ -661,10 +661,22 @@ def test_ingest_pipeline_verified_mode(spark, sf_dir, tmp_path):
     s2_df, s2 = ingest.ingest_batch(spark, b2, root_v)
     assert s2.n_published == 0
     s2_df.unpersist()
-    # replay conservatism holds in verified mode too
-    s3_df, s3 = ingest.ingest_batch(spark, b1, root_v)
-    assert s3.n_published == 0
+    # NEAR-dup of a tick-1 SURVIVOR (mutated text, J > threshold): must
+    # drop via the VERIFIED fuzzy tier — the admitted bands collide and
+    # the publication log supplies the survivor's text for the exact
+    # check (the cross-tick case the id-carrying admission exists for)
+    b3 = (
+        docs.filter(F.col("doc_id") == anchor)
+        .withColumn("doc_id", F.col("doc_id") + 910000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zqx")))
+    )
+    s3_df, s3 = ingest.ingest_batch(spark, b3, root_v)
+    assert s3.n_published == 0 and s3.n_fuzzy_dropped == 1
     s3_df.unpersist()
+    # replay conservatism holds in verified mode too
+    s4_df, s4 = ingest.ingest_batch(spark, b1, root_v)
+    assert s4.n_published == 0
+    s4_df.unpersist()
 
 
 def test_dsir_model_roundtrip_and_fresh_session_scoring(spark, sf_dir, tmp_path):
