@@ -417,6 +417,15 @@ def minhash_band_probe_verified(
     """
     if keep not in ("clean", "contaminated"):
         raise ValueError(f"minhash_band_probe_verified: unknown keep={keep!r}")
+    if jaccard_threshold is None:
+        # a None threshold would make the verify filter `jaccard >= NULL`
+        # evaluate NULL for every pair — the tier would silently drop
+        # NOTHING (contaminated docs published with no error)
+        raise ValueError(
+            "minhash_band_probe_verified: jaccard_threshold is None — the "
+            "verified tier needs an operating threshold (persist it with "
+            "the index via save_minhash_doc_index(jaccard_threshold=...))"
+        )
     sigs = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_k)
     banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
     cand = (

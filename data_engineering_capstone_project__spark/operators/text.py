@@ -974,9 +974,15 @@ def dsir_fit(
     """Fit the DSIR MODEL: the ``(bucket, _lr)`` log-ratio table —
     ``ln p_target(b) − ln p_raw(b)`` with add-``alpha`` smoothing over
     the ``n_buckets`` domain, from one featurization pass over each
-    corpus. ≤ ``n_buckets`` rows: THE fit-once artifact of data
-    selection (persist via ``sources.artifacts.save_dsir_model``; a
-    100 TB scoring pass reloads it and never re-reads the target).
+    corpus. Exactly ``n_buckets`` rows — the table is DENSE over the
+    bucket domain (smoothing defines a value for zero-count buckets,
+    ``ln((tq+αB)/(tt+αB))``), so a later scoring pass never drops a
+    document whose grams land in buckets unseen at fit time: every
+    out-of-vocabulary gram contributes the smoothed prior instead of
+    silently vanishing from the inner join (ADVICE r7). Still THE
+    fit-once artifact of data selection (persist via
+    ``sources.artifacts.save_dsir_model``; a 100 TB scoring pass
+    reloads it and never re-reads the target).
     ``raw_grams`` lets a caller share an already-persisted gram stream
     (``dsir_log_weights`` does, so its fit+score runs one raw pass)."""
     if raw_grams is None:
@@ -991,8 +997,16 @@ def dsir_fit(
     tt = tgt_cnt.agg(F.sum("_ct").alias("_tt"))
     a = F.lit(float(alpha))
     ab = F.lit(float(alpha) * n_buckets)
+    # dense bucket domain: n_buckets rows regardless of which buckets
+    # either corpus populated — values for populated buckets are
+    # unchanged vs the sparse join (coalesce(_c*, 0) is exactly the
+    # zero-count smoothing term)
+    domain = raw.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
     return (
-        raw_cnt.join(tgt_cnt, "bucket", "left_outer")
+        domain.join(raw_cnt, "bucket", "left_outer")
+        .join(tgt_cnt, "bucket", "left_outer")
         .crossJoin(F.broadcast(tq))
         .crossJoin(F.broadcast(tt))
         .select(
@@ -1003,7 +1017,7 @@ def dsir_fit(
                     / (F.col("_tt").cast("double") + ab)
                 )
                 - F.log(
-                    (F.col("_cq").cast("double") + a)
+                    (F.coalesce(F.col("_cq"), F.lit(0)).cast("double") + a)
                     / (F.col("_tq").cast("double") + ab)
                 )
             ).alias("_lr"),
@@ -1025,11 +1039,11 @@ def dsir_score(
     from the artifact store): ``(id, n_grams, logw)`` per doc with ≥1
     gram. The featurization MUST use the model's ``n_buckets``/``salt``
     (persisted with it). One featurization pass + a broadcast join +
-    one doc-keyed shuffle — the 100 TB scoring shape; grams absent
-    from the model's raw fit simply carry its smoothed default via the
-    inner join on the bucket domain actually present in the table
-    (buckets unseen at fit time score 0 contributions — they do not
-    join; a bucket the fit never saw carries no evidence either way)."""
+    one doc-keyed shuffle — the 100 TB scoring shape. The model table
+    is DENSE over the bucket domain (:func:`dsir_fit`), so every gram
+    joins: out-of-vocabulary grams contribute the smoothed prior
+    log-ratio and a doc made entirely of unseen grams is still scored
+    (it is never silently dropped from the output)."""
     if grams is None:
         grams = hashed_ngram_buckets(df, id_col, text_col, n_buckets, salt)
     return (

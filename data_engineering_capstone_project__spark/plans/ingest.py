@@ -180,6 +180,15 @@ def ingest_batch(
     )
     if verified:
         mh_idx, cfg = art.load_minhash_doc_index(spark, mh_path)
+        if cfg["jaccard_threshold"] is None:
+            # passing None through would make the verify filter a NULL
+            # predicate that drops nothing — refuse loudly instead of
+            # publishing contaminated docs (ADVICE r7)
+            raise ValueError(
+                f"ingest_batch: verified-tier index at {mh_path} carries "
+                "no jaccard_threshold — re-bootstrap with "
+                "init_ingest_indexes(verify_jaccard_threshold=...)"
+            )
     else:
         mh_idx, cfg = art.load_minhash_index(spark, mh_path)
     n_batch = batch.count()

@@ -405,7 +405,6 @@ def dsir_score_stream(
 
     spark = stream.sparkSession
     acc: list[DataFrame] = []
-    out_schema = None
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         scored = dsir_score(
@@ -425,8 +424,11 @@ def dsir_score_stream(
     if sink_path is not None:
         return spark.read.parquet(sink_path)
     if not acc:
+        # empty stream: the id field's TYPE comes from the stream schema
+        # (string ids would otherwise yield a union-incompatible frame)
+        id_type = stream.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"{id_col} long, n_grams bigint, logw double"
+            [], f"{id_col} {id_type}, n_grams bigint, logw double"
         )
     out = acc[0]
     for part in acc[1:]:

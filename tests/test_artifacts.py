@@ -523,6 +523,13 @@ def test_minhash_band_probe_verified_semantics(spark, sf_dir):
         dedup.minhash_band_probe_verified(
             docs, doc_idx, corpus, keep="bogus"
         )
+    # a None threshold would make the verify filter a NULL predicate
+    # that drops nothing — must refuse loudly (ADVICE r7)
+    with pytest.raises(ValueError, match="jaccard_threshold is None"):
+        dedup.minhash_band_probe_verified(
+            docs, doc_idx, corpus, num_hashes=nh, bands=b,
+            jaccard_threshold=None,
+        )
     doc_idx.unpersist()
     band_idx.unpersist()
 
@@ -739,3 +746,22 @@ def test_dsir_model_roundtrip_and_fresh_session_scoring(spark, sf_dir, tmp_path)
         for r in streamed.collect()
     )
     assert s_rows == fit_rows
+
+
+def test_dsir_score_stream_empty_stream_id_type(spark, tmp_path):
+    """Zero-batch stream: the fallback frame derives the id TYPE from the
+    stream schema (string ids must not come back as long — ADVICE r7)."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        dsir_score_stream,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .parquet(str(src))
+    )
+    ratio = spark.createDataFrame([(0, 0.0)], "bucket long, _lr double")
+    out = dsir_score_stream(stream, ratio, n_buckets=16)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"

@@ -269,7 +269,7 @@ def test_frequent_items_decrement_regime_guarantees(spark):
         frequent_items_sketch,
     )
 
-    # 60 x 'hot', 25 x 'warm', 15 x 'cold', interleaved so counters
+    # 30 x 'hot', 25 x 'warm', 15 x 'cold', interleaved so counters
     # churn; single partition makes the decrement path deterministic
     vals = (["hot", "warm", "cold"] * 15) + (["hot", "warm"] * 10) + ["hot"] * 5
     true = {"hot": 30, "warm": 25, "cold": 15}

@@ -1042,6 +1042,34 @@ def test_dsir_prefers_target_like_docs(spark):
     assert {r["doc_id"] for r in sel.collect()} == {1, 2, 3}
 
 
+def test_dsir_table_dense_and_oov_docs_scored(spark):
+    """The fitted log-ratio table is dense over the bucket domain, so a
+    document whose every gram hashes to a fit-time-unseen bucket is still
+    scored (smoothed prior), never silently dropped (ADVICE r7)."""
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "uno dos")], "doc_id long, text string"
+    )
+    n_buckets = 128
+    ratio = text.dsir_fit(raw, target, n_buckets=n_buckets)
+    assert ratio.count() == n_buckets  # dense domain
+    # an OOV doc: vocabulary disjoint from BOTH fit corpora
+    oov = spark.createDataFrame(
+        [(7, "zzz qqq www")], "doc_id long, text string"
+    )
+    scored = text.dsir_score(oov, ratio, n_buckets=n_buckets)
+    rows = scored.collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 7
+    assert rows[0]["n_grams"] == 5  # 3 unigrams + 2 bigrams all joined
+    # raw-corpus scores are unchanged by densification: populated-bucket
+    # ratios are identical, and raw docs only hit populated buckets
+    lw = {r["doc_id"]: r["logw"]
+          for r in text.dsir_score(raw, ratio, n_buckets=n_buckets).collect()}
+    assert lw[1] > lw[2]
+
+
 def test_dsir_resample_deterministic(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     raw = docs.filter(F.col("doc_id") >= 100)
