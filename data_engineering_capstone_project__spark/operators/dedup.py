@@ -268,16 +268,52 @@ def _banded_long(df: DataFrame, id_col: str, bands: int) -> DataFrame:
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def _resolve_banding(
+    corpus: DataFrame,
+    num_hashes: int | None,
+    bands: int | None,
+    threshold: float,
+    baseline_j: float,
+) -> tuple[int, int]:
+    """Resolve (num_hashes, bands) for an index build: pass-through when
+    the caller gave both, else :func:`auto_minhash_config` sized from the
+    corpus row count (one count() — bootstrap-time only). Auto-sizing is
+    the DEFAULT because fixed banding is the measured scale-killer: the
+    old 32/8 default blew 18 s → 238 s over the 50k → 500k ladder rung
+    (exp 0.89 — quadratic candidate mass) while the auto config held
+    exp ≤ 0.2 (SCALING.md; VERDICT r7 #1)."""
+    if num_hashes is not None and bands is not None:
+        return int(num_hashes), int(bands)
+    if (num_hashes is None) != (bands is None):
+        raise ValueError(
+            "pass BOTH num_hashes and bands (explicit banding) or "
+            "NEITHER (auto-sized from the corpus count)"
+        )
+    return auto_minhash_config(
+        corpus.count(), threshold, baseline_j=baseline_j
+    )
+
+
 def corpus_minhash_band_index(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_k: int = 5,
+    near_dup_threshold: float = 0.8,
+    baseline_j: float = 0.2,
 ) -> DataFrame:
     """The STATIC side of fuzzy (near-dup) decontamination: distinct
     ``(band, bucket)`` rows over the corpus's banded MinHash signatures.
+
+    ``num_hashes``/``bands`` default to AUTO: sized from the corpus
+    count via :func:`auto_minhash_config` at ``near_dup_threshold`` (the
+    Jaccard level the guard is tuned to catch) — fixed banding goes
+    quadratic in candidate mass as the corpus grows (VERDICT r7 #1).
+    Callers that persist the index must know the config: derive it with
+    ``auto_minhash_config`` first and pass it explicitly (what
+    ``plans.ingest.init_ingest_indexes`` does), or pass explicit values.
 
     Membership semantics: a probe document collides with SOME corpus
     document at banded-LSH level iff any of its own band buckets appears
@@ -292,6 +328,9 @@ def corpus_minhash_band_index(
     ``sources.artifacts.save_minhash_index`` and every ingest stream
     probes the (broadcastable, or bucket-bucketed) index.
     """
+    num_hashes, bands = _resolve_banding(
+        corpus, num_hashes, bands, near_dup_threshold, baseline_j
+    )
     sigs = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_k)
     banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
     return (
@@ -327,9 +366,11 @@ def corpus_minhash_doc_index(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_k: int = 5,
+    near_dup_threshold: float = 0.8,
+    baseline_j: float = 0.2,
 ) -> DataFrame:
     """Id-CARRYING banded-MinHash index: distinct ``(band, bucket,
     corpus_id)`` rows — the static side of VERIFIED fuzzy
@@ -342,7 +383,14 @@ def corpus_minhash_doc_index(
     same ``bands`` rows per corpus doc, but the distinct no longer
     collapses same-bucket docs — the index is ≤ bands·N rows either
     way, a few % of corpus bytes.
+
+    ``num_hashes``/``bands`` default to AUTO (sized from the corpus
+    count at ``near_dup_threshold`` — see :func:`_resolve_banding`);
+    persisting callers derive the config first and pass it explicitly.
     """
+    num_hashes, bands = _resolve_banding(
+        corpus, num_hashes, bands, near_dup_threshold, baseline_j
+    )
     sigs = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_k)
     banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
     return (

@@ -66,14 +66,30 @@ def init_ingest_indexes(
     root: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_k: int = 5,
     verify_jaccard_threshold: float | None = None,
+    near_dup_threshold: float = 0.8,
+    baseline_j: float = 0.2,
 ) -> None:
     """Bootstrap: fit both dedup indexes over the existing corpus and
     publish corpus + indexes as version 1 artifacts under ``root``.
     Runs ONCE per corpus; every later tick is :func:`ingest_batch`.
+
+    ``num_hashes``/``bands`` default to AUTO: sized from the bootstrap
+    corpus count via ``auto_minhash_config`` (the count is free — it is
+    the first field of the corpus digest already being computed). Fixed
+    banding was the repo's one measured scale-killer: the old 32/8
+    default blew 18 s → 238 s (exp 0.89) over the 50k → 500k ladder
+    rung while the auto config held exp ≤ 0.2 (SCALING.md; VERDICT r7
+    #1). The derived config persists WITH the index artifact, so every
+    later tick self-configures; pass both values to override. The
+    sizing threshold is ``verify_jaccard_threshold`` when set (the
+    loop's operating threshold), else ``near_dup_threshold`` — the
+    Jaccard level the candidate guard is tuned to catch; ``baseline_j``
+    is the corpus's background similarity prior (see
+    ``auto_minhash_config``).
 
     ``verify_jaccard_threshold`` selects the VERIFIED fuzzy tier for the
     whole loop: the MinHash index is saved id-CARRYING
@@ -84,6 +100,20 @@ def init_ingest_indexes(
     Default (None) keeps the cheaper candidate-level guard (drop on
     collision — conservative, no corpus text fetch per tick)."""
     dg = art.corpus_digest(corpus, [id_col, text_col])
+    if num_hashes is None or bands is None:
+        if (num_hashes is None) != (bands is None):
+            raise ValueError(
+                "init_ingest_indexes: pass BOTH num_hashes and bands, "
+                "or neither (auto-sized from the corpus count)"
+            )
+        thr = (
+            verify_jaccard_threshold
+            if verify_jaccard_threshold is not None
+            else near_dup_threshold
+        )
+        num_hashes, bands = dedup.auto_minhash_config(
+            int(dg.split(":")[0]), thr, baseline_j=baseline_j
+        )
     art.save_fingerprint_index(
         corpus_fingerprint_index(corpus, text_col=text_col),
         os.path.join(root, _FP),

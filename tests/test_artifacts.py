@@ -352,6 +352,65 @@ def test_extend_minhash_band_index_loop(spark, sf_dir):
     idx1.unpersist()
 
 
+def test_init_ingest_indexes_auto_banding(spark, sf_dir, tmp_path):
+    """Bootstrap DEFAULTS auto-size the MinHash banding from the corpus
+    count (VERDICT r7 #1 — the fixed 32/8 default was the measured
+    quadratic hazard); the derived config persists with the index and a
+    tick self-configures from it. Explicit values still override; a
+    one-sided override is refused."""
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    n = corpus.count()
+
+    root = str(tmp_path / "auto")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    meta = art.load_artifact_meta(os.path.join(root, "minhash"))
+    exp_nh, exp_b = dedup.auto_minhash_config(n, 0.8, baseline_j=0.2)
+    assert (meta["num_hashes"], meta["bands"]) == (exp_nh, exp_b)
+
+    # verified mode sizes at the loop's operating threshold
+    root_v = str(tmp_path / "auto_v")
+    ingest.init_ingest_indexes(
+        spark, corpus, root_v, verify_jaccard_threshold=0.9
+    )
+    meta_v = art.load_artifact_meta(os.path.join(root_v, "minhash"))
+    exp_nh9, exp_b9 = dedup.auto_minhash_config(n, 0.9, baseline_j=0.2)
+    assert (meta_v["num_hashes"], meta_v["bands"]) == (exp_nh9, exp_b9)
+    assert meta_v["jaccard_threshold"] == 0.9
+
+    # a tick self-configures from the persisted auto config
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    surv, s = ingest.ingest_batch(spark, batch, root)
+    surv.unpersist()
+    assert s.n_published > 0
+    assert s.n_exact_dropped + s.n_fuzzy_dropped + s.n_published == s.n_batch
+
+    # explicit override persists verbatim
+    root_e = str(tmp_path / "explicit")
+    ingest.init_ingest_indexes(spark, corpus, root_e, num_hashes=16, bands=4)
+    meta_e = art.load_artifact_meta(os.path.join(root_e, "minhash"))
+    assert (meta_e["num_hashes"], meta_e["bands"]) == (16, 4)
+
+    with pytest.raises(ValueError, match="BOTH"):
+        ingest.init_ingest_indexes(
+            spark, corpus, str(tmp_path / "bad"), num_hashes=32
+        )
+    with pytest.raises(ValueError, match="BOTH"):
+        dedup.corpus_minhash_band_index(corpus, num_hashes=32)
+    with pytest.raises(ValueError, match="BOTH"):
+        dedup.corpus_minhash_doc_index(corpus, bands=8)
+
+    # the standalone builders' defaults auto-size identically
+    auto_idx = dedup.corpus_minhash_band_index(corpus)
+    exp_idx = dedup.corpus_minhash_band_index(
+        corpus, num_hashes=exp_nh, bands=exp_b
+    )
+    assert auto_idx.exceptAll(exp_idx).count() == 0
+    assert exp_idx.exceptAll(auto_idx).count() == 0
+
+
 def test_ingest_pipeline_ticks(spark, sf_dir, tmp_path):
     """Bootstrap → two ticks → replay, on the real corpus: conservation,
     admission, publication-log union, crash-replay conservatism."""
