@@ -10,6 +10,8 @@ days.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -296,6 +298,52 @@ def bm25(
     )
 
 
+def _bm25_auto_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k1: float,
+    b: float,
+    index_path: str | None,
+) -> DataFrame:
+    """The ``weights='auto'`` resolution: reload the persisted BM25 index
+    when one is CURRENT for this exact corpus content (digest-keyed —
+    ``artifacts.corpus_digest``, one scalar-agg scan) and parameters,
+    else fit once, persist, and serve the reloaded copy. The default
+    location keys the path by (digest, k1, b), so distinct corpora and
+    parameterizations coexist; staleness is impossible by construction
+    (a changed corpus has a different digest → different path → refit).
+    Cost per steady-state call: one digest scan + a parquet read of the
+    weights relation — never the corpus explode + three aggregations the
+    convenience path pays (VERDICT r7 #7)."""
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art,
+    )
+
+    dg = art.corpus_digest(df, [id_col, text_col])
+    if index_path is None:
+        safe = dg.replace(":", "_").replace("-", "m")
+        index_path = os.path.join(
+            art.default_artifact_root(), f"bm25_{k1}_{b}_{safe}"
+        )
+    spark = df.sparkSession
+    if art.is_current(index_path, dg):
+        meta = art.load_artifact_meta(index_path)
+        if (
+            meta.get("k1") == k1
+            and meta.get("b") == b
+            and meta.get("id_col") == id_col
+        ):
+            return art.load_bm25_index(spark, index_path)
+    w = bm25(df, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    art.save_bm25_index(
+        w, index_path, id_col=id_col, k1=k1, b=b, corpus_digest=dg
+    )
+    # serve the WRITTEN copy: downstream joins read compact parquet
+    # instead of re-running the fit subtree per action
+    return art.load_bm25_index(spark, index_path)
+
+
 def bm25_topk(
     df: DataFrame | None,
     queries: dict[str, str] | DataFrame,
@@ -304,9 +352,10 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
-    weights: DataFrame | None = None,
+    weights: DataFrame | str | None = "auto",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    index_path: str | None = None,
 ) -> DataFrame:
     """BM25 retrieval: the top-``k`` documents per query, scored as the
     sum of :func:`bm25` weights over the query's (unique) terms — the
@@ -322,14 +371,23 @@ def bm25_topk(
     of join/partition order — the property that keeps the DuckDB oracle
     on exact equality.
 
-    **Index pattern**: pass ``weights=`` a precomputed (ideally
-    ``persist()``-ed) :func:`bm25` frame to amortize the corpus pass
-    across query batches — the fit-once/query-many retrieval shape, same
-    contract as ``pca_topk``'s ``fitted=``. Without it, each call pays
-    the corpus explode + three aggregations again (the convenience
-    path). With ``weights`` given, ``df``/``text_col``/``k1``/``b`` are
-    ignored (``df`` may be None); the frame must carry
-    ``(id_col, term, bm25)`` columns as :func:`bm25` emits them.
+    **Index pattern**: ``weights`` selects where the corpus weights come
+    from — the fit-once/query-many retrieval shape, same contract as
+    ``pca_topk``'s ``fitted=``:
+
+    - ``'auto'`` (the DEFAULT, VERDICT r7 #7): reload the persisted
+      digest-keyed index when one is current for this exact corpus
+      content and (k1, b), else fit once, persist (atomic versioned
+      artifact under ``index_path`` or
+      ``artifacts.default_artifact_root()``), and serve the reloaded
+      copy. Steady state pays one digest scan + a parquet read — never
+      the corpus explode + three aggregations.
+    - a precomputed (ideally ``persist()``-ed) :func:`bm25` DataFrame:
+      caller-managed amortization; ``df``/``text_col``/``k1``/``b`` are
+      ignored (``df`` may be None); the frame must carry
+      ``(id_col, term, bm25)`` columns as :func:`bm25` emits them.
+    - ``None``: fit per call (the convenience path — each call pays the
+      corpus pass; useful for one-shot corpora not worth persisting).
 
     Query terms are derived by the CORPUS's own tokenization expression
     (:func:`_lower_terms`, evaluated by Spark on the query frame — not
@@ -360,9 +418,19 @@ def bm25_topk(
         top_k_per_group,
     )
 
-    w = weights if weights is not None else bm25(
-        df, id_col=id_col, text_col=text_col, k1=k1, b=b
-    )
+    if isinstance(weights, str):
+        if weights != "auto":
+            raise ValueError(
+                f"bm25_topk: weights must be a DataFrame, 'auto', or "
+                f"None — got {weights!r}"
+            )
+        if df is None:
+            raise ValueError("bm25_topk: weights='auto' needs the corpus df")
+        w = _bm25_auto_weights(df, id_col, text_col, k1, b, index_path)
+    elif weights is not None:
+        w = weights
+    else:
+        w = bm25(df, id_col=id_col, text_col=text_col, k1=k1, b=b)
     if isinstance(queries, DataFrame):
         qdf = queries.select(
             F.col(query_id_col).alias("query_id"),

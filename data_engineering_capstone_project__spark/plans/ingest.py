@@ -156,16 +156,10 @@ def read_ingest_corpus(
     path = os.path.join(root, _CORPUS)
     if version is not None:
         return read_versioned(spark, path, version)
-    from data_engineering_capstone_project__spark.sources.io import (
-        list_versions,
-    )
+    from data_engineering_capstone_project__spark.sources import commitlog
 
-    with open(os.path.join(path, "LATEST")) as f:
-        latest = int(f.read().strip())
     out = None
-    for v in list_versions(path):
-        if v > latest:
-            continue  # in-flight writer's claim — not committed
+    for v in commitlog.committed_versions(path):
         df = read_versioned(spark, path, v)
         out = df if out is None else out.unionByName(df)
     return out

@@ -9,19 +9,26 @@ the artifacts durable so a FRESH session reloads them instead of refitting
 (VERDICT r6 next-round #1).
 
 Storage layout — the versioned-snapshot idiom of ``write_versioned``
-(``sources/io.py:261``) generalized to multi-part artifacts::
+(``sources/io.py``) generalized to multi-part artifacts::
 
     path/
-      LATEST              <- pointer file, swapped atomically LAST
+      LATEST              <- ADVISORY cache (monotone, best-effort)
       v=1/
+        _CLAIM            <- put-if-absent version claim
         _META.json        <- params + framework versions + corpus digest
+        _COMMITTED        <- put-if-absent marker: THE commit point
         <part>/...parquet <- one parquet dir per named DataFrame part
 
-Guarantees inherited from the pointer protocol: readers never observe a
-partial artifact (the pointer names a version only after every part and
-the meta are fully written); concurrent writers each claim their own
-``v=N`` by atomic ``mkdir``; old versions remain readable for pinning/
-rollback until expired. Numeric fidelity: every tensor travels as parquet
+Commit protocol: ``sources.commitlog`` (object-store-safe, VERDICT r7
+#2/#3) — readers never observe a partial artifact (the ``_COMMITTED``
+marker lands only after every part and the meta are fully written);
+concurrent writers each claim their own ``v=N`` by put-if-absent and the
+resolved version is ``max(committed)``, which is MONOTONE under any
+writer interleaving (a slow v=N finishing after a fast v=N+1 can never
+regress it); old versions remain readable for pinning/rollback until
+expired. No step relies on atomic rename or atomic mkdir, so the same
+protocol holds on S3-semantics filesystems (conditional PUT = the
+put-if-absent). Numeric fidelity: every tensor travels as parquet
 ``double`` columns — an exact IEEE-754 round trip, so a reloaded model
 answers BIT-IDENTICALLY to the fit-time object (gated by
 ``x_pca_persisted`` / ``x_bm25_topk_indexed``).
@@ -43,7 +50,10 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_capstone_project__spark.sources import commitlog
+
 __all__ = [
+    "default_artifact_root",
     "save_artifact",
     "load_artifact",
     "load_artifact_meta",
@@ -70,7 +80,19 @@ __all__ = [
 ]
 
 _META = "_META.json"
-_LATEST = "LATEST"
+
+
+def default_artifact_root() -> str:
+    """Root for AUTO-managed artifacts (``bm25_topk(weights='auto')``
+    etc.): ``$SPARK_GRAFT_ARTIFACT_ROOT`` when set, else a stable
+    temp-dir location. Production deployments point this at the durable
+    artifact store; the default survives across sessions on one host,
+    which is what makes the auto paths fit-once."""
+    root = os.environ.get("SPARK_GRAFT_ARTIFACT_ROOT") or os.path.join(
+        __import__("tempfile").gettempdir(), "spark_graft_artifacts", "auto"
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
 
 
 # ---------------------------------------------------------------- generic
@@ -85,7 +107,8 @@ def save_artifact(
 
     Every DataFrame in ``parts`` lands under ``path/v=N/<name>``; ``meta``
     (JSON-serializable) is written alongside as ``_META.json``; only then
-    is the ``LATEST`` pointer swapped (``os.replace`` — atomic on POSIX).
+    does the ``_COMMITTED`` marker land (put-if-absent — THE commit
+    point; see ``sources.commitlog`` for the object-store-safe protocol).
     A writer that dies mid-way leaves an orphan ``v=N`` no reader ever
     sees. Returns the committed version number.
 
@@ -94,34 +117,18 @@ def save_artifact(
     for name in parts:
         if not name or any(c in name for c in "/\\. "):
             raise ValueError(f"save_artifact: bad part name {name!r}")
-    os.makedirs(path, exist_ok=True)
-    n = 0
-    for d in os.listdir(path):
-        if d.startswith("v=") and d[2:].isdigit():
-            n = max(n, int(d[2:]))
-    while True:
-        n += 1
-        target = os.path.join(path, f"v={n}")
-        try:
-            os.mkdir(target)  # atomic claim: exactly one writer gets N
-            break
-        except FileExistsError:
-            continue
+    n, target = commitlog.claim_version(path)
     for name, df in parts.items():
         df.write.mode("overwrite").parquet(os.path.join(target, name))
     with open(os.path.join(target, _META), "w") as f:
         json.dump({"parts": sorted(parts), **(meta or {})}, f)
-    tmp = os.path.join(path, f".{_LATEST}.tmp.{n}")
-    with open(tmp, "w") as f:
-        f.write(str(n))
-    os.replace(tmp, os.path.join(path, _LATEST))  # atomic commit
+    commitlog.commit_version(path, n)
     return n
 
 
 def _resolve_version(path: str, version: int | None) -> int:
     if version is None:
-        with open(os.path.join(path, _LATEST)) as f:
-            version = int(f.read().strip())
+        version = commitlog.latest_version(path)
     return version
 
 
@@ -151,23 +158,20 @@ def load_artifact(
 
 def list_artifact_versions(path: str) -> list[int]:
     """Committed + orphan snapshot versions present under ``path``."""
-    return sorted(
-        int(d[2:])
-        for d in os.listdir(path)
-        if d.startswith("v=") and d[2:].isdigit()
-    )
+    return commitlog.all_versions(path)
 
 
 def expire_artifact_versions(path: str, keep: int = 1) -> list[int]:
     """Retention: drop old versions, keeping the newest ``keep`` committed
-    ones (the pointer target always survives; claims newer than the
-    pointer belong to in-flight writers and are never touched)."""
+    ones (the resolved snapshot always survives; versions without a
+    ``_COMMITTED`` marker belong to in-flight writers and are never
+    touched)."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
-    with open(os.path.join(path, _LATEST)) as f:
-        latest = int(f.read().strip())
-    committed = [v for v in list_artifact_versions(path) if v <= latest]
-    keep_set = set(sorted(committed, reverse=True)[:keep]) | {latest}
+    committed = commitlog.committed_versions(path)
+    if not committed:
+        raise FileNotFoundError(f"no committed version under {path!r}")
+    keep_set = set(sorted(committed, reverse=True)[:keep]) | {committed[-1]}
     removed = []
     for v in committed:
         if v not in keep_set:

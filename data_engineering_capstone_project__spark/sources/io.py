@@ -260,67 +260,51 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
 
 def write_versioned(df: DataFrame, path: str) -> int:
     """Snapshot-versioned parquet sink (S4/S5 upgrade): each write lands
-    in a fresh ``path/v=N`` directory, and the committed version is the
-    one named by the ``path/LATEST`` pointer file, which is swapped
-    atomically (``os.replace``) only AFTER the snapshot write completes.
+    in a fresh ``path/v=N`` directory, made visible by a per-version
+    ``_COMMITTED`` marker (put-if-absent — ``sources.commitlog``); the
+    committed snapshot resolves as ``max(marked versions)``.
 
     What this buys without a table format on the classpath:
 
     - **readers never see a partial snapshot** — a writer that dies
-      mid-write leaves an orphan ``v=N`` directory that no pointer names;
+      mid-write leaves an orphan ``v=N`` no marker ever names;
     - **concurrent writers don't corrupt each other** — each claims its
-      own version directory (atomic ``mkdir`` as the claim), and the
-      last pointer swap wins (last-writer-wins, the same coarse contract
-      as blind MERGE);
+      own version by put-if-absent, and resolution is MONOTONE (a slow
+      v=N committing after a fast v=N+1 can never regress the snapshot
+      — unlike the round-7 last-writer-wins pointer swap);
     - **time travel** — ``read_versioned(spark, path, version=k)`` pins
       an old snapshot; old versions stay until vacuumed.
 
-    Single-filesystem semantics (local/NFS/HDFS-with-atomic-rename); on
-    object stores use a real table format (Delta/Iceberg) — this is the
-    jar-free fallback, not a replacement. Returns the committed version.
+    The protocol needs only list + exists + conditional create, so it
+    holds on S3-semantics filesystems too (pair it with an object-store
+    Spark committer for the part files); a real table format
+    (Delta/Iceberg) additionally buys MERGE/schema evolution — this is
+    the jar-free fallback. Returns the committed version.
     """
-    import os
+    from data_engineering_capstone_project__spark.sources import commitlog
 
-    os.makedirs(path, exist_ok=True)
-    n = 0
-    for d in os.listdir(path):
-        if d.startswith("v=") and d[2:].isdigit():
-            n = max(n, int(d[2:]))
-    while True:
-        n += 1
-        target = os.path.join(path, f"v={n}")
-        try:
-            os.mkdir(target)  # atomic claim: exactly one writer gets N
-            break
-        except FileExistsError:
-            continue
+    n, target = commitlog.claim_version(path)
     df.write.mode("overwrite").parquet(target)
-    tmp = os.path.join(path, f".LATEST.tmp.{n}")
-    with open(tmp, "w") as f:
-        f.write(str(n))
-    os.replace(tmp, os.path.join(path, "LATEST"))  # atomic commit
+    commitlog.commit_version(path, n)
     return n
 
 
 def list_versions(path: str) -> list[int]:
     """Committed + orphan snapshot versions present under ``path``."""
-    import os
+    from data_engineering_capstone_project__spark.sources import commitlog
 
-    return sorted(
-        int(d[2:])
-        for d in os.listdir(path)
-        if d.startswith("v=") and d[2:].isdigit()
-    )
+    return commitlog.all_versions(path)
 
 
 def read_versioned(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the committed snapshot (or a pinned ``version`` — time
-    travel). Raises if the pointer is missing (nothing ever committed)."""
+    travel). Raises if nothing was ever committed."""
     import os
 
+    from data_engineering_capstone_project__spark.sources import commitlog
+
     if version is None:
-        with open(os.path.join(path, "LATEST")) as f:
-            version = int(f.read().strip())
+        version = commitlog.latest_version(path)
     return spark.read.parquet(os.path.join(path, f"v={version}"))
 
 
@@ -370,19 +354,21 @@ def compact_versioned(spark: SparkSession, path: str, n_files: int = 1) -> int:
 
 def expire_versions(path: str, keep: int = 1) -> list[int]:
     """Retention: delete old snapshot directories, keeping the newest
-    ``keep`` committed versions (the LATEST pointer target always
-    survives). Versions NEWER than the pointer are in-flight writers'
+    ``keep`` committed versions (the resolved snapshot always survives).
+    Versions without a ``_COMMITTED`` marker are in-flight writers'
     claims — never touched. Returns the versions removed.
     """
     import os
     import shutil
 
+    from data_engineering_capstone_project__spark.sources import commitlog
+
     if keep < 1:
         raise ValueError("keep must be >= 1")
-    with open(os.path.join(path, "LATEST")) as f:
-        latest = int(f.read().strip())
-    committed = [v for v in list_versions(path) if v <= latest]
-    keep_set = set(sorted(committed, reverse=True)[:keep]) | {latest}
+    committed = commitlog.committed_versions(path)
+    if not committed:
+        raise FileNotFoundError(f"no committed version under {path!r}")
+    keep_set = set(sorted(committed, reverse=True)[:keep]) | {committed[-1]}
     removed = []
     for v in committed:
         if v not in keep_set:

@@ -54,6 +54,99 @@ def test_orphan_claim_invisible(spark, tmp_path):
     assert v == 3 and art.load_artifact_meta(p)["tag"] == "next"
 
 
+def test_latest_monotone_under_interleaved_writers(spark, tmp_path):
+    """VERDICT r7 #2: slow v=N finishing AFTER fast v=N+1 must never
+    regress the resolved snapshot (the old pointer swap was
+    last-writer-wins; resolution is now max(committed markers))."""
+    import json
+
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    p = str(tmp_path / "mono")
+    # slow writer claims v=1 first...
+    n1, t1 = commitlog.claim_version(p)
+    assert n1 == 1
+    # ...then a fast writer runs a COMPLETE save (claims v=2, commits)
+    v2 = art.save_artifact(p, {"m": spark.range(5)}, {"tag": "fast"})
+    assert v2 == 2
+    assert art.load_artifact_meta(p)["tag"] == "fast"
+    # slow writer now finishes: payload, meta, commit — LAST
+    spark.range(2).write.mode("overwrite").parquet(os.path.join(t1, "m"))
+    with open(os.path.join(t1, "_META.json"), "w") as f:
+        json.dump({"parts": ["m"], "tag": "slow"}, f)
+    commitlog.commit_version(p, n1)
+    # a reader never observes the version going backwards
+    assert commitlog.latest_version(p) == 2
+    assert art.load_artifact_meta(p)["tag"] == "fast"
+    # the advisory pointer cache did not regress either
+    with open(os.path.join(p, "LATEST")) as f:
+        assert f.read().strip() == "2"
+    # the slow commit is still readable pinned (it IS committed)
+    assert art.load_artifact_meta(p, version=1)["tag"] == "slow"
+    assert commitlog.committed_versions(p) == [1, 2]
+
+
+def test_protocol_needs_no_rename_or_atomic_mkdir(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #3: the commit protocol must hold on S3-semantics
+    filesystems — no atomic rename anywhere (os.replace/os.rename are
+    FORBIDDEN for the whole round trip), and version claims arbitrate
+    via put-if-absent, not mkdir atomicity."""
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    def _forbid(*a, **k):
+        raise AssertionError("rename primitive used in commit protocol")
+
+    monkeypatch.setattr(os, "replace", _forbid)
+    monkeypatch.setattr(os, "rename", _forbid)
+    monkeypatch.setattr(os, "renames", _forbid)
+
+    p = str(tmp_path / "norename")
+    for i in range(3):
+        assert art.save_artifact(p, {"m": spark.range(i + 1)}, {"i": i}) == i + 1
+    assert art.load_artifact_meta(p)["i"] == 2
+    # a dead writer's bare directory (the mkdir half of a claim race)
+    # is invisible and never reused
+    os.makedirs(os.path.join(p, "v=9"))
+    assert art.load_artifact_meta(p)["i"] == 2
+    assert art.save_artifact(p, {"m": spark.range(7)}, {"i": 9}) == 10
+    # retention under the shim: committed-marker set, not pointer reads
+    removed = art.expire_artifact_versions(p, keep=1)
+    assert removed == [1, 2, 3]
+    parts, meta = art.load_artifact(spark, p)
+    assert meta["i"] == 9 and parts["m"].count() == 7
+    # claim arbitration is the put-if-absent of _CLAIM: when the listing
+    # says v=1 is free but another writer's _CLAIM already landed, the
+    # claimer retries to the next number instead of colliding
+    p2 = str(tmp_path / "claimrace")
+    os.makedirs(os.path.join(p2, "v=1"))
+    commitlog._put_if_absent(os.path.join(p2, "v=1", "_CLAIM"))
+    monkeypatch.setattr(commitlog, "all_versions", lambda _p: [])
+    n, _ = commitlog.claim_version(p2)
+    assert n == 2
+
+
+def test_legacy_pointer_layout_still_readable(spark, tmp_path):
+    """Pre-round-8 artifacts (LATEST pointer, no _COMMITTED markers)
+    resolve exactly as the old protocol defined."""
+    import json
+
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    p = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(p, "v=1"))
+    spark.range(4).write.mode("overwrite").parquet(
+        os.path.join(p, "v=1", "m")
+    )
+    with open(os.path.join(p, "v=1", "_META.json"), "w") as f:
+        json.dump({"parts": ["m"], "tag": "old"}, f)
+    os.makedirs(os.path.join(p, "v=2"))  # orphan claim beyond pointer
+    with open(os.path.join(p, "LATEST"), "w") as f:
+        f.write("1")
+    assert commitlog.committed_versions(p) == [1]
+    parts, meta = art.load_artifact(spark, p)
+    assert meta["tag"] == "old" and parts["m"].count() == 4
+
+
 def test_expire_keeps_latest(spark, tmp_path):
     p = str(tmp_path / "a4")
     for i in range(4):
@@ -134,6 +227,47 @@ def test_bm25_index_fresh_session_parity(spark, sf_dir, tmp_path):
     # (q1's terms may be absent from the tiny sf0.001 vocabulary — parity
     # is the claim; q0's stopword-ish terms guarantee a non-empty result)
     assert got == fit_rows and len(got) >= 5
+
+
+def test_bm25_topk_auto_weights(spark, sf_dir, tmp_path, monkeypatch):
+    """The 'auto' default (VERDICT r7 #7): first call fits + persists a
+    digest-keyed index; later calls RELOAD it (no new version, no refit)
+    and answer identically to the fit-per-call convenience path; a
+    changed corpus lands on a different digest path and refits."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_ROOT", str(tmp_path / "auto"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = {"q0": "the data pipeline"}
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["doc_id"], str(r["score"]), r["rn"])
+            for r in df.collect()
+        )
+
+    convenience = rows(text.bm25_topk(docs, queries, k=5, weights=None))
+    auto1 = rows(text.bm25_topk(docs, queries, k=5))  # default = 'auto'
+    assert auto1 == convenience and len(auto1) == 5
+    roots = os.listdir(str(tmp_path / "auto"))
+    assert len(roots) == 1 and roots[0].startswith("bm25_")
+    idx_path = os.path.join(str(tmp_path / "auto"), roots[0])
+    assert art.list_artifact_versions(idx_path) == [1]
+    # steady state: same corpus content → reload, never a new version
+    auto2 = rows(text.bm25_topk(docs, queries, k=5))
+    assert auto2 == auto1
+    assert art.list_artifact_versions(idx_path) == [1]
+    # a different corpus gets its own digest-keyed index
+    text.bm25_topk(docs.filter(F.col("doc_id") < 50), queries, k=5)
+    assert len(os.listdir(str(tmp_path / "auto"))) == 2
+    # explicit index_path: k1/b mismatch in meta forces a refit version
+    p = str(tmp_path / "pinned")
+    text.bm25_topk(docs, queries, k=5, index_path=p)
+    assert art.list_artifact_versions(p) == [1]
+    text.bm25_topk(docs, queries, k=5, k1=2.0, index_path=p)
+    assert art.list_artifact_versions(p) == [1, 2]
+    with pytest.raises(ValueError, match="weights must be"):
+        text.bm25_topk(docs, queries, k=5, weights="bogus")
+    with pytest.raises(ValueError, match="needs the corpus df"):
+        text.bm25_topk(None, queries, k=5, weights="auto")
 
 
 def test_fingerprint_index_dedup_parity(spark, sf_dir, tmp_path):
