@@ -6392,6 +6392,142 @@ SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
 """
 
 
+def x_ingest_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection composed INTO the ingest tick (VERDICT r7 #5):
+    bootstrap the verified-tier dedup indexes, then one ``ingest_batch``
+    with ``select_cfg`` — dedup survivors are scored through a PERSISTED
+    DSIR model (fit once, digest-keyed) and only the Gumbel-top-half
+    publishes. The published ID SET is hash-exact vs a full DuckDB
+    replay of every stage: the exact tier (min-id within batch +
+    normalized-text anti-join vs the corpus — the planted corpus copy
+    drops here), the verified fuzzy tier at threshold 1.0 (J = 1 ⟺
+    IDENTICAL distinct-5-shingle sets ⟺ identical banded signatures, so
+    LSH recall at this threshold is exactly 1 and the oracle replays it
+    as an equal-set anti-join — no recall bound needed), the dynamic
+    k = ceil(0.5 · survivors), the DSIR scores (X_DSIR_SQL machinery:
+    pinned tokenization, md5-fold buckets mod 4096, add-1-smoothed
+    ratios), and the hash-derived Gumbel keys."""
+    import shutil
+    import tempfile
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 200)
+    raw = d.filter(F.col("doc_id") >= 300)
+    tgt = d.filter(F.col("doc_id") < 300)
+    batch = raw.unionByName(
+        corpus.filter(F.col("doc_id") == 0).withColumn(
+            "doc_id", F.col("doc_id") + 5000000
+        )
+    )
+    # the model is the steady-state artifact: fit once per corpus digest
+    dg = art.corpus_digest(d, ["doc_id", "text"])
+    mpath = _artifact_dir("dsir_ing", dg)
+    if not art.is_current(mpath, dg):
+        ratio = text.dsir_fit(raw, tgt, n_buckets=4096)
+        art.save_dsir_model(
+            ratio, mpath, n_buckets=4096, alpha=1.0, salt="dsir",
+            corpus_digest=dg,
+        )
+    root = tempfile.mkdtemp(prefix="ingest_sel_")
+    try:
+        ingest.init_ingest_indexes(
+            spark, corpus, root, verify_jaccard_threshold=1.0
+        )
+        pub, s = ingest.ingest_batch(
+            spark, batch, root,
+            select_cfg={"dsir_path": mpath, "fraction": 0.5},
+        )
+        ids = sorted(r["doc_id"] for r in pub.select("doc_id").collect())
+        pub.unpersist()
+        conservation = (
+            s.n_exact_dropped + s.n_fuzzy_dropped + s.n_select_dropped
+            + s.n_published == s.n_batch
+        )
+        if not conservation:  # a broken stage must fail the row-set hash
+            ids = []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+
+X_INGEST_SELECT_SQL = r"""
+WITH batch AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+  UNION ALL
+  SELECT doc_id + 5000000, text FROM documents WHERE doc_id = 0),
+norm AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS t
+  FROM batch),
+corpus_norm AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 200),
+exact_kept AS MATERIALIZED (
+  SELECT n.doc_id, n.t FROM norm n
+  WHERE n.doc_id = (SELECT MIN(doc_id) FROM norm n2 WHERE n2.t = n.t)
+    AND n.t NOT IN (SELECT t FROM corpus_norm)),
+bs AS (
+  SELECT doc_id,
+         md5(CAST(list_sort(list_distinct(
+           [substr(t, i, 5) FOR i IN range(1, GREATEST(LENGTH(t) - 4, 1) + 1)]
+         )) AS VARCHAR)) AS sh
+  FROM exact_kept),
+cs AS (
+  SELECT DISTINCT md5(CAST(list_sort(list_distinct(
+           [substr(t, i, 5) FOR i IN range(1, GREATEST(LENGTH(t) - 4, 1) + 1)]
+         )) AS VARCHAR)) AS sh
+  FROM corpus_norm),
+surv AS MATERIALIZED (
+  SELECT doc_id FROM bs WHERE sh NOT IN (SELECT sh FROM cs)),
+kk AS (SELECT CAST(CEIL(0.5 * COUNT(*)) AS BIGINT) AS k FROM surv),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(LOWER(TRIM(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(ts || list_filter(
+           list_transform(ts, (x, i) -> CASE WHEN i < len(ts) THEN x || ' ' || ts[i+1] END),
+           g -> g IS NOT NULL)) AS g
+  FROM toks),
+bucketed AS (
+  SELECT doc_id,
+         CAST(list_reduce(
+           str_split('0' || substr(md5(g || '|' || 'dsir'), 1, 13), ''),
+           (acc, c) -> CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1
+         ) AS BIGINT) % 4096 AS bucket,
+         doc_id >= 300 AS is_raw
+  FROM grams),
+raw_cnt AS (SELECT bucket, COUNT(*) AS cq FROM bucketed WHERE is_raw GROUP BY 1),
+tgt_cnt AS (SELECT bucket, COUNT(*) AS ct FROM bucketed WHERE NOT is_raw GROUP BY 1),
+tot AS (SELECT (SELECT SUM(cq) FROM raw_cnt) AS tq, (SELECT SUM(ct) FROM tgt_cnt) AS tt),
+ratio AS (
+  SELECT r.bucket,
+         LN((COALESCE(t.ct, 0)::DOUBLE + 1.0) / (tot.tt::DOUBLE + 4096.0))
+       - LN((r.cq::DOUBLE + 1.0) / (tot.tq::DOUBLE + 4096.0)) AS lr
+  FROM raw_cnt r LEFT JOIN tgt_cnt t USING (bucket) CROSS JOIN tot),
+lw AS (
+  SELECT b.doc_id, SUM(ratio.lr) AS logw
+  FROM bucketed b JOIN ratio USING (bucket)
+  WHERE b.doc_id IN (SELECT doc_id FROM surv)
+  GROUP BY 1),
+keyed AS (
+  SELECT doc_id,
+         logw + (-LN(-LN((CAST(list_reduce(
+           str_split('0' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'g1'), 1, 13), ''),
+           (acc, c) -> CAST(acc AS BIGINT) * 16 + strpos('0123456789abcdef', c) - 1
+         ) AS BIGINT)::DOUBLE + 0.5) / 4503599627370496.0))) AS key
+  FROM lw),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS rn
+  FROM keyed)
+SELECT doc_id FROM ranked WHERE rn <= (SELECT k FROM kk) ORDER BY doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -6558,6 +6694,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_rrf_fusion": (x_rrf_fusion, X_RRF_SQL),
     "x_ingest_e2e": (x_ingest_e2e, X_INGEST_E2E_SQL),  # bound-checked
     "x_stream_ingest": (x_stream_ingest, X_STREAM_INGEST_SQL),  # bound-checked
+    # ids hash-exact: full SQL replay of exact tier + verified tier at
+    # J=1 (equal shingle sets) + DSIR Gumbel-top-k selection
+    "x_ingest_select": (x_ingest_select, X_INGEST_SELECT_SQL),
 }
 
 

@@ -58,6 +58,7 @@ class IngestStats:
     fp_index_version: int
     mh_index_version: int
     corpus_version: int
+    n_select_dropped: int = 0
 
 
 def init_ingest_indexes(
@@ -171,6 +172,7 @@ def ingest_batch(
     root: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    select_cfg: dict | None = None,
 ) -> tuple[DataFrame, IngestStats]:
     """One ingest tick against the durable indexes under ``root``.
 
@@ -184,6 +186,32 @@ def ingest_batch(
     (plus, in verified mode, a candidate-sized text fetch).
     Survivors are admitted into BOTH indexes and published as a new
     corpus snapshot version; returns ``(published_survivors, stats)``.
+
+    ``select_cfg`` adds a DATA-SELECTION stage between dedup and
+    publication (VERDICT r7 #5 — the DSIR steady state composed into
+    the tick): dedup survivors are scored through a PERSISTED DSIR
+    model (``sources.artifacts.load_dsir_model`` at
+    ``select_cfg['dsir_path']`` — fit once, never refit per tick) and
+    only the Gumbel-top-k selection publishes. Keys::
+
+        dsir_path   (required) artifact path of the fitted model
+        fraction    publish ceil(fraction · n_dedup_survivors) docs
+        k           absolute top-k (overrides fraction)
+        gumbel      default True — hash-derived Gumbel noise
+                    (importance RESAMPLING); False = hard top-k
+        noise_salt  default 'g1' — a different salt is a fresh draw
+
+    Selection-rejected docs are still ADMITTED to the exact
+    fingerprint index: they were seen and judged, and a byte-identical
+    re-arrival next tick should drop, not churn the selection (the
+    index remains a strict superset of published content, which is
+    also what keeps crash replay conservative below). The NEAR-dup
+    index admits rejected docs too in candidate mode, but only
+    PUBLISHED docs in verified mode — the verify step must fetch a
+    candidate's text from the publication log, and rejected docs are
+    not in it (a near-dup of a rejected doc is therefore re-judged on
+    its own merits rather than silently un-verifiable). Docs with zero
+    grams (empty text) score nothing and can never be selected.
 
     Crash safety: admissions and the publish are separate atomic
     versioned commits. The admit-then-publish order makes a crash
@@ -251,7 +279,43 @@ def ingest_batch(
             shingle_k=cfg["shingle_k"],
             keep="clean",
         ).persist()
-    n_published = survivors.count()
+    n_dedup = survivors.count()
+
+    published = survivors
+    n_select_dropped = 0
+    if select_cfg is not None:
+        from data_engineering_capstone_project__spark.operators import text
+
+        ratio, mcfg = art.load_dsir_model(spark, select_cfg["dsir_path"])
+        if "k" in select_cfg:
+            k = int(select_cfg["k"])
+        else:
+            import math
+
+            k = math.ceil(float(select_cfg["fraction"]) * n_dedup)
+        if k <= 0 or n_dedup == 0:
+            published = survivors.limit(0)
+        elif k < n_dedup:
+            sel = text.dsir_resample(
+                survivors,
+                None,
+                k=k,
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=mcfg["n_buckets"],
+                salt=mcfg["salt"],
+                gumbel=select_cfg.get("gumbel", True),
+                noise_salt=select_cfg.get("noise_salt", "g1"),
+                ratio=ratio,
+            )
+            # k rows — broadcast semi join back for the full documents
+            published = survivors.join(
+                F.broadcast(sel.select(id_col)), id_col, "left_semi"
+            ).persist()
+        n_published = published.count()
+        n_select_dropped = n_dedup - n_published
+    else:
+        n_published = n_dedup
 
     dg = f"extended:{art.corpus_digest(survivors, [id_col, text_col])}"
     fp_v = art.save_fingerprint_index(
@@ -262,7 +326,7 @@ def ingest_batch(
     if verified:
         mh_v = art.save_minhash_doc_index(
             dedup.extend_minhash_doc_index(
-                mh_idx, survivors, id_col, text_col,
+                mh_idx, published, id_col, text_col,
                 cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
             ),
             mh_path,
@@ -284,18 +348,21 @@ def ingest_batch(
             shingle_k=cfg["shingle_k"],
             corpus_digest=dg,
         )
-    corpus_v = write_versioned(survivors, os.path.join(root, _CORPUS))
+    corpus_v = write_versioned(published, os.path.join(root, _CORPUS))
     exact_kept.unpersist()
+    if published is not survivors:
+        survivors.unpersist()
     stats = IngestStats(
         n_batch=n_batch,
         n_exact_dropped=n_batch - n_exact_kept,
-        n_fuzzy_dropped=n_exact_kept - n_published,
+        n_fuzzy_dropped=n_exact_kept - n_dedup,
         n_published=n_published,
         fp_index_version=fp_v,
         mh_index_version=mh_v,
         corpus_version=corpus_v,
+        n_select_dropped=n_select_dropped,
     )
-    return survivors, stats
+    return published, stats
 
 
 def run_stream_ingest(
@@ -303,6 +370,7 @@ def run_stream_ingest(
     root: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    select_cfg: dict | None = None,
 ) -> list[IngestStats]:
     """The CONTINUOUS form of the ingest loop: every micro-batch runs one
     full :func:`ingest_batch` tick (exact tier → fuzzy probe → admit →
@@ -326,7 +394,8 @@ def run_stream_ingest(
         if batch_df.isEmpty():
             return
         surv, stats = ingest_batch(
-            batch_df.sparkSession, batch_df, root, text_col, id_col
+            batch_df.sparkSession, batch_df, root, text_col, id_col,
+            select_cfg=select_cfg,
         )
         surv.unpersist()
         collected.append((batch_id, stats))

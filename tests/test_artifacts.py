@@ -579,6 +579,66 @@ def test_ingest_pipeline_ticks(spark, sf_dir, tmp_path):
     s3_df.unpersist()
 
 
+def test_ingest_batch_dsir_selection_stage(spark, sf_dir, tmp_path):
+    """select_cfg publishes only the DSIR top-fraction of dedup survivors
+    (VERDICT r7 #5): selection matches a standalone dsir_resample over
+    the survivors, conservation includes n_select_dropped, rejected docs
+    are still exact-admitted (byte-identical re-arrivals drop), and
+    replay publishes zero."""
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    raw = docs.filter(F.col("doc_id") >= 300)
+    tgt = docs.filter(F.col("doc_id") < 300)
+    nb = 512
+    ratio = text.dsir_fit(raw, tgt, n_buckets=nb)
+    mpath = str(tmp_path / "dsir_model")
+    art.save_dsir_model(ratio, mpath, n_buckets=nb, alpha=1.0, salt="dsir")
+
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    cfg = {"dsir_path": mpath, "fraction": 0.4}
+    pub, s = ingest.ingest_batch(spark, raw, root, select_cfg=cfg)
+    pub_ids = {r["doc_id"] for r in pub.select("doc_id").collect()}
+    pub.unpersist()
+    assert (
+        s.n_exact_dropped + s.n_fuzzy_dropped + s.n_select_dropped
+        + s.n_published == s.n_batch
+    )
+    assert s.n_select_dropped > 0 and s.n_published == len(pub_ids)
+    n_dedup = s.n_published + s.n_select_dropped
+    import math
+
+    assert s.n_published == math.ceil(0.4 * n_dedup)
+    # selection equals a standalone resample over the dedup survivors
+    root_nosel = str(tmp_path / "root_nosel")
+    ingest.init_ingest_indexes(spark, corpus, root_nosel)
+    surv_only, _ = ingest.ingest_batch(spark, raw, root_nosel)
+    surv_ids = {r["doc_id"] for r in surv_only.select("doc_id").collect()}
+    expected = {
+        r["doc_id"]
+        for r in text.dsir_resample(
+            surv_only, None, k=s.n_published, n_buckets=nb, ratio=ratio
+        ).collect()
+    }
+    surv_only.unpersist()
+    assert pub_ids == expected
+    # publication log holds only selected docs
+    assert ingest.read_ingest_corpus(spark, root).count() == 100 + len(pub_ids)
+    # rejected docs were exact-admitted: replaying the same batch (and a
+    # renamed copy of a REJECTED doc) publishes nothing
+    rejected = sorted(surv_ids - pub_ids)
+    replay = raw.unionByName(
+        docs.filter(F.col("doc_id") == rejected[0]).withColumn(
+            "doc_id", F.col("doc_id") + 8000000
+        )
+    )
+    pub2, s2 = ingest.ingest_batch(spark, replay, root, select_cfg=cfg)
+    pub2.unpersist()
+    assert s2.n_published == 0 and s2.n_select_dropped == 0
+
+
 def test_run_stream_ingest_cross_batch_admission(spark, sf_dir, tmp_path):
     """Micro-batch B's copies of batch-A survivors drop because A's tick
     admitted them — the property a static stream-start index can't give."""
