@@ -425,8 +425,8 @@ def minhash_band_probe_verified(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     keep: str = "clean",
@@ -454,15 +454,26 @@ def minhash_band_probe_verified(
     shingled (``verify_jaccard`` semi-joins before the explode). The
     corpus text relation is never broadcast and never fully shingled.
 
-    SIZE THE BANDING FROM N: candidate-verify volume under fixed
-    banding grows ~quadratically (random pairs at baseline similarity
-    J₀ collide per band with probability J₀^rows_per_band) — the
-    ladder measured the default 32/8 config jumping 18 s → 238 s over
-    the 50k → 500k rung, while ``auto_minhash_config(total_docs,
-    threshold, baseline_j=…)`` holds the slope (SCALING.md). The
-    config must match the index's (persisted with it by
-    ``save_minhash_doc_index``).
+    BANDING IS REQUIRED AND MUST BE THE INDEX'S: the probe only collides
+    with the index if both sides hashed with identical
+    ``num_hashes``/``bands`` (the band hash mixes every row of its
+    band), and the index builders AUTO-SIZE by default
+    (``auto_minhash_config`` — fixed banding was the measured
+    scale-killer: 18 s → 238 s / exp 0.89 over the 50k → 500k ladder
+    rung, SCALING.md). A probe default therefore cannot exist: probing
+    an auto-sized index with any fixed guess yields band hashes that
+    never collide — silent ~zero recall, no error (VERDICT r8 #3). Pass
+    the config persisted with the index (``load_minhash_doc_index``
+    returns it; the ingest tick threads it automatically).
     """
+    if num_hashes is None or bands is None:
+        raise ValueError(
+            "minhash_band_probe_verified: num_hashes/bands are required "
+            "and must be the INDEX's banding config "
+            "(sources.artifacts.load_minhash_doc_index returns it; index "
+            "builders auto-size by default, so a probe default would "
+            "silently collide with nothing)"
+        )
     if keep not in ("clean", "contaminated"):
         raise ValueError(f"minhash_band_probe_verified: unknown keep={keep!r}")
     if jaccard_threshold is None:
@@ -513,8 +524,8 @@ def minhash_band_probe(
     band_index: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_k: int = 5,
     keep: str = "clean",
 ) -> DataFrame:
@@ -529,7 +540,21 @@ def minhash_band_probe(
     semi join of the batch's ``bands``-per-doc bucket rows against the
     index on ``(band, bucket)``, then a semi/anti join back on id —
     batch-sized work throughout; the corpus appears only as the index.
+
+    ``num_hashes``/``bands`` are REQUIRED and must be the index's own
+    banding config (``load_minhash_index`` returns it): the builders
+    auto-size from the corpus count by default, so a probe default
+    would silently hash into buckets the index never contains — ~zero
+    recall with no error (VERDICT r8 #3).
     """
+    if num_hashes is None or bands is None:
+        raise ValueError(
+            "minhash_band_probe: num_hashes/bands are required and must "
+            "be the INDEX's banding config "
+            "(sources.artifacts.load_minhash_index returns it; index "
+            "builders auto-size by default, so a probe default would "
+            "silently collide with nothing)"
+        )
     if keep not in ("clean", "contaminated"):
         raise ValueError(f"minhash_band_probe: unknown keep={keep!r}")
     sigs = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_k)

@@ -327,14 +327,26 @@ def _bm25_auto_weights(
             art.default_artifact_root(), f"bm25_{k1}_{b}_{safe}"
         )
     spark = df.sparkSession
-    if art.is_current(index_path, dg):
-        meta = art.load_artifact_meta(index_path)
+    # scan committed versions NEWEST-first for one fit on this exact
+    # corpus content and parameterization — not just the latest (ADVICE
+    # r8: with an explicit shared index_path, alternating calls with two
+    # parameterizations would otherwise refit and append a new version
+    # on EVERY call even though a matching older version exists)
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    for v in reversed(commitlog.committed_versions(index_path)):
+        try:
+            meta = art.load_artifact_meta(index_path, v)
+        except (FileNotFoundError, ValueError, OSError):
+            continue
         if (
-            meta.get("k1") == k1
+            meta.get("kind") == "bm25"
+            and meta.get("corpus_digest") == dg
+            and meta.get("k1") == k1
             and meta.get("b") == b
             and meta.get("id_col") == id_col
         ):
-            return art.load_bm25_index(spark, index_path)
+            return art.load_bm25_index(spark, index_path, version=v)
     w = bm25(df, id_col=id_col, text_col=text_col, k1=k1, b=b)
     art.save_bm25_index(
         w, index_path, id_col=id_col, k1=k1, b=b, corpus_digest=dg

@@ -85,12 +85,41 @@ _META = "_META.json"
 def default_artifact_root() -> str:
     """Root for AUTO-managed artifacts (``bm25_topk(weights='auto')``
     etc.): ``$SPARK_GRAFT_ARTIFACT_ROOT`` when set, else a stable
-    temp-dir location. Production deployments point this at the durable
-    artifact store; the default survives across sessions on one host,
-    which is what makes the auto paths fit-once."""
-    root = os.environ.get("SPARK_GRAFT_ARTIFACT_ROOT") or os.path.join(
-        __import__("tempfile").gettempdir(), "spark_graft_artifacts", "auto"
-    )
+    PER-USER temp-dir location. Production deployments point this at
+    the durable artifact store; the default survives across sessions on
+    one host, which is what makes the auto paths fit-once.
+
+    The default is scoped to the invoking user and locked to 0o700
+    (ADVICE r8): a world-shared predictable path would let another
+    local user pre-create the tree or plant a forged artifact at a
+    digest-keyed location (``is_current`` trusts the stamped digest),
+    silently serving wrong retrieval scores. A pre-existing base owned
+    by a DIFFERENT uid is refused, not reused."""
+    root = os.environ.get("SPARK_GRAFT_ARTIFACT_ROOT")
+    if not root:
+        import tempfile
+
+        try:
+            import getpass
+
+            user = getpass.getuser()
+        except Exception:
+            user = f"uid{os.geteuid()}" if hasattr(os, "geteuid") else "anon"
+        base = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_artifacts-{user}"
+        )
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        try:
+            os.chmod(base, 0o700)  # tighten a pre-umask'd dir
+        except OSError:
+            pass
+        if hasattr(os, "geteuid") and os.stat(base).st_uid != os.geteuid():
+            raise PermissionError(
+                f"default artifact root {base!r} exists but is owned by "
+                "another user — refusing to trust its contents; set "
+                "$SPARK_GRAFT_ARTIFACT_ROOT to a directory you own"
+            )
+        root = os.path.join(base, "auto")
     os.makedirs(root, exist_ok=True)
     return root
 

@@ -85,11 +85,46 @@ def all_versions(path: str) -> list[int]:
     )
 
 
+def _migrate_legacy_pointer(path: str) -> None:
+    """One-time legacy migration (ADVICE r8): a pre-marker store (LATEST
+    pointer present, ZERO ``_COMMITTED`` markers) resolves by the
+    pointer-bounded fallback in :func:`committed_versions` — but the
+    FIRST new-protocol commit stamps a marker and flips resolution to
+    marker-only, silently un-committing every pointer-era version (the
+    ingest publication log would lose its bootstrap corpus and every
+    prior batch; the verified tick's candidate text fetch would go
+    empty and near-duplicates would publish). So before any new write
+    claims a version on such a store, stamp markers for every version
+    the pointer committed. Idempotent and race-safe: concurrent
+    migrators collide on put-if-absent and ignore the loss."""
+    vs = all_versions(path)
+    if not vs:
+        return
+    if any(
+        os.path.exists(os.path.join(path, f"v={v}", _COMMITTED)) for v in vs
+    ):
+        return
+    try:
+        with open(os.path.join(path, LATEST)) as f:
+            latest = int(f.read().strip())
+    except (FileNotFoundError, ValueError, OSError):
+        return
+    for v in vs:
+        if v <= latest:
+            try:
+                _put_if_absent(os.path.join(path, f"v={v}", _COMMITTED))
+            except FileExistsError:
+                pass
+
+
 def claim_version(path: str) -> tuple[int, str]:
     """Claim the next free version number via put-if-absent of the
     ``_CLAIM`` marker; returns ``(n, snapshot_dir)``. Exactly one writer
-    wins each n under any interleaving; losers retry n+1."""
+    wins each n under any interleaving; losers retry n+1. On a legacy
+    pointer-only layout, first stamps ``_COMMITTED`` markers for every
+    pointer-committed version (:func:`_migrate_legacy_pointer`)."""
     os.makedirs(path, exist_ok=True)
+    _migrate_legacy_pointer(path)
     n = max(all_versions(path), default=0)
     while True:
         n += 1

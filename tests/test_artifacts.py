@@ -264,6 +264,15 @@ def test_bm25_topk_auto_weights(spark, sf_dir, tmp_path, monkeypatch):
     assert art.list_artifact_versions(p) == [1]
     text.bm25_topk(docs, queries, k=5, k1=2.0, index_path=p)
     assert art.list_artifact_versions(p) == [1, 2]
+    # ADVICE r8: ALTERNATING parameterizations at one explicit path must
+    # reuse the matching OLDER version, not refit a new one per call
+    alt_a = rows(text.bm25_topk(docs, queries, k=5, index_path=p))
+    alt_b = rows(text.bm25_topk(docs, queries, k=5, k1=2.0, index_path=p))
+    assert art.list_artifact_versions(p) == [1, 2]
+    assert alt_a == auto1
+    assert rows(
+        text.bm25_topk(docs, queries, k=5, k1=2.0, weights=None)
+    ) == alt_b
     with pytest.raises(ValueError, match="weights must be"):
         text.bm25_topk(docs, queries, k=5, weights="bogus")
     with pytest.raises(ValueError, match="needs the corpus df"):
@@ -774,8 +783,18 @@ def test_minhash_band_probe_verified_semantics(spark, sf_dir):
     assert len(kept_v) + n_contam == docs.count()
     with pytest.raises(ValueError, match="unknown keep"):
         dedup.minhash_band_probe_verified(
-            docs, doc_idx, corpus, keep="bogus"
+            docs, doc_idx, corpus, num_hashes=nh, bands=b, keep="bogus"
         )
+    # banding is REQUIRED: the builders auto-size by default, so a probe
+    # default would silently hash into buckets the index never contains
+    # (~zero recall, no error) — the probe must refuse instead
+    # (VERDICT r8 #3)
+    with pytest.raises(ValueError, match="banding config"):
+        dedup.minhash_band_probe_verified(
+            docs, doc_idx, corpus, jaccard_threshold=thr
+        )
+    with pytest.raises(ValueError, match="banding config"):
+        dedup.minhash_band_probe(docs, band_idx)
     # a None threshold would make the verify filter a NULL predicate
     # that drops nothing — must refuse loudly (ADVICE r7)
     with pytest.raises(ValueError, match="jaccard_threshold is None"):
@@ -1018,3 +1037,152 @@ def test_dsir_score_stream_empty_stream_id_type(spark, tmp_path):
     out = dsir_score_stream(stream, ratio, n_buckets=16)
     assert out.count() == 0
     assert dict(out.dtypes)["doc_id"] == "string"
+
+
+# --------------------------------------------- round-9 scale/lifecycle
+
+
+def test_legacy_pointer_migrated_on_first_new_commit(spark, tmp_path):
+    """ADVICE r8 (medium): on a legacy pointer-only store, the FIRST
+    new-protocol write must not un-commit the pointer-era versions —
+    claim_version stamps their markers first, so resolution stays the
+    union of old and new."""
+    import json
+
+    from data_engineering_capstone_project__spark.sources import commitlog
+    from data_engineering_capstone_project__spark.sources.io import (
+        write_versioned,
+    )
+
+    p = str(tmp_path / "legacy_mig")
+    for v, n in ((1, 3), (2, 5)):
+        os.makedirs(os.path.join(p, f"v={v}"))
+        spark.range(n).write.mode("overwrite").parquet(
+            os.path.join(p, f"v={v}")
+        )
+    os.makedirs(os.path.join(p, "v=3"))  # orphan claim beyond pointer
+    with open(os.path.join(p, "LATEST"), "w") as f:
+        f.write("2")
+    assert commitlog.committed_versions(p) == [1, 2]
+    # the new-protocol write lands a marker — legacy versions must
+    # migrate, not vanish (versions 1 and 2 keep resolving; the orphan
+    # v=3 gets claimed/committed by the new writer)
+    new_v = write_versioned(spark.range(7), p)
+    got = commitlog.committed_versions(p)
+    assert 1 in got and 2 in got and new_v in got
+    total = sum(
+        spark.read.parquet(os.path.join(p, f"v={v}")).count() for v in got
+    )
+    assert total == 3 + 5 + 7
+
+
+def test_read_ingest_corpus_single_scan_flat_in_ticks(spark, tmp_path):
+    """VERDICT r8 #1: the publication-log read is ONE multi-path scan —
+    no per-version Union chain, so plan size is flat in tick count T."""
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources.io import (
+        write_versioned,
+    )
+
+    root = str(tmp_path / "publog")
+    path = os.path.join(root, "corpus")
+    T = 40
+    for i in range(T):
+        write_versioned(
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("d"), F.col("id")).alias("text"),
+            ),
+            path,
+        )
+    full = ingest.read_ingest_corpus(spark, root)
+    plan = full._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    # one relation node regardless of T — the fold built T of them
+    assert plan.count("Relation") == 1
+    assert full.count() == T * 10
+    # pinning one publication still works
+    assert ingest.read_ingest_corpus(spark, root, version=3).count() == 10
+
+
+def test_select_semi_join_broadcast_gated_by_k(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r8 #2: the DSIR-selection publish semi-join broadcasts the
+    k-id side only when k is small; a large-k selection carries no
+    broadcast hint (AQE decides) and stays hash-identical."""
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    raw = docs.filter(F.col("doc_id") >= 300)
+    nb = 512
+    ratio = text.dsir_fit(raw, docs.filter(F.col("doc_id") < 300), n_buckets=nb)
+    mpath = str(tmp_path / "dsir_m")
+    art.save_dsir_model(ratio, mpath, n_buckets=nb, alpha=1.0, salt="dsir")
+    cfg = {"dsir_path": mpath, "fraction": 0.5}
+
+    def n_bcast_hints(df):
+        # dsir_resample's ratio-table join legitimately hints broadcast
+        # (bounded n_buckets rows) — count hints, don't assert absence
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "strategy=broadcast"
+        )
+
+    root_a = str(tmp_path / "root_hint")
+    ingest.init_ingest_indexes(spark, corpus, root_a)
+    pub_a, _ = ingest.ingest_batch(spark, raw, root_a, select_cfg=cfg)
+    ids_a = sorted(r["doc_id"] for r in pub_a.select("doc_id").collect())
+    hints_small_k = n_bcast_hints(pub_a)
+    pub_a.unpersist()
+
+    monkeypatch.setattr(ingest, "_SELECT_BROADCAST_MAX_IDS", 0)
+    root_b = str(tmp_path / "root_nohint")
+    ingest.init_ingest_indexes(spark, corpus, root_b)
+    pub_b, _ = ingest.ingest_batch(spark, raw, root_b, select_cfg=cfg)
+    ids_b = sorted(r["doc_id"] for r in pub_b.select("doc_id").collect())
+    # exactly the k-id semi-join hint is gone; nothing else changed
+    assert n_bcast_hints(pub_b) == hints_small_k - 1
+    pub_b.unpersist()
+    assert ids_a == ids_b  # the hint is a strategy, never a semantics
+
+
+def test_compact_publication_log_bounded_versions(spark, sf_dir, tmp_path):
+    """VERDICT r8 missing #3: T ticks + compaction leave a BOUNDED version
+    count (corpus and index artifacts) with identical corpus content, and
+    later ticks keep deduping against everything compacted."""
+    from data_engineering_capstone_project__spark.sources import commitlog
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    root = str(tmp_path / "lc")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    for lo, hi in ((100, 150), (150, 200), (200, 250)):
+        d, _ = ingest.ingest_batch(
+            spark, docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), root
+        )
+        d.unpersist()
+    cpath = os.path.join(root, "corpus")
+    before = sorted(
+        (r["doc_id"], r["text"])
+        for r in ingest.read_ingest_corpus(spark, root).select("doc_id", "text").collect()
+    )
+    assert len(commitlog.committed_versions(cpath)) == 4
+    ingest.compact_publication_log(
+        spark, root, n_files=4, keep_versions=1, keep_index_versions=1
+    )
+    assert len(commitlog.committed_versions(cpath)) == 1
+    for sub in ("fingerprints", "minhash"):
+        assert len(commitlog.committed_versions(os.path.join(root, sub))) == 1
+    after = sorted(
+        (r["doc_id"], r["text"])
+        for r in ingest.read_ingest_corpus(spark, root).select("doc_id", "text").collect()
+    )
+    assert before == after
+    # a post-compaction tick still dedups against compacted content:
+    # byte-identical re-arrivals of already-published docs all drop
+    replay = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    ).withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    d4, s4 = ingest.ingest_batch(spark, replay, root)
+    d4.unpersist()
+    assert s4.n_published == 0

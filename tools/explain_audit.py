@@ -88,9 +88,12 @@ def _verified_probe(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = d.filter(F.col("doc_id") < 200)
-    idx = dedup.corpus_minhash_doc_index(corpus)
+    # derive the banding once and thread it to BOTH sides — probe
+    # defaults no longer exist (a mismatched probe raises, VERDICT r8 #3)
+    nh, nb = dedup.auto_minhash_config(corpus.count(), 0.9)
+    idx = dedup.corpus_minhash_doc_index(corpus, num_hashes=nh, bands=nb)
     return dedup.minhash_band_probe_verified(
-        d, idx, corpus, jaccard_threshold=0.9
+        d, idx, corpus, num_hashes=nh, bands=nb, jaccard_threshold=0.9
     )
 
 
