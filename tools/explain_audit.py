@@ -19,7 +19,7 @@ AUDIT = {
     "q3_shipping_priority": "date filters pushed to scans; filtered customer broadcast; top-k via TakeOrderedAndProject",
     "q7_volume_shipping": "nation-filtered supplier/customer broadcast; one SMJ lineitem⋈orders",
     "q13_order_distribution": "orders aggregated to 1 row/customer BEFORE the customer join",
-    "q2_min_cost_supplier": "per-part min as window over one shuffle; dims broadcast",
+    "q2_min_cost_supplier": "per-part min as window over one shuffle; dims broadcast. (r7 watch item CLOSED as host noise: the isolated +27% read 1.33s once; driver r8 has it back at 1.059s, inside the r4-r6 band 0.987-1.09 — no plan change was ever involved)",
     "j4_linkage_join": "expression-key equi-join (SMJ), distinct rides the same partitioning",
     "w1_row_number": "no single-partition window: quantile pids + broadcast offsets",
     "x_tf_idf": "doc-frequency as groupBy(term)+join-back (NO per-term window — skew-safe); explode cached once (InMemoryTableScan feeds both branches)",
@@ -54,6 +54,8 @@ AUDIT = {
     "x_dsir_select": "DSIR: hashed n-gram featurization is pure codegen at the scan (split + indexed transform + explode + md5/conv); the ≤n_buckets-row log-ratio table rides a BroadcastHashJoin onto the gram stream; the ONLY corpus-sized exchange is the per-doc sum (hashpartitioning(doc_id), map-side partials); Gumbel-top-k via TakeOrderedAndProject — audit: no SortMergeJoin, no global Sort",
     "x_dsir_persisted": "PERSISTED-model DSIR (the production steady state): the ratio table comes from a parquet scan of the saved artifact — NO target-corpus subtree and NO raw bucket-count/fit subtree anywhere in the plan (compare x_dsir_select: two count branches + scalar cross-joins); one raw featurization pass, broadcast ratio join, doc-keyed sum, TakeOrderedAndProject",
     "verified_probe": "verified fuzzy decontamination kernel (the x_stream_decontaminate_verified gate wraps it in driver-side set comparisons): batch signatures via explode+groupBy min-hashes; candidate pairs from the (band,bucket) equi-join against the id-carrying index; verify_jaccard shingles ONLY candidate docs (left-semi before the explode; sort-merge pinned for the corpus-sized shingle-array join — never broadcast); final routing is one LEFT ANTI on id",
+    "publication_log_read": "ingest publication-log read after bootstrap + 3 ticks (4 committed versions): ONE multi-path parquet relation — a single Scan node whose plan is FLAT in tick count, where the r8 per-version unionByName fold re-analyzed a T-way Union every tick (r9 #1); the verified tick's candidate text fetch semi-joins into this one scan",
+    "ingest_select_publish": "DSIR-selection publish semi-join of an ingest tick: dedup survivors (InMemoryTableScan — persisted once per tick) LEFT SEMI the k Gumbel-top-k ids; the broadcast hint appears ONLY under the k<=100k gate (this audit is the small-k form — a large-fraction selection drops the hint and AQE sizes the build side; r9 #2, unit-gated both ways)",
 }
 
 
@@ -97,9 +99,59 @@ def _verified_probe(spark, sf_dir):
     )
 
 
+def _publication_log_read(spark, sf_dir):
+    """The ingest publication-log union read after several ticks (r9 #1:
+    the per-version unionByName fold was replaced by one multi-path
+    scan). Bootstrap + 3 ticks -> 4 committed versions -> read."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="explain_publog_")
+    ingest.init_ingest_indexes(spark, docs.filter(F.col("doc_id") < 100), root)
+    for lo in (100, 200, 300):
+        d, _ = ingest.ingest_batch(
+            spark,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)),
+            root,
+        )
+        d.unpersist()
+    return ingest.read_ingest_corpus(spark, root)
+
+
+def _ingest_select_publish(spark, sf_dir):
+    """The DSIR-selection publish stage of an ingest tick (r9 #2: the
+    id semi-join's broadcast hint is now gated by k)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import text
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.filter(F.col("doc_id") >= 300)
+    nb = 512
+    ratio = text.dsir_fit(raw, docs.filter(F.col("doc_id") < 300), n_buckets=nb)
+    mpath = tempfile.mkdtemp(prefix="explain_dsir_") + "/m"
+    art.save_dsir_model(ratio, mpath, n_buckets=nb, alpha=1.0, salt="dsir")
+    root = tempfile.mkdtemp(prefix="explain_select_")
+    ingest.init_ingest_indexes(spark, docs.filter(F.col("doc_id") < 100), root)
+    pub, _ = ingest.ingest_batch(
+        spark, raw, root, select_cfg={"dsir_path": mpath, "fraction": 0.4}
+    )
+    return pub
+
+
 CUSTOM = {
     "ivf_pruned_probe": _ivf_pruned_probe,
     "verified_probe": _verified_probe,
+    "publication_log_read": _publication_log_read,
+    "ingest_select_publish": _ingest_select_publish,
 }
 
 
