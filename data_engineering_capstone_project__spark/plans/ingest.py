@@ -391,43 +391,56 @@ def compact_publication_log(
     spark: SparkSession,
     root: str,
     n_files: int | None = None,
-    keep_versions: int = 1,
     keep_index_versions: int | None = None,
 ) -> int:
     """Publication-log LIFECYCLE (VERDICT r8 missing #3): union-compact
-    every committed corpus version into ONE new version and expire the
-    olds, bounding what thousands of ticks otherwise accumulate —
-    thousands of tiny versions (directory listings, scan file counts)
-    plus a full index copy per tick.
+    every committed corpus version into ONE new version and remove
+    exactly those inputs, bounding what thousands of ticks otherwise
+    accumulate — thousands of tiny versions (directory listings, scan
+    file counts) plus a full index copy per tick.
 
     Content-preserving by construction: the compacted version IS the
     union ``read_ingest_corpus`` serves, so the post-compaction union
-    (the one remaining version) is row-identical. Safe under the commit
-    protocol — the compaction is just another versioned write (readers
-    never see a partial one; a crashed compactor leaves an unnamed
-    orphan and the log is untouched). ``n_files`` optionally coalesces
-    the output (the small-FILE half of the problem); default keeps the
-    producer parallelism. ``keep_versions`` > 1 retains that many
-    pre-compaction versions for time travel — note ``version=k`` pins
-    and ``snapshot_diff`` pairs that straddle a compaction compare
-    batch-deltas against the merged log, so per-batch CDC consumers
-    should drain before compaction.
+    is row-identical. There is deliberately NO "retain old versions"
+    knob: the log's read semantics are the union of ALL committed
+    versions, so a retained pre-compaction version would overlap the
+    compacted union and double-count its rows — per-batch pins
+    (``version=k``) and ``snapshot_diff`` consumers must drain BEFORE
+    compaction. Safe under the commit protocol — the compaction is
+    just another versioned write (readers never see a partial one; a
+    crashed compactor leaves an unnamed orphan and the log is
+    untouched). ``n_files`` optionally coalesces the output (the
+    small-FILE half of the problem); default keeps producer
+    parallelism.
+
+    Concurrency: the version set is CAPTURED once — the compacted
+    write unions exactly those versions and expiry removes exactly
+    those versions, never "all but newest" (which would delete the
+    compacted union itself if a concurrent tick committed in between)
+    and never a version committed after the capture (which simply
+    survives, so the union is preserved under any interleaving).
 
     ``keep_index_versions`` additionally expires old fingerprint /
-    MinHash index ARTIFACT versions (each tick admits by writing a full
-    new index version — the resolved newest is all any tick reads; the
-    olds are rollback copies whose storage grows linearly in tick
-    count). Returns the compacted corpus version."""
-    from data_engineering_capstone_project__spark.sources.io import (
-        expire_versions,
-    )
+    MinHash index ARTIFACT versions (each tick admits by writing a
+    full new index version — the resolved newest is all any tick
+    reads; the olds are rollback copies whose storage grows linearly
+    in tick count). Returns the compacted corpus version."""
+    import shutil
+
+    from data_engineering_capstone_project__spark.sources import commitlog
 
     path = os.path.join(root, _CORPUS)
-    full = read_ingest_corpus(spark, root)
+    vs = commitlog.committed_versions(path)
+    if not vs:
+        raise FileNotFoundError(
+            f"no committed publication under {path!r} — nothing to compact"
+        )
+    full = spark.read.parquet(*[os.path.join(path, f"v={v}") for v in vs])
     if n_files is not None:
         full = full.coalesce(n_files)
     v = write_versioned(full, path)
-    expire_versions(path, keep=keep_versions)
+    for old in vs:
+        shutil.rmtree(os.path.join(path, f"v={old}"))
     if keep_index_versions is not None:
         for sub in (_FP, _MH):
             art.expire_artifact_versions(
@@ -443,7 +456,6 @@ def run_stream_ingest(
     id_col: str = "doc_id",
     select_cfg: dict | None = None,
     compact_every: int | None = None,
-    keep_versions: int = 1,
     keep_index_versions: int | None = 1,
 ) -> list[IngestStats]:
     """The CONTINUOUS form of the ingest loop: every micro-batch runs one
@@ -463,7 +475,7 @@ def run_stream_ingest(
     would ``.start()`` the same ``foreachBatch`` writer asynchronously.
 
     ``compact_every=N`` runs :func:`compact_publication_log` after every
-    N-th non-empty tick (with ``keep_versions`` / ``keep_index_versions``
+    N-th non-empty tick (with ``keep_index_versions``
     retention) — without it a long-running loop accumulates one corpus
     version AND one full index copy per tick (VERDICT r8 missing #3).
     Batch-driven loops call ``compact_publication_log`` directly on the
@@ -486,7 +498,6 @@ def run_stream_ingest(
             compact_publication_log(
                 batch_df.sparkSession,
                 root,
-                keep_versions=keep_versions,
                 keep_index_versions=keep_index_versions,
             )
 

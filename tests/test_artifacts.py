@@ -1168,7 +1168,7 @@ def test_compact_publication_log_bounded_versions(spark, sf_dir, tmp_path):
     )
     assert len(commitlog.committed_versions(cpath)) == 4
     ingest.compact_publication_log(
-        spark, root, n_files=4, keep_versions=1, keep_index_versions=1
+        spark, root, n_files=4, keep_index_versions=1
     )
     assert len(commitlog.committed_versions(cpath)) == 1
     for sub in ("fingerprints", "minhash"):
