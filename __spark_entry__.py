@@ -6475,7 +6475,7 @@ def x_ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             and n_versions("minhash") == 3
         )
         ingest.compact_publication_log(
-            spark, root, n_files=8, keep_index_versions=1
+            spark, root, n_files=8
         )
         versions_bounded = (
             n_versions("corpus") == 1

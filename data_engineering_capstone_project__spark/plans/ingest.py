@@ -9,9 +9,10 @@ refit per run:
 2. **drop** batch rows that are exact duplicates (within the batch or
    against the corpus index) or NEAR-duplicates of corpus content
    (band-collision probe);
-3. **admit** the survivors' fingerprints and band buckets back into both
-   indexes as NEW artifact versions (atomic pointer swaps — concurrent
-   readers keep the old versions until commit);
+3. **admit** the survivors' fingerprints and band buckets as batch-sized
+   DELTA versions appended to both index LOGS (atomic versioned commits
+   — concurrent readers resolve only committed versions; admission I/O
+   is O(batch), never O(index));
 4. **publish** the survivors as a new version of the corpus PUBLICATION
    LOG (``write_versioned`` per batch — append-shaped, the corpus is
    never rewritten; readers never see a partial batch, and each version
@@ -39,7 +40,6 @@ from data_engineering_capstone_project__spark.sources.io import (
 )
 from data_engineering_capstone_project__spark.streaming.stream import (
     corpus_fingerprint_index,
-    extend_fingerprint_index,
 )
 
 _FP = "fingerprints"
@@ -241,28 +241,35 @@ def ingest_batch(
     """
     fp_path = os.path.join(root, _FP)
     mh_path = os.path.join(root, _MH)
-    fp_idx = art.load_fingerprint_index(spark, fp_path)
+    # both indexes are APPEND LOGS (round 9): v1 is the bootstrap index
+    # and every later version is one tick's batch-sized delta, read back
+    # as ONE multi-path scan. The old shape re-wrote the FULL extended
+    # index every tick — O(index) admission I/O per tick, quadratic
+    # cumulative at corpus scale (the same defect class as the r8
+    # publication-log union, one level down).
+    fp_idx = art.load_fingerprint_log(spark, fp_path)
+    mh_idx, mh_meta = art.load_minhash_log(spark, mh_path)
     # the fuzzy-tier MODE travels with the index artifact: a
     # ``minhash_docs`` kind selects the verified probe (exact-Jaccard
     # check against the publication log before any drop), so every tick
     # of a loop — batch or streaming — probes with the same semantics
     # the bootstrap chose
-    verified = (
-        art.load_artifact_meta(mh_path).get("kind") == "minhash_docs"
-    )
-    if verified:
-        mh_idx, cfg = art.load_minhash_doc_index(spark, mh_path)
-        if cfg["jaccard_threshold"] is None:
-            # passing None through would make the verify filter a NULL
-            # predicate that drops nothing — refuse loudly instead of
-            # publishing contaminated docs (ADVICE r7)
-            raise ValueError(
-                f"ingest_batch: verified-tier index at {mh_path} carries "
-                "no jaccard_threshold — re-bootstrap with "
-                "init_ingest_indexes(verify_jaccard_threshold=...)"
-            )
-    else:
-        mh_idx, cfg = art.load_minhash_index(spark, mh_path)
+    verified = mh_meta.get("kind") == "minhash_docs"
+    cfg = {
+        "num_hashes": mh_meta["num_hashes"],
+        "bands": mh_meta["bands"],
+        "shingle_k": mh_meta["shingle_k"],
+        "jaccard_threshold": mh_meta.get("jaccard_threshold"),
+    }
+    if verified and cfg["jaccard_threshold"] is None:
+        # passing None through would make the verify filter a NULL
+        # predicate that drops nothing — refuse loudly instead of
+        # publishing contaminated docs (ADVICE r7)
+        raise ValueError(
+            f"ingest_batch: verified-tier index at {mh_path} carries "
+            "no jaccard_threshold — re-bootstrap with "
+            "init_ingest_indexes(verify_jaccard_threshold=...)"
+        )
     n_batch = batch.count()
 
     exact_kept = dedup.dedup_against_corpus(
@@ -339,16 +346,23 @@ def ingest_batch(
     else:
         n_published = n_dedup
 
-    dg = f"extended:{art.corpus_digest(survivors, [id_col, text_col])}"
+    # admission = batch-sized DELTA versions appended to the index logs
+    # (never the extended full index — that write is O(index) per tick).
+    # The fp delta is disjoint from the log by construction (survivors
+    # passed the exact anti-join); band-row deltas may overlap existing
+    # buckets, which is harmless for the semi-join probe and folded by
+    # compaction's distinct. Config is threaded from the loaded meta so
+    # every delta carries the banding the log was built with.
+    dg = f"delta:{art.corpus_digest(survivors, [id_col, text_col])}"
     fp_v = art.save_fingerprint_index(
-        extend_fingerprint_index(fp_idx, survivors, text_col=text_col),
+        corpus_fingerprint_index(survivors, text_col=text_col),
         fp_path,
         corpus_digest=dg,
     )
     if verified:
         mh_v = art.save_minhash_doc_index(
-            dedup.extend_minhash_doc_index(
-                mh_idx, published, id_col, text_col,
+            dedup.corpus_minhash_doc_index(
+                published, id_col, text_col,
                 cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
             ),
             mh_path,
@@ -360,8 +374,8 @@ def ingest_batch(
         )
     else:
         mh_v = art.save_minhash_index(
-            dedup.extend_minhash_band_index(
-                mh_idx, survivors, id_col, text_col,
+            dedup.corpus_minhash_band_index(
+                survivors, id_col, text_col,
                 cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
             ),
             mh_path,
@@ -391,7 +405,7 @@ def compact_publication_log(
     spark: SparkSession,
     root: str,
     n_files: int | None = None,
-    keep_index_versions: int | None = None,
+    compact_indexes: bool = True,
 ) -> int:
     """Publication-log LIFECYCLE (VERDICT r8 missing #3): union-compact
     every committed corpus version into ONE new version and remove
@@ -420,11 +434,12 @@ def compact_publication_log(
     and never a version committed after the capture (which simply
     survives, so the union is preserved under any interleaving).
 
-    ``keep_index_versions`` additionally expires old fingerprint /
-    MinHash index ARTIFACT versions (each tick admits by writing a
-    full new index version — the resolved newest is all any tick
-    reads; the olds are rollback copies whose storage grows linearly
-    in tick count). Returns the compacted corpus version."""
+    ``compact_indexes`` (default True) additionally folds the
+    fingerprint / MinHash index LOGS — one batch-sized delta version
+    per tick — into one version each via ``compact_artifact_log``
+    (distinct for the band rows, whose deltas may overlap buckets),
+    bounding version count and multi-path-scan fan-in alike. Returns
+    the compacted corpus version."""
     import shutil
 
     from data_engineering_capstone_project__spark.sources import commitlog
@@ -441,11 +456,11 @@ def compact_publication_log(
     v = write_versioned(full, path)
     for old in vs:
         shutil.rmtree(os.path.join(path, f"v={old}"))
-    if keep_index_versions is not None:
-        for sub in (_FP, _MH):
-            art.expire_artifact_versions(
-                os.path.join(root, sub), keep=keep_index_versions
-            )
+    if compact_indexes:
+        art.compact_artifact_log(spark, os.path.join(root, _FP), "fps")
+        art.compact_artifact_log(
+            spark, os.path.join(root, _MH), "bands", distinct=True
+        )
     return v
 
 
@@ -456,7 +471,7 @@ def run_stream_ingest(
     id_col: str = "doc_id",
     select_cfg: dict | None = None,
     compact_every: int | None = None,
-    keep_index_versions: int | None = 1,
+    compact_indexes: bool = True,
 ) -> list[IngestStats]:
     """The CONTINUOUS form of the ingest loop: every micro-batch runs one
     full :func:`ingest_batch` tick (exact tier → fuzzy probe → admit →
@@ -475,7 +490,7 @@ def run_stream_ingest(
     would ``.start()`` the same ``foreachBatch`` writer asynchronously.
 
     ``compact_every=N`` runs :func:`compact_publication_log` after every
-    N-th non-empty tick (with ``keep_index_versions``
+    N-th non-empty tick (with ``compact_indexes``
     retention) — without it a long-running loop accumulates one corpus
     version AND one full index copy per tick (VERDICT r8 missing #3).
     Batch-driven loops call ``compact_publication_log`` directly on the
@@ -498,7 +513,7 @@ def run_stream_ingest(
             compact_publication_log(
                 batch_df.sparkSession,
                 root,
-                keep_index_versions=keep_index_versions,
+                compact_indexes=compact_indexes,
             )
 
     q = stream.writeStream.foreachBatch(tick).start()

@@ -59,6 +59,10 @@ __all__ = [
     "load_artifact_meta",
     "list_artifact_versions",
     "expire_artifact_versions",
+    "load_artifact_log",
+    "compact_artifact_log",
+    "load_fingerprint_log",
+    "load_minhash_log",
     "corpus_digest",
     "is_current",
     "save_bm25_index",
@@ -188,6 +192,93 @@ def load_artifact(
 def list_artifact_versions(path: str) -> list[int]:
     """Committed + orphan snapshot versions present under ``path``."""
     return commitlog.all_versions(path)
+
+
+# ------------------------------------------------------ append-log form
+
+
+def load_artifact_log(
+    spark: SparkSession, path: str, part: str
+) -> tuple[DataFrame, dict]:
+    """APPEND-LOG reading of an artifact path: ``part`` union-read across
+    ALL committed versions as ONE multi-path parquet scan (plan size
+    flat in version count — the publication-log lesson, VERDICT r8 #1),
+    with the LATEST version's meta.
+
+    The snapshot loaders (``load_artifact``) treat each version as a
+    full replacement; a LOG treats each version as a delta — what the
+    ingest loop's index admission writes (per-tick cost O(batch), never
+    O(index): rewriting the full index per tick is quadratic cumulative
+    I/O at corpus scale). Appenders must keep the meta consistent
+    across versions (the ingest tick threads the loaded config back
+    into every save)."""
+    vs = commitlog.committed_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version under {path!r}")
+    meta = load_artifact_meta(path, vs[-1])
+    df = spark.read.parquet(
+        *[os.path.join(path, f"v={v}", part) for v in vs]
+    )
+    return df, meta
+
+
+def compact_artifact_log(
+    spark: SparkSession,
+    path: str,
+    part: str,
+    distinct: bool = False,
+    n_files: int | None = None,
+) -> int:
+    """Fold every committed version of an append-log artifact into ONE
+    new version holding the union (optionally ``distinct`` — for logs
+    whose deltas may overlap, e.g. (band, bucket) rows) and remove
+    exactly the captured inputs. Same concurrency discipline as the
+    publication-log compactor: the version set is captured once, the
+    write unions exactly those versions, and expiry removes exactly
+    those versions — a delta committed after the capture survives and
+    the union is preserved under any interleaving. Returns the
+    compacted version."""
+    vs = commitlog.committed_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version under {path!r}")
+    meta = load_artifact_meta(path, vs[-1])
+    df = spark.read.parquet(
+        *[os.path.join(path, f"v={v}", part) for v in vs]
+    )
+    if distinct:
+        df = df.distinct()
+    if n_files is not None:
+        df = df.coalesce(n_files)
+    v = save_artifact(
+        path, {part: df}, {k: m for k, m in meta.items() if k != "parts"}
+    )
+    for old in vs:
+        shutil.rmtree(os.path.join(path, f"v={old}"))
+    return v
+
+
+def load_fingerprint_log(spark: SparkSession, path: str) -> DataFrame:
+    """Union-read a fingerprint-index LOG (bootstrap + per-tick deltas)."""
+    df, meta = load_artifact_log(spark, path, "fps")
+    if meta.get("kind") != "fingerprints":
+        raise ValueError(
+            f"not a fingerprint artifact: {path} ({meta.get('kind')})"
+        )
+    return df
+
+
+def load_minhash_log(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Union-read a MinHash-index LOG of either kind; returns
+    ``(rows, meta)`` — meta carries ``kind`` plus the banding config
+    every delta was written with."""
+    df, meta = load_artifact_log(spark, path, "bands")
+    if meta.get("kind") not in ("minhash_bands", "minhash_docs"):
+        raise ValueError(
+            f"not a minhash artifact: {path} ({meta.get('kind')})"
+        )
+    return df, meta
 
 
 def expire_artifact_versions(path: str, keep: int = 1) -> list[int]:

@@ -1168,7 +1168,7 @@ def test_compact_publication_log_bounded_versions(spark, sf_dir, tmp_path):
     )
     assert len(commitlog.committed_versions(cpath)) == 4
     ingest.compact_publication_log(
-        spark, root, n_files=4, keep_index_versions=1
+        spark, root, n_files=4
     )
     assert len(commitlog.committed_versions(cpath)) == 1
     for sub in ("fingerprints", "minhash"):
@@ -1186,3 +1186,71 @@ def test_compact_publication_log_bounded_versions(spark, sf_dir, tmp_path):
     d4, s4 = ingest.ingest_batch(spark, replay, root)
     d4.unpersist()
     assert s4.n_published == 0
+
+
+def test_ingest_admission_writes_batch_sized_deltas(spark, sf_dir, tmp_path):
+    """Round 9: index admission appends a batch-sized DELTA version —
+    never the extended FULL index, whose per-tick rewrite is O(index)
+    and quadratic cumulative at corpus scale. The log union must still
+    equal the old extend semantics exactly."""
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+        extend_fingerprint_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    root = str(tmp_path / "delta")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    surv, s1 = ingest.ingest_batch(spark, b1, root)
+    n_surv = surv.count()
+
+    fp_path = os.path.join(root, "fingerprints")
+    v1, _ = art.load_artifact(spark, fp_path, version=1)
+    v2, _ = art.load_artifact(spark, fp_path, version=2)
+    n_v1, n_v2 = v1["fps"].count(), v2["fps"].count()
+    # v2 is the batch's delta, NOT the extended index
+    assert n_v2 == n_surv and n_v2 < n_v1 + n_surv
+    # union-read == old extend semantics (set equality of fingerprints)
+    log_fps = {
+        r["fp"] for r in art.load_fingerprint_log(spark, fp_path).collect()
+    }
+    ext_fps = {
+        r["fp"]
+        for r in extend_fingerprint_index(
+            v1["fps"], surv, text_col="text"
+        ).collect()
+    }
+    assert log_fps == ext_fps
+    surv.unpersist()
+
+    mh_path = os.path.join(root, "minhash")
+    m1, meta = art.load_artifact(spark, mh_path, version=1)
+    m2, _ = art.load_artifact(spark, mh_path, version=2)
+    # the band delta is bounded by bands x survivors, not index-sized
+    assert 0 < m2["bands"].count() <= meta["bands"] * n_surv
+    # probing the LOG equals probing the old extended index
+    rows, _ = art.load_minhash_log(spark, mh_path)
+    copies = b1.limit(10).withColumn("doc_id", F.col("doc_id") + 900000)
+    kept_log = {
+        r["doc_id"]
+        for r in dedup.minhash_band_probe(
+            copies, rows,
+            num_hashes=meta["num_hashes"], bands=meta["bands"],
+        ).collect()
+    }
+    ext_bands = dedup.extend_minhash_band_index(
+        m1["bands"],
+        spark.read.parquet(os.path.join(root, "corpus", "v=2")),
+        num_hashes=meta["num_hashes"], bands=meta["bands"],
+    )
+    kept_ext = {
+        r["doc_id"]
+        for r in dedup.minhash_band_probe(
+            copies, ext_bands,
+            num_hashes=meta["num_hashes"], bands=meta["bands"],
+        ).collect()
+    }
+    assert kept_log == kept_ext
