@@ -38,6 +38,15 @@ fingerprint (count + XOR of row hashes — one scan, no shuffle beyond a
 scalar agg); savers stamp it into the meta and ``is_current`` lets callers
 refit when the corpus moved. This is advisory (a digest collision is
 ~2⁻⁶⁴), not a lock.
+
+Two READINGS of the same layout (round 9): the SNAPSHOT form
+(``load_artifact`` — each version fully replaces the last; fitted
+models) and the APPEND-LOG form (``load_artifact_log`` — every
+committed version is a delta, union-read as ONE multi-path scan;
+the ingest loop's dedup indexes, whose per-tick admission must cost
+O(batch), never O(index)). ``compact_artifact_log`` folds a log back
+to one version; ``expire_artifact_versions`` is retention for
+snapshots ONLY — applying it to a log would delete content.
 """
 
 from __future__ import annotations
