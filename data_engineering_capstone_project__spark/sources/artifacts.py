@@ -281,12 +281,31 @@ def load_minhash_log(
 ) -> tuple[DataFrame, dict]:
     """Union-read a MinHash-index LOG of either kind; returns
     ``(rows, meta)`` — meta carries ``kind`` plus the banding config
-    every delta was written with."""
+    every delta was written with.
+
+    Every version's (kind, num_hashes, bands, shingle_k) must AGREE —
+    a delta appended with different banding would union rows whose
+    band hashes can never collide with a correctly-configured probe
+    (silent recall loss, the r8 #3 failure class), so the loader
+    verifies all metas (V small JSON reads, trivial next to the scan)
+    and refuses a mixed log."""
     df, meta = load_artifact_log(spark, path, "bands")
     if meta.get("kind") not in ("minhash_bands", "minhash_docs"):
         raise ValueError(
             f"not a minhash artifact: {path} ({meta.get('kind')})"
         )
+    keys = ("kind", "num_hashes", "bands", "shingle_k")
+    want = {k: meta.get(k) for k in keys}
+    for v in commitlog.committed_versions(path):
+        m = load_artifact_meta(path, v)
+        got = {k: m.get(k) for k in keys}
+        if got != want:
+            raise ValueError(
+                f"load_minhash_log: version {v} of {path} was written "
+                f"with {got}, latest is {want} — a mixed-banding log "
+                "cannot be probed; re-bootstrap or compact from a "
+                "consistent source"
+            )
     return df, meta
 
 

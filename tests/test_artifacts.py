@@ -1254,3 +1254,25 @@ def test_ingest_admission_writes_batch_sized_deltas(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert kept_log == kept_ext
+
+
+def test_minhash_log_refuses_mixed_banding(spark, sf_dir, tmp_path):
+    """A delta appended with different banding would union rows whose
+    band hashes never collide with a correctly-configured probe (silent
+    recall loss, the r8 #3 class) — the log loader must refuse."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") < 50)
+    b = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+    p = str(tmp_path / "mixed")
+    art.save_minhash_index(
+        dedup.corpus_minhash_band_index(a, num_hashes=16, bands=4),
+        p, num_hashes=16, bands=4, shingle_k=5,
+    )
+    rows, meta = art.load_minhash_log(spark, p)  # consistent: fine
+    assert meta["num_hashes"] == 16 and rows.count() > 0
+    art.save_minhash_index(
+        dedup.corpus_minhash_band_index(b, num_hashes=32, bands=8),
+        p, num_hashes=32, bands=8, shingle_k=5,
+    )
+    with pytest.raises(ValueError, match="mixed-banding"):
+        art.load_minhash_log(spark, p)
