@@ -3321,8 +3321,10 @@ def x_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     the no-data finalizing batch) produces the output, and a DuckDB
     replay of the documented protocol is the oracle.
 
-    Construction (identical on both sides): rank events by ``event_id``
-    (rn = 0..N-1); arrival micro-batch = ``rn % 4`` (one parquet file
+    Construction (identical on both sides): rn = ``event_id`` (dense
+    0..N-1 in the driver's testdata at every SF — no global
+    row_number window, which would be a single-partition funnel);
+    arrival micro-batch = ``rn % 4`` (one parquet file
     per batch, mtime-ordered, ``maxFilesPerTrigger=1`` — FileStreamSource
     processes oldest-first, so arrival order is pinned); event time =
     2026-01-01 + ((rn*37) % 240) minutes + 1 second. The +1 s keeps
@@ -3360,7 +3362,7 @@ def x_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "value"
     )
-    rn = F.row_number().over(Window.orderBy("event_id")) - F.lit(1)
+    rn = F.col("event_id")
     staged = ev.select(
         (rn % _LATE_BATCHES).alias("b"),
         ((rn * 37) % _LATE_MINS).alias("m"),
@@ -3420,7 +3422,7 @@ def x_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X_STREAM_LATE_DATA_SQL = f"""
 WITH r AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn, value FROM events),
+  SELECT event_id AS rn, value FROM events),
 e AS (
   SELECT rn % {_LATE_BATCHES} AS b, (rn * 37) % {_LATE_MINS} AS m, value
   FROM r),
