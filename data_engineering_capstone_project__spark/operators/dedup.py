@@ -1888,25 +1888,44 @@ def dedup_against_corpus(
     id_col: str = "doc_id",
     corpus_fps: DataFrame | None = None,
     fp_col: str = "fp",
+    bounded_batch: bool = False,
 ) -> DataFrame:
     """Incremental ingest dedup: keep only new-batch rows whose normalized
     fingerprint is BOTH unseen in the existing corpus and first (lowest id)
     within the batch itself.
 
     The corpus side reduces to distinct fingerprints — one 32-char column,
-    not full text — so at 100 TB the probe is an anti join of the (small)
-    batch against a fingerprint index; store the corpus fingerprints
-    bucketed by ``_fp`` and the anti join needs no corpus-side shuffle at
-    all. Within-batch dedup reuses the min-id-wins rule of
+    not full text. Within-batch dedup reuses the min-id-wins rule of
     ``exact_dedup`` but keeps whole rows (groupBy min + join back, no
     window).
 
     **Durable-index path**: pass ``corpus_fps=`` a precomputed fingerprint
     index (``streaming.corpus_fingerprint_index`` output, typically
-    reloaded via ``sources.artifacts.load_fingerprint_index``) and the
-    corpus text is never touched — the production shape, where the index
-    is written once and every ingest batch probes it
-    (``corpus_df`` is then ignored and may be None).
+    reloaded via ``sources.artifacts.load_fingerprint_index`` or the
+    ingest loop's ``load_fingerprint_log``) and the corpus text is never
+    touched — the production shape, where the index is written once and
+    every ingest batch probes it (``corpus_df`` is then ignored and may
+    be None).
+
+    **Probe shape at 100 TB** (round 9): the naive
+    ``batch ANTI index`` join cannot broadcast (the build side of a
+    LeftAnti BroadcastHashJoin is the right side — the corpus-sized
+    index), so past the broadcast threshold it sort-merge-shuffles the
+    WHOLE index every tick. ``bounded_batch=True`` — what the ingest
+    tick and the stream-static guards pass, their batches being bounded
+    by definition — decomposes it as::
+
+        matched = index LEFT SEMI broadcast(batch fingerprints)
+        kept    = batch LEFT ANTI matched        # |matched| <= |batch|
+
+    algebraically identical (A ∖ B == A ∖ (B ∩ A)), but the index is
+    now scanned map-side with ZERO exchanges on the index side, and the
+    anti join's right side is at most batch-sized (AQE broadcasts it
+    from its actual size). The default (False) keeps the symmetric
+    single anti join — correct when the 'batch' may be the huge side
+    (e.g. decontaminating a whole corpus against a small benchmark
+    index, where the index is the broadcastable side and AQE already
+    picks that).
     """
     if corpus_fps is not None:
         seen = corpus_fps.select(F.col(fp_col).alias("_fp"))
@@ -1925,6 +1944,10 @@ def dedup_against_corpus(
         .filter(F.col(id_col) == F.col("_w"))
         .drop("_w")
     )
+    if bounded_batch:
+        probe_fps = kept.select("_fp").distinct()
+        matched = seen.join(F.broadcast(probe_fps), "_fp", "left_semi")
+        return kept.join(matched, "_fp", "left_anti").drop("_fp")
     return kept.join(seen, "_fp", "left_anti").drop("_fp")
 
 

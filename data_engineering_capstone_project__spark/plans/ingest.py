@@ -272,8 +272,14 @@ def ingest_batch(
         )
     n_batch = batch.count()
 
+    # bounded_batch: a tick's batch is bounded by definition, so the
+    # probe broadcasts the batch's fingerprints and the corpus-scale fp
+    # index is scanned with ZERO index-side exchanges (the naive anti
+    # join sort-merge-shuffles the whole index every tick past the
+    # broadcast threshold — see dedup_against_corpus)
     exact_kept = dedup.dedup_against_corpus(
-        batch, text_col=text_col, id_col=id_col, corpus_fps=fp_idx
+        batch, text_col=text_col, id_col=id_col, corpus_fps=fp_idx,
+        bounded_batch=True,
     ).persist()
     n_exact_kept = exact_kept.count()
 

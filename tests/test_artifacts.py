@@ -1276,3 +1276,32 @@ def test_minhash_log_refuses_mixed_banding(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="mixed-banding"):
         art.load_minhash_log(spark, p)
+
+
+def test_bounded_batch_probe_no_index_exchange(spark, sf_dir, tmp_path):
+    """Round 9: with bounded_batch=True the exact-dedup probe scans the
+    fp index with ZERO index-side exchanges (index SEMI broadcast(batch
+    fps), then batch ANTI the <=batch-sized matched set) — the naive
+    anti join sort-merge-shuffles the whole index every tick past the
+    broadcast threshold. Kept set identical either way."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 200)
+    batch = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 400))
+    idx = corpus_fingerprint_index(corpus).persist()
+    idx.count()
+    plain = dedup.dedup_against_corpus(batch, corpus_fps=idx)
+    bounded = dedup.dedup_against_corpus(
+        batch, corpus_fps=idx, bounded_batch=True
+    )
+    ids_a = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in bounded.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_b) > 0
+    # structural: the bounded plan joins the index via BroadcastHashJoin
+    # LeftSemi (build = batch fps), never a SortMergeJoin of the index
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    idx.unpersist()

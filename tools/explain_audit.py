@@ -56,6 +56,7 @@ AUDIT = {
     "verified_probe": "verified fuzzy decontamination kernel (the x_stream_decontaminate_verified gate wraps it in driver-side set comparisons): batch signatures via explode+groupBy min-hashes; candidate pairs from the (band,bucket) equi-join against the id-carrying index; verify_jaccard shingles ONLY candidate docs (left-semi before the explode; sort-merge pinned for the corpus-sized shingle-array join — never broadcast); final routing is one LEFT ANTI on id",
     "publication_log_read": "ingest publication-log read after bootstrap + 3 ticks (4 committed versions): ONE multi-path parquet relation — a single Scan node whose plan is FLAT in tick count, where the r8 per-version unionByName fold re-analyzed a T-way Union every tick (r9 #1); the verified tick's candidate text fetch semi-joins into this one scan",
     "ingest_select_publish": "DSIR-selection publish semi-join of an ingest tick: dedup survivors (InMemoryTableScan — persisted once per tick) LEFT SEMI the k Gumbel-top-k ids; the broadcast hint appears ONLY under the k<=100k gate (this audit is the small-k form — a large-fraction selection drops the hint and AQE sizes the build side; r9 #2, unit-gated both ways)",
+    "bounded_exact_probe": "exact-dedup probe with bounded_batch=True (the ingest tick's exact tier, r9): the corpus-scale fp index joins via BroadcastHashJoin LeftSemi with the BATCH's fingerprints as the build side — ZERO index-side exchanges, where the naive batch-ANTI-index join sort-merge-shuffles the whole index every tick past the broadcast threshold; the final LeftAnti's right side is <= batch-sized",
 }
 
 
@@ -147,11 +148,31 @@ def _ingest_select_publish(spark, sf_dir):
     return pub
 
 
+def _bounded_exact_probe(spark, sf_dir):
+    """The ingest tick's exact tier with bounded_batch=True (r9): the fp
+    index must join via BroadcastHashJoin LeftSemi (build = the batch's
+    fingerprints) — zero index-side exchanges."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import dedup
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        corpus_fingerprint_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = corpus_fingerprint_index(docs.filter(F.col("doc_id") < 2000))
+    batch = docs.filter(F.col("doc_id") >= 2000)
+    return dedup.dedup_against_corpus(
+        batch, corpus_fps=idx, bounded_batch=True
+    )
+
+
 CUSTOM = {
     "ivf_pruned_probe": _ivf_pruned_probe,
     "verified_probe": _verified_probe,
     "publication_log_read": _publication_log_read,
     "ingest_select_publish": _ingest_select_publish,
+    "bounded_exact_probe": _bounded_exact_probe,
 }
 
 
