@@ -430,6 +430,7 @@ def minhash_band_probe_verified(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     keep: str = "clean",
+    bounded_batch: bool = False,
 ) -> DataFrame:
     """Route a BATCH of documents by VERIFIED near-dup membership in a
     static corpus: band collisions against an id-carrying MinHash index
@@ -487,9 +488,15 @@ def minhash_band_probe_verified(
         )
     sigs = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_k)
     banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
+    bl = _banded_long(banded, id_col, bands)
+    if bounded_batch:
+        # build side = the BATCH's band rows (bands per doc — bounded):
+        # the corpus-scale index streams map-side with ZERO index-side
+        # exchanges; without the hint the inner join sort-merge-shuffles
+        # the index every probe past the broadcast threshold
+        bl = F.broadcast(bl)
     cand = (
-        _banded_long(banded, id_col, bands)
-        .join(doc_index, ["band", "bucket"])
+        bl.join(doc_index, ["band", "bucket"])
         .select(F.col(id_col).alias("_pid"), "corpus_id")
         .distinct()
     )
@@ -528,6 +535,7 @@ def minhash_band_probe(
     bands: int | None = None,
     shingle_k: int = 5,
     keep: str = "clean",
+    bounded_batch: bool = False,
 ) -> DataFrame:
     """Route a BATCH of documents by banded-MinHash membership in a static
     corpus index: ``keep='clean'`` returns rows with NO band collision
@@ -559,11 +567,23 @@ def minhash_band_probe(
         raise ValueError(f"minhash_band_probe: unknown keep={keep!r}")
     sigs = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_k)
     banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
-    hits = (
-        _banded_long(banded, id_col, bands)
-        .join(band_index, ["band", "bucket"], "left_semi")
-        .select(id_col)
-    )
+    bl = _banded_long(banded, id_col, bands)
+    if bounded_batch:
+        # LeftSemi builds its RIGHT side — the corpus-scale index — so
+        # the semi probe cannot broadcast-build past the threshold and
+        # would sort-merge-shuffle the index every tick. Flip it: an
+        # inner join with the BATCH's band rows (bounded) as the
+        # broadcast build side streams the index map-side with zero
+        # index exchanges; the semi/anti back-join dedups hit ids.
+        hits = (
+            F.broadcast(bl)
+            .join(band_index, ["band", "bucket"])
+            .select(id_col)
+        )
+    else:
+        hits = bl.join(band_index, ["band", "bucket"], "left_semi").select(
+            id_col
+        )
     how = "left_semi" if keep == "contaminated" else "left_anti"
     return batch.join(hits, id_col, how)
 

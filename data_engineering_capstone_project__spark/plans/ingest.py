@@ -55,6 +55,15 @@ _CORPUS = "corpus"
 # from the actual build size.
 _SELECT_BROADCAST_MAX_IDS = 100_000
 
+# probe-side broadcast ceilings (round 9): with the batch side BOUNDED,
+# the exact/fuzzy probes flip their joins so the corpus-scale index is
+# scanned with zero index-side exchanges (see dedup_against_corpus /
+# minhash_band_probe). The flip broadcasts batch-derived rows, so it is
+# gated by the tick's KNOWN counts: fingerprints are one 32-char value
+# per batch doc; band rows are `bands` longs per doc.
+_PROBE_BROADCAST_MAX_FPS = 1_000_000
+_PROBE_BROADCAST_MAX_BAND_ROWS = 2_000_000
+
 
 @dataclass
 class IngestStats:
@@ -272,17 +281,23 @@ def ingest_batch(
         )
     n_batch = batch.count()
 
-    # bounded_batch: a tick's batch is bounded by definition, so the
-    # probe broadcasts the batch's fingerprints and the corpus-scale fp
-    # index is scanned with ZERO index-side exchanges (the naive anti
+    # bounded_batch: with the tick's batch under the broadcast ceiling,
+    # the probe broadcasts the batch's fingerprints and the corpus-scale
+    # fp index is scanned with ZERO index-side exchanges (the naive anti
     # join sort-merge-shuffles the whole index every tick past the
-    # broadcast threshold — see dedup_against_corpus)
+    # broadcast threshold — see dedup_against_corpus); an oversized
+    # batch falls back to the symmetric shuffle plan
     exact_kept = dedup.dedup_against_corpus(
         batch, text_col=text_col, id_col=id_col, corpus_fps=fp_idx,
-        bounded_batch=True,
+        bounded_batch=n_batch <= _PROBE_BROADCAST_MAX_FPS,
     ).persist()
     n_exact_kept = exact_kept.count()
 
+    # same bounded flip for the fuzzy tier: band rows are `bands` longs
+    # per surviving doc, so the ceiling scales by the persisted banding
+    fuzzy_bounded = (
+        n_exact_kept * cfg["bands"] <= _PROBE_BROADCAST_MAX_BAND_ROWS
+    )
     if verified:
         # candidate corpus text comes from the publication log — exactly
         # the documents the index covers (bootstrap + every admitted
@@ -300,6 +315,7 @@ def ingest_batch(
             shingle_k=cfg["shingle_k"],
             jaccard_threshold=cfg["jaccard_threshold"],
             keep="clean",
+            bounded_batch=fuzzy_bounded,
         ).persist()
     else:
         survivors = dedup.minhash_band_probe(
@@ -311,6 +327,7 @@ def ingest_batch(
             bands=cfg["bands"],
             shingle_k=cfg["shingle_k"],
             keep="clean",
+            bounded_batch=fuzzy_bounded,
         ).persist()
     n_dedup = survivors.count()
 

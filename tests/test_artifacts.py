@@ -1305,3 +1305,38 @@ def test_bounded_batch_probe_no_index_exchange(spark, sf_dir, tmp_path):
     plan = bounded._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     idx.unpersist()
+
+
+def test_bounded_batch_fuzzy_probes_identical(spark, sf_dir):
+    """Round 9: the bounded_batch flip in both fuzzy probes (batch band
+    rows broadcast as the build side — zero index-side exchanges) must
+    return byte-identical kept sets to the symmetric plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 200)
+    batch = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 400))
+    nh, nb = dedup.auto_minhash_config(200, 0.8, baseline_j=0.07)
+    band_idx = dedup.corpus_minhash_band_index(
+        corpus, num_hashes=nh, bands=nb
+    ).persist()
+    doc_idx = dedup.corpus_minhash_doc_index(
+        corpus, num_hashes=nh, bands=nb
+    ).persist()
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+    a = ids(dedup.minhash_band_probe(batch, band_idx, num_hashes=nh, bands=nb))
+    b = ids(dedup.minhash_band_probe(
+        batch, band_idx, num_hashes=nh, bands=nb, bounded_batch=True
+    ))
+    assert a == b and 0 < len(a) < batch.count()
+    va = ids(dedup.minhash_band_probe_verified(
+        batch, doc_idx, corpus, num_hashes=nh, bands=nb,
+        jaccard_threshold=0.9,
+    ))
+    vb = ids(dedup.minhash_band_probe_verified(
+        batch, doc_idx, corpus, num_hashes=nh, bands=nb,
+        jaccard_threshold=0.9, bounded_batch=True,
+    ))
+    assert va == vb
+    band_idx.unpersist(); doc_idx.unpersist()
