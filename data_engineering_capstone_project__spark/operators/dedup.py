@@ -517,7 +517,10 @@ def minhash_band_probe_verified(
         ),
     )
     verified_hits = (
-        verify_jaccard(combined, pairs, "_cid", text_col, shingle_k)
+        verify_jaccard(
+            combined, pairs, "_cid", text_col, shingle_k,
+            bounded_pairs=bounded_batch,
+        )
         .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
         .select(F.col("id_a.i").alias(id_col))
         .distinct()
@@ -826,6 +829,7 @@ def verify_jaccard(
     text_col: str = "text",
     shingle_k: int = 5,
     max_array_shingles: int = 65536,
+    bounded_pairs: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
 
@@ -868,6 +872,14 @@ def verify_jaccard(
         .unionAll(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    if bounded_pairs:
+        # the candidate-id relation is post-aggregate (size estimate
+        # unreliable), so without a hint the corpus-scale text relation
+        # below sort-merge-shuffles per verify; with BOUNDED pairs
+        # (the verified probe's batch-driven candidates) broadcasting
+        # the id set streams the text map-side — zero corpus exchanges
+        # before the candidate-only shingle stage (round 9)
+        cand_ids = F.broadcast(cand_ids)
     # joined twice (a-side and b-side) — persist so shingling runs once.
     # Arrays are assembled from the codegen shingle explode (collect_set
     # over already-distinct rows) — the HOF array build was ~35× slower.
