@@ -1072,6 +1072,10 @@ def quantile_filter(
     automatic broadcast and the filter stays a scan-side predicate. The
     compare quantizes the row value to the same precision the threshold
     domain used, so boundary rows behave identically on every engine.
+    Contract: ``by`` is a LOW-cardinality grouping (languages, sources,
+    domains) — the broadcast is one row per group, so a high-cardinality
+    key (users, documents) does not fit this operator's shape (and the
+    per-group quantile itself would degenerate to per-row bars there).
     """
     by = list(by)
     from data_engineering_capstone_project__spark.functions.fx import pround
