@@ -37,6 +37,13 @@ from data_engineering_capstone_project__spark.operators.relational import (
     spread as _spread,
 )
 
+# Ceiling on the candidate-id set verify_jaccard will broadcast under
+# bounded_pairs: ids are ~8–16 B each, so 2M ids is a ≤ ~32 MB build side
+# — comfortably under Spark's 8 GB broadcast hard limit and small enough
+# per executor. Above it the semi-join falls back to the symmetric plan
+# (AQE sizes the build side from runtime stats).
+_VERIFY_BROADCAST_MAX_IDS = 2_000_000
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest-id row per normalized-text fingerprint.
@@ -878,8 +885,16 @@ def verify_jaccard(
         # below sort-merge-shuffles per verify; with BOUNDED pairs
         # (the verified probe's batch-driven candidates) broadcasting
         # the id set streams the text map-side — zero corpus exchanges
-        # before the candidate-only shingle stage (round 9)
-        cand_ids = F.broadcast(cand_ids)
+        # before the candidate-only shingle stage (round 9).
+        # GATED BY THE ACTUAL COUNT (round 10): the caller's bound is on
+        # its BATCH, but the candidate-id set scales with batch×corpus
+        # band collisions — a hot (band, bucket) could inflate it far
+        # past what the batch size implies, and an unconditional
+        # broadcast would then pressure driver/executor memory. pairs
+        # is persisted above, so the count materializes the same work
+        # the projections below reuse.
+        if pairs.count() * 2 <= _VERIFY_BROADCAST_MAX_IDS:
+            cand_ids = F.broadcast(cand_ids)
     # joined twice (a-side and b-side) — persist so shingling runs once.
     # Arrays are assembled from the codegen shingle explode (collect_set
     # over already-distinct rows) — the HOF array build was ~35× slower.
@@ -1494,6 +1509,14 @@ def _sliding_min(H, w: int):
     M = len(H)
     if w <= 1:
         return H
+    if M < w:
+        # no full window exists: return empty (as the old block
+        # formulation did). Without this guard the doubling passes can
+        # raise a numpy broadcast ValueError when len(T) shrinks past
+        # the final two-sub-window minimum (e.g. M=5, w=7) — currently
+        # unreachable from winnow (it filters docs shorter than the
+        # window) but a latent trap for any new caller.
+        return H[:0]
     p = 1 << (w.bit_length() - 1)
     if p > w:
         p >>= 1
@@ -1944,8 +1967,10 @@ def dedup_against_corpus(
     LeftAnti BroadcastHashJoin is the right side — the corpus-sized
     index), so past the broadcast threshold it sort-merge-shuffles the
     WHOLE index every tick. ``bounded_batch=True`` — what the ingest
-    tick and the stream-static guards pass, their batches being bounded
-    by definition — decomposes it as::
+    tick passes when its batch count is under the broadcast ceiling
+    (the stream-static guards make the same flip inside
+    ``minhash_band_probe{,_verified}``, their micro-batches being
+    bounded by definition) — decomposes it as::
 
         matched = index LEFT SEMI broadcast(batch fingerprints)
         kept    = batch LEFT ANTI matched        # |matched| <= |batch|

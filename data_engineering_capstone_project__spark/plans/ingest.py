@@ -518,6 +518,13 @@ def run_stream_ingest(
     version AND one full index copy per tick (VERDICT r8 missing #3).
     Batch-driven loops call ``compact_publication_log`` directly on the
     same cadence."""
+    if compact_every is not None and compact_every < 1:
+        # 0 is ambiguous (disabled? every tick?) and would divide by
+        # zero at the first non-empty tick; None is the disable switch
+        raise ValueError(
+            f"run_stream_ingest: compact_every must be >= 1 or None "
+            f"(got {compact_every!r})"
+        )
     collected: list[tuple[int, IngestStats]] = []
     n_ticks = 0
 

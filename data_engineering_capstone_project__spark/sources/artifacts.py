@@ -258,9 +258,15 @@ def compact_artifact_log(
         df = df.distinct()
     if n_files is not None:
         df = df.coalesce(n_files)
-    v = save_artifact(
-        path, {part: df}, {k: m for k, m in meta.items() if k != "parts"}
-    )
+    out_meta = {k: m for k, m in meta.items() if k != "parts"}
+    if "corpus_digest" in out_meta:
+        # the latest delta's digest describes THAT delta's source frame,
+        # not the compacted union — re-stamping it verbatim would let an
+        # is_current-style consumer wrongly trust the folded artifact as
+        # current for that frame. Stamp a value that can never match a
+        # real digest, forcing staleness checks to refit.
+        out_meta["corpus_digest"] = f"compacted:{len(vs)}"
+    v = save_artifact(path, {part: df}, out_meta)
     for old in vs:
         shutil.rmtree(os.path.join(path, f"v={old}"))
     return v

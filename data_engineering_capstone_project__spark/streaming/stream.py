@@ -236,6 +236,7 @@ def decontaminate_stream_fuzzy(
     id_col: str = "doc_id",
     keep: str = "clean",
     sink_path: str | None = None,
+    bounded_batch: bool = True,
 ) -> DataFrame:
     """Stream-static NEAR-dup decontamination: route arriving documents by
     banded-MinHash membership in a static corpus index — the fuzzy upgrade
@@ -266,6 +267,13 @@ def decontaminate_stream_fuzzy(
     ``sink_path`` the per-batch output is also appended as parquet (the
     production sink; exactly-once per micro-batch relies on the sink's
     idempotence — use the versioned sink for atomic publishing).
+
+    ``bounded_batch`` (default True — micro-batches are bounded by
+    definition) flips the probe joins so the BATCH's band rows are the
+    broadcast build side and the corpus-scale index streams map-side
+    with zero index exchanges (the same flip ``ingest_batch`` gates by
+    count). Set False only if the source is configured with unbounded
+    triggers whose micro-batches may rival the index in size.
     """
     from data_engineering_capstone_project__spark.operators.dedup import (
         minhash_band_probe,
@@ -284,6 +292,7 @@ def decontaminate_stream_fuzzy(
             bands=bands,
             shingle_k=shingle_k,
             keep=keep,
+            bounded_batch=bounded_batch,
         )
         if sink_path is not None:
             routed.write.mode("append").parquet(sink_path)
@@ -318,6 +327,7 @@ def decontaminate_stream_verified(
     id_col: str = "doc_id",
     keep: str = "clean",
     sink_path: str | None = None,
+    bounded_batch: bool = True,
 ) -> DataFrame:
     """Stream-static VERIFIED near-dup decontamination: the precision
     upgrade of :func:`decontaminate_stream_fuzzy`. Arriving documents
@@ -337,6 +347,13 @@ def decontaminate_stream_verified(
     (``minhash_band_probe_verified``), so streaming decisions are
     identical by construction to the batch cross-corpus
     ``minhash_lsh_join`` at the same config and threshold.
+
+    ``bounded_batch`` (default True — micro-batches are bounded by
+    definition) broadcasts the batch's band rows so the corpus-scale
+    index streams map-side with zero index exchanges; the downstream
+    verify broadcast is additionally gated by the ACTUAL candidate
+    count (a hot bucket can inflate candidates past what the batch
+    size implies). Set False for unbounded-trigger sources.
     """
     from data_engineering_capstone_project__spark.operators.dedup import (
         minhash_band_probe_verified,
@@ -357,6 +374,7 @@ def decontaminate_stream_verified(
             shingle_k=shingle_k,
             jaccard_threshold=jaccard_threshold,
             keep=keep,
+            bounded_batch=bounded_batch,
         )
         if sink_path is not None:
             routed.write.mode("append").parquet(sink_path)
