@@ -6632,6 +6632,168 @@ SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
 """
 
 
+def x_stream_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed RESTART of the continuous ingest loop (VERDICT r9 #1
+    — the round-9 weak component): a three-micro-batch run is KILLED by
+    an injected crash after tick 2 completes its versioned commits but
+    BEFORE the micro-batch's offsets commit to the durable checkpoint —
+    the exact window where work is durable but Structured Streaming
+    considers the batch unfinished. A second ``run_stream_ingest`` call
+    with the SAME source and ``checkpoint_dir`` must then (1) REPLAY the
+    in-flight micro-batch, whose rows all re-drop against their own
+    already-admitted fingerprints (exactly-once publication via
+    idempotent replay — the replayed tick publishes ZERO rows), and
+    (2) continue with the never-seen third file, whose planted copies of
+    batch-1 documents must still drop (the pre-crash admissions are
+    durable). Bound-checked: the final published corpus and BOTH index
+    logs are content-identical (bidirectional exceptAll) to an
+    UNINTERRUPTED golden run of the same three files on a second root."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 200)
+    a = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 280))
+    b = d.filter((F.col("doc_id") >= 280) & (F.col("doc_id") < 360))
+    # file 3 plants byte-identical copies of batch-1 documents: they can
+    # drop ONLY if batch 1's admissions survived the crash
+    c = d.filter((F.col("doc_id") >= 360) & (F.col("doc_id") < 440)).unionByName(
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210)).withColumn(
+            "doc_id", F.col("doc_id") + 7000000
+        )
+    )
+    src = tempfile.mkdtemp(prefix="stream_resume_src_")
+    root = tempfile.mkdtemp(prefix="stream_resume_root_")
+    root2 = tempfile.mkdtemp(prefix="stream_resume_root2_")
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="stream_resume_ckpt_"), "cp")
+    try:
+        # one file per micro-batch, modification times pin processing order
+        for name, df, mtime in (
+            ("a", a, 1_000_000), ("b", b, 2_000_000), ("c", c, 3_000_000)
+        ):
+            stage = os.path.join(src, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{name}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (mtime, mtime))
+
+        def mk_stream() -> DataFrame:
+            return (
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+
+        # golden: the same three files, uninterrupted, on a second root
+        ingest.init_ingest_indexes(spark, corpus, root2)
+        golden = ingest.run_stream_ingest(mk_stream(), root2)
+
+        # killed run: on_tick fires after the tick's commits, before the
+        # offset commit — raising there IS a crash with durable work
+        ingest.init_ingest_indexes(spark, corpus, root)
+        seen: list = []
+
+        def boom(stats) -> None:
+            seen.append(stats)
+            if len(seen) == 2:
+                raise RuntimeError("injected crash after tick 2")
+
+        killed = False
+        try:
+            ingest.run_stream_ingest(
+                mk_stream(), root, checkpoint_dir=ckpt, on_tick=boom
+            )
+        except Exception:
+            killed = True
+
+        # resume from the same checkpoint: replay of micro-batch 2, then
+        # the never-processed file 3
+        resumed = ingest.run_stream_ingest(
+            mk_stream(), root, checkpoint_dir=ckpt
+        )
+        resumed_completes = len(resumed) == 2
+        replay_published_zero = (
+            len(resumed) >= 1 and resumed[0].n_published == 0
+        )
+
+        def same(x: DataFrame, y: DataFrame) -> bool:
+            return (
+                x.exceptAll(y).isEmpty() and y.exceptAll(x).isEmpty()
+            )
+
+        got = ingest.read_ingest_corpus(spark, root).select("doc_id")
+        want = ingest.read_ingest_corpus(spark, root2).select("doc_id")
+        corpus_identical = same(got, want)
+        planted_suppressed = (
+            got.filter(F.col("doc_id") >= 7000000).isEmpty()
+        )
+        fp1 = art.load_fingerprint_log(
+            spark, os.path.join(root, "fingerprints")
+        ).select("fp").distinct()
+        fp2 = art.load_fingerprint_log(
+            spark, os.path.join(root2, "fingerprints")
+        ).select("fp").distinct()
+        fp_index_identical = same(fp1, fp2)
+        mh1, _ = art.load_minhash_log(spark, os.path.join(root, "minhash"))
+        mh2, _ = art.load_minhash_log(spark, os.path.join(root2, "minhash"))
+        mh_index_identical = same(
+            mh1.select("band", "bucket").distinct(),
+            mh2.select("band", "bucket").distinct(),
+        )
+        n_corpus = corpus.count()
+        n_a, n_b, n_c = a.count(), b.count(), c.count()
+        two_ticks_before_kill = len(golden) == 3 and len(seen) == 2
+    finally:
+        for p in (src, root, root2, os.path.dirname(ckpt)):
+            shutil.rmtree(p, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            n_corpus,
+            n_a,
+            n_b,
+            n_c,
+            killed and two_ticks_before_kill,
+            resumed_completes,
+            replay_published_zero,
+            planted_suppressed,
+            corpus_identical,
+            fp_index_identical,
+            mh_index_identical,
+        )],
+        "n_corpus bigint, n_a bigint, n_b bigint, n_c bigint, "
+        "killed_after_two_ticks boolean, resumed_completes boolean, "
+        "replay_published_zero boolean, planted_suppressed boolean, "
+        "corpus_identical boolean, fp_index_identical boolean, "
+        "mh_index_identical boolean",
+    )
+
+
+X_STREAM_INGEST_RESUME_SQL = """
+SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
+       (SELECT COUNT(*) FROM documents
+         WHERE doc_id >= 200 AND doc_id < 280) AS n_a,
+       (SELECT COUNT(*) FROM documents
+         WHERE doc_id >= 280 AND doc_id < 360) AS n_b,
+       (SELECT COUNT(*) + 10 FROM documents
+         WHERE doc_id >= 360 AND doc_id < 440) AS n_c,
+       TRUE AS killed_after_two_ticks,
+       TRUE AS resumed_completes,
+       TRUE AS replay_published_zero,
+       TRUE AS planted_suppressed,
+       TRUE AS corpus_identical,
+       TRUE AS fp_index_identical,
+       TRUE AS mh_index_identical
+"""
+
+
 def x_ingest_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection composed INTO the ingest tick (VERDICT r7 #5):
     bootstrap the verified-tier dedup indexes, then one ``ingest_batch``
@@ -6936,6 +7098,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_ingest_e2e": (x_ingest_e2e, X_INGEST_E2E_SQL),  # bound-checked
     "x_ingest_lifecycle": (x_ingest_lifecycle, X_INGEST_LIFECYCLE_SQL),  # bound-checked
     "x_stream_ingest": (x_stream_ingest, X_STREAM_INGEST_SQL),  # bound-checked
+    # kill-at-tick-2 → checkpoint resume → replay publishes zero; corpus
+    # + both index logs content-identical to the uninterrupted run
+    "x_stream_ingest_resume": (
+        x_stream_ingest_resume,
+        X_STREAM_INGEST_RESUME_SQL,
+    ),  # bound-checked
     # ids hash-exact: full SQL replay of exact tier + verified tier at
     # J=1 (equal shingle sets) + DSIR Gumbel-top-k selection
     "x_ingest_select": (x_ingest_select, X_INGEST_SELECT_SQL),

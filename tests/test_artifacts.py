@@ -1340,3 +1340,89 @@ def test_bounded_batch_fuzzy_probes_identical(spark, sf_dir):
     ))
     assert va == vb
     band_idx.unpersist(); doc_idx.unpersist()
+
+
+def test_run_stream_ingest_compact_every_validated(spark, tmp_path):
+    """compact_every=0 is ambiguous and used to ZeroDivisionError at the
+    first non-empty tick; it must raise at entry (ADVICE r9)."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(str(src))
+    )
+    with pytest.raises(ValueError, match="compact_every"):
+        ingest.run_stream_ingest(stream, str(tmp_path / "root"), compact_every=0)
+
+
+def test_run_stream_ingest_checkpoint_kill_resume(spark, sf_dir, tmp_path):
+    """Kill the checkpointed loop after tick 1's commits (before its
+    offsets commit), resume from the same checkpoint: the in-flight
+    micro-batch replays and publishes ZERO (its fingerprints are already
+    admitted), the second file processes, and the published corpus is
+    identical to sequential uninterrupted batch ticks (VERDICT r9 #1;
+    the full 3-file content-identity gate is x_stream_ingest_resume)."""
+    import os
+    import shutil
+
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    a = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    b = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for name, df, mtime in (("a", a, 1_000_000), ("b", b, 2_000_000)):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+    ingest.init_ingest_indexes(spark, corpus, root)
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    def boom(stats):
+        raise RuntimeError("injected crash after tick 1")
+
+    try:
+        ingest.run_stream_ingest(
+            mk_stream(), root, checkpoint_dir=ckpt, on_tick=boom
+        )
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    resumed = ingest.run_stream_ingest(mk_stream(), root, checkpoint_dir=ckpt)
+    # replay of micro-batch 1 (re-drops everything) + the unseen file 2
+    assert len(resumed) == 2
+    assert resumed[0].n_published == 0
+    assert resumed[1].n_published > 0
+    published = {
+        r["doc_id"]
+        for r in ingest.read_ingest_corpus(spark, root).select("doc_id").collect()
+    }
+    # golden: uninterrupted sequential batch ticks on a second root
+    root2 = str(tmp_path / "root2")
+    ingest.init_ingest_indexes(spark, corpus, root2)
+    for batch in (a, b):
+        surv, _ = ingest.ingest_batch(spark, batch, root2)
+        surv.unpersist()
+    golden = {
+        r["doc_id"]
+        for r in ingest.read_ingest_corpus(spark, root2).select("doc_id").collect()
+    }
+    assert published == golden
