@@ -195,6 +195,85 @@ def read_ingest_corpus(
     )
 
 
+class ConcurrentIngestError(RuntimeError):
+    """A second writer attempted an ingest tick while another held the
+    root's lease. The ingest contract is SINGLE-WRITER per root (VERDICT
+    r9 #2): each tick probes only the index versions committed before
+    its own start, so two SIMULTANEOUS ticks with overlapping content
+    would each miss the other's admissions and both publish — the lease
+    makes that interleaving impossible instead of merely unlikely."""
+
+
+_LEASE = "_INGEST_LEASE"
+
+
+def acquire_ingest_lease(root: str, owner: str | None = None) -> None:
+    """Claim exclusive tick rights on ``root`` via the commit protocol's
+    put-if-absent primitive (the one atomic op every object store
+    offers — S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``).
+    Raises :class:`ConcurrentIngestError` naming the current holder if
+    the lease exists. The payload (pid@host + wall time) is diagnostic
+    only — resolution is purely the file's PRESENCE."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, _LEASE)
+    if owner is None:
+        import datetime
+        import socket
+
+        owner = (
+            f"{os.getpid()}@{socket.gethostname()} "
+            f"{datetime.datetime.now(datetime.timezone.utc).isoformat()}"
+        )
+    from data_engineering_capstone_project__spark.sources.commitlog import (
+        _put_if_absent,
+    )
+
+    try:
+        _put_if_absent(path)
+    except FileExistsError:
+        try:
+            with open(path) as f:
+                holder = f.read().strip() or "<unknown>"
+        except OSError:
+            holder = "<unknown>"
+        raise ConcurrentIngestError(
+            f"ingest root {root!r} is leased by {holder}: the ingest "
+            "contract is single-writer per root (two simultaneous ticks "
+            "each probe only pre-tick index versions and could both "
+            "publish near-dups of each other's batches). If the holder "
+            "is dead — a hard-killed driver cannot release — break the "
+            "lease explicitly with break_ingest_lease(root); every "
+            "tick's commits are atomic, so breaking a dead holder's "
+            "lease is always safe."
+        ) from None
+    try:
+        with open(path, "w") as f:
+            f.write(owner)
+    except OSError:
+        pass  # payload is diagnostic only
+
+
+def release_ingest_lease(root: str) -> None:
+    """Release the tick lease (idempotent — releasing an absent lease is
+    a no-op, so crash-then-cleanup paths never fail here)."""
+    try:
+        os.remove(os.path.join(root, _LEASE))
+    except FileNotFoundError:
+        pass
+
+
+def break_ingest_lease(root: str) -> None:
+    """OPERATOR action: forcibly remove a dead holder's lease (a
+    hard-killed driver — SIGKILL, power loss — cannot run its
+    ``finally``). Safe whenever the holder is truly dead: admissions and
+    the publish are atomic versioned commits, so a dead tick left either
+    nothing or complete versions, and the next tick's probe re-drops
+    anything it admitted. NEVER break a LIVE holder's lease — that
+    recreates exactly the double-publish race the lease exists to
+    prevent."""
+    release_ingest_lease(root)
+
+
 def ingest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -202,8 +281,22 @@ def ingest_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     select_cfg: dict | None = None,
+    lease: bool = True,
 ) -> tuple[DataFrame, IngestStats]:
     """One ingest tick against the durable indexes under ``root``.
+
+    **Single-writer contract** (VERDICT r9 #2): the tick probes the
+    index versions committed BEFORE its own start, so two simultaneous
+    ticks with overlapping near-dup content would each miss the other's
+    admissions and both publish. ``lease=True`` (default) therefore
+    claims ``root/_INGEST_LEASE`` (put-if-absent — atomic on every
+    object store) for the duration of the tick and releases it in a
+    ``finally``; a concurrent tick raises
+    :class:`ConcurrentIngestError` naming the holder instead of racing.
+    A hard-killed holder leaves the lease behind —
+    :func:`break_ingest_lease` is the documented operator remedy (safe:
+    all tick writes are atomic versioned commits). ``lease=False`` opts
+    out for callers that serialize ticks externally.
 
     Exact tier first (cheapest: one 32-char anti join + within-batch
     min-id dedup), then the fuzzy tier on what remains — the
@@ -248,6 +341,27 @@ def ingest_batch(
     fingerprints already admitted and drops every row (no duplicate
     publication; the index is strictly a superset of published content).
     """
+    if not lease:
+        return _ingest_batch_impl(
+            spark, batch, root, text_col, id_col, select_cfg
+        )
+    acquire_ingest_lease(root)
+    try:
+        return _ingest_batch_impl(
+            spark, batch, root, text_col, id_col, select_cfg
+        )
+    finally:
+        release_ingest_lease(root)
+
+
+def _ingest_batch_impl(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    text_col: str,
+    id_col: str,
+    select_cfg: dict | None,
+) -> tuple[DataFrame, IngestStats]:
     fp_path = os.path.join(root, _FP)
     mh_path = os.path.join(root, _MH)
     # both indexes are APPEND LOGS (round 9): v1 is the bootstrap index

@@ -1426,3 +1426,142 @@ def test_run_stream_ingest_checkpoint_kill_resume(spark, sf_dir, tmp_path):
         for r in ingest.read_ingest_corpus(spark, root2).select("doc_id").collect()
     }
     assert published == golden
+
+
+def test_ingest_lease_serializes_interleaved_ticks(spark, sf_dir, tmp_path):
+    """The single-writer contract (VERDICT r9 #2): with writer A mid-tick
+    (lease held), writer B's overlapping tick raises ConcurrentIngestError
+    instead of racing; once A's tick completes and releases, B's tick runs
+    and every overlapping document drops against A's admissions — no doc
+    is ever published twice."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    # overlapping batches: 120-160 appears in BOTH (the double-publish
+    # hazard two simultaneous ticks would race on)
+    b_a = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 160))
+    b_b = docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 200))
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+
+    # writer A mid-tick: lease held
+    ingest.acquire_ingest_lease(root, owner="writer-A")
+    with pytest.raises(ingest.ConcurrentIngestError, match="writer-A"):
+        ingest.ingest_batch(spark, b_b, root)
+    ingest.release_ingest_lease(root)
+
+    # serialized order: A's tick, then B's
+    sa, st_a = ingest.ingest_batch(spark, b_a, root)
+    sa.unpersist()
+    sb, st_b = ingest.ingest_batch(spark, b_b, root)
+    sb.unpersist()
+    # lease released after each tick (next writer can proceed)
+    import os
+
+    assert not os.path.exists(os.path.join(root, "_INGEST_LEASE"))
+    published = [
+        r["doc_id"]
+        for r in ingest.read_ingest_corpus(spark, root).select("doc_id").collect()
+    ]
+    assert len(published) == len(set(published))  # nothing published twice
+    # the whole overlap dropped in B's tick: docs A PUBLISHED drop in
+    # B's exact tier (admitted fingerprints); docs A itself dropped as
+    # corpus near-dups were never admitted, so B re-drops them in its
+    # own fuzzy tier — either way nothing overlapping publishes twice
+    assert st_b.n_exact_dropped + st_b.n_fuzzy_dropped >= 40
+
+
+def test_ingest_lease_released_on_tick_failure(spark, sf_dir, tmp_path, monkeypatch):
+    """An exception INSIDE a tick must release the lease (only a hard
+    driver kill leaves it; break_ingest_lease is the operator remedy)."""
+    import os
+
+    import pytest
+
+    from data_engineering_capstone_project__spark.operators import dedup
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected tick failure")
+
+    monkeypatch.setattr(dedup, "dedup_against_corpus", boom)
+    with pytest.raises(RuntimeError, match="injected tick failure"):
+        ingest.ingest_batch(spark, batch, root)
+    assert not os.path.exists(os.path.join(root, "_INGEST_LEASE"))
+    monkeypatch.undo()
+    # and a later tick proceeds normally
+    s, st = ingest.ingest_batch(spark, batch, root)
+    s.unpersist()
+    assert st.n_published > 0
+    # a hard-killed holder's lease is broken explicitly
+    ingest.acquire_ingest_lease(root, owner="dead-writer")
+    ingest.break_ingest_lease(root)
+    s2, st2 = ingest.ingest_batch(spark, batch, root)
+    s2.unpersist()
+    assert st2.n_published == 0  # pure replay drops everything
+
+
+def test_compaction_never_loses_concurrent_commit(spark, sf_dir, tmp_path, monkeypatch):
+    """compact_publication_log pins the CAPTURED version set — a
+    concurrent tick committing between the capture and the compactor's
+    own write/expiry must survive, and the post-compaction union must
+    hold every published row exactly once (VERDICT r9 #7: the code
+    comment claimed it; this drives it)."""
+    import os
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import commitlog
+    from data_engineering_capstone_project__spark.sources.io import (
+        write_versioned as real_wv,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    b2 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200))
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    s, _ = ingest.ingest_batch(spark, b1, root)
+    s.unpersist()
+    path = os.path.join(root, "corpus")
+    captured = commitlog.committed_versions(path)
+    assert len(captured) == 2  # bootstrap + b1
+
+    fired = {"done": False, "v": None}
+
+    def wv(df, p, *a, **k):
+        # inject a concurrent tick's publish BETWEEN the compactor's
+        # capture and its own write — the interleaving the docstring
+        # claims is safe
+        if p == path and not fired["done"]:
+            fired["done"] = True
+            fired["v"] = real_wv(b2, p)
+        return real_wv(df, p, *a, **k)
+
+    monkeypatch.setattr(ingest, "write_versioned", wv)
+    ingest.compact_publication_log(spark, root, compact_indexes=False)
+    monkeypatch.undo()
+
+    assert fired["done"]
+    after = commitlog.committed_versions(path)
+    # the concurrent version SURVIVED expiry (only captured inputs removed)
+    assert fired["v"] in after
+    assert all(v not in after for v in captured)
+    rows = [
+        r["doc_id"]
+        for r in ingest.read_ingest_corpus(spark, root).select("doc_id").collect()
+    ]
+    assert len(rows) == len(set(rows))  # no double-count
+    # every published doc present: corpus + b1 survivors + b2 rows
+    got = set(rows)
+    assert {r["doc_id"] for r in b2.select("doc_id").collect()} <= got
+    assert {r["doc_id"] for r in corpus.select("doc_id").collect()} <= got
