@@ -324,3 +324,93 @@ def test_decontaminate_stream_routes_by_fingerprint(spark, tmp_path):
     assert {r["doc_id"] for r in dirty.collect()} == {11, 12}
     with pytest.raises(ValueError):
         decontaminate_stream(stream, idx, keep="nope")
+
+
+def test_asof_join_hot_key_path_row_identical(spark):
+    """Skew-safe as-of (VERDICT r9 #3): a planted 90%-one-key distribution
+    routed through the bucketed two-phase plan returns ROW-IDENTICAL
+    results to the plain single-window plan, in both directions, including
+    per-column ignorenulls semantics (right rows with nulls in one value
+    column)."""
+    import random
+
+    rnd = random.Random(7)
+    # hot key 'H' carries 90% of rows; two cold keys share the rest
+    left_rows, right_rows = [], []
+    rid = 0
+    for i in range(2000):
+        k = "H" if i % 10 else ("c1" if i % 20 else "c2")
+        t = rnd.randint(0, 10_000)
+        left_rows.append((k, t, i))
+    for i in range(1500):
+        k = "H" if i % 10 else ("c1" if i % 20 else "c2")
+        t = rnd.randint(0, 10_000)
+        # plant per-column nulls: v1 null on thirds, v2 null on fifths
+        v1 = None if i % 3 == 0 else rnd.randint(0, 99)
+        v2 = None if i % 5 == 0 else float(rnd.randint(0, 99))
+        right_rows.append((k, t, v1, v2))
+        rid += 1
+    left = spark.createDataFrame(left_rows, "k string, t bigint, id bigint")
+    right = spark.createDataFrame(
+        right_rows, "k string, t bigint, v1 bigint, v2 double"
+    )
+    for direction in ("backward", "forward"):
+        plain = asof_join(left, right, "t", ["k"], direction=direction)
+        hot = asof_join(
+            left, right, "t", ["k"], direction=direction,
+            hot_key_threshold=500, n_time_buckets=16,
+        )
+        assert hot.exceptAll(plain).isEmpty()
+        assert plain.exceptAll(hot).isEmpty()
+        assert hot.count() == left.count()
+
+
+def test_asof_join_hot_key_bounded_sort_groups(spark):
+    """No task sorts the hot key's full history: the hot path's window
+    partitions by (key, bucket), and the largest (key, bucket) group is a
+    small fraction of the hot key's rows (the plain plan's single group
+    IS the full history). Also asserts the physical plan's window
+    partition spec actually carries the bucket column."""
+    import random
+
+    from data_engineering_capstone_project__spark.plans.inspect import (
+        physical_plan,
+    )
+
+    rnd = random.Random(11)
+    n = 5000
+    left = spark.createDataFrame(
+        [("H" if i % 10 else "c", rnd.randint(0, 100_000), i) for i in range(n)],
+        "k string, t bigint, id bigint",
+    )
+    right = spark.createDataFrame(
+        [("H" if i % 10 else "c", rnd.randint(0, 100_000), i) for i in range(n)],
+        "k string, t bigint, v bigint",
+    )
+    out = asof_join(
+        left, right, "t", ["k"], hot_key_threshold=1000, n_time_buckets=64
+    )
+    plan = physical_plan(out)
+    assert "_abkt" in plan  # bucketed window really in the executed plan
+    # ground truth on the sort-group sizes the hot window would see
+    unioned_size = 2 * n * 9 // 10  # hot key's union rows ~ 9000
+    groups = (
+        left.unionByName(
+            right.withColumnRenamed("v", "id"), allowMissingColumns=True
+        )
+        .filter(F.col("k") == "H")
+        .withColumn(
+            "_b",
+            F.least(
+                F.lit(63), F.floor(F.col("t").cast("double") * 64 / 100_000)
+            ),
+        )
+        .groupBy("_b")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert groups < unioned_size / 16  # no group near the full history
+    # and the result still matches the plain plan
+    plain = asof_join(left, right, "t", ["k"])
+    assert out.exceptAll(plain).isEmpty() and plain.exceptAll(out).isEmpty()
