@@ -135,6 +135,8 @@ def bpe_tokenize(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "tokens",
+    distinct_words: bool = False,
+    max_broadcast_words: int = 2_000_000,
 ) -> DataFrame:
     """Subword tokens per document under trained merges, as an
     ``array<string>`` column. Arrow-batched ``pandas_udf`` (the merge
@@ -154,8 +156,70 @@ def bpe_tokenize(
     CPython tables can still diverge on rare scripts). Feeding the UDF
     Java-normalized words removes the entire mismatch class
     (regression-tested with İ/NBSP corpora in ``test_bpe.py``).
+
+    ``distinct_words=True`` (VERDICT r9 #6) makes the Python merge loop
+    ZIPF-BOUNDED instead of token-bounded: the per-batch cache still
+    re-encodes every head word once per Arrow batch (up to
+    partitions × batches times cluster-wide), so the one Python loop in
+    the engine scales with corpus tokens. The distinct path aggregates
+    the corpus's DISTINCT word frame (one map-combined shuffle, output
+    = vocabulary), encodes each word exactly once (distributed, the
+    same ``pandas_udf`` kernel), and ships the word→tokens table back
+    as a broadcast for a pure dict-lookup tokenization pass — Python
+    merge-loop work is then O(vocabulary), independent of corpus size.
+    Gated by the ACTUAL vocabulary count: above ``max_broadcast_words``
+    (driver/executor memory bound for the table) it falls back to the
+    per-batch cache, which needs no driver-side state at any scale.
+    Output identical in both modes (parity unit in ``test_bpe.py``).
     """
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    if distinct_words:
+        vocab_df = (
+            df.select(F.explode(_words(F.col(text_col))).alias("word"))
+            .distinct()
+        )
+        if vocab_df.count() <= max_broadcast_words:
+
+            @F.pandas_udf("array<string>")
+            def _enc(words):  # type: ignore[no-untyped-def]
+                import pandas as pd
+
+                return pd.Series([_encode_word(w, ranks) for w in words])
+
+            table = {
+                r["word"]: list(r["toks"])
+                for r in vocab_df.select(
+                    "word", _enc("word").alias("toks")
+                ).collect()
+            }
+            bc = df.sparkSession.sparkContext.broadcast(table)
+
+            @F.pandas_udf("array<string>")
+            def _tok_lookup(word_arrays):  # type: ignore[no-untyped-def]
+                import pandas as pd
+
+                t = bc.value
+
+                def enc(words):
+                    if words is None:
+                        return []
+                    out: list[str] = []
+                    for w in words:
+                        toks = t.get(w)
+                        if toks is None:
+                            # unreachable for a deterministic df (same
+                            # _words expression built the table), kept
+                            # as a correctness net for re-read sources
+                            toks = _encode_word(w, ranks)
+                        out.extend(toks)
+                    return out
+
+                return pd.Series([enc(a) for a in word_arrays])
+
+            return df.withColumn(
+                out_col, _tok_lookup(_words(F.col(text_col)))
+            )
+        # vocabulary too large to broadcast: per-batch cache below
 
     @F.pandas_udf("array<string>")
     def _tok(word_arrays):  # type: ignore[no-untyped-def]

@@ -112,3 +112,22 @@ def test_bpe_tokenize_java_normalization_parity(spark):
                 acc += t
         assert acc == "", r["tokens"]
         assert rebuilt == java_words, (rebuilt, java_words)
+
+
+def test_bpe_tokenize_distinct_words_parity(spark, sf_dir):
+    """The Zipf-bounded distinct-word path (VERDICT r9 #6) is output-
+    identical to the per-batch-cache path, and its below-threshold
+    fallback (max_broadcast_words=0 forces it) is too."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    merges = bpe.bpe_train(docs, n_merges=40, min_freq=2)
+    base = bpe.bpe_tokenize(docs, merges).select("doc_id", "tokens")
+    fast = bpe.bpe_tokenize(docs, merges, distinct_words=True).select(
+        "doc_id", "tokens"
+    )
+    fallback = bpe.bpe_tokenize(
+        docs, merges, distinct_words=True, max_broadcast_words=0
+    ).select("doc_id", "tokens")
+    a = {r["doc_id"]: r["tokens"] for r in base.collect()}
+    b = {r["doc_id"]: r["tokens"] for r in fast.collect()}
+    c = {r["doc_id"]: r["tokens"] for r in fallback.collect()}
+    assert a == b == c and len(a) == 300
