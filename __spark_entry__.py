@@ -2609,6 +2609,39 @@ ASOF LEFT JOIN (SELECT user_id, ts, value AS sv FROM events WHERE event_type = '
 """
 
 
+def x_asof_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE as-of path (VERDICT r9 #3), driver-gated against the
+    SAME full-value oracle as ``x_asof_join``: ``hot_key_threshold=1``
+    routes EVERY key through the bucketed two-phase plan (per-bucket
+    max_by seeds + per-key seed carry + per-(key, bucket) fill window),
+    so bucket assignment, seeding, carry, and the coalesce fallback are
+    all value-hash-checked row-for-row against DuckDB's ASOF JOIN — the
+    plan no single task of which ever sorts a hot key's full history.
+    The bounded-sort-group ground truth on a planted 90%-one-key
+    distribution is unit-pinned in tests/test_asof_streaming.py."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("sv")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(
+        left,
+        signups,
+        ts_col="ts",
+        by=["user_id"],
+        right_value_cols=["sv"],
+        hot_key_threshold=1,
+        n_time_buckets=32,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        F.col("sv_r").alias("signup_value"),
+        F.date_format("ts_r", TS_FMT_SPARK).alias("signup_ts"),
+    )
+
+
 def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join via bucketed equi-join: orders binned into price bands
     (the O(n·m) theta join becomes bucket-local work)."""
@@ -7004,6 +7037,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_grouping_sets": (x_grouping_sets, X_GROUPING_SETS_SQL),
     "x_window_sliding": (x_window_sliding, X_SLIDING_SQL),
     "x_asof_join": (x_asof_join, X_ASOF_SQL),
+    # same full-value oracle, every key routed through the bucketed
+    # two-phase hot path (VERDICT r9 #3)
+    "x_asof_join_skew": (x_asof_join_skew, X_ASOF_SQL),
     "x_range_join": (x_range_join, X_RANGE_SQL),
     "x_pivot": (x_pivot, X_PIVOT_SQL),
     "x_cube": (x_cube, X_CUBE_SQL),
