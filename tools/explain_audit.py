@@ -57,6 +57,7 @@ AUDIT = {
     "publication_log_read": "ingest publication-log read after bootstrap + 3 ticks (4 committed versions): ONE multi-path parquet relation — a single Scan node whose plan is FLAT in tick count, where the r8 per-version unionByName fold re-analyzed a T-way Union every tick (r9 #1); the verified tick's candidate text fetch semi-joins into this one scan",
     "ingest_select_publish": "DSIR-selection publish semi-join of an ingest tick: dedup survivors (InMemoryTableScan — persisted once per tick) LEFT SEMI the k Gumbel-top-k ids; the broadcast hint appears ONLY under the k<=100k gate (this audit is the small-k form — a large-fraction selection drops the hint and AQE sizes the build side; r9 #2, unit-gated both ways)",
     "bounded_exact_probe": "exact-dedup probe with bounded_batch=True (the ingest tick's exact tier, r9): the corpus-scale fp index joins via BroadcastHashJoin LeftSemi with the BATCH's fingerprints as the build side — ZERO index-side exchanges, where the naive batch-ANTI-index join sort-merge-shuffles the whole index every tick past the broadcast threshold; the final LeftAnti's right side is <= batch-sized",
+    "asof_hot_path": "skew-safe as-of join, every key routed hot (r10 — VERDICT r9 #3): the fill window's partition spec is (user_id, _abkt) — windowspecdefinition(user_id, _abkt, ...) — so NO task ever sorts a key's full history (the default plan's windowspecdefinition(user_id, ...) is exactly the skew hazard); per-bucket max_by seeds ride a map-combined ObjectHashAggregate, the hot-key census and seed-carry frames join back via BroadcastHashJoin (bounded: <= rows/threshold keys x n_time_buckets rows), and the seed carry's own window partitions the <=B-row-per-key seed frame only",
 }
 
 
@@ -167,8 +168,28 @@ def _bounded_exact_probe(spark, sf_dir):
     )
 
 
+def _asof_hot_path(spark, sf_dir):
+    """The bucketed two-phase as-of plan with every key routed hot (the
+    x_asof_join_skew gate's inner plan)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators.asof import asof_join
+    from data_engineering_capstone_project__spark.sources.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("sv")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    return asof_join(
+        left, signups, ts_col="ts", by=["user_id"],
+        right_value_cols=["sv"], hot_key_threshold=1, n_time_buckets=32,
+    )
+
+
 CUSTOM = {
     "ivf_pruned_probe": _ivf_pruned_probe,
+    "asof_hot_path": _asof_hot_path,
     "verified_probe": _verified_probe,
     "publication_log_read": _publication_log_read,
     "ingest_select_publish": _ingest_select_publish,
