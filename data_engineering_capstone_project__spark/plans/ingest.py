@@ -133,35 +133,44 @@ def init_ingest_indexes(
         num_hashes, bands = dedup.auto_minhash_config(
             int(dg.split(":")[0]), thr, baseline_j=baseline_j
         )
-    art.save_fingerprint_index(
-        corpus_fingerprint_index(corpus, text_col=text_col),
-        os.path.join(root, _FP),
-        corpus_digest=dg,
-    )
-    if verify_jaccard_threshold is None:
-        art.save_minhash_index(
-            dedup.corpus_minhash_band_index(
-                corpus, id_col, text_col, num_hashes, bands, shingle_k
-            ),
-            os.path.join(root, _MH),
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_k=shingle_k,
+    # the bootstrap takes the same single-writer lease as ticks: two
+    # racing bootstraps would each commit a full corpus version and the
+    # union read would double-count every bootstrap row (ticks only
+    # dedup against PRE-tick versions — a same-instant duplicate
+    # publication has no tier to drop it)
+    acquire_ingest_lease(root)
+    try:
+        art.save_fingerprint_index(
+            corpus_fingerprint_index(corpus, text_col=text_col),
+            os.path.join(root, _FP),
             corpus_digest=dg,
         )
-    else:
-        art.save_minhash_doc_index(
-            dedup.corpus_minhash_doc_index(
-                corpus, id_col, text_col, num_hashes, bands, shingle_k
-            ),
-            os.path.join(root, _MH),
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_k=shingle_k,
-            jaccard_threshold=verify_jaccard_threshold,
-            corpus_digest=dg,
-        )
-    write_versioned(corpus, os.path.join(root, _CORPUS))
+        if verify_jaccard_threshold is None:
+            art.save_minhash_index(
+                dedup.corpus_minhash_band_index(
+                    corpus, id_col, text_col, num_hashes, bands, shingle_k
+                ),
+                os.path.join(root, _MH),
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                corpus_digest=dg,
+            )
+        else:
+            art.save_minhash_doc_index(
+                dedup.corpus_minhash_doc_index(
+                    corpus, id_col, text_col, num_hashes, bands, shingle_k
+                ),
+                os.path.join(root, _MH),
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                jaccard_threshold=verify_jaccard_threshold,
+                corpus_digest=dg,
+            )
+        write_versioned(corpus, os.path.join(root, _CORPUS))
+    finally:
+        release_ingest_lease(root)
 
 
 def read_ingest_corpus(

@@ -1565,3 +1565,25 @@ def test_compaction_never_loses_concurrent_commit(spark, sf_dir, tmp_path, monke
     got = set(rows)
     assert {r["doc_id"] for r in b2.select("doc_id").collect()} <= got
     assert {r["doc_id"] for r in corpus.select("doc_id").collect()} <= got
+
+
+def test_bootstrap_takes_ingest_lease(spark, sf_dir, tmp_path):
+    """Two racing bootstraps would each commit a full corpus version
+    (double-counted by the union read, with no tier to drop it) — so
+    init_ingest_indexes serializes on the same lease as ticks."""
+    import os
+
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 50)
+    root = str(tmp_path / "root")
+    ingest.acquire_ingest_lease(root, owner="racing-bootstrap")
+    with pytest.raises(ingest.ConcurrentIngestError, match="racing-bootstrap"):
+        ingest.init_ingest_indexes(spark, corpus, root)
+    ingest.release_ingest_lease(root)
+    ingest.init_ingest_indexes(spark, corpus, root)
+    assert not os.path.exists(os.path.join(root, "_INGEST_LEASE"))
+    assert ingest.read_ingest_corpus(spark, root).count() == 50
