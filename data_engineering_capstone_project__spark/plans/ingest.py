@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from data_engineering_capstone_project__spark.operators import dedup
 from data_engineering_capstone_project__spark.sources import artifacts as art
 from data_engineering_capstone_project__spark.sources.io import (
+    claim_versioned_write,
+    commit_versioned,
     read_versioned,
     write_versioned,
 )
@@ -77,6 +79,10 @@ class IngestStats:
     mh_index_version: int
     corpus_version: int
     n_select_dropped: int = 0
+    # True when this tick COMPLETED a predecessor that crashed between
+    # its fp admission and its publish commit (exactly-once recovery) —
+    # per-tier drop attribution is then unavailable (zeros)
+    recovered: bool = False
 
 
 def init_ingest_indexes(
@@ -344,11 +350,22 @@ def ingest_batch(
     its own merits rather than silently un-verifiable). Docs with zero
     grams (empty text) score nothing and can never be selected.
 
-    Crash safety: admissions and the publish are separate atomic
-    versioned commits. The admit-then-publish order makes a crash
-    between them conservative — re-ingesting the same batch finds its
-    fingerprints already admitted and drops every row (no duplicate
-    publication; the index is strictly a superset of published content).
+    Crash safety (round 10 — EXACTLY-ONCE publication): the publish is
+    two-phase — the payload is written under a CLAIMED, uncommitted
+    version before the index admissions and committed after them, and
+    every admission delta carries the batch's content digest plus the
+    claimed publish version. Re-ingesting the same batch after a crash
+    therefore either reprocesses it in full (crash before the fp
+    admission — only an invisible orphan claim exists), COMPLETES the
+    interrupted tick (crash between the fp admission and the publish
+    commit: the replay finds its own digest on the latest fp delta with
+    the publish uncommitted, rebuilds the mh delta from the claimed
+    payload if needed, and commits — ``stats.recovered=True``), or
+    re-drops every row against its own admitted fingerprints (crash
+    after the commit — publishes an empty version). No crash point
+    loses the batch or publishes it twice; the pre-r10 admit-then-
+    publish order was merely conservative (a crash between admission
+    and publish silently LOST the batch's survivors).
     """
     if not lease:
         return _ingest_batch_impl(
@@ -402,6 +419,93 @@ def _ingest_batch_impl(
             "no jaccard_threshold — re-bootstrap with "
             "init_ingest_indexes(verify_jaccard_threshold=...)"
         )
+
+    # ---- exactly-once recovery preamble (round 10) -------------------
+    # The tick publishes in TWO PHASES (payload claimed before the index
+    # admissions, committed after), and every admission delta carries
+    # the BATCH's content digest plus the claimed publish version. A
+    # crash between the fp admission and the publish commit therefore
+    # leaves a recoverable state instead of a lost batch: replaying the
+    # same batch finds its own digest on the LATEST fp delta with the
+    # publish still uncommitted, completes the missing mh admission
+    # from the claimed payload, and commits the publish — the batch
+    # publishes EXACTLY once under any crash point. (The old
+    # admit-then-publish order was merely conservative: the replay
+    # re-dropped everything against its own admitted fingerprints and
+    # the batch's survivors were silently never published.)
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    corpus_path = os.path.join(root, _CORPUS)
+    bdg = f"batch:{art.corpus_digest(batch, [id_col, text_col])}"
+    fp_meta = art.load_artifact_meta(fp_path)
+    if fp_meta.get("batch_digest") == bdg:
+        pub_n = fp_meta["publish_version"]
+        if pub_n not in commitlog.committed_versions(corpus_path):
+            published = read_versioned(spark, corpus_path, pub_n).persist()
+            mh_latest = art.load_artifact_meta(mh_path)
+            if mh_latest.get("batch_digest") != bdg:
+                # crash hit between the fp and mh admissions: rebuild
+                # the near-dup delta from the claimed payload. In
+                # verified mode this is exactly the original delta
+                # (only PUBLISHED docs are admitted); in candidate mode
+                # with selection it narrows admission to published docs
+                # — selection-rejected docs keep their exact-tier
+                # suppression (the fp delta committed pre-crash) but
+                # lose band rows, matching verified-mode semantics.
+                rdg = f"delta:{art.corpus_digest(published, [id_col, text_col])}"
+                if verified:
+                    mh_v = art.save_minhash_doc_index(
+                        dedup.corpus_minhash_doc_index(
+                            published, id_col, text_col,
+                            cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
+                        ),
+                        mh_path,
+                        num_hashes=cfg["num_hashes"],
+                        bands=cfg["bands"],
+                        shingle_k=cfg["shingle_k"],
+                        jaccard_threshold=cfg["jaccard_threshold"],
+                        corpus_digest=rdg,
+                        extra_meta={
+                            "batch_digest": bdg, "publish_version": pub_n,
+                        },
+                    )
+                else:
+                    mh_v = art.save_minhash_index(
+                        dedup.corpus_minhash_band_index(
+                            published, id_col, text_col,
+                            cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
+                        ),
+                        mh_path,
+                        num_hashes=cfg["num_hashes"],
+                        bands=cfg["bands"],
+                        shingle_k=cfg["shingle_k"],
+                        corpus_digest=rdg,
+                        extra_meta={
+                            "batch_digest": bdg, "publish_version": pub_n,
+                        },
+                    )
+            else:
+                mh_v = commitlog.latest_version(mh_path)
+            commit_versioned(corpus_path, pub_n)
+            n_pub = published.count()
+            stats = IngestStats(
+                n_batch=batch.count(),
+                # per-tier attribution died with the crashed tick; the
+                # recovered stats carry only what is ground truth
+                n_exact_dropped=0,
+                n_fuzzy_dropped=0,
+                n_published=n_pub,
+                fp_index_version=commitlog.latest_version(fp_path),
+                mh_index_version=mh_v,
+                corpus_version=pub_n,
+                recovered=True,
+            )
+            return published, stats
+        # pub_n committed: the crashed tick actually completed — fall
+        # through to normal processing (every row re-drops against its
+        # own admitted fingerprints and an empty version publishes,
+        # identical to the pre-r10 replay behavior)
+
     n_batch = batch.count()
 
     # bounded_batch: with the tick's batch under the broadcast ceiling,
@@ -492,18 +596,33 @@ def _ingest_batch_impl(
     else:
         n_published = n_dedup
 
+    # TWO-PHASE publish (round 10 — exactly-once): the payload is
+    # written under a CLAIMED, uncommitted version BEFORE the index
+    # admissions, and the commit marker lands only after both. Readers
+    # never see the claim; the recovery preamble above can always finish
+    # an interrupted tick from it. Crash windows: before the fp
+    # admission → plain orphan claim, full reprocess publishes anew;
+    # after fp, before mh → recovery rebuilds the mh delta from the
+    # payload and commits; after mh, before commit → recovery just
+    # commits. No window loses or duplicates the batch.
+    corpus_v = claim_versioned_write(published, corpus_path)
+    tick_meta = {"batch_digest": bdg, "publish_version": corpus_v}
     # admission = batch-sized DELTA versions appended to the index logs
     # (never the extended full index — that write is O(index) per tick).
     # The fp delta is disjoint from the log by construction (survivors
     # passed the exact anti-join); band-row deltas may overlap existing
     # buckets, which is harmless for the semi-join probe and folded by
     # compaction's distinct. Config is threaded from the loaded meta so
-    # every delta carries the banding the log was built with.
+    # every delta carries the banding the log was built with. fp FIRST:
+    # it is the delta that makes a replay drop everything, so it must be
+    # the recovery trigger (its meta carries the batch digest + claimed
+    # publish version).
     dg = f"delta:{art.corpus_digest(survivors, [id_col, text_col])}"
     fp_v = art.save_fingerprint_index(
         corpus_fingerprint_index(survivors, text_col=text_col),
         fp_path,
         corpus_digest=dg,
+        extra_meta=tick_meta,
     )
     if verified:
         mh_v = art.save_minhash_doc_index(
@@ -517,6 +636,7 @@ def _ingest_batch_impl(
             shingle_k=cfg["shingle_k"],
             jaccard_threshold=cfg["jaccard_threshold"],
             corpus_digest=dg,
+            extra_meta=tick_meta,
         )
     else:
         mh_v = art.save_minhash_index(
@@ -529,8 +649,9 @@ def _ingest_batch_impl(
             bands=cfg["bands"],
             shingle_k=cfg["shingle_k"],
             corpus_digest=dg,
+            extra_meta=tick_meta,
         )
-    corpus_v = write_versioned(published, os.path.join(root, _CORPUS))
+    commit_versioned(corpus_path, corpus_v)
     exact_kept.unpersist()
     if published is not survivors:
         survivors.unpersist()

@@ -510,6 +510,7 @@ def save_fingerprint_index(
     path: str,
     fp_col: str = "fp",
     corpus_digest: str | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Persist an exact-dedup fingerprint index (one 32-char md5 per
     distinct normalized corpus text — ``corpus_fingerprint_index``).
@@ -521,7 +522,12 @@ def save_fingerprint_index(
     return save_artifact(
         path,
         {"fps": fps.repartition(F.col(fp_col))},
-        {"kind": "fingerprints", "fp_col": fp_col, "corpus_digest": corpus_digest},
+        {
+            "kind": "fingerprints",
+            "fp_col": fp_col,
+            "corpus_digest": corpus_digest,
+            **(extra_meta or {}),
+        },
     )
 
 
@@ -575,6 +581,7 @@ def save_minhash_index(
     bands: int,
     shingle_k: int,
     corpus_digest: str | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Persist a banded-MinHash bucket index (distinct ``(band, bucket)``
     rows from ``corpus_minhash_band_index``) together with the hash
@@ -593,6 +600,7 @@ def save_minhash_index(
             "bands": int(bands),
             "shingle_k": int(shingle_k),
             "corpus_digest": corpus_digest,
+            **(extra_meta or {}),
         },
     )
 
@@ -605,6 +613,7 @@ def save_minhash_doc_index(
     shingle_k: int,
     jaccard_threshold: float | None = None,
     corpus_digest: str | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Persist an id-CARRYING banded-MinHash index (distinct ``(band,
     bucket, corpus_id)`` rows from ``corpus_minhash_doc_index``) with its
@@ -622,6 +631,7 @@ def save_minhash_doc_index(
             "shingle_k": int(shingle_k),
             "jaccard_threshold": jaccard_threshold,
             "corpus_digest": corpus_digest,
+            **(extra_meta or {}),
         },
     )
 

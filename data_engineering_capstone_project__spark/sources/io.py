@@ -289,6 +289,36 @@ def write_versioned(df: DataFrame, path: str) -> int:
     return n
 
 
+def claim_versioned_write(df: DataFrame, path: str) -> int:
+    """Phase one of a TWO-PHASE versioned publish: claim a version and
+    write the payload, but do NOT commit — the snapshot stays invisible
+    to every reader (``committed_versions`` resolves markers only) until
+    :func:`commit_versioned` lands the marker. This is the primitive the
+    ingest tick's exactly-once protocol needs: the publish payload
+    becomes durable BEFORE the index admissions that would make a replay
+    drop the batch, so a crash between admission and commit leaves a
+    recoverable claimed payload instead of a lost batch. A claim whose
+    writer dies before any admission references it is a plain orphan no
+    reader ever resolves."""
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    n, target = commitlog.claim_version(path)
+    df.write.mode("overwrite").parquet(target)
+    return n
+
+
+def commit_versioned(path: str, n: int) -> None:
+    """Phase two: make a claimed version visible. IDEMPOTENT — an
+    already-committed version is a no-op, so crash recovery can
+    re-commit without tracking whether the original writer got there."""
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    try:
+        commitlog.commit_version(path, n)
+    except FileExistsError:
+        pass
+
+
 def list_versions(path: str) -> list[int]:
     """Committed + orphan snapshot versions present under ``path``."""
     from data_engineering_capstone_project__spark.sources import commitlog

@@ -1587,3 +1587,178 @@ def test_bootstrap_takes_ingest_lease(spark, sf_dir, tmp_path):
     ingest.init_ingest_indexes(spark, corpus, root)
     assert not os.path.exists(os.path.join(root, "_INGEST_LEASE"))
     assert ingest.read_ingest_corpus(spark, root).count() == 50
+
+
+def _stage_ingest_root(spark, sf_dir, tmp_path, name="root"):
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 160))
+    root = str(tmp_path / name)
+    ingest.init_ingest_indexes(spark, corpus, root)
+    return docs, corpus, batch, root
+
+
+def _published_ids(spark, root):
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    return sorted(
+        r["doc_id"]
+        for r in ingest.read_ingest_corpus(spark, root).select("doc_id").collect()
+    )
+
+
+def test_ingest_exactly_once_crash_between_fp_and_mh(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash window: fp delta committed, mh admission never ran, publish
+    claimed but uncommitted — the pre-r10 replay LOST the batch (every
+    row re-dropped against its own fingerprints). The replay must now
+    COMPLETE the tick: rebuild the mh delta from the claimed payload,
+    commit the publish, and end content-identical to an uninterrupted
+    run."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import artifacts as art_mod
+
+    docs, corpus, batch, root = _stage_ingest_root(spark, sf_dir, tmp_path)
+    real = art_mod.save_minhash_index
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before mh admission")
+
+    monkeypatch.setattr(art_mod, "save_minhash_index", boom)
+    with pytest.raises(RuntimeError, match="before mh admission"):
+        ingest.ingest_batch(spark, batch, root)
+    monkeypatch.setattr(art_mod, "save_minhash_index", real)
+
+    pub, st = ingest.ingest_batch(spark, batch, root)
+    pub.unpersist()
+    assert st.recovered and st.n_published > 0
+    # golden: uninterrupted run on a second root
+    _, _, _, root2 = _stage_ingest_root(spark, sf_dir, tmp_path, "root2")
+    g, gs = ingest.ingest_batch(spark, batch, root2)
+    g.unpersist()
+    assert not gs.recovered
+    assert _published_ids(spark, root) == _published_ids(spark, root2)
+    assert st.n_published == gs.n_published
+    # mh log was completed: a near-dup copy of a published doc drops
+    mh, meta = art_mod.load_minhash_log(spark, f"{root}/minhash")
+    assert mh.count() > 0
+
+
+def test_ingest_exactly_once_crash_before_publish_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash window: both admissions committed, publish claimed but not
+    committed. The replay must simply commit the claimed payload —
+    batch published exactly once, no duplicate version."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    docs, corpus, batch, root = _stage_ingest_root(spark, sf_dir, tmp_path)
+
+    real = ingest.commit_versioned
+
+    def boom(path, n):
+        if path.endswith("corpus"):
+            raise RuntimeError("injected crash before publish commit")
+        return real(path, n)
+
+    monkeypatch.setattr(ingest, "commit_versioned", boom)
+    with pytest.raises(RuntimeError, match="before publish commit"):
+        ingest.ingest_batch(spark, batch, root)
+    monkeypatch.setattr(ingest, "commit_versioned", real)
+
+    pre = commitlog.committed_versions(f"{root}/corpus")
+    pub, st = ingest.ingest_batch(spark, batch, root)
+    pub.unpersist()
+    assert st.recovered and st.n_published > 0
+    post = commitlog.committed_versions(f"{root}/corpus")
+    assert len(post) == len(pre) + 1  # exactly one new committed version
+    ids = _published_ids(spark, root)
+    assert len(ids) == len(set(ids))  # nothing twice
+    # and a SECOND replay of the same batch now re-drops everything
+    pub2, st2 = ingest.ingest_batch(spark, batch, root)
+    pub2.unpersist()
+    assert not st2.recovered and st2.n_published == 0
+
+
+def test_ingest_exactly_once_crash_before_any_admission(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash window: publish payload claimed, crash before the fp
+    admission — only an invisible orphan claim exists, so the replay
+    reprocesses in full and publishes anew; the orphan stays orphan."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    docs, corpus, batch, root = _stage_ingest_root(spark, sf_dir, tmp_path)
+
+    real = ingest.claim_versioned_write
+
+    def boom(df, path):
+        n = real(df, path)
+        raise RuntimeError("injected crash after claim write")
+
+    monkeypatch.setattr(ingest, "claim_versioned_write", boom)
+    with pytest.raises(RuntimeError, match="after claim write"):
+        ingest.ingest_batch(spark, batch, root)
+    monkeypatch.setattr(ingest, "claim_versioned_write", real)
+
+    pub, st = ingest.ingest_batch(spark, batch, root)
+    pub.unpersist()
+    assert not st.recovered and st.n_published > 0
+    ids = _published_ids(spark, root)
+    assert len(ids) == len(set(ids))
+    # the orphan claim is present but uncommitted (invisible to readers)
+    path = f"{root}/corpus"
+    orphans = set(commitlog.all_versions(path)) - set(
+        commitlog.committed_versions(path)
+    )
+    assert orphans  # the crashed claim
+
+
+def test_ingest_exactly_once_recovery_verified_mode(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Same fp→mh crash window under the VERIFIED tier (id-carrying
+    doc index, exact-Jaccard verify): recovery rebuilds the doc-index
+    delta from the claimed payload and later ticks still verify against
+    the recovered publication."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import artifacts as art_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 160))
+    root = str(tmp_path / "rootv")
+    ingest.init_ingest_indexes(
+        spark, corpus, root, verify_jaccard_threshold=0.9
+    )
+    real = art_mod.save_minhash_doc_index
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before mh admission")
+
+    monkeypatch.setattr(art_mod, "save_minhash_doc_index", boom)
+    with pytest.raises(RuntimeError, match="before mh admission"):
+        ingest.ingest_batch(spark, batch, root)
+    monkeypatch.setattr(art_mod, "save_minhash_doc_index", real)
+
+    pub, st = ingest.ingest_batch(spark, batch, root)
+    pub.unpersist()
+    assert st.recovered and st.n_published > 0
+    # an exact copy of a recovered-published doc drops in the NEXT tick
+    replay = batch.limit(10).withColumn("doc_id", F.col("doc_id") + 900000)
+    p2, s2 = ingest.ingest_batch(spark, replay, root)
+    p2.unpersist()
+    assert s2.n_published == 0
