@@ -3130,6 +3130,83 @@ SELECT (SELECT COUNT(*) FROM vw) AS vocab_words,
 """
 
 
+def x_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (round 10 — the SentencePiece-style
+    second member of the tokenizer family, operators/unigram.py): one
+    corpus-sized word-count shuffle feeds a driver-side hard-EM loop
+    bounded by vocabulary size, exactly the BPE trainer's decomposition.
+    Exact-checked values: vocab_words and total_chars are independently
+    SQL-computed under the same pinned Java-normalization split as
+    X_BPE_SQL. Oracle-pinned booleans: every alphabet character survives
+    pruning (coverage — what makes Viterbi segmentation total), the
+    vocabulary respects its budget, a retrain over the same counts is
+    BIT-identical (the determinism contract), tokenizing the corpus
+    round-trips every document's character stream losslessly (pieces
+    concatenate to the exact words — no sentinel), and the token stream
+    is strictly shorter than the character stream (multi-char pieces
+    actually won segmentations)."""
+    from data_engineering_capstone_project__spark.operators import unigram
+
+    d = _t(spark, sf_dir, "documents")
+    wf = [
+        (r["word"], r["freq"])
+        for r in bpe.word_frequencies(d, min_freq=2).collect()
+    ]
+    budget = 300
+    pieces = unigram.train_unigram_from_counts(wf, vocab_size=budget)
+    pieces2 = unigram.train_unigram_from_counts(wf, vocab_size=budget)
+    vocab = {p for p, _ in pieces}
+    chars = set("".join(w for w, _ in wf))
+    words = unigram._words(F.col("text"))
+    toks = unigram.unigram_tokenize(d, pieces)
+    agg = (
+        toks.select(
+            F.aggregate(
+                words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            ).alias("nc"),
+            F.size("tokens").alias("nt"),
+            (F.concat_ws("", "tokens") == F.concat_ws("", words)).alias("rt"),
+        )
+        .agg(
+            F.sum("nc").alias("total_chars"),
+            F.sum("nt").alias("total_tokens"),
+            F.every("rt").alias("roundtrip_ok"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(
+            len(wf),
+            agg["total_chars"],
+            chars <= vocab,
+            len(vocab) <= max(budget, len(chars)),
+            pieces == pieces2,
+            bool(agg["roundtrip_ok"]),
+            agg["total_tokens"] < agg["total_chars"],
+        )],
+        "vocab_words bigint, total_chars bigint, chars_covered boolean, "
+        "vocab_within_budget boolean, retrain_identical boolean, "
+        "roundtrip_ok boolean, tokens_compress boolean",
+    )
+
+
+X_UNIGRAM_TRAIN_SQL = r"""
+WITH wx AS (
+  SELECT w, COUNT(*) AS f FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY 1
+), vw AS (SELECT * FROM wx WHERE f >= 2)
+SELECT (SELECT COUNT(*) FROM vw) AS vocab_words,
+       (SELECT CAST(SUM(f * len(w)) AS BIGINT) FROM wx) AS total_chars,
+       TRUE AS chars_covered,
+       TRUE AS vocab_within_budget,
+       TRUE AS retrain_identical,
+       TRUE AS roundtrip_ok,
+       TRUE AS tokens_compress
+"""
+
+
 X_KMEANS_SQL = """
 SELECT COUNT(*) + 60 AS n_points,
        CAST(MAX(len(embedding)) AS INT) AS dim,
@@ -7163,6 +7240,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_pca_topk_many": (x_pca_topk_many, X_PCA_TOPK_MANY_SQL),  # bound-checked
     "x_jl_transform": (x_jl_transform, X_JL_SQL),  # bound-checked
     "x_bpe_train": (x_bpe_train, X_BPE_SQL),  # bound-checked
+    # unigram-LM tokenizer (r10): SQL-exact word/char totals + pinned
+    # coverage/budget/determinism/roundtrip/compression booleans
+    "x_unigram_train": (x_unigram_train, X_UNIGRAM_TRAIN_SQL),  # bound-checked
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_stream_join": (x_stream_join, X_STREAM_JOIN_SQL),

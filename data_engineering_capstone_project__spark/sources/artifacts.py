@@ -84,6 +84,8 @@ __all__ = [
     "load_fingerprint_index",
     "save_bpe_model",
     "load_bpe_model",
+    "save_unigram_model",
+    "load_unigram_model",
     "save_minhash_index",
     "load_minhash_index",
     "save_minhash_doc_index",
@@ -560,6 +562,40 @@ def save_bpe_model(
         {"merges": frame},
         {"kind": "bpe", "n_merges": len(rows), "corpus_digest": corpus_digest},
     )
+
+
+def save_unigram_model(
+    spark: SparkSession,
+    path: str,
+    pieces: list[tuple[str, float]],
+    corpus_digest: str | None = None,
+) -> int:
+    """Persist a trained unigram-LM vocabulary
+    (``operators.unigram.unigram_train`` output — ``(piece, logprob)``
+    pairs). Logprobs travel as parquet doubles (exact IEEE round trip),
+    so a reloaded model Viterbi-segments BIT-identically to the fit
+    session — the same fit-once contract as the BPE artifact."""
+    rows = [(p_, float(lp)) for p_, lp in pieces]
+    frame = spark.createDataFrame(rows, "piece string, logprob double")
+    return save_artifact(
+        path,
+        {"pieces": frame},
+        {
+            "kind": "unigram",
+            "vocab_size": len(rows),
+            "corpus_digest": corpus_digest,
+        },
+    )
+
+
+def load_unigram_model(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[tuple[str, float]]:
+    parts, meta = load_artifact(spark, path, version)
+    if meta.get("kind") != "unigram":
+        raise ValueError(f"not a unigram artifact: {path} ({meta.get('kind')})")
+    rows = parts["pieces"].orderBy(F.col("logprob").desc(), "piece").collect()
+    return [(r["piece"], r["logprob"]) for r in rows]
 
 
 def load_bpe_model(
