@@ -165,6 +165,8 @@ def unigram_tokenize(
     text_col: str = "text",
     out_col: str = "tokens",
     max_piece_len: int = 8,
+    distinct_words: bool = False,
+    max_broadcast_words: int = 2_000_000,
 ) -> DataFrame:
     """Viterbi-segment every document's words under a trained unigram
     vocabulary, as an ``array<string>`` column. Same architecture as
@@ -175,8 +177,62 @@ def unigram_tokenize(
     ~unique words per batch on Zipf text. Segmentation is LOSSLESS by
     construction: pieces concatenate to exactly the word (no sentinel),
     with unseen characters falling back to single-char pieces at a
-    floor score."""
+    floor score.
+
+    ``distinct_words=True`` is the same Zipf-bounded upgrade as
+    ``bpe_tokenize``'s: the corpus's DISTINCT word frame is aggregated
+    once, each word Viterbi-segmented exactly once cluster-wide, and
+    the word→pieces table broadcast for a pure dict-lookup pass —
+    Python work becomes O(vocabulary), independent of corpus tokens.
+    Count-gated by ``max_broadcast_words`` with the per-batch-cache
+    fallback (parity unit-pinned)."""
     logp = dict(pieces)
+    if distinct_words:
+        vocab_df = (
+            df.select(F.explode(_words(F.col(text_col))).alias("word"))
+            .distinct()
+        )
+        if vocab_df.count() <= max_broadcast_words:
+
+            @F.pandas_udf("array<string>")
+            def _seg(words):  # type: ignore[no-untyped-def]
+                import pandas as pd
+
+                return pd.Series(
+                    [_viterbi(w, logp, max_piece_len) for w in words]
+                )
+
+            table = {
+                r["word"]: list(r["toks"])
+                for r in vocab_df.select(
+                    "word", _seg("word").alias("toks")
+                ).collect()
+            }
+            bc = df.sparkSession.sparkContext.broadcast(table)
+
+            @F.pandas_udf("array<string>")
+            def _tok_lookup(word_arrays):  # type: ignore[no-untyped-def]
+                import pandas as pd
+
+                t = bc.value
+
+                def enc(words):
+                    if words is None:
+                        return []
+                    out: list[str] = []
+                    for w in words:
+                        toks = t.get(w)
+                        if toks is None:
+                            toks = _viterbi(w, logp, max_piece_len)
+                        out.extend(toks)
+                    return out
+
+                return pd.Series([enc(a) for a in word_arrays])
+
+            return df.withColumn(
+                out_col, _tok_lookup(_words(F.col(text_col)))
+            )
+        # vocabulary too large to broadcast: per-batch cache below
 
     @F.pandas_udf("array<string>")
     def _tok(word_arrays):  # type: ignore[no-untyped-def]

@@ -73,3 +73,29 @@ def test_unigram_model_roundtrip_fresh_session(spark, sf_dir, tmp_path):
     assert {r["doc_id"]: r["tokens"] for r in a.collect()} == {
         r["doc_id"]: r["tokens"] for r in b.collect()
     }
+
+
+def test_unigram_distinct_words_parity(spark, sf_dir):
+    """The Zipf-bounded distinct-word path is output-identical to the
+    per-batch-cache path, including the over-ceiling fallback."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    pieces = unigram.unigram_train(docs, vocab_size=150, n_iter=2)
+    a = {
+        r["doc_id"]: r["tokens"]
+        for r in unigram.unigram_tokenize(docs, pieces).select(
+            "doc_id", "tokens"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["tokens"]
+        for r in unigram.unigram_tokenize(
+            docs, pieces, distinct_words=True
+        ).select("doc_id", "tokens").collect()
+    }
+    c = {
+        r["doc_id"]: r["tokens"]
+        for r in unigram.unigram_tokenize(
+            docs, pieces, distinct_words=True, max_broadcast_words=0
+        ).select("doc_id", "tokens").collect()
+    }
+    assert a == b == c and len(a) == 200
