@@ -380,6 +380,121 @@ def ingest_batch(
         release_ingest_lease(root)
 
 
+def _complete_dangling_tick(
+    spark: SparkSession,
+    root: str,
+    cfg: dict,
+    verified: bool,
+    id_col: str,
+    text_col: str,
+) -> tuple[str, int, int] | None:
+    """Finish an interrupted tick, if any: when the LATEST fp delta
+    references an UNCOMMITTED publish version, rebuild the near-dup
+    delta from the claimed payload (if the crash hit between the fp and
+    mh admissions) and commit the publish. Returns ``(batch_digest,
+    publish_version, mh_version)`` of the completed tick, or None when
+    the log is clean. Idempotent; callers must hold the ingest lease.
+
+    The mh rebuild admits the PUBLISHED docs — in verified mode exactly
+    the original delta; in candidate mode with selection it narrows
+    admission to published docs (selection-rejected docs keep their
+    exact-tier suppression via the pre-crash fp delta but lose band
+    rows, matching verified-mode semantics)."""
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    corpus_path = os.path.join(root, _CORPUS)
+    fp_meta = art.load_artifact_meta(os.path.join(root, _FP))
+    bdg = fp_meta.get("batch_digest")
+    pub_n = fp_meta.get("publish_version")
+    if bdg is None or pub_n is None:
+        return None
+    if pub_n in commitlog.committed_versions(corpus_path):
+        return None
+    if not os.path.isdir(os.path.join(corpus_path, f"v={pub_n}")):
+        # the referenced version directory is GONE: the tick completed
+        # and compaction folded+expired it (committed versions can be
+        # removed by the lifecycle; the fp delta's meta naturally
+        # outlives them). Nothing dangling.
+        return None
+    mh_path = os.path.join(root, _MH)
+    published = read_versioned(spark, corpus_path, pub_n)
+    mh_latest = art.load_artifact_meta(mh_path)
+    if mh_latest.get("batch_digest") != bdg:
+        rdg = f"delta:{art.corpus_digest(published, [id_col, text_col])}"
+        tick_meta = {"batch_digest": bdg, "publish_version": pub_n}
+        if verified:
+            mh_v = art.save_minhash_doc_index(
+                dedup.corpus_minhash_doc_index(
+                    published, id_col, text_col,
+                    cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
+                ),
+                mh_path,
+                num_hashes=cfg["num_hashes"],
+                bands=cfg["bands"],
+                shingle_k=cfg["shingle_k"],
+                jaccard_threshold=cfg["jaccard_threshold"],
+                corpus_digest=rdg,
+                extra_meta=tick_meta,
+            )
+        else:
+            mh_v = art.save_minhash_index(
+                dedup.corpus_minhash_band_index(
+                    published, id_col, text_col,
+                    cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
+                ),
+                mh_path,
+                num_hashes=cfg["num_hashes"],
+                bands=cfg["bands"],
+                shingle_k=cfg["shingle_k"],
+                corpus_digest=rdg,
+                extra_meta=tick_meta,
+            )
+    else:
+        mh_v = commitlog.latest_version(mh_path)
+    commit_versioned(corpus_path, pub_n)
+    return bdg, pub_n, mh_v
+
+
+def recover_ingest_tick(
+    spark: SparkSession,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lease: bool = True,
+) -> int | None:
+    """OPERATOR surface: complete an interrupted tick WITHOUT its batch.
+
+    A tick that crashed between its fp admission and its publish commit
+    is normally completed by the batch's own replay (the in-tick
+    recovery preamble) — but a loop whose in-flight batch will never be
+    resubmitted (no stream checkpoint, upstream queue expired) would
+    otherwise strand the claimed payload forever: admitted to the index
+    (so re-arrivals drop) yet never published. Call this at loop
+    restart — typically right after ``break_ingest_lease`` — to finish
+    whatever the dead writer left: the missing near-dup admission is
+    rebuilt from the claimed payload and the publish committed. Returns
+    the committed publish version, or None when the log is clean.
+    Idempotent and safe to call unconditionally."""
+    mh_meta = art.load_artifact_meta(os.path.join(root, _MH))
+    verified = mh_meta.get("kind") == "minhash_docs"
+    cfg = {
+        "num_hashes": mh_meta["num_hashes"],
+        "bands": mh_meta["bands"],
+        "shingle_k": mh_meta["shingle_k"],
+        "jaccard_threshold": mh_meta.get("jaccard_threshold"),
+    }
+    if lease:
+        acquire_ingest_lease(root)
+    try:
+        done = _complete_dangling_tick(
+            spark, root, cfg, verified, id_col, text_col
+        )
+    finally:
+        if lease:
+            release_ingest_lease(root)
+    return done[1] if done is not None else None
+
+
 def _ingest_batch_impl(
     spark: SparkSession,
     batch: DataFrame,
@@ -425,86 +540,42 @@ def _ingest_batch_impl(
     # admissions, committed after), and every admission delta carries
     # the BATCH's content digest plus the claimed publish version. A
     # crash between the fp admission and the publish commit therefore
-    # leaves a recoverable state instead of a lost batch: replaying the
-    # same batch finds its own digest on the LATEST fp delta with the
-    # publish still uncommitted, completes the missing mh admission
-    # from the claimed payload, and commits the publish — the batch
-    # publishes EXACTLY once under any crash point. (The old
-    # admit-then-publish order was merely conservative: the replay
-    # re-dropped everything against its own admitted fingerprints and
-    # the batch's survivors were silently never published.)
+    # leaves a recoverable state instead of a lost batch: ANY dangling
+    # interrupted tick found on the fp log is completed first (the
+    # missing mh admission rebuilt from the claimed payload, the publish
+    # committed); if the dangling tick WAS this batch (digest match),
+    # its result is returned as this tick's result — the batch publishes
+    # EXACTLY once under any crash point. (The old admit-then-publish
+    # order was merely conservative: the replay re-dropped everything
+    # against its own admitted fingerprints and the batch's survivors
+    # were silently never published.) ``recover_ingest_tick`` exposes
+    # the same completion standalone for operators restarting a loop
+    # whose in-flight batch will never be resubmitted.
     from data_engineering_capstone_project__spark.sources import commitlog
 
     corpus_path = os.path.join(root, _CORPUS)
     bdg = f"batch:{art.corpus_digest(batch, [id_col, text_col])}"
-    fp_meta = art.load_artifact_meta(fp_path)
-    if fp_meta.get("batch_digest") == bdg:
-        pub_n = fp_meta["publish_version"]
-        if pub_n not in commitlog.committed_versions(corpus_path):
-            published = read_versioned(spark, corpus_path, pub_n).persist()
-            mh_latest = art.load_artifact_meta(mh_path)
-            if mh_latest.get("batch_digest") != bdg:
-                # crash hit between the fp and mh admissions: rebuild
-                # the near-dup delta from the claimed payload. In
-                # verified mode this is exactly the original delta
-                # (only PUBLISHED docs are admitted); in candidate mode
-                # with selection it narrows admission to published docs
-                # — selection-rejected docs keep their exact-tier
-                # suppression (the fp delta committed pre-crash) but
-                # lose band rows, matching verified-mode semantics.
-                rdg = f"delta:{art.corpus_digest(published, [id_col, text_col])}"
-                if verified:
-                    mh_v = art.save_minhash_doc_index(
-                        dedup.corpus_minhash_doc_index(
-                            published, id_col, text_col,
-                            cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
-                        ),
-                        mh_path,
-                        num_hashes=cfg["num_hashes"],
-                        bands=cfg["bands"],
-                        shingle_k=cfg["shingle_k"],
-                        jaccard_threshold=cfg["jaccard_threshold"],
-                        corpus_digest=rdg,
-                        extra_meta={
-                            "batch_digest": bdg, "publish_version": pub_n,
-                        },
-                    )
-                else:
-                    mh_v = art.save_minhash_index(
-                        dedup.corpus_minhash_band_index(
-                            published, id_col, text_col,
-                            cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
-                        ),
-                        mh_path,
-                        num_hashes=cfg["num_hashes"],
-                        bands=cfg["bands"],
-                        shingle_k=cfg["shingle_k"],
-                        corpus_digest=rdg,
-                        extra_meta={
-                            "batch_digest": bdg, "publish_version": pub_n,
-                        },
-                    )
-            else:
-                mh_v = commitlog.latest_version(mh_path)
-            commit_versioned(corpus_path, pub_n)
-            n_pub = published.count()
-            stats = IngestStats(
-                n_batch=batch.count(),
-                # per-tier attribution died with the crashed tick; the
-                # recovered stats carry only what is ground truth
-                n_exact_dropped=0,
-                n_fuzzy_dropped=0,
-                n_published=n_pub,
-                fp_index_version=commitlog.latest_version(fp_path),
-                mh_index_version=mh_v,
-                corpus_version=pub_n,
-                recovered=True,
-            )
-            return published, stats
-        # pub_n committed: the crashed tick actually completed — fall
-        # through to normal processing (every row re-drops against its
-        # own admitted fingerprints and an empty version publishes,
-        # identical to the pre-r10 replay behavior)
+    done = _complete_dangling_tick(spark, root, cfg, verified, id_col, text_col)
+    if done is not None and done[0] == bdg:
+        _, pub_n, mh_v = done
+        published = read_versioned(spark, corpus_path, pub_n).persist()
+        stats = IngestStats(
+            n_batch=batch.count(),
+            # per-tier attribution died with the crashed tick; the
+            # recovered stats carry only what is ground truth
+            n_exact_dropped=0,
+            n_fuzzy_dropped=0,
+            n_published=published.count(),
+            fp_index_version=commitlog.latest_version(fp_path),
+            mh_index_version=mh_v,
+            corpus_version=pub_n,
+            recovered=True,
+        )
+        return published, stats
+    # a completed-but-different dangling tick (or none): process this
+    # batch normally — a replay of an already-COMMITTED batch re-drops
+    # every row against its own admitted fingerprints and publishes an
+    # empty version, identical to the pre-r10 behavior
 
     n_batch = batch.count()
 

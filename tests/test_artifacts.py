@@ -1762,3 +1762,40 @@ def test_ingest_exactly_once_recovery_verified_mode(
     p2, s2 = ingest.ingest_batch(spark, replay, root)
     p2.unpersist()
     assert s2.n_published == 0
+
+
+def test_recover_ingest_tick_without_batch(spark, sf_dir, tmp_path, monkeypatch):
+    """Operator-surface recovery (round 10): a tick crashed between fp
+    admission and publish commit, and the batch will NEVER be
+    resubmitted — recover_ingest_tick completes it from the claimed
+    payload alone (mh delta rebuilt, publish committed), after which the
+    published corpus matches an uninterrupted golden run and a fresh
+    copy of the batch drops entirely."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import artifacts as art_mod
+
+    docs, corpus, batch, root = _stage_ingest_root(spark, sf_dir, tmp_path)
+    real = art_mod.save_minhash_index
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before mh admission")
+
+    monkeypatch.setattr(art_mod, "save_minhash_index", boom)
+    with pytest.raises(RuntimeError):
+        ingest.ingest_batch(spark, batch, root)
+    monkeypatch.setattr(art_mod, "save_minhash_index", real)
+
+    v = ingest.recover_ingest_tick(spark, root)
+    assert v is not None
+    # idempotent: a second call finds a clean log
+    assert ingest.recover_ingest_tick(spark, root) is None
+    _, _, _, root2 = _stage_ingest_root(spark, sf_dir, tmp_path, "root2")
+    g, _ = ingest.ingest_batch(spark, batch, root2)
+    g.unpersist()
+    assert _published_ids(spark, root) == _published_ids(spark, root2)
+    # re-arrivals of the recovered batch drop in both tiers
+    p2, s2 = ingest.ingest_batch(spark, batch, root)
+    p2.unpersist()
+    assert s2.n_published == 0 and not s2.recovered
