@@ -3052,7 +3052,7 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double the cell's corpus cost for a number we already collected)
     wf = [
         (r["word"], r["freq"])
-        for r in bpe.word_frequencies(d, min_freq=2).collect()
+        for r in bpe.word_frequencies(d, min_freq=2, max_words=None).collect()
     ]
     merges = bpe.train_merges_from_counts(wf, 40)
     vocab_words = len(wf)
@@ -3150,7 +3150,7 @@ def x_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     wf = [
         (r["word"], r["freq"])
-        for r in bpe.word_frequencies(d, min_freq=2).collect()
+        for r in bpe.word_frequencies(d, min_freq=2, max_words=None).collect()
     ]
     budget = 300
     pieces = unigram.train_unigram_from_counts(wf, vocab_size=budget)

@@ -28,6 +28,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# broadcast ceilings for the hot path's census/seed frames, gated on the
+# COUNTED hot-key cardinality (ADVICE r10): a census row is the by-keys +
+# two doubles (~tens of bytes), a seed row is by-keys + bucket + carried
+# values — 1M keys / 4M seed rows keep both well under a typical 8 GB
+# driver/executor broadcast budget; past that AQE sizes the build side.
+_HOT_BROADCAST_MAX_KEYS = 1_000_000
+_HOT_BROADCAST_MAX_SEED_ROWS = 4_000_000
+
 
 def asof_join(
     left: DataFrame,
@@ -66,13 +74,20 @@ def asof_join(
     window partitioned by (key, bucket) — every sort group is now
     ~1/``n_time_buckets`` of the hot key — and coalesces with the seed.
     Row-identical to the plain plan by construction (bucket boundaries
-    respect ts order, equal ts always share a bucket, and per-column
-    ignorenulls semantics are preserved end-to-end; property-tested on
-    planted 90%-one-key data). Cold keys keep the plain single-window
-    plan. Cost when enabled: one map-combined count per key + a
-    broadcast tag join — run ``skew_profile(df, by)`` first if you only
-    suspect skew. A hot key whose ts values are ALL equal cannot be
-    split (ties must sort in one group); such rows keep bucket 0.
+    respect ts order, equal ts always share a bucket, null ts routes to
+    bucket 0 — the nulls-first position the plain plan's sort gives it —
+    and per-column ignorenulls semantics are preserved end-to-end;
+    property-tested on planted 90%-one-key data with planted null ts).
+    Cold keys keep the plain single-window plan. Cost when enabled: the
+    map-combined per-key census is evaluated twice (once counted on the
+    driver to size the plan, once in the tag join) — run
+    ``skew_profile(df, by)`` first if you only suspect skew. A hot key
+    whose ts values are ALL equal cannot be split (ties must sort in one
+    group); such rows keep bucket 0. The census/seed frames are
+    broadcast only when the counted hot-key cardinality proves them
+    small; above the ceiling they join plain and AQE sizes the build
+    side (an unconditional hint would recreate the memory hazard the
+    hot path exists to avoid).
 
     Default (None) preserves the original single-window plan exactly.
     """
@@ -139,7 +154,10 @@ def asof_join(
         )
     # hot-key census: one map-combined count+min/max per key — tiny
     # output (one row per key over threshold; at most rows/threshold
-    # keys can be hot, so the tag side is bounded and broadcastable)
+    # keys can be hot). A key whose ts values are ALL null has a null
+    # _tmin and is routed cold (the plain plan — ties can't be split
+    # anyway); a hot key with SOME null ts keeps its non-null span and
+    # its null-ts rows go to bucket 0 below.
     stats = (
         unioned.groupBy(*by)
         .agg(
@@ -150,7 +168,19 @@ def asof_join(
         .filter(F.col("_n") > F.lit(int(hot_key_threshold)))
         .select(*by, "_tmin", "_tmax")
     )
-    tagged = unioned.join(F.broadcast(stats), list(by), "left_outer")
+    # count the census on the driver: 0 hot keys short-circuits to the
+    # plain plan, and the count gates the broadcast hints below — at
+    # hot_key_threshold≈1 the census is one row per DISTINCT key, so an
+    # unconditional broadcast would be the very blowup this path avoids
+    n_hot = stats.count()
+    if n_hot == 0:
+        return window_fill(unioned, list(by)).filter(
+            F.col("_side") == 1
+        ).select(*out_cols)
+    stats_side = (
+        F.broadcast(stats) if n_hot <= _HOT_BROADCAST_MAX_KEYS else stats
+    )
+    tagged = unioned.join(stats_side, list(by), "left_outer")
     cold = tagged.filter(F.col("_tmin").isNull()).drop("_tmin", "_tmax")
     cold_out = window_fill(cold, list(by)).filter(
         F.col("_side") == 1
@@ -161,12 +191,20 @@ def asof_join(
     # (bucket, in-bucket window order) == global window order
     B = int(n_time_buckets)
     span = F.col("_tmax") - F.col("_tmin")
-    bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
-        F.least(
-            F.lit(B - 1),
-            F.floor(
-                (F.col(ts_col).cast("double") - F.col("_tmin")) * B / span
-            ).cast("int"),
+    # null ts FIRST: the plain plan's asc sort puts nulls before every
+    # non-null ts, so bucket 0 is the only position that reproduces it
+    # (without this, floor(null...) is null and F.least skips the null,
+    # landing null-ts rows in the LAST bucket — wrong in both directions)
+    bkt = (
+        F.when(F.col(ts_col).isNull(), F.lit(0))
+        .when(span <= F.lit(0.0), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(B - 1),
+                F.floor(
+                    (F.col(ts_col).cast("double") - F.col("_tmin")) * B / span
+                ).cast("int"),
+            )
         )
     )
     hot = tagged.filter(F.col("_tmin").isNotNull()).withColumn("_abkt", bkt)
@@ -210,8 +248,15 @@ def asof_join(
     )
     # phase 2: the fill window now partitions by (key, bucket) — no task
     # ever sorts more than ~1/B of a hot key — and falls back to the
-    # carried seed where the bucket has no earlier qualifying right row
-    joined = hot.join(F.broadcast(seed_carry), [*by, "_abkt"])
+    # carried seed where the bucket has no earlier qualifying right row.
+    # seed_carry is ≤ n_hot × B rows: broadcast only when that product
+    # is provably small, else let AQE size the build side
+    seed_side = (
+        F.broadcast(seed_carry)
+        if n_hot * B <= _HOT_BROADCAST_MAX_SEED_ROWS
+        else seed_carry
+    )
+    joined = hot.join(seed_side, [*by, "_abkt"])
     filled = window_fill(joined, [*by, "_abkt"])
     hot_out = filled.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],

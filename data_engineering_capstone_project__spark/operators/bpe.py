@@ -38,20 +38,24 @@ def word_frequencies(
     df: DataFrame,
     text_col: str = "text",
     min_freq: int = 2,
-    max_words: int = 1_000_000,
+    max_words: int | None = 1_000_000,
 ) -> DataFrame:
     """``(word, freq)`` — the one corpus-sized pass. Explode is
     codegen-side; the aggregation gets map-side partials, so the shuffle
     carries at most (partitions × distinct-words) rows. ``max_words``
     caps the driver-side table by TOP frequency (deterministic word
     tie-break) — a bound, not a sample: dropping the Zipf tail below
-    rank 10⁶ is what production trainers do."""
+    rank 10⁶ is what production trainers do. ``None`` keeps every word
+    ≥ ``min_freq`` (and skips the global sort the cap needs) — use it
+    when a SQL oracle defines the quantity uncapped (ADVICE r10)."""
     wf = (
         df.select(F.explode(_words(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= min_freq)
     )
+    if max_words is None:
+        return wf
     return wf.orderBy(F.col("freq").desc(), "word").limit(max_words)
 
 
@@ -130,13 +134,44 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
+# driver/executor budget for the broadcast word→tokens dict (ADVICE r10:
+# a row-count ceiling ignores that every CPython dict entry is a str key
+# + a list of str pieces — hundreds of bytes of object overhead each, so
+# 2M rows could be multiple GB). The gate below estimates actual bytes:
+# ~320 B fixed per entry (dict slot + key str + value list headers) plus
+# ~6 B per word character (key chars + the pieces partition the word and
+# each piece str repeats the ~49 B str header, amortized into the
+# per-char factor for typical 3-6 char pieces).
+_BROADCAST_TABLE_MAX_BYTES = 256 * 2**20
+_ENTRY_FIXED_BYTES = 320
+_PER_CHAR_BYTES = 6
+
+
+def _vocab_fits_broadcast(
+    vocab_df: DataFrame,
+    word_col: str,
+    max_words: int,
+    max_bytes: int = _BROADCAST_TABLE_MAX_BYTES,
+) -> bool:
+    """One map-combined aggregate over the distinct-word frame deciding
+    whether the word→tokens lookup table may be collected + broadcast:
+    BOTH the row-count ceiling and the estimated-byte ceiling must hold
+    (count alone undercounts CPython object overhead; bytes alone could
+    admit a pathological number of 1-char entries)."""
+    n, chars = vocab_df.agg(
+        F.count("*"), F.coalesce(F.sum(F.length(word_col)), F.lit(0))
+    ).collect()[0]
+    est = n * _ENTRY_FIXED_BYTES + chars * _PER_CHAR_BYTES
+    return n <= max_words and est <= max_bytes
+
+
 def bpe_tokenize(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "tokens",
     distinct_words: bool = False,
-    max_broadcast_words: int = 2_000_000,
+    max_broadcast_words: int = 500_000,
 ) -> DataFrame:
     """Subword tokens per document under trained merges, as an
     ``array<string>`` column. Arrow-batched ``pandas_udf`` (the merge
@@ -167,9 +202,11 @@ def bpe_tokenize(
     same ``pandas_udf`` kernel), and ships the word→tokens table back
     as a broadcast for a pure dict-lookup tokenization pass — Python
     merge-loop work is then O(vocabulary), independent of corpus size.
-    Gated by the ACTUAL vocabulary count: above ``max_broadcast_words``
-    (driver/executor memory bound for the table) it falls back to the
-    per-batch cache, which needs no driver-side state at any scale.
+    Gated by the ACTUAL vocabulary count AND an estimated BYTE size of
+    the lookup table (``_vocab_fits_broadcast`` — CPython dict entries
+    cost hundreds of bytes each, so row count alone under-measures the
+    driver/executor footprint); above either ceiling it falls back to
+    the per-batch cache, which needs no driver-side state at any scale.
     Output identical in both modes (parity unit in ``test_bpe.py``).
     """
     ranks = {tuple(p): i for i, p in enumerate(merges)}
@@ -178,7 +215,7 @@ def bpe_tokenize(
             df.select(F.explode(_words(F.col(text_col))).alias("word"))
             .distinct()
         )
-        if vocab_df.count() <= max_broadcast_words:
+        if _vocab_fits_broadcast(vocab_df, "word", max_broadcast_words):
 
             @F.pandas_udf("array<string>")
             def _enc(words):  # type: ignore[no-untyped-def]

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_engineering_capstone_project__spark.operators.bpe import (
+    _vocab_fits_broadcast,
     _words,
     word_frequencies,
 )
@@ -166,7 +167,7 @@ def unigram_tokenize(
     out_col: str = "tokens",
     max_piece_len: int = 8,
     distinct_words: bool = False,
-    max_broadcast_words: int = 2_000_000,
+    max_broadcast_words: int = 500_000,
 ) -> DataFrame:
     """Viterbi-segment every document's words under a trained unigram
     vocabulary, as an ``array<string>`` column. Same architecture as
@@ -184,15 +185,16 @@ def unigram_tokenize(
     once, each word Viterbi-segmented exactly once cluster-wide, and
     the word→pieces table broadcast for a pure dict-lookup pass —
     Python work becomes O(vocabulary), independent of corpus tokens.
-    Count-gated by ``max_broadcast_words`` with the per-batch-cache
-    fallback (parity unit-pinned)."""
+    Gated by ``max_broadcast_words`` AND an estimated table byte size
+    (``bpe._vocab_fits_broadcast`` — CPython entries cost hundreds of
+    bytes each) with the per-batch-cache fallback (parity unit-pinned)."""
     logp = dict(pieces)
     if distinct_words:
         vocab_df = (
             df.select(F.explode(_words(F.col(text_col))).alias("word"))
             .distinct()
         )
-        if vocab_df.count() <= max_broadcast_words:
+        if _vocab_fits_broadcast(vocab_df, "word", max_broadcast_words):
 
             @F.pandas_udf("array<string>")
             def _seg(words):  # type: ignore[no-untyped-def]

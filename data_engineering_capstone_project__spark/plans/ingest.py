@@ -9,10 +9,12 @@ refit per run:
 2. **drop** batch rows that are exact duplicates (within the batch or
    against the corpus index) or NEAR-duplicates of corpus content
    (band-collision probe);
-3. **admit** the survivors' fingerprints and band buckets as batch-sized
-   DELTA versions appended to both index LOGS (atomic versioned commits
-   — concurrent readers resolve only committed versions; admission I/O
-   is O(batch), never O(index));
+3. **admit** the survivors' fingerprints and the PUBLISHED docs' band
+   buckets as batch-sized DELTA versions appended to both index LOGS
+   (atomic versioned commits — concurrent readers resolve only
+   committed versions; admission I/O is O(batch), never O(index); the
+   near-dup index exactly covers the publication log so exactly-once
+   recovery can always rebuild it from the claimed payload);
 4. **publish** the survivors as a new version of the corpus PUBLICATION
    LOG (``write_versioned`` per batch — append-shaped, the corpus is
    never rewritten; readers never see a partial batch, and each version
@@ -395,11 +397,11 @@ def _complete_dangling_tick(
     publish_version, mh_version)`` of the completed tick, or None when
     the log is clean. Idempotent; callers must hold the ingest lease.
 
-    The mh rebuild admits the PUBLISHED docs — in verified mode exactly
-    the original delta; in candidate mode with selection it narrows
-    admission to published docs (selection-rejected docs keep their
-    exact-tier suppression via the pre-crash fp delta but lose band
-    rows, matching verified-mode semantics)."""
+    The mh rebuild admits the PUBLISHED docs — exactly what the
+    uninterrupted tick admits in BOTH modes (the tick's mh delta is
+    published-docs-only since r11, so recovery is golden-equal even
+    under ``select_cfg``; unit-pinned with an injected crash +
+    selection)."""
     from data_engineering_capstone_project__spark.sources import commitlog
 
     corpus_path = os.path.join(root, _CORPUS)
@@ -695,6 +697,22 @@ def _ingest_batch_impl(
         corpus_digest=dg,
         extra_meta=tick_meta,
     )
+    # the mh delta admits the PUBLISHED docs in BOTH modes (ADVICE r10):
+    # the near-dup index then exactly covers the publication log — which
+    # the verified probe's text fetch requires anyway — and the
+    # exactly-once rebuild (which only has the claimed payload) is
+    # golden-equal even under select_cfg. Selection-rejected survivors
+    # keep exact-tier suppression via the fp delta above but do NOT
+    # suppress future near-dups: a near-copy of a rejected doc gets its
+    # own selection verdict next tick, which is the semantics a
+    # distribution-matching selector wants (rejection is a quota
+    # decision, not a contamination one). The delta's corpus_digest is
+    # likewise stamped from what it actually admits.
+    mh_dg = (
+        dg
+        if published is survivors
+        else f"delta:{art.corpus_digest(published, [id_col, text_col])}"
+    )
     if verified:
         mh_v = art.save_minhash_doc_index(
             dedup.corpus_minhash_doc_index(
@@ -706,20 +724,20 @@ def _ingest_batch_impl(
             bands=cfg["bands"],
             shingle_k=cfg["shingle_k"],
             jaccard_threshold=cfg["jaccard_threshold"],
-            corpus_digest=dg,
+            corpus_digest=mh_dg,
             extra_meta=tick_meta,
         )
     else:
         mh_v = art.save_minhash_index(
             dedup.corpus_minhash_band_index(
-                survivors, id_col, text_col,
+                published, id_col, text_col,
                 cfg["num_hashes"], cfg["bands"], cfg["shingle_k"],
             ),
             mh_path,
             num_hashes=cfg["num_hashes"],
             bands=cfg["bands"],
             shingle_k=cfg["shingle_k"],
-            corpus_digest=dg,
+            corpus_digest=mh_dg,
             extra_meta=tick_meta,
         )
     commit_versioned(corpus_path, corpus_v)

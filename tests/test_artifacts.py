@@ -1764,6 +1764,62 @@ def test_ingest_exactly_once_recovery_verified_mode(
     assert s2.n_published == 0
 
 
+def test_ingest_exactly_once_recovery_with_selection(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """fp→mh crash window WITH select_cfg (ADVICE r10): the tick's mh
+    delta admits PUBLISHED docs only (post-selection) in candidate mode,
+    so the recovery rebuild — which only has the claimed payload — ends
+    content-identical to an uninterrupted golden run: same published
+    ids, same mh band-row log (bidirectional exceptAll), and a later
+    near-dup of a selection-REJECTED survivor gets the same verdict on
+    both timelines."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import artifacts as art_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    raw = docs.filter(F.col("doc_id") >= 300)
+    tgt = docs.filter(F.col("doc_id") < 300)
+    nb = 512
+    ratio = text.dsir_fit(raw, tgt, n_buckets=nb)
+    mpath = str(tmp_path / "dsir_model")
+    art.save_dsir_model(ratio, mpath, n_buckets=nb, alpha=1.0, salt="dsir")
+    cfg = {"dsir_path": mpath, "fraction": 0.4}
+
+    root = str(tmp_path / "root_crash")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    real = art_mod.save_minhash_index
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before mh admission")
+
+    monkeypatch.setattr(art_mod, "save_minhash_index", boom)
+    with pytest.raises(RuntimeError, match="before mh admission"):
+        ingest.ingest_batch(spark, raw, root, select_cfg=cfg)
+    monkeypatch.setattr(art_mod, "save_minhash_index", real)
+    pub, st = ingest.ingest_batch(spark, raw, root, select_cfg=cfg)
+    pub.unpersist()
+    assert st.recovered and st.n_published > 0
+
+    # golden: the same tick uninterrupted on a second root
+    root2 = str(tmp_path / "root_golden")
+    ingest.init_ingest_indexes(spark, corpus, root2)
+    g, gs = ingest.ingest_batch(spark, raw, root2, select_cfg=cfg)
+    g.unpersist()
+    assert not gs.recovered
+    assert _published_ids(spark, root) == _published_ids(spark, root2)
+    # the near-dup index logs are content-identical (the pre-fix shape
+    # admitted pre-selection survivors uninterrupted but could only
+    # rebuild published docs after a crash)
+    mh_a, _ = art_mod.load_minhash_log(spark, f"{root}/minhash")
+    mh_b, _ = art_mod.load_minhash_log(spark, f"{root2}/minhash")
+    assert mh_a.exceptAll(mh_b).isEmpty()
+    assert mh_b.exceptAll(mh_a).isEmpty()
+
+
 def test_recover_ingest_tick_without_batch(spark, sf_dir, tmp_path, monkeypatch):
     """Operator-surface recovery (round 10): a tick crashed between fp
     admission and publish commit, and the batch will NEVER be

@@ -331,7 +331,9 @@ def test_asof_join_hot_key_path_row_identical(spark):
     routed through the bucketed two-phase plan returns ROW-IDENTICAL
     results to the plain single-window plan, in both directions, including
     per-column ignorenulls semantics (right rows with nulls in one value
-    column)."""
+    column) AND null timestamps on BOTH sides (ADVICE r10: null ts must
+    land in bucket 0 — the plain plan's nulls-first sort position — not
+    the last bucket)."""
     import random
 
     rnd = random.Random(7)
@@ -340,11 +342,13 @@ def test_asof_join_hot_key_path_row_identical(spark):
     rid = 0
     for i in range(2000):
         k = "H" if i % 10 else ("c1" if i % 20 else "c2")
-        t = rnd.randint(0, 10_000)
+        # ~7% null left ts: matches nothing backward, first value forward
+        t = None if i % 13 == 0 else rnd.randint(0, 10_000)
         left_rows.append((k, t, i))
     for i in range(1500):
         k = "H" if i % 10 else ("c1" if i % 20 else "c2")
-        t = rnd.randint(0, 10_000)
+        # ~9% null right ts: sorts first (ts=-inf-like) in the plain plan
+        t = None if i % 11 == 0 else rnd.randint(0, 10_000)
         # plant per-column nulls: v1 null on thirds, v2 null on fifths
         v1 = None if i % 3 == 0 else rnd.randint(0, 99)
         v2 = None if i % 5 == 0 else float(rnd.randint(0, 99))
