@@ -2,8 +2,13 @@
 
 Runs the headline queries from ``__spark_entry__.queries()`` at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+``local[$SPARK_GRAFT_CPUS]`` and prints TWO JSON lines: a full
+diagnostics line first, then a COMPACT contract line LAST —
+``{"metric": "headline_queries_total_runtime", "value": total_sec,
+"unit": "sec", "queries": {...}, "sf": ...}``. The compact line is
+final because the driver records only the last bytes of stdout
+(VERDICT r10 #2: r9/r10 captures truncated the single fat line
+mid-JSON); a consumer should parse the LAST parseable line.
 
 Each query is materialized with the no-op writer (full execution, no
 collect-to-driver cost in the measurement).
@@ -189,10 +194,15 @@ def main() -> None:
     # contaminated = another JVM shared the machine, or ambient load was
     # already a sizeable fraction of the cores before our JVM existed
     contaminated = bool(pre_jvms) or bool(foreign_post) or load_pre > 0.25 * cpus
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full diagnostics line first; the COMPACT contract line LAST
+    # (VERDICT r10 #2): the driver records only the final bytes of
+    # stdout, so the last line must be small enough to survive its
+    # window whole — spreads/contamination live on the earlier line
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
+                "metric": "headline_queries_total_runtime_diagnostics",
                 "value": total,
                 "unit": "sec",
                 # sum over the 25-query set BENCH_r01..r05 measured —
@@ -219,9 +229,24 @@ def main() -> None:
                     "loadavg_post": round(load_post, 2),
                     "cpus": cpus,
                 },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
-        )
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "total_r5_set": total_r5_set,
+                "contaminated": contaminated,
+                "queries": timings,
+                "sf": sf_val,
+            }
+        ),
+        flush=True,
     )
 
 

