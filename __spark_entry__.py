@@ -2609,6 +2609,37 @@ ASOF LEFT JOIN (SELECT user_id, ts, value AS sv FROM events WHERE event_type = '
 """
 
 
+def x_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of enrichment (VERDICT r10 #5 — the feature-store
+    shape): events arrive as a stream and each micro-batch left-asof-
+    joins the STATIC signup-feature table via ``foreachBatch`` running
+    the exact batch kernel (``streaming.stream.asof_enrich_stream``).
+    Enrichment is per-row, so the streamed output is value-identical to
+    the batch ``asof_join`` over the same arrivals — checked against
+    the SAME DuckDB ``ASOF JOIN`` oracle as ``x_asof_join``; the
+    micro-batch-boundary invariance itself (3-file split ≡ batch) is
+    unit-pinned in tests/test_asof_streaming.py."""
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        asof_enrich_stream,
+    )
+
+    ev_batch = _t(spark, sf_dir, "events")
+    signups = ev_batch.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("sv")
+    )
+    stream = stream_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = asof_enrich_stream(
+        stream, signups, ts_col="ts", by=["user_id"], right_value_cols=["sv"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        F.col("sv_r").alias("signup_value"),
+        F.date_format("ts_r", TS_FMT_SPARK).alias("signup_ts"),
+    )
+
+
 def x_asof_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SKEW-SAFE as-of path (VERDICT r9 #3), driver-gated against the
     SAME full-value oracle as ``x_asof_join``: ``hot_key_threshold=1``
@@ -7365,6 +7396,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_stream_tumbling": (x_stream_tumbling, X_WINDOW_SQL),
     "x_stream_stateful": (x_stream_stateful, X_STREAM_STATEFUL_SQL),
     "x_stream_join": (x_stream_join, X_STREAM_JOIN_SQL),
+    # stream-static as-of enrichment ≡ batch asof_join (same full-value
+    # DuckDB ASOF oracle as x_asof_join)
+    "x_stream_asof": (x_stream_asof, X_ASOF_SQL),
     "x_stream_dedup": (x_stream_dedup, X_STREAM_DEDUP_SQL),
     "x_stream_late_data": (x_stream_late_data, X_STREAM_LATE_DATA_SQL),
     "x_stream_decontaminate": (x_stream_decontaminate, X_STREAM_DECONTAMINATE_SQL),

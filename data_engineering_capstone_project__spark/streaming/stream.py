@@ -510,6 +510,83 @@ def stream_stream_join(
     return l.join(r, cond, how).drop(r[key])
 
 
+def asof_enrich_stream(
+    stream: DataFrame,
+    features: DataFrame,
+    ts_col: str = "ts",
+    by=("user_id",),
+    right_value_cols=None,
+    direction: str = "backward",
+    suffix: str = "_r",
+    sink_path: str | None = None,
+) -> DataFrame:
+    """Stream-static AS-OF enrichment (VERDICT r10 #5) — the
+    feature-store standard "latest feature value as of event time":
+    every arriving micro-batch left-asof-joins a STATIC feature table
+    with the exact batch kernel (``operators.asof.asof_join`` — tagged
+    union + one running ignorenulls window per key), inside
+    ``foreachBatch``. Enrichment is per-ROW (each left row's match
+    depends only on the feature table, never on other stream rows), so
+    the output is independent of micro-batch boundaries and identical
+    by construction to a single batch ``asof_join`` over the same
+    arrivals — the gate ``x_stream_asof`` pins that equivalence against
+    the same DuckDB ``ASOF JOIN`` oracle as the batch operator.
+
+    ``features`` is pinned at stream start — pass a versioned snapshot
+    (``sources.io.read_versioned``) for a reproducible run; re-launch
+    the stream to pick up a newer feature publication (mid-run feature
+    mutation would make replayed micro-batches non-deterministic,
+    which is exactly what the versioned store exists to prevent).
+
+    Synchronous driver for bounded sources/tests; ``sink_path``
+    appends parquet for the unbounded form. At 100 TB-scale feature
+    tables the per-batch union-window plan shuffles features once per
+    micro-batch — snapshot-join semantics worth it for correctness;
+    bucket the feature table by the key to keep that exchange local.
+    """
+    from data_engineering_capstone_project__spark.operators.asof import (
+        asof_join,
+    )
+
+    spark = stream.sparkSession
+
+    def enrich(df: DataFrame) -> DataFrame:
+        return asof_join(
+            df,
+            features,
+            ts_col=ts_col,
+            by=list(by),
+            right_value_cols=right_value_cols,
+            direction=direction,
+            suffix=suffix,
+        )
+
+    acc: list[DataFrame] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = enrich(batch_df)
+        if sink_path is not None:
+            out.write.mode("append").parquet(sink_path)
+        else:
+            acc.append(out.persist())
+            acc[-1].count()
+
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if sink_path is not None:
+        return spark.read.parquet(sink_path)
+    if not acc:
+        # empty stream: derive the enriched schema from an empty batch
+        return enrich(spark.createDataFrame([], stream.schema))
+    out = acc[0]
+    for part in acc[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def run_stream_incremental_upsert(
     stream: DataFrame,
     target_path: str,

@@ -99,6 +99,45 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert a == b
 
 
+def test_asof_enrich_stream_batch_boundary_invariant(spark, sf_dir, tmp_path):
+    """Stream-static as-of enrichment (VERDICT r10 #5): events split
+    over THREE micro-batches (maxFilesPerTrigger=1) enrich against a
+    static feature table identically to one batch asof_join over the
+    same arrivals — per-row semantics make micro-batch boundaries
+    invisible."""
+    from data_engineering_capstone_project__spark.operators.asof import asof_join
+    from data_engineering_capstone_project__spark.streaming.stream import (
+        asof_enrich_stream,
+    )
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    features = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("value").alias("sv"))
+    )
+    src = str(tmp_path / "ev_files")
+    # three files -> three micro-batches
+    ev.withColumn("_b", F.pmod(F.xxhash64("event_id"), F.lit(3))).write.partitionBy(
+        "_b"
+    ).parquet(src)
+    arrivals = spark.read.parquet(src).select("event_id", "user_id", "ts")
+    stream = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/_b=*")
+    )
+    got = asof_enrich_stream(
+        stream, features, ts_col="ts", by=["user_id"], right_value_cols=["sv"]
+    )
+    want = asof_join(
+        arrivals, features, ts_col="ts", by=["user_id"], right_value_cols=["sv"]
+    )
+    assert got.count() == arrivals.count()
+    assert got.exceptAll(want).isEmpty()
+    assert want.exceptAll(got).isEmpty()
+
+
 def test_stream_stateful_counts(spark, sf_dir):
     stream = stream_events(spark, sf_dir)
     got = run_stream_to_table(stateful_running_count(stream), mode="update")
