@@ -5706,14 +5706,25 @@ def x_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float fidelity, row loss, schema drift) fails the gate. This is also
     the headline bench entry for the recommended production retrieval
     shape (VERDICT r6 #8): steady-state runs measure reload + query, not
-    the fit."""
+    the fit. Since r11 the index is a BUCKETED posting layout
+    (``save_bm25_index(n_term_buckets=...)`` — directory-partitioned by
+    a stable term-hash bucket): the probe recomputes the query terms'
+    buckets with the writer's hash and pushes them as a PARTITION
+    filter, so a query batch reads only its terms' directories instead
+    of the whole posting relation (VERDICT r10 #7 — the reason the
+    indexed path barely beat the from-scratch path). Pruning is
+    structurally asserted in tests/test_bm25_pca.py; hash-exactness
+    against the from-scratch oracle is THIS gate."""
     from data_engineering_capstone_project__spark.sources import artifacts as art
 
     d = spread(_t(spark, sf_dir, "documents"))
     dg = art.corpus_digest(d, ["doc_id", "text"])
-    path = _artifact_dir("bm25", dg)
+    path = _artifact_dir("bm25b", dg)
     if not art.is_current(path, dg):
-        art.save_bm25_index(text.bm25(d), path, corpus_digest=dg)
+        art.save_bm25_index(
+            text.bm25(d), path, corpus_digest=dg,
+            n_term_buckets=text._BM25_TERM_BUCKETS,
+        )
     fresh = spark.newSession()
     w = art.load_bm25_index(fresh, path)
     return text.bm25_topk(

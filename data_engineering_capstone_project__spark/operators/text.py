@@ -298,6 +298,15 @@ def bm25(
     )
 
 
+# term-hash bucket count for the auto-managed BM25 posting layout
+# (VERDICT r10 #7): 64 directories keeps small-corpus file counts sane
+# while a typical query batch (tens of distinct terms) still prunes to
+# well under half the index; at 100 TB raise it via an explicit
+# save_bm25_index(n_term_buckets=...) — the probe reads the count from
+# the layout itself (the _tb column), never from this constant.
+_BM25_TERM_BUCKETS = 64
+
+
 def _bm25_auto_weights(
     df: DataFrame,
     id_col: str,
@@ -345,11 +354,15 @@ def _bm25_auto_weights(
             and meta.get("k1") == k1
             and meta.get("b") == b
             and meta.get("id_col") == id_col
+            # require the bucketed posting layout (r11): an old
+            # unbucketed version at the same digest refits once
+            and meta.get("n_term_buckets") == _BM25_TERM_BUCKETS
         ):
             return art.load_bm25_index(spark, index_path, version=v)
     w = bm25(df, id_col=id_col, text_col=text_col, k1=k1, b=b)
     art.save_bm25_index(
-        w, index_path, id_col=id_col, k1=k1, b=b, corpus_digest=dg
+        w, index_path, id_col=id_col, k1=k1, b=b, corpus_digest=dg,
+        n_term_buckets=_BM25_TERM_BUCKETS,
     )
     # serve the WRITTEN copy: downstream joins read compact parquet
     # instead of re-running the fit subtree per action
@@ -465,10 +478,47 @@ def bm25_topk(
         )
         .filter(F.col("term") != "")
     )
+    # bucketed posting layout (VERDICT r10 #7): the query terms' hash
+    # buckets — recomputed with the WRITER's exact hash expression, so
+    # pruning can never drop a matching term — push down as a PARTITION
+    # filter: the probe lists and reads only those directories instead
+    # of scanning the whole posting relation per query batch. The
+    # bucket count comes from the index ARTIFACT's meta (attached by
+    # load_bm25_index); a weights frame without it probes unpruned.
+    ntb = getattr(w, "_bm25_n_term_buckets", None)
+    bucketed = bool(ntb) and "_tb" in w.columns
+    qbucket = (
+        F.pmod(F.xxhash64("term"), F.lit(int(ntb))).cast("int")
+        if bucketed
+        else F.lit(None)
+    )
     if force_broadcast:
-        if qterms.isEmpty():  # tiny LocalTableScan job — never the corpus
+        # dict queries are driver-bounded: ONE tiny LocalTableScan job
+        # yields terms + their buckets together (the previous shape
+        # paid separate isEmpty and bucket-distinct jobs — pure
+        # scheduler overhead on the steady-state query path)
+        rows = qterms.select("query_id", "term", qbucket.alias("_qtb")).collect()
+        if not rows:
             raise ValueError("bm25_topk: no non-empty query terms")
-        qterms = F.broadcast(qterms)
+        if bucketed:
+            w = w.filter(
+                F.col("_tb").isin(sorted({r["_qtb"] for r in rows}))
+            )
+        qterms = F.broadcast(
+            w.sparkSession.createDataFrame(
+                [(r["query_id"], r["term"]) for r in rows],
+                "query_id string, term string",
+            )
+        )
+    elif bucketed:
+        # DataFrame query set: distinct buckets from one aggregate over
+        # the QUERY frame (output bounded by the bucket count, never
+        # the query count), never the index
+        buckets = [
+            r["_qtb"]
+            for r in qterms.select(qbucket.alias("_qtb")).distinct().collect()
+        ]
+        w = w.filter(F.col("_tb").isin(buckets))
     scores = (
         w.join(qterms, "term")
         .groupBy("query_id", id_col)

@@ -146,6 +146,7 @@ def save_artifact(
     path: str,
     parts: dict[str, DataFrame],
     meta: dict | None = None,
+    partition_by: dict[str, list[str]] | None = None,
 ) -> int:
     """Write a multi-part artifact as one atomic versioned snapshot.
 
@@ -157,13 +158,20 @@ def save_artifact(
     sees. Returns the committed version number.
 
     Part names are path components — keep them ``[A-Za-z0-9_]``.
+    ``partition_by`` optionally maps a part name to directory-partition
+    columns (``partitionBy`` write) so probe-shaped readers get
+    scan-time partition pruning on the artifact (the bucketed BM25
+    posting layout, VERDICT r10 #7).
     """
     for name in parts:
         if not name or any(c in name for c in "/\\. "):
             raise ValueError(f"save_artifact: bad part name {name!r}")
     n, target = commitlog.claim_version(path)
     for name, df in parts.items():
-        df.write.mode("overwrite").parquet(os.path.join(target, name))
+        w = df.write.mode("overwrite")
+        if partition_by and name in partition_by:
+            w = w.partitionBy(*partition_by[name])
+        w.parquet(os.path.join(target, name))
     with open(os.path.join(target, _META), "w") as f:
         json.dump({"parts": sorted(parts), **(meta or {})}, f)
     commitlog.commit_version(path, n)
@@ -386,32 +394,61 @@ def save_bm25_index(
     k1: float = 1.2,
     b: float = 0.75,
     corpus_digest: str | None = None,
+    n_term_buckets: int | None = None,
 ) -> int:
     """Persist a :func:`~...operators.text.bm25` weights frame — the
     fit-once/query-many retrieval index. The weights relation is
     corpus-scale (one row per (doc, term)), so this is a plain
     distributed parquet write; ``bm25_topk(weights=load_bm25_index(...))``
-    then answers query batches with zero corpus passes."""
+    then answers query batches with zero corpus passes.
+
+    ``n_term_buckets`` (VERDICT r10 #7) additionally directory-partitions
+    the postings by a stable term-hash bucket (``pmod(xxhash64(term),
+    n)``): a query batch touches only its terms' buckets, so the probe
+    becomes a PARTITION-PRUNED scan of a few directories instead of a
+    full posting scan — at 100 TB the difference between reading the
+    whole index per query batch and reading ~|query terms|/n of it.
+    The bucket count travels in meta; ``bm25_topk`` prunes with the
+    SAME hash expression, so a probe against a mismatched layout is
+    impossible by construction (the column is simply absent)."""
+    meta = {
+        "kind": "bm25",
+        "id_col": id_col,
+        "k1": k1,
+        "b": b,
+        "corpus_digest": corpus_digest,
+    }
+    if n_term_buckets is None:
+        return save_artifact(path, {"weights": weights}, meta)
+    bucketed = weights.withColumn(
+        "_tb",
+        F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets))).cast("int"),
+    ).repartition(F.col("_tb"))  # ~one file per bucket directory, not
+    # one per upstream partition — the probe's cost is files opened
+    meta["n_term_buckets"] = int(n_term_buckets)
     return save_artifact(
         path,
-        {"weights": weights},
-        {
-            "kind": "bm25",
-            "id_col": id_col,
-            "k1": k1,
-            "b": b,
-            "corpus_digest": corpus_digest,
-        },
+        {"weights": bucketed},
+        meta,
+        partition_by={"weights": ["_tb"]},
     )
 
 
 def load_bm25_index(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
+    """Reload a BM25 posting index. For a bucketed layout the bucket
+    count rides back as a ``_bm25_n_term_buckets`` attribute on the
+    returned DataFrame — ``bm25_topk`` reads it to recompute query-term
+    buckets with the writer's hash and push a partition filter; a frame
+    without the attribute (or the ``_tb`` column) simply probes
+    unpruned, so the fast path degrades safely, never wrongly."""
     parts, meta = load_artifact(spark, path, version)
     if meta.get("kind") != "bm25":
         raise ValueError(f"not a bm25 artifact: {path} ({meta.get('kind')})")
-    return parts["weights"]
+    w = parts["weights"]
+    w._bm25_n_term_buckets = meta.get("n_term_buckets")
+    return w
 
 
 # ------------------------------------------------------------------ PCA

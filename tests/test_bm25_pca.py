@@ -517,3 +517,55 @@ def test_rrf_fuse_requires_rankings(spark):
 
     with _pytest.raises(ValueError, match="no rankings"):
         rrf_fuse([])
+
+
+def test_bm25_bucketed_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    """Bucketed BM25 posting layout (VERDICT r10 #7): the persisted
+    index is directory-partitioned by a term-hash bucket; a query batch
+    (a) pushes its terms' buckets into the scan's PartitionFilters,
+    (b) LISTS at most |query-term buckets| of the many bucket
+    directories at runtime, and (c) returns results identical to the
+    unpruned from-scratch path."""
+    from data_engineering_capstone_project__spark.plans.inspect import (
+        executed_scan_metrics,
+        partition_filters,
+    )
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "bm25b")
+    art.save_bm25_index(
+        text.bm25(docs), p, corpus_digest="t",
+        n_term_buckets=text._BM25_TERM_BUCKETS,
+    )
+    w = art.load_bm25_index(spark, p)
+    assert w._bm25_n_term_buckets == text._BM25_TERM_BUCKETS
+    queries = {"q1": "hash scan filter", "q2": "stream window watermark"}
+    got = text.bm25_topk(None, queries, k=10, weights=w)
+    # (a) static partition filter on the bucket column
+    assert any("_tb" in f for f in partition_filters(got))
+    # (b) runtime listing bound: distinct buckets of the 6 query terms
+    qb = (
+        spark.createDataFrame(
+            [(t,) for q in queries.values() for t in q.split()],
+            "term string",
+        )
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(text._BM25_TERM_BUCKETS))
+            .cast("int")
+            .alias("_tb")
+        )
+        .distinct()
+        .collect()
+    )
+    n_qbuckets = len({r["_tb"] for r in qb})
+    metrics = executed_scan_metrics(got)
+    n_dirs = w.select("_tb").distinct().count()
+    assert 0 < metrics.get("numPartitions", 0) <= n_qbuckets < n_dirs
+    # (c) identical to the unpruned from-scratch path
+    want = text.bm25_topk(docs, queries, k=10, weights=None)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
