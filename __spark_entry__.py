@@ -3781,7 +3781,20 @@ def x_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal ``imagecodec.decode_image_bytes`` run driver-side on that
     frame's bytes, and ``sha256`` must be the digest of the frame's own
     chunk payload. Grid shape (3 media × ts {0,500,1000} from 5 frames
-    at 4 fps → duration 1250 ms) is SQL-exact."""
+    at 4 fps → duration 1250 ms) is SQL-exact.
+
+    EXTENDED r11 (VERDICT r10 #6): two MP4 fixtures with REAL sample
+    tables (``mp4codec.encode_minimal_mp4`` — 8 samples, 250 ms stts
+    deltas, planted per-sample sizes ``100 + 17·idx``) go through the
+    same operator: each sampled row's ``sample_idx`` /
+    ``sample_bytes`` / ``sample_ts_ms`` must be SQL-exact against the
+    planted tables (parsed from the BYTES — stts/stsz/stsc/stco), its
+    ``sha256`` must digest the sample's OWN mdat slice, and pixel
+    columns stay honestly NULL (no H.264 decoder in this container;
+    PyAV is routed when importable). AVI rows carry the same sample
+    columns (idx/timestamp SQL-exact; byte length checked in-gate
+    against the encoder's frames via ``sample_ok`` — JPEG sizes aren't
+    SQL-derivable)."""
     import hashlib as _hashlib
 
     import numpy as _np
@@ -3790,6 +3803,7 @@ def x_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         avicodec as ac,
         imagecodec as ic,
         jpegcodec as jc,
+        mp4codec as mc,
         multimodal as mm,
     )
 
@@ -3812,13 +3826,47 @@ def x_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, "video", payloads[i], "video/x-msvideo", w, h, None)
         for i in range(3)
     ]
+    # MP4 fixtures: planted sample tables, sizes 100 + 17*idx
+    n_samples, delta = 8, 250
+    mp4_samples = {}
+    for i in (10, 11):
+        mp4_samples[i] = [
+            bytes([(j * 31 + i) % 256]) * (100 + 17 * j)
+            for j in range(n_samples)
+        ]
+        rows.append(
+            (
+                i, "video",
+                mc.encode_minimal_mp4(mp4_samples[i], 1000, delta),
+                "video/mp4", None, None, None,
+            )
+        )
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     got = mm.sample_video_frames(media, every_ms=every_ms, fake=False).collect()
     usec = 1_000_000 / fps
     out = []
     for r in got:
+        mid = r["media_id"]
+        if mid in mp4_samples:  # MP4 rows
+            idx = min(r["frame_ts_ms"] // delta, n_samples - 1)
+            sample = mp4_samples[mid][idx]
+            sha_ok = r["sha256"] == _hashlib.sha256(sample).hexdigest()
+            px_ok = (  # honestly NULL without a codec lib
+                r["frame_w"] is None and r["px_sum"] is None
+            )
+            sample_ok = (
+                r["sample_idx"] == idx
+                and r["sample_bytes"] == len(sample)
+                and r["sample_ts_ms"] == idx * delta
+            )
+            out.append(
+                (mid, r["frame_ts_ms"], r["frame_w"], r["frame_h"],
+                 bool(px_ok), bool(sha_ok), r["sample_idx"],
+                 r["sample_bytes"], r["sample_ts_ms"], bool(sample_ok))
+            )
+            continue
         idx = min(int(r["frame_ts_ms"] * 1000 // usec), n_frames - 1)
-        fb = frame_bytes[r["media_id"]][idx]
+        fb = frame_bytes[mid][idx]
         ref = ic.decode_image_bytes(fb)
         px_ok = (
             r["px_sum"] == int(ref.astype(_np.int64).sum())
@@ -3826,14 +3874,21 @@ def x_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             and r["frame_h"] == ref.shape[0]
         )
         sha_ok = r["sha256"] == _hashlib.sha256(fb).hexdigest()
+        sample_ok = (
+            r["sample_idx"] == idx
+            and r["sample_bytes"] == len(fb)
+            and r["sample_ts_ms"] == int(idx * usec // 1000)
+        )
         out.append(
-            (r["media_id"], r["frame_ts_ms"], r["frame_w"], r["frame_h"],
-             bool(px_ok), bool(sha_ok))
+            (mid, r["frame_ts_ms"], r["frame_w"], r["frame_h"],
+             bool(px_ok), bool(sha_ok), r["sample_idx"],
+             None, r["sample_ts_ms"], bool(sample_ok))
         )
     return spark.createDataFrame(
         sorted(out),
         "media_id bigint, frame_ts_ms bigint, frame_w int, frame_h int, "
-        "px_ok boolean, sha_ok boolean",
+        "px_ok boolean, sha_ok boolean, sample_idx int, "
+        "sample_bytes bigint, sample_ts_ms bigint, sample_ok boolean",
     )
 
 
@@ -3843,8 +3898,24 @@ SELECT CAST(i AS BIGINT) AS media_id,
        CAST(16 AS INTEGER) AS frame_w,
        CAST(12 AS INTEGER) AS frame_h,
        TRUE AS px_ok,
-       TRUE AS sha_ok
+       TRUE AS sha_ok,
+       CAST(ts / 250 AS INTEGER) AS sample_idx,
+       CAST(NULL AS BIGINT) AS sample_bytes,
+       CAST(ts / 250 * 250 AS BIGINT) AS sample_ts_ms,
+       TRUE AS sample_ok
 FROM range(3) t(i), (VALUES (0), (500), (1000)) v(ts)
+UNION ALL
+SELECT CAST(i + 10 AS BIGINT) AS media_id,
+       CAST(ts AS BIGINT) AS frame_ts_ms,
+       CAST(NULL AS INTEGER) AS frame_w,
+       CAST(NULL AS INTEGER) AS frame_h,
+       TRUE AS px_ok,
+       TRUE AS sha_ok,
+       CAST(ts / 250 AS INTEGER) AS sample_idx,
+       CAST(100 + 17 * (ts / 250) AS BIGINT) AS sample_bytes,
+       CAST(ts / 250 * 250 AS BIGINT) AS sample_ts_ms,
+       TRUE AS sample_ok
+FROM range(2) t(i), (VALUES (0), (500), (1000), (1500)) v(ts)
 """
 
 
