@@ -3697,10 +3697,11 @@ FROM documents WHERE doc_id < 100
 
 
 def x_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode across all four stdlib codecs (PNG, BMP, PPM,
-    baseline JPEG — no Pillow anywhere): deterministic generated payloads
-    whose decoded pixel sums have closed forms, decoded inside Arrow
-    ``mapInPandas`` batches by ``image_pixel_stats``.
+    """REAL image decode across all five stdlib codecs (PNG, BMP, PPM,
+    baseline JPEG, and — r11, VERDICT r10 #8 — lossless WebP/VP8L):
+    deterministic generated payloads whose decoded pixel sums have
+    closed forms, decoded inside Arrow ``mapInPandas`` batches by
+    ``image_pixel_stats``.
 
     Closed forms (oracle literals):
     - PNG 13×9 gradient  arr[y,x,c]=(x+y+c):    sum = 3·Σ(x+y) + 3·Σc = 3861
@@ -3708,6 +3709,10 @@ def x_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     - PPM 2×2 maxval=15 (Netpbm rescale ×17):   sum = 17·Σv
     - JPEG 24×16 flat gray 137 (chroma = 128 exactly, DC-only block is
       quantization-exact):                      sum = 24·16·3·137 = 157824
+    - WebP VP8L 10×11 gradient arr[y,x,c]=2x+3y+5c (max 57, no wrap),
+      lossless so the sum is the array's own closed form:
+      30·Σ2x + 33·Σ3y + 110·Σ5c = 3300 + 4455 + 1650 = 9405
+      (subtract-green transform + backrefs exercised in-stream)
     """
     import struct as _struct
 
@@ -3746,11 +3751,26 @@ def x_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _np.full((16, 24, 3), 137, dtype=_np.uint8), quality=90
     )
 
+    from data_engineering_capstone_project__spark.operators import (
+        webpcodec as wcodec,
+    )
+
+    wh, ww = 10, 11
+    warr = _np.zeros((wh, ww, 3), dtype=_np.uint8)
+    for c in range(3):
+        warr[:, :, c] = (
+            2 * _np.arange(ww)[None, :] + 3 * _np.arange(wh)[:, None] + 5 * c
+        ) % 256
+    webp_payload = wcodec.encode_webp_lossless(
+        warr, use_backrefs=True, transform="subtract_green"
+    )
+
     rows = [
         (1, "image", png_payload, "image/png", w, h, None),
         (2, "image", bmp_payload, "image/bmp", bw_, bh, None),
         (3, "image", ppm_payload, "image/x-portable-pixmap", 2, 2, None),
         (4, "image", jpg_payload, "image/jpeg", 24, 16, None),
+        (5, "image", webp_payload, "image/webp", ww, wh, None),
     ]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     return mm.image_pixel_stats(media).select(
@@ -3763,7 +3783,8 @@ SELECT * FROM (VALUES
   (1, 13, 9, 3861),
   (2, 7, 5, 5250),
   (3, 2, 2, {17 * sum([15, 0, 7, 3, 1, 2, 4, 5, 6, 8, 9, 10])}),
-  (4, 24, 16, {24 * 16 * 3 * 137})
+  (4, 24, 16, {24 * 16 * 3 * 137}),
+  (5, 11, 10, 9405)
 ) AS t(media_id, width, height, pixel_sum)
 """
 

@@ -270,9 +270,11 @@ def decode_image_bytes(payload: bytes, prefer: str = "stdlib") -> np.ndarray:
 
     ``prefer='stdlib'`` (default): the exact, dependency-free reference
     codecs — PNG/BMP/PPM decode here; JPEG (baseline + progressive)
-    routes to ``jpegcodec`` (also stdlib+numpy). Raises
+    routes to ``jpegcodec``; lossless WebP (VP8L) routes to
+    ``webpcodec`` (all stdlib+numpy). Raises
     ``NotImplementedError`` for recognized-but-unsupported variants
-    (WebP, arithmetic-coded JPEG — Pillow remains the upgrade path) and
+    (lossy VP8 WebP, arithmetic-coded JPEG — Pillow remains the
+    upgrade path) and
     ``ValueError`` for unrecognized bytes. Every oracle-checked query
     pins this path: its output is bit-deterministic everywhere.
 
@@ -312,10 +314,13 @@ def decode_image_bytes(payload: bytes, prefer: str = "stdlib") -> np.ndarray:
 
         return jpegcodec.decode_jpeg(payload)
     if fmt == "webp":
-        raise NotImplementedError(
-            "webp decode requires Pillow; stdlib path covers png/bmp/ppm "
-            "and baseline jpeg"
+        from data_engineering_capstone_project__spark.operators import (
+            webpcodec,
         )
+
+        # lossless (VP8L) decodes from scratch (r11); lossy VP8 raises
+        # NotImplementedError inside, naming the variant
+        return webpcodec.decode_webp(payload)
     raise ValueError("unrecognized image payload")
 
 

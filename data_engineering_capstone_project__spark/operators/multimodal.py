@@ -97,11 +97,11 @@ def _require_payload(payload: bytes | None, media_id=None) -> bytes:
 
 def _decode_rgb(payload: bytes) -> np.ndarray:
     """Payload → (H, W, 3) uint8: stdlib codecs first (png/bmp/ppm +
-    baseline/progressive jpeg), Pillow only for the variants they can't
-    do (webp, arithmetic-coded jpeg). Raises NotImplementedError when
-    neither path applies."""
+    baseline/progressive jpeg + lossless webp since r11), Pillow only
+    for the variants they can't do (lossy-VP8 webp, arithmetic-coded
+    jpeg). Raises NotImplementedError when neither path applies."""
     fmt = imagecodec.sniff_format(payload or b"")
-    if fmt in ("png", "bmp", "ppm", "jpeg"):
+    if fmt in ("png", "bmp", "ppm", "jpeg", "webp"):
         try:
             return imagecodec.decode_image_bytes(payload)
         except NotImplementedError:
