@@ -219,6 +219,39 @@ def _schema_note_hash(path: str, n: int) -> str | None:
         return None
 
 
+_FOLDS_NOTE = "_FOLDS.json"
+
+
+def _folds_note(path: str, n: int) -> list[int]:
+    """Versions that committed version ``n`` SUBSUMES (written by
+    compaction before its fold commits). Empty for tick publishes."""
+    import json as _json
+
+    try:
+        with open(os.path.join(path, f"v={n}", _FOLDS_NOTE)) as f:
+            return [int(x) for x in _json.load(f)]
+    except (OSError, ValueError):
+        return []
+
+
+def _visible_corpus_versions(path: str) -> list[int]:
+    """Committed versions minus those a committed FOLD subsumes (r11):
+    compaction claims its folded version with a ``_FOLDS`` note naming
+    the captured inputs and only then commits — the commit marker is
+    the single atomic switch from inputs-visible to fold-visible, so a
+    compactor crash between its commit and the physical expiry can
+    never double-count the union (the pre-r11 write-then-delete shape
+    could: both the fold and its inputs were committed until the
+    deletes finished)."""
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    vs = commitlog.committed_versions(path)
+    folded: set[int] = set()
+    for v in vs:
+        folded.update(_folds_note(path, v))
+    return [v for v in vs if v not in folded]
+
+
 def read_ingest_corpus(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
@@ -240,9 +273,9 @@ def read_ingest_corpus(
     path = os.path.join(root, _CORPUS)
     if version is not None:
         return read_versioned(spark, path, version)
-    from data_engineering_capstone_project__spark.sources import commitlog
-
-    vs = commitlog.committed_versions(path)
+    # visible = committed minus fold-subsumed (crash-safe compaction
+    # expiry, r11 — see _visible_corpus_versions)
+    vs = _visible_corpus_versions(path)
     if not vs:
         raise FileNotFoundError(
             f"no committed publication under {path!r} — bootstrap with "
@@ -971,6 +1004,7 @@ def compact_publication_log(
     root: str,
     n_files: int | None = None,
     compact_indexes: bool = True,
+    lease: bool = True,
 ) -> int:
     """Publication-log LIFECYCLE (VERDICT r8 missing #3): union-compact
     every committed corpus version into ONE new version and remove
@@ -981,16 +1015,29 @@ def compact_publication_log(
     Content-preserving by construction: the compacted version IS the
     union ``read_ingest_corpus`` serves, so the post-compaction union
     is row-identical. There is deliberately NO "retain old versions"
-    knob: the log's read semantics are the union of ALL committed
+    knob: the log's read semantics are the union of ALL visible
     versions, so a retained pre-compaction version would overlap the
     compacted union and double-count its rows — per-batch pins
     (``version=k``) and ``snapshot_diff`` consumers must drain BEFORE
-    compaction. Safe under the commit protocol — the compaction is
-    just another versioned write (readers never see a partial one; a
-    crashed compactor leaves an unnamed orphan and the log is
-    untouched). ``n_files`` optionally coalesces the output (the
-    small-FILE half of the problem); default keeps producer
-    parallelism.
+    compaction.
+
+    **Crash/race safety** (hardened r11): the fold is claimed
+    UNCOMMITTED with a ``_FOLDS`` note naming exactly the captured
+    input versions, and the commit marker is the single atomic switch
+    — readers (:func:`_visible_corpus_versions`) resolve either the
+    inputs (fold uncommitted) or the fold (inputs excluded by the
+    note), NEVER both, so a compactor that dies between its commit and
+    the physical deletes cannot double-count the union (the pre-r11
+    write-then-delete shape could — both the fold and its inputs were
+    committed until the deletes finished; the next compaction also
+    sweeps any such leftover directories). Compaction now also takes
+    the ingest LEASE (``lease=False`` opts out for externally
+    serialized callers): two racing compactors would otherwise each
+    fold the same inputs into two committed copies — and a wrongful
+    ``break_ingest_lease`` mid-compaction fences the claimed fold, so
+    the zombie compactor's commit raises instead of publishing.
+    ``n_files`` optionally coalesces the output (the small-FILE half
+    of the problem); default keeps producer parallelism.
 
     Concurrency: the version set is CAPTURED once — the compacted
     write unions exactly those versions and expiry removes exactly
@@ -1005,41 +1052,66 @@ def compact_publication_log(
     (distinct for the band rows, whose deltas may overlap buckets),
     bounding version count and multi-path-scan fan-in alike. Returns
     the compacted corpus version."""
+    import json as _json
     import shutil
 
     from data_engineering_capstone_project__spark.sources import commitlog
 
     path = os.path.join(root, _CORPUS)
-    vs = commitlog.committed_versions(path)
-    if not vs:
-        raise FileNotFoundError(
-            f"no committed publication under {path!r} — nothing to compact"
-        )
-    # schema-evolution-aware: an evolved log (heterogeneous schema
-    # notes) must fold through a mergeSchema scan — a flat multi-path
-    # read would take one footer's schema and silently null-or-drop the
-    # others' columns depending on file listing order. The folded
-    # version carries the MERGED schema (and its note), so the log is
-    # homogeneous again after compaction.
-    hashes = {_schema_note_hash(path, v) for v in vs}
-    if len(hashes) == 1:
-        full = spark.read.parquet(*[os.path.join(path, f"v={v}") for v in vs])
-    else:
-        full = spark.read.option("mergeSchema", True).parquet(
-            *[os.path.join(path, f"v={v}") for v in vs]
-        )
-    if n_files is not None:
-        full = full.coalesce(n_files)
-    v = write_versioned(full, path)
-    _write_schema_note(full, path, v)
-    for old in vs:
-        shutil.rmtree(os.path.join(path, f"v={old}"))
-    if compact_indexes:
-        art.compact_artifact_log(spark, os.path.join(root, _FP), "fps")
-        art.compact_artifact_log(
-            spark, os.path.join(root, _MH), "bands", distinct=True
-        )
-    return v
+    gen = acquire_ingest_lease(root) if lease else None
+    try:
+        vs = _visible_corpus_versions(path)
+        if not vs:
+            raise FileNotFoundError(
+                f"no committed publication under {path!r} — nothing to "
+                "compact"
+            )
+        # crash leftovers from an earlier compactor that died between
+        # its commit and its deletes: committed but fold-subsumed —
+        # invisible to every reader, safe to sweep now
+        leftovers = [
+            v for v in commitlog.committed_versions(path) if v not in vs
+        ]
+        # schema-evolution-aware: an evolved log (heterogeneous schema
+        # notes) must fold through a mergeSchema scan — a flat
+        # multi-path read would take one footer's schema and silently
+        # null-or-drop the others' columns depending on file listing
+        # order. The folded version carries the MERGED schema (and its
+        # note), so the log is homogeneous again after compaction.
+        hashes = {_schema_note_hash(path, v) for v in vs}
+        if len(hashes) == 1:
+            full = spark.read.parquet(
+                *[os.path.join(path, f"v={v}") for v in vs]
+            )
+        else:
+            full = spark.read.option("mergeSchema", True).parquet(
+                *[os.path.join(path, f"v={v}") for v in vs]
+            )
+        if n_files is not None:
+            full = full.coalesce(n_files)
+        # two-phase fold: claim + payload + notes, THEN the atomic
+        # commit switch (raises FencedVersionError if the lease was
+        # wrongfully broken mid-compaction — inputs stay untouched)
+        _check_lease_generation(root, gen)
+        v = claim_versioned_write(full, path)
+        _write_schema_note(full, path, v)
+        with open(os.path.join(path, f"v={v}", _FOLDS_NOTE), "w") as f:
+            _json.dump(sorted(vs), f)
+        _check_lease_generation(root, gen)
+        commit_versioned(path, v)
+        # physical expiry is now pure garbage collection: the inputs
+        # are already invisible (fold committed + _FOLDS note)
+        for old in vs + leftovers:
+            shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+        if compact_indexes:
+            art.compact_artifact_log(spark, os.path.join(root, _FP), "fps")
+            art.compact_artifact_log(
+                spark, os.path.join(root, _MH), "bands", distinct=True
+            )
+        return v
+    finally:
+        if lease:
+            release_ingest_lease(root, gen)
 
 
 def run_stream_ingest(

@@ -1537,17 +1537,21 @@ def test_compaction_never_loses_concurrent_commit(spark, sf_dir, tmp_path, monke
     assert len(captured) == 2  # bootstrap + b1
 
     fired = {"done": False, "v": None}
+    from data_engineering_capstone_project__spark.sources.io import (
+        claim_versioned_write as real_cvw,
+    )
 
-    def wv(df, p, *a, **k):
+    def cvw(df, p, *a, **k):
         # inject a concurrent tick's publish BETWEEN the compactor's
-        # capture and its own write — the interleaving the docstring
-        # claims is safe
+        # capture and its own fold claim — the interleaving the
+        # docstring claims is safe (r11: compaction claims+commits its
+        # fold two-phase, so the injection point is the claim)
         if p == path and not fired["done"]:
             fired["done"] = True
             fired["v"] = real_wv(b2, p)
-        return real_wv(df, p, *a, **k)
+        return real_cvw(df, p, *a, **k)
 
-    monkeypatch.setattr(ingest, "write_versioned", wv)
+    monkeypatch.setattr(ingest, "claim_versioned_write", cvw)
     ingest.compact_publication_log(spark, root, compact_indexes=False)
     monkeypatch.undo()
 
@@ -1886,6 +1890,92 @@ def test_ingest_schema_evolution(spark, sf_dir, tmp_path, monkeypatch):
     p3, s3 = ingest.ingest_batch(spark, b2, root)
     p3.unpersist()
     assert s3.n_published == 0
+
+
+def test_compaction_crash_before_expiry_never_double_counts(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r11 crash-safe compaction: a compactor dying BETWEEN its fold
+    commit and the physical deletes leaves the inputs on disk but
+    fold-subsumed (_FOLDS note) — the union stays exactly-once, and the
+    next compaction sweeps the leftovers."""
+    import os
+    import shutil as _shutil
+
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    p1, s1 = ingest.ingest_batch(spark, b1, root)
+    p1.unpersist()
+    want = sorted(_published_ids(spark, root))
+
+    real_rmtree = _shutil.rmtree
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before expiry")
+
+    monkeypatch.setattr(_shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="before expiry"):
+        ingest.compact_publication_log(spark, root, compact_indexes=False)
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+
+    cpath = os.path.join(root, "corpus")
+    committed = commitlog.committed_versions(cpath)
+    visible = ingest._visible_corpus_versions(cpath)
+    assert len(committed) == 3 and len(visible) == 1  # fold + 2 leftovers
+    # the union is exactly-once despite the leftovers being committed
+    assert sorted(_published_ids(spark, root)) == want
+    # the next compaction sweeps the invisible leftovers
+    ingest.compact_publication_log(spark, root, compact_indexes=False)
+    assert sorted(_published_ids(spark, root)) == want
+    left = commitlog.committed_versions(cpath)
+    assert ingest._visible_corpus_versions(cpath) == left  # no subsumed
+    assert len(left) == 1
+
+
+def test_compaction_takes_lease_and_is_fenced(spark, sf_dir, tmp_path, monkeypatch):
+    """Two racing compactors would each commit a fold of the same inputs
+    (double-count) — compaction now serializes on the ingest lease; and
+    a wrongful break mid-compaction fences the claimed fold so the
+    zombie compactor cannot publish it."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    ingest.acquire_ingest_lease(root, owner="racing-compactor")
+    with pytest.raises(ingest.ConcurrentIngestError, match="racing-compactor"):
+        ingest.compact_publication_log(spark, root)
+    ingest.release_ingest_lease(root)
+
+    # wrongful break between the compactor's fold claim and its commit:
+    # the fold was fenced by the break → commit refused, inputs intact
+    want = sorted(_published_ids(spark, root))
+    real = ingest.claim_versioned_write
+
+    def claim_then_break(df, p, *a, **k):
+        v = real(df, p, *a, **k)
+        ingest.break_ingest_lease(root)
+        return v
+
+    monkeypatch.setattr(ingest, "claim_versioned_write", claim_then_break)
+    with pytest.raises(
+        (ingest.StaleLeaseError, commitlog.FencedVersionError)
+    ):
+        ingest.compact_publication_log(spark, root, compact_indexes=False)
+    monkeypatch.setattr(ingest, "claim_versioned_write", real)
+    assert sorted(_published_ids(spark, root)) == want
 
 
 def test_commitlog_fence_semantics(tmp_path):
