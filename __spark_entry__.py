@@ -6178,6 +6178,113 @@ FROM embeddings
 """
 
 
+def x_ivf_pq_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVF-PQ (the retrieval-decontamination shape: byte-coded
+    asymmetric scoring for a whole FRAME of queries): per query a
+    two-arg-``transform`` lookup table over the broadcast codebook
+    frame, per pair m array lookups (the fp32 column unread by the
+    candidate stage), WindowGroupLimit per-query candidate cut, exact
+    rerank join-back. Oracle-pinned: (a) the batched plan's output is
+    TUPLE-IDENTICAL (ids, 6-dp cosines, ranks) to a per-query
+    ``ivf_pq_topk`` loop — two genuinely different plans (literal LUT +
+    global sort vs frame LUT + WindowGroupLimit) agreeing exactly;
+    (b) the stored-cell path pushed a partition filter; (c) mean
+    recall@10 over the 6 queries at full cell coverage ≥ 0.9 vs the
+    brute-force ``cosine_topk_many``. Row count is SQL-exact
+    (6 queries × k)."""
+    from data_engineering_capstone_project__spark.plans.inspect import (
+        partition_filters,
+    )
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    m, ksub, n_cells, nprobe, n_cand, k = 8, 64, 8, 4, 256, 10
+    dg = art.corpus_digest(e, ["vec_id", "embedding"])
+    cpath = _artifact_dir("ivfpq_centroids", dg)
+    bpath = _artifact_dir("ivfpq_books", dg)
+    data_path = _artifact_dir("ivfpq_corpus", dg) + "/data"
+    if not (art.is_current(cpath, dg) and art.is_current(bpath, dg)):
+        cents = similarity.kmeans_centroids(
+            base, n_centroids=n_cells, n_iter=5, sample_rows=500
+        )
+        books = similarity.pq_fit(base, m=m, ksub=ksub, sample_rows=2000)
+        similarity.write_ivf_corpus(
+            similarity.pq_encode(base, books), data_path, cents
+        )
+        art.save_centroids(spark, cpath, cents, corpus_digest=dg)
+        art.save_pq_codebooks(spark, bpath, books, corpus_digest=dg)
+    cents = art.load_centroids(spark, cpath)
+    books = art.load_pq_codebooks(spark, bpath)
+    corpus = spark.read.parquet(data_path)
+    queries = base.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    many = similarity.ivf_pq_topk_many(
+        corpus, queries, cents, books,
+        k=k, nprobe=nprobe, n_candidates=n_cand, cell_col="ivf_cell",
+    )
+    plan_pruned = any("ivf_cell" in f for f in partition_filters(many))
+    got = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in many.collect()
+    }
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in base.filter(F.col("vec_id") < 6).collect()
+    }
+    matches_single = len(got) == 6 * k
+    for qid, qv in qvecs.items():
+        single = similarity.ivf_pq_topk(
+            corpus, qv, cents, books,
+            k=k, nprobe=nprobe, n_candidates=n_cand,
+        ).collect()
+        for rank, r in enumerate(single, 1):
+            if got.get((qid, rank)) != (r["vec_id"], r["cosine"]):
+                matches_single = False
+    # recall at FULL coverage vs brute-force many (isolates PQ loss)
+    full = similarity.ivf_pq_topk_many(
+        corpus, queries, cents, books,
+        k=k, nprobe=n_cells, n_candidates=n_cand, cell_col="ivf_cell",
+    )
+    brute = similarity.cosine_topk_many(base, queries, k=k)
+    bsets: dict = {}
+    for r in brute.collect():
+        bsets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    fsets: dict = {}
+    for r in full.collect():
+        fsets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recs = [
+        len(bsets[q] & fsets.get(q, set())) / k for q in bsets
+    ]
+    recall_ok = sum(recs) / len(recs) >= 0.9
+    return spark.createDataFrame(
+        [(
+            corpus.count(), 6, k,
+            bool(plan_pruned), bool(matches_single), bool(recall_ok),
+        )],
+        "n_vectors bigint, n_queries int, k int, "
+        "plan_has_partition_filter boolean, matches_single_loop boolean, "
+        "recall_ge_090 boolean",
+    )
+
+
+X_IVF_PQ_MANY_SQL = """
+SELECT COUNT(*) AS n_vectors,
+       6 AS n_queries,
+       10 AS k,
+       TRUE AS plan_has_partition_filter,
+       TRUE AS matches_single_loop,
+       TRUE AS recall_ge_090
+FROM embeddings
+"""
+
+
 def x_stream_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static NEAR-dup decontamination (VERDICT r6 #5): documents
     arrive as a stream and are dropped when any of their MinHash band
@@ -7718,6 +7825,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # IVF-PQ: byte-code asymmetric scoring + exact rerank; pruning
     # preserved, rerank tuple-identical to the independent exact path
     "x_ivf_pq": (x_ivf_pq, X_IVF_PQ_SQL),  # bound-checked
+    # batched IVF-PQ ≡ per-query loop (two independent plans), pruned,
+    # recall ≥0.9 at full coverage vs brute-force many
+    "x_ivf_pq_many": (x_ivf_pq_many, X_IVF_PQ_MANY_SQL),  # bound-checked
     "x_stream_decontaminate_fuzzy": (
         x_stream_decontaminate_fuzzy,
         X_STREAM_DECON_FUZZY_SQL,

@@ -965,6 +965,161 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_topk_many(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    n_candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    norm_col: str = "v_norm",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Batched IVF-PQ: the ``ivf_topk_many`` economics with PQ-coded
+    candidate scoring — for a whole FRAME of queries, never the driver.
+
+    Per QUERY row (cross-joined with the 1-row codebook frame —
+    codegen compiles once): probe cells from the coarse scores and a
+    per-query ``m × ksub`` LOOKUP TABLE of sub-dot-products, built with
+    a two-arg ``transform`` over the codebooks (O(d·ksub) once per
+    query). Per (query, candidate) pair the asymmetric score is then
+    ``m`` array lookups — the fp32 ``vec_col`` is never read by the
+    candidate stage. Per-query top-``n_candidates`` goes through the
+    WindowGroupLimit prune, and only those rows join back to the
+    corpus for the EXACT cosine rerank. Returns
+    ``(q_id, vec_id, cosine, rank)``.
+
+    With ``cell_col`` naming a stored cell column, the union of all
+    probed cells (≤ codebook size, from one tiny aggregate over the
+    query frame) pushes down as a partition filter, exactly as in
+    ``ivf_topk_many``. Batched-vs-single consistency is gate-pinned
+    (``x_ivf_pq_many``: tuple-identical to a per-query
+    ``ivf_pq_topk`` loop)."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    b = np.asarray(books, dtype=np.float64)
+    mm, ksub, ds = b.shape
+    spark = corpus.sparkSession
+    cents = centroid_frame(spark, centroids)
+    pcb = pq_codebook_frame(spark, b)
+    qv = F.col(query_vec_col)
+
+    def subdot(j, c):
+        sv = F.slice(qv, j * F.lit(int(ds)) + F.lit(1), F.lit(int(ds)))
+        return F.aggregate(
+            F.zip_with(sv, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored_q = (
+        queries.crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(pcb))
+        .withColumn("_qs", frame_cell_scores(qv))
+        .withColumn(
+            "_probe",
+            F.slice(
+                F.array_sort(
+                    F.arrays_zip(
+                        F.col("_qs").alias("s"),
+                        F.sequence(
+                            F.lit(0), F.size("_qs") - F.lit(1)
+                        ).alias("i"),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .withColumn(
+            "_lut",
+            F.transform(
+                "pcb", lambda book, j: F.transform(book, lambda c: subdot(j, c))
+            ),
+        )
+        .withColumn(
+            "_qn",
+            F.sqrt(
+                F.aggregate(
+                    qv, F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ),
+        )
+        .select(
+            query_id_col,
+            query_vec_col,
+            "_lut",
+            "_qn",
+            F.explode(F.col("_probe.i")).alias("_cell"),
+        )
+    )
+    if cell_col is not None:
+        probed = [
+            r["_cell"] for r in scored_q.select("_cell").distinct().collect()
+        ]  # bounded by the codebook size, never the query count
+        tagged = corpus.filter(F.col(cell_col).isin(probed)).withColumnRenamed(
+            cell_col, "_cell"
+        )
+    else:
+        tagged = corpus.withColumn(
+            "_scores", ivf_cell_scores(F.col(vec_col), centroids)
+        ).withColumn("_cell", argmin_cell(F.col("_scores")))
+    # candidate stage: (id, codes, norm) only — no fp32 vectors
+    pairs = tagged.select("_cell", id_col, code_col, norm_col).join(
+        scored_q, "_cell"
+    )
+    adot = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            F.col("_lut"),
+            lambda cj, row: F.element_at(row, (cj + F.lit(1)).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cand = top_k_per_group(
+        pairs.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (adot / (F.col("_qn") * F.nullif(F.col(norm_col), F.lit(0.0)))).alias(
+                "_approx"
+            ),
+        ),
+        [query_id_col],
+        [F.col("_approx").desc_nulls_last(), F.col(id_col).asc()],
+        k=n_candidates,
+    ).select(query_id_col, id_col)
+    # exact rerank: candidates join their full-precision rows + query vec
+    rer = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(queries.select(query_id_col, query_vec_col), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            pround(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return top_k_per_group(
+        rer,
+        [query_id_col],
+        [F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k,
+        rank_col="rank",
+        total_order=True,
+    )
+
+
 def centroid_frame(spark, centroids: np.ndarray):
     """1-row DataFrame carrying the centroid matrix (+ per-centroid
     ``||c||²``) as DATA, not literals. Scoring expressions that reference

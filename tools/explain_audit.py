@@ -58,6 +58,8 @@ AUDIT = {
     "ingest_select_publish": "DSIR-selection publish semi-join of an ingest tick: dedup survivors (InMemoryTableScan — persisted once per tick) LEFT SEMI the k Gumbel-top-k ids; the broadcast hint appears ONLY under the k<=100k gate (this audit is the small-k form — a large-fraction selection drops the hint and AQE sizes the build side; r9 #2, unit-gated both ways)",
     "bounded_exact_probe": "exact-dedup probe with bounded_batch=True (the ingest tick's exact tier, r9): the corpus-scale fp index joins via BroadcastHashJoin LeftSemi with the BATCH's fingerprints as the build side — ZERO index-side exchanges, where the naive batch-ANTI-index join sort-merge-shuffles the whole index every tick past the broadcast threshold; the final LeftAnti's right side is <= batch-sized",
     "asof_hot_path": "skew-safe as-of join, every key routed hot (r10 — VERDICT r9 #3): the fill window's partition spec is (user_id, _abkt) — windowspecdefinition(user_id, _abkt, ...) — so NO task ever sorts a key's full history (the default plan's windowspecdefinition(user_id, ...) is exactly the skew hazard); per-bucket max_by seeds ride a map-combined ObjectHashAggregate, the hot-key census and seed-carry frames join back via BroadcastHashJoin (bounded: <= rows/threshold keys x n_time_buckets rows), and the seed carry's own window partitions the <=B-row-per-key seed frame only",
+    "ivf_pq_probe": "IVF-PQ candidate+rerank (r11 — VERDICT r10 #4): BOTH scan subtrees carry PartitionFilters [ivf_cell IN (...)] (non-probed cells never listed); the CANDIDATE scan's ReadSchema is (vec_id, pq_code, v_norm) — the fp32 embedding column is NOT read for scoring (asymmetric LUT lookups); the rerank side reads (vec_id, embedding) for only the broadcast-semi-joined candidate ids",
+    "bm25_bucketed_probe": "bucketed BM25 posting probe (r11 — VERDICT r10 #7): the query terms' hash buckets appear as PartitionFilters [_tb IN (...)] on the posting scan — directories no query term hashes into are pruned at listing time; broadcast query terms, decimal order-independent score sum, WindowGroupLimit top-k as before",
 }
 
 
@@ -187,8 +189,57 @@ def _asof_hot_path(spark, sf_dir):
     )
 
 
+def _ivf_pq_probe(spark, sf_dir):
+    """The IVF-PQ probe over a freshly-encoded cell-partitioned corpus
+    (the x_ivf_pq gate wraps it in driver-side verification)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = similarity.kmeans_centroids(e, n_centroids=8, n_iter=5, sample_rows=500)
+    books = similarity.pq_fit(e, m=8, ksub=64, sample_rows=500)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    tmp = tempfile.mkdtemp(prefix="explain_ivfpq_")
+    similarity.write_ivf_corpus(similarity.pq_encode(e, books), tmp, cents)
+    corpus = spark.read.parquet(tmp)
+    return similarity.ivf_pq_topk(
+        corpus, q, cents, books, k=10, nprobe=4, n_candidates=64
+    )
+
+
+def _bm25_bucketed_probe(spark, sf_dir):
+    """The partition-pruned posting probe (the x_bm25_topk_indexed
+    gate's query-path plan over a bucketed index)."""
+    import tempfile
+
+    from data_engineering_capstone_project__spark.operators import text
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="explain_bm25b_") + "/idx"
+    art.save_bm25_index(
+        text.bm25(docs), tmp, corpus_digest="audit",
+        n_term_buckets=text._BM25_TERM_BUCKETS,
+    )
+    w = art.load_bm25_index(spark, tmp)
+    return text.bm25_topk(
+        None,
+        {"q_scan": "hash scan filter", "q_stream": "stream window watermark"},
+        k=10,
+        weights=w,
+    )
+
+
 CUSTOM = {
     "ivf_pruned_probe": _ivf_pruned_probe,
+    "ivf_pq_probe": _ivf_pq_probe,
+    "bm25_bucketed_probe": _bm25_bucketed_probe,
     "asof_hot_path": _asof_hot_path,
     "verified_probe": _verified_probe,
     "publication_log_read": _publication_log_read,
