@@ -245,11 +245,14 @@ def test_bm25_topk_weights_reuse_and_parity(spark):
             outer = plan.split("InMemoryRelation", 1)[0]
             # reuse: the weights relation is read from cache ...
             assert "InMemoryTableScan" in outer
-            # ... and the ONLY tokenization outside the cache is the tiny
-            # query frame (`_qtext`); a second corpus explode/tf subtree
-            # would surface as `trim(text#...)` in the outer plan
-            assert "trim(_qtext" in plan
-            assert "trim(text#" not in outer
+            # ... and since r11 the dict-query path tokenizes the query
+            # frame in ONE tiny local collect job (the corpus's own
+            # Spark expression runs there — Java parity preserved), so
+            # the FINAL plan carries no tokenization at all outside the
+            # cached weights relation: the query side arrives as a
+            # pre-resolved local (query_id, term) frame
+            assert "trim(" not in outer
+            assert "ExistingRDD[query_id" in plan or "LocalTableScan" in plan
     finally:
         w.unpersist()
         cachereg.release_intermediates()
