@@ -813,48 +813,56 @@ def pq_encode(
     norm_col: str = "v_norm",
 ) -> DataFrame:
     """Attach each vector's PQ codes (``array<int>`` of length ``m`` —
-    the nearest sub-centroid per subspace) and its EXACT fp32 norm.
+    the nearest sub-centroid per subspace) and its EXACT fp64 norm.
     The norm is stored at encode time because asymmetric cosine needs
     ``<q,v̂>/(|q||v|)`` with the TRUE |v| — reconstructing it from
     codes would fold quantization error into the denominator too.
 
-    All higher-order built-ins over the broadcast ``pq_codebook_frame``
-    — per row O(d·ksub) multiply-adds in whole-stage codegen, no
-    Python. Encoding is the offline half of PQ (runs once per corpus
-    publish, like ``write_ivf_corpus``); the inline argmin re-evaluates
-    each subspace's score array twice (array_min + array_position),
-    an accepted 2× on the offline path."""
-    mm, ksub, ds = np.asarray(books).shape
-    cb = pq_codebook_frame(df.sparkSession, books)
-    v = F.col(vec_col)
-
-    def sub_scores(j):
-        sv = F.slice(v, j * F.lit(ds) + F.lit(1), F.lit(ds))
-        return F.zip_with(
-            F.element_at("pcb", (j + F.lit(1)).cast("int")),
-            F.element_at("pcc", (j + F.lit(1)).cast("int")),
-            lambda c, cc: cc
-            - F.lit(2.0)
-            * F.aggregate(
-                F.zip_with(sv, c, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
-
-    def argmin(s):
-        return (F.array_position(s, F.array_min(s)) - F.lit(1)).cast("int")
-
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(int(mm) - 1)),
-        lambda j: argmin(sub_scores(j)),
+    Arrow-batched numpy kernel (``mapInPandas``), the same
+    BLAS-partials pattern as the SRP/PCA/k-means kernels: per batch,
+    each subspace scores as ONE ``(n × ds) @ (ds × ksub)`` matmul +
+    argmin — ~µs/row. The first implementation was pure higher-order
+    built-ins, but nested HOFs are ``CodegenFallback`` (interpreted
+    row-at-a-time in the JVM): the 100× encode ladder measured
+    ~1.75 ms/row, ~3 orders off BLAS — encoding is the offline half of
+    PQ but at 100 TB it IS the dominant cost, so it earns the
+    documented UDF exception. Codebooks ship in the closure
+    (m·ksub·d/m doubles — the model, not data); partitioning is
+    preserved (no shuffle)."""
+    b = np.asarray(books, dtype=np.float64)
+    mm, ksub, ds = b.shape
+    cc = (b * b).sum(axis=2)  # (m, ksub) ||c||²
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(code_col, T.ArrayType(T.IntegerType())),
+            T.StructField(norm_col, T.DoubleType()),
+        ]
     )
-    return (
-        df.crossJoin(F.broadcast(cb))
-        .withColumn(code_col, codes)
-        .withColumn(norm_col, norm(v))
-        .drop("pcb", "pcc")
-    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf.assign(**{code_col: [], norm_col: []})
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n = X.shape[0]
+            codes = np.empty((n, mm), dtype=np.int32)
+            for j in range(mm):
+                sub = X[:, j * ds : (j + 1) * ds]
+                # dist² ranking needs only ||c||² − 2<v,c>
+                scores = cc[j][None, :] - 2.0 * (sub @ b[j].T)
+                codes[:, j] = scores.argmin(axis=1)
+            out = pdf.copy()
+            out[code_col] = pd.Series(list(codes), index=pdf.index).map(
+                lambda a: [int(x) for x in a]
+            )
+            out[norm_col] = np.sqrt((X * X).sum(axis=1))
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def pq_asym_cosine(
