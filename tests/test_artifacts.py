@@ -1978,6 +1978,37 @@ def test_compaction_takes_lease_and_is_fenced(spark, sf_dir, tmp_path, monkeypat
     assert sorted(_published_ids(spark, root)) == want
 
 
+def test_lease_generation_gc_and_guarded_release(tmp_path):
+    """The generation log stays bounded (old g=N entries GC'd — a
+    long-running loop acquires once per tick), and
+    release_ingest_lease(generation=) refuses to remove a SUCCESSOR's
+    lease from a zombie's finally."""
+    import os
+
+    from data_engineering_capstone_project__spark.plans import ingest
+
+    root = str(tmp_path / "root")
+    gens = []
+    for _ in range(7):
+        g = ingest.acquire_ingest_lease(root, owner="w")
+        gens.append(g)
+        ingest.release_ingest_lease(root, g)
+    assert gens == sorted(gens) and len(set(gens)) == 7  # monotone
+    entries = os.listdir(os.path.join(root, "_LEASE_GEN"))
+    assert len(entries) <= 2  # GC keeps n and n-1 only
+    assert ingest.lease_generation(root) == gens[-1]
+
+    # zombie's finally must not unlock a third writer: old-generation
+    # release is a no-op while a successor holds the lease
+    g_old = ingest.acquire_ingest_lease(root, owner="zombie")
+    ingest.break_ingest_lease(root)
+    g_new = ingest.acquire_ingest_lease(root, owner="successor")
+    ingest.release_ingest_lease(root, g_old)  # the zombie's finally
+    assert os.path.exists(os.path.join(root, "_INGEST_LEASE"))
+    ingest.release_ingest_lease(root, g_new)  # the rightful release
+    assert not os.path.exists(os.path.join(root, "_INGEST_LEASE"))
+
+
 def test_commitlog_fence_semantics(tmp_path):
     """Fence primitives (VERDICT r10 #1): a fenced claim cannot commit
     (FencedVersionError), a commit marker that RACED the fence in stays
