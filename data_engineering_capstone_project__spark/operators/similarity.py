@@ -935,7 +935,14 @@ def ivf_pq_topk(
 
     Recall is governed by (nprobe, n_candidates) exactly as in FAISS;
     the gate pins recall@10 ≥ 0.9 vs brute force on the test corpus.
-    Same output shape as ``ivf_topk``: (id, cosine) top-k."""
+    Same output shape as ``ivf_topk``: (id, cosine) top-k.
+
+    Incremental maintenance composes from the existing pieces: a new
+    batch appends as ``append_ivf_corpus(pq_encode(batch, books),
+    path, centroids)`` — codes and cells both derive from the SAME
+    persisted codebooks/centroids, so old and new rows probe
+    uniformly; refit both only on drift (new codebooks = new codes =
+    a new corpus path, same contract as the cell layout)."""
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((np.asarray(centroids) - q[None, :]) ** 2).sum(1)
     probe_cells = [int(i) for i in d2.argsort()[:nprobe]]

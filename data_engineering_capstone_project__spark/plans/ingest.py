@@ -665,6 +665,7 @@ def _complete_dangling_tick(
                 jaccard_threshold=cfg["jaccard_threshold"],
                 corpus_digest=rdg,
                 extra_meta=tick_meta,
+                precommit=lambda: _check_lease_generation(root, expected_gen),
             )
         else:
             mh_v = art.save_minhash_index(
@@ -678,6 +679,7 @@ def _complete_dangling_tick(
                 shingle_k=cfg["shingle_k"],
                 corpus_digest=rdg,
                 extra_meta=tick_meta,
+                precommit=lambda: _check_lease_generation(root, expected_gen),
             )
     else:
         mh_v = commitlog.latest_version(mh_path)
@@ -931,11 +933,16 @@ def _ingest_batch_impl(
     # StaleLeaseError here instead of admitting/publishing under index
     # state a successor may already have moved past
     _check_lease_generation(root, expected_gen)
+    fence = lambda: _check_lease_generation(root, expected_gen)  # noqa: E731
     fp_v = art.save_fingerprint_index(
         corpus_fingerprint_index(survivors, text_col=text_col),
         fp_path,
         corpus_digest=dg,
         extra_meta=tick_meta,
+        # re-checked at the LAST instant before the delta's commit
+        # marker (r11): a lease broken DURING this save can no longer
+        # publish even the index delta — the claim stays an orphan
+        precommit=fence,
     )
     # the mh delta admits the PUBLISHED docs in BOTH modes (ADVICE r10):
     # the near-dup index then exactly covers the publication log — which
@@ -967,6 +974,7 @@ def _ingest_batch_impl(
             jaccard_threshold=cfg["jaccard_threshold"],
             corpus_digest=mh_dg,
             extra_meta=tick_meta,
+            precommit=fence,
         )
     else:
         mh_v = art.save_minhash_index(
@@ -980,6 +988,7 @@ def _ingest_batch_impl(
             shingle_k=cfg["shingle_k"],
             corpus_digest=mh_dg,
             extra_meta=tick_meta,
+            precommit=fence,
         )
     _check_lease_generation(root, expected_gen)
     commit_versioned(corpus_path, corpus_v)

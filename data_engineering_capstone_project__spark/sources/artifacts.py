@@ -147,6 +147,7 @@ def save_artifact(
     parts: dict[str, DataFrame],
     meta: dict | None = None,
     partition_by: dict[str, list[str]] | None = None,
+    precommit=None,
 ) -> int:
     """Write a multi-part artifact as one atomic versioned snapshot.
 
@@ -162,6 +163,14 @@ def save_artifact(
     columns (``partitionBy`` write) so probe-shaped readers get
     scan-time partition pruning on the artifact (the bucketed BM25
     posting layout, VERDICT r10 #7).
+
+    ``precommit`` (r11 fencing): an optional callable invoked at the
+    LATEST possible instant before the commit marker — a lease-fenced
+    writer passes its generation check here, so a zombie whose lease
+    was broken after this save started aborts with the claim left as
+    an uncommitted (and, when the break saw it, FENCED) orphan instead
+    of publishing a stale delta. Raising from ``precommit`` leaves the
+    artifact log exactly as it was.
     """
     for name in parts:
         if not name or any(c in name for c in "/\\. "):
@@ -174,6 +183,8 @@ def save_artifact(
         w.parquet(os.path.join(target, name))
     with open(os.path.join(target, _META), "w") as f:
         json.dump({"parts": sorted(parts), **(meta or {})}, f)
+    if precommit is not None:
+        precommit()
     commitlog.commit_version(path, n)
     return n
 
@@ -589,6 +600,7 @@ def save_fingerprint_index(
     fp_col: str = "fp",
     corpus_digest: str | None = None,
     extra_meta: dict | None = None,
+    precommit=None,
 ) -> int:
     """Persist an exact-dedup fingerprint index (one 32-char md5 per
     distinct normalized corpus text — ``corpus_fingerprint_index``).
@@ -606,6 +618,7 @@ def save_fingerprint_index(
             "corpus_digest": corpus_digest,
             **(extra_meta or {}),
         },
+        precommit=precommit,
     )
 
 
@@ -694,6 +707,7 @@ def save_minhash_index(
     shingle_k: int,
     corpus_digest: str | None = None,
     extra_meta: dict | None = None,
+    precommit=None,
 ) -> int:
     """Persist a banded-MinHash bucket index (distinct ``(band, bucket)``
     rows from ``corpus_minhash_band_index``) together with the hash
@@ -714,6 +728,7 @@ def save_minhash_index(
             "corpus_digest": corpus_digest,
             **(extra_meta or {}),
         },
+        precommit=precommit,
     )
 
 
@@ -726,6 +741,7 @@ def save_minhash_doc_index(
     jaccard_threshold: float | None = None,
     corpus_digest: str | None = None,
     extra_meta: dict | None = None,
+    precommit=None,
 ) -> int:
     """Persist an id-CARRYING banded-MinHash index (distinct ``(band,
     bucket, corpus_id)`` rows from ``corpus_minhash_doc_index``) with its
@@ -745,6 +761,7 @@ def save_minhash_doc_index(
             "corpus_digest": corpus_digest,
             **(extra_meta or {}),
         },
+        precommit=precommit,
     )
 
 

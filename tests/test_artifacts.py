@@ -2009,6 +2009,59 @@ def test_lease_generation_gc_and_guarded_release(tmp_path):
     assert not os.path.exists(os.path.join(root, "_INGEST_LEASE"))
 
 
+def test_save_artifact_precommit_fence(spark, sf_dir, tmp_path, monkeypatch):
+    """save_artifact's precommit hook (r11): raising at the last
+    instant before the commit marker leaves the log exactly as it was
+    (uncommitted orphan claim only) — and the ingest tick passes its
+    generation check there, so a lease broken DURING an index-delta
+    save stops even the delta from publishing."""
+    import pytest
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art_mod,
+        commitlog,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = docs.limit(50).select(F.md5("text").alias("fp"))
+    p = str(tmp_path / "fps")
+    v1 = art_mod.save_fingerprint_index(fps, p, corpus_digest="a")
+    before = commitlog.committed_versions(p)
+
+    def boom():
+        raise RuntimeError("stale at the commit instant")
+
+    with pytest.raises(RuntimeError, match="commit instant"):
+        art_mod.save_fingerprint_index(fps, p, corpus_digest="b", precommit=boom)
+    assert commitlog.committed_versions(p) == before  # nothing published
+    assert len(commitlog.all_versions(p)) == len(before) + 1  # orphan claim
+
+    # integration: break the lease while the tick is INSIDE its fp-delta
+    # save (after the tick-level generation check passed) — the
+    # precommit hook rejects the delta itself
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    real = ingest.corpus_fingerprint_index
+    fired = {"done": False}
+
+    def break_during_save(*a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            ingest.break_ingest_lease(root)
+        return real(*a, **k)
+
+    monkeypatch.setattr(ingest, "corpus_fingerprint_index", break_during_save)
+    with pytest.raises(ingest.StaleLeaseError):
+        ingest.ingest_batch(spark, batch, root)
+    monkeypatch.setattr(ingest, "corpus_fingerprint_index", real)
+    # the fp LOG gained no committed delta (v1 = the bootstrap only)
+    assert len(commitlog.committed_versions(f"{root}/fingerprints")) == 1
+    v1  # silence lint
+
+
 def test_commitlog_fence_semantics(tmp_path):
     """Fence primitives (VERDICT r10 #1): a fenced claim cannot commit
     (FencedVersionError), a commit marker that RACED the fence in stays
