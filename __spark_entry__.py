@@ -1513,6 +1513,78 @@ FROM orders
 _STOP_EN = "|".join(text.LANG_MARKERS["en"])
 
 
+def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule pack (Rae et al. 2021 App. A — the public
+    rule set production LLM pipelines start from) over every document:
+    measured quantities (word count, mean word length, symbol/bullet/
+    ellipsis/alpha ratios, required-stopword hits), one boolean per
+    named rule, and the conjunctive keep — every column replicated
+    exactly in DuckDB SQL (same regexes, same Java-\\s split the other
+    text gates pin, rule comparisons on the engine-parity-ROUNDED
+    ratios so boundary decisions agree)."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    return text.gopher_quality(d)
+
+
+X_GOPHER_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+         END AS n_words_i,
+         LENGTH(regexp_replace(TRIM(text), '\s+', '', 'g')) AS word_chars,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.'))
+           + len(regexp_extract_all(text, '…')) AS n_symbols,
+         len(regexp_split_to_array(text, '\n')) AS n_lines,
+         len(list_filter(regexp_split_to_array(text, '\n'),
+                         l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet,
+         len(list_filter(regexp_split_to_array(text, '\n'),
+                         l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ellip,
+         len(list_filter(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                                     w -> w <> ''),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         (CASE WHEN regexp_matches(LOWER(text), '\bthe\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(LOWER(text), '\bbe\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(LOWER(text), '\bto\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(LOWER(text), '\bof\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(LOWER(text), '\band\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(LOWER(text), '\bthat\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(LOWER(text), '\bhave\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(LOWER(text), '\bwith\b') THEN 1 ELSE 0 END
+         ) AS n_stop
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(n_words_i AS BIGINT) AS n_words,
+         ROUND(word_chars / NULLIF(CAST(n_words_i AS DOUBLE), 0), 4) AS mean_word_len,
+         ROUND(n_symbols / NULLIF(CAST(n_words_i AS DOUBLE), 0), 4) AS symbol_ratio,
+         ROUND(n_bullet / NULLIF(CAST(n_lines AS DOUBLE), 0), 4) AS bullet_line_ratio,
+         ROUND(n_ellip / NULLIF(CAST(n_lines AS DOUBLE), 0), 4) AS ellipsis_line_ratio,
+         ROUND(n_alpha / NULLIF(CAST(n_words_i AS DOUBLE), 0), 4) AS alpha_word_ratio,
+         CAST(n_stop AS INTEGER) AS n_required_stopwords
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+       ellipsis_line_ratio, alpha_word_ratio, n_required_stopwords,
+       COALESCE(n_words BETWEEN 50 AND 100000, FALSE) AS r_word_count,
+       COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE) AS r_mean_word_len,
+       COALESCE(symbol_ratio <= 0.1, FALSE) AS r_symbol_ratio,
+       COALESCE(bullet_line_ratio <= 0.9, FALSE) AS r_bullet_lines,
+       COALESCE(ellipsis_line_ratio <= 0.3, FALSE) AS r_ellipsis_lines,
+       COALESCE(alpha_word_ratio >= 0.8, FALSE) AS r_alpha_words,
+       n_required_stopwords >= 2 AS r_stopwords,
+       (COALESCE(n_words BETWEEN 50 AND 100000, FALSE)
+        AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+        AND COALESCE(symbol_ratio <= 0.1, FALSE)
+        AND COALESCE(bullet_line_ratio <= 0.9, FALSE)
+        AND COALESCE(ellipsis_line_ratio <= 0.3, FALSE)
+        AND COALESCE(alpha_word_ratio >= 0.8, FALSE)
+        AND n_required_stopwords >= 2) AS keep
+FROM m
+"""
+
+
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, punctuation/stopword ratios, quality
     score, md5 fingerprint — all JVM-side expressions. Staged select: each
@@ -7712,6 +7784,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "d15_tracking_std": (d15_tracking_std, D15_TRACKING_SQL),
     "d12_fallback_pct": (d12_fallback_pct, D12_FALLBACK_SQL),
     "x_text_stats": (x_text_stats, X_TEXT_SQL),
+    # Gopher rule pack (Rae et al. 2021 App. A): per-rule booleans +
+    # keep, full SQL replica with parity-rounded ratio comparisons
+    "x_gopher_rules": (x_gopher_rules, X_GOPHER_SQL),
     "x_lang_id": (x_lang_id, _lang_sql()),
     "x_exact_dedup": (x_exact_dedup, X_DEDUP_SQL),
     "x_chunk_documents": (x_chunk_documents, X_CHUNK_SQL),

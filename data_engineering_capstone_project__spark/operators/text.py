@@ -93,6 +93,113 @@ def quality_score(text: Column) -> Column:
     return pround((len_score + punct_score + stop_score) / 3, 4)
 
 
+# the 8 "required" English function words of the Gopher rule set
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A —
+# public): a natural-language document plausibly contains ≥2 of them
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher quality-rule pack (Rae et al. 2021, Appendix A — the
+    public rule set most production LLM text pipelines start from),
+    as ONE codegen projection per document: the measured quantities,
+    one boolean per named rule, and the conjunctive ``keep``.
+
+    Rules (document KEPT when all hold):
+
+    - ``r_word_count``      50 ≤ words ≤ 100,000
+    - ``r_mean_word_len``   3 ≤ mean word length ≤ 10
+    - ``r_symbol_ratio``    (# + ellipsis occurrences) / words ≤ 0.1
+    - ``r_bullet_lines``    lines starting with a bullet ≤ 90%
+    - ``r_ellipsis_lines``  lines ending with an ellipsis ≤ 30%
+    - ``r_alpha_words``     words containing ≥1 alphabetic char ≥ 80%
+    - ``r_stopwords``       ≥ 2 distinct required function words
+
+    Scale shape: zero shuffles, zero Python — every measure is a
+    regexp count / split-filter expression over the row, so the pack
+    runs AT THE SCAN like the other quality signals
+    (:func:`quality_score`, :func:`repetition_score`) and composes
+    with ``plans/corpus.py``'s filter pipeline. Ratios are
+    engine-parity rounded (``pround``) and the rule comparisons run on
+    the ROUNDED values so both engines decide identically at
+    boundaries (the repo's float-parity contract). Empty/blank text
+    fails every word-based rule (ratios NULL → rule false)."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_words = token_count(t).cast("double")
+    nz_words = F.nullif(n_words, F.lit(0.0))
+    # Σ word lengths = chars left after deleting ALL whitespace
+    word_chars = F.length(F.regexp_replace(trimmed, r"\s+", "")).cast("double")
+    mean_wl = pround(word_chars / nz_words, 4)
+    symbols = (
+        F.regexp_count(t, F.lit("#"))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.regexp_count(t, F.lit("…"))
+    ).cast("double")
+    symbol_ratio = pround(symbols / nz_words, 4)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = pround(
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+        ).cast("double")
+        / F.nullif(n_lines, F.lit(0.0)),
+        4,
+    )
+    ellipsis_ratio = pround(
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("double")
+        / F.nullif(n_lines, F.lit(0.0)),
+        4,
+    )
+    words = F.filter(F.split(trimmed, _WORD_RE), lambda w: w != "")
+    alpha_ratio = pround(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / nz_words,
+        4,
+    )
+    lowered = F.lower(t)
+    n_stop = sum(
+        F.when(lowered.rlike(rf"\b{w}\b"), 1).otherwise(0)
+        for w in _GOPHER_STOPWORDS
+    )
+
+    def rule(c):
+        return F.coalesce(c, F.lit(False))
+
+    r_word_count = rule((n_words >= 50) & (n_words <= 100_000))
+    r_mean_word_len = rule((mean_wl >= 3.0) & (mean_wl <= 10.0))
+    r_symbol_ratio = rule(symbol_ratio <= 0.1)
+    r_bullet = rule(bullet_ratio <= 0.9)
+    r_ellipsis = rule(ellipsis_ratio <= 0.3)
+    r_alpha = rule(alpha_ratio >= 0.8)
+    r_stop = n_stop >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.cast("int").alias("n_required_stopwords"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_bullet.alias("r_bullet_lines"),
+        r_ellipsis.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        (
+            r_word_count & r_mean_word_len & r_symbol_ratio
+            & r_bullet & r_ellipsis & r_alpha & r_stop
+        ).alias("keep"),
+    )
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Marker-word hit count per language."""
     out = {}

@@ -1083,3 +1083,42 @@ def test_dsir_resample_deterministic(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="k must be >= 1"):
         text.dsir_resample(raw, tgt, k=0)
+
+
+def test_gopher_rules_boundaries(spark):
+    """Each Gopher rule flips on its own planted document; a clean
+    natural-language doc keeps; empty text fails every word rule."""
+    from data_engineering_capstone_project__spark.operators import text
+
+    good_words = ("the cat and the dog have been to the house of that "
+                  "friend with many other animals around here today ") * 5
+    docs = [
+        (1, good_words),                                # keeps (>=50 words)
+        (2, "the cat and that dog have fun with it"),   # <50 words
+        (3, "a b c " * 40 + "the of"),                  # mean word len < 3
+        (4, ("the## cat## and## dog## have## to## of## that## with## "
+             "be## ") * 6),                             # symbol ratio > 0.1
+        (5, "\n".join(["- the cat and that dog have to be with it"] * 10)),
+        (6, "\n".join(["the cat and that dog have to be of it..."] * 10)),
+        (7, ("12345 67890 " * 30) + "the of"),          # alpha ratio < 0.8
+        (8, ("zebra quokka lemur gecko panda otter llama bison moose "
+             "heron ") * 6),                            # no required stopwords
+        (9, ""),                                        # empty
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_quality(
+            spark.createDataFrame(docs, "doc_id int, text string")
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["r_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["r_mean_word_len"] is False
+    assert out[4]["r_symbol_ratio"] is False
+    assert out[5]["r_bullet_lines"] is False  # 100% bullet lines > 90%
+    assert out[6]["r_ellipsis_lines"] is False  # 100% > 30%
+    assert out[7]["r_alpha_words"] is False
+    assert out[8]["r_stopwords"] is False and out[8]["n_required_stopwords"] == 0
+    empty = out[9]
+    assert empty["n_words"] == 0 and empty["keep"] is False
+    assert empty["r_word_count"] is False and empty["r_mean_word_len"] is False
