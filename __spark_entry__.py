@@ -3887,7 +3887,17 @@ def x_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     PyAV is routed when importable). AVI rows carry the same sample
     columns (idx/timestamp SQL-exact; byte length checked in-gate
     against the encoder's frames via ``sample_ok`` — JPEG sizes aren't
-    SQL-derivable)."""
+    SQL-derivable).
+
+    EXTENDED r12 (VERDICT r11 #3): two MJPEG-MP4 fixtures (ids 20/21 —
+    ``encode_minimal_mp4(sample_entry=b'jpeg')`` whose samples are REAL
+    baseline JPEGs of planted 16×12 gradients). The stsd fourcc routes
+    each sampled slice through the repo's exact JPEG decode path, so
+    these rows carry REAL pixel stats: ``px_ok`` bit-checks
+    ``px_sum``/``frame_w``/``frame_h`` against a driver-side
+    ``imagecodec.decode_image_bytes`` of the same sample bytes, and
+    ``sample_ok`` additionally pins the byte length to the encoder's
+    output (H.264 fixtures 10/11 keep honestly-NULL pixels)."""
     import hashlib as _hashlib
 
     import numpy as _np
@@ -3934,12 +3944,56 @@ def x_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "video/mp4", None, None, None,
             )
         )
+    # MJPEG-MP4 fixtures (r12): real JPEG samples in real sample tables
+    mjpeg_mp4 = {}
+    for i in (20, 21):
+        frames = []
+        for f in range(n_samples):
+            arr = _np.zeros((h, w, 3), dtype=_np.uint8)
+            for c in range(3):
+                arr[:, :, c] = (
+                    3 * _np.arange(w)[None, :]
+                    + 5 * _np.arange(h)[:, None]
+                    + 7 * f + 13 * i + c
+                ) % 256
+            frames.append(jc.encode_jpeg(arr, quality=90))
+        mjpeg_mp4[i] = frames
+        rows.append(
+            (
+                i, "video",
+                mc.encode_minimal_mp4(
+                    frames, 1000, delta, sample_entry=b"jpeg"
+                ),
+                "video/mp4", None, None, None,
+            )
+        )
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     got = mm.sample_video_frames(media, every_ms=every_ms, fake=False).collect()
     usec = 1_000_000 / fps
     out = []
     for r in got:
         mid = r["media_id"]
+        if mid in mjpeg_mp4:  # MJPEG-MP4 rows: REAL pixels
+            idx = min(r["frame_ts_ms"] // delta, n_samples - 1)
+            fb = mjpeg_mp4[mid][idx]
+            ref = ic.decode_image_bytes(fb)
+            px_ok = (
+                r["px_sum"] == int(ref.astype(_np.int64).sum())
+                and r["frame_w"] == ref.shape[1]
+                and r["frame_h"] == ref.shape[0]
+            )
+            sha_ok = r["sha256"] == _hashlib.sha256(fb).hexdigest()
+            sample_ok = (
+                r["sample_idx"] == idx
+                and r["sample_bytes"] == len(fb)
+                and r["sample_ts_ms"] == idx * delta
+            )
+            out.append(
+                (mid, r["frame_ts_ms"], r["frame_w"], r["frame_h"],
+                 bool(px_ok), bool(sha_ok), r["sample_idx"],
+                 None, r["sample_ts_ms"], bool(sample_ok))
+            )
+            continue
         if mid in mp4_samples:  # MP4 rows
             idx = min(r["frame_ts_ms"] // delta, n_samples - 1)
             sample = mp4_samples[mid][idx]
@@ -4006,6 +4060,18 @@ SELECT CAST(i + 10 AS BIGINT) AS media_id,
        TRUE AS sha_ok,
        CAST(ts / 250 AS INTEGER) AS sample_idx,
        CAST(100 + 17 * (ts / 250) AS BIGINT) AS sample_bytes,
+       CAST(ts / 250 * 250 AS BIGINT) AS sample_ts_ms,
+       TRUE AS sample_ok
+FROM range(2) t(i), (VALUES (0), (500), (1000), (1500)) v(ts)
+UNION ALL
+SELECT CAST(i + 20 AS BIGINT) AS media_id,
+       CAST(ts AS BIGINT) AS frame_ts_ms,
+       CAST(16 AS INTEGER) AS frame_w,
+       CAST(12 AS INTEGER) AS frame_h,
+       TRUE AS px_ok,
+       TRUE AS sha_ok,
+       CAST(ts / 250 AS INTEGER) AS sample_idx,
+       CAST(NULL AS BIGINT) AS sample_bytes,
        CAST(ts / 250 * 250 AS BIGINT) AS sample_ts_ms,
        TRUE AS sample_ok
 FROM range(2) t(i), (VALUES (0), (500), (1000), (1500)) v(ts)
@@ -5899,6 +5965,155 @@ def x_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN drift measurement + the documented refit trigger (VERDICT r11
+    #4). Fit an IVF codebook on HALF the embeddings (even vec_ids),
+    stamp the fit-time baseline (``ivf_drift_stats``), then append a
+    PLANTED drifting batch (odd vec_ids shifted +3.0 per component —
+    far outside the fit distribution) via ``append_ivf_corpus``. The
+    gate pins, as booleans a broken measurement must flip:
+
+    - ``qerr_rose``: mean assigned-centroid quantization error rose
+      after the drifting append (the planted shift guarantees it);
+    - ``healthy_no_refit`` / ``drift_triggers_refit``: the documented
+      trigger (``ivf_needs_refit`` — skew > 4× or qerr > 1.5× the
+      fit baseline) stays quiet on the healthy layout and fires on the
+      drifted one;
+    - ``pq_err_rose``: the PQ half — mean reconstruction residual
+      (``pq_recon_error``) of the drifted batch under the fit-time
+      codebooks exceeds 1.5× the baseline residual;
+    - ``refit_qerr_improved`` / ``refit_probe_matches``: the refit path
+      is green — a NEW codebook fit on the drifted union (new layout at
+      a new path, per the cells-are-codebook-scoped contract) lowers
+      mean qerr below the drifted value, and a pruned probe of the new
+      layout equals ``ivf_topk`` on the unpartitioned union exactly.
+
+    ``n_vectors``/``n_appended`` are SQL-exact row accounting."""
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    base_all = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    fit_set = base_all.filter(F.col("vec_id") % 2 == 0)
+    drift_set = base_all.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x + F.lit(3.0)).alias(
+            "embedding"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_drift_")
+    path = f"{tmp}/data"
+    cents = similarity.kmeans_centroids(
+        fit_set, n_centroids=8, n_iter=5, sample_rows=500
+    )
+    similarity.write_ivf_corpus(fit_set, path, cents)
+    fit_stats = similarity.ivf_drift_stats(spark.read.parquet(path), cents)
+    similarity.append_ivf_corpus(drift_set, path, cents)
+    after = similarity.ivf_drift_stats(spark.read.parquet(path), cents)
+
+    qerr_rose = after["mean_qerr"] > fit_stats["mean_qerr"]
+    healthy_no_refit = not similarity.ivf_needs_refit(fit_stats, fit_stats)
+    drift_triggers = similarity.ivf_needs_refit(after, fit_stats)
+
+    books = similarity.pq_fit(fit_set, m=8, ksub=64, sample_rows=2000)
+    base_err = similarity.pq_recon_error(
+        similarity.pq_encode(fit_set, books), books
+    )
+    drift_err = similarity.pq_recon_error(
+        similarity.pq_encode(drift_set, books), books
+    )
+    pq_err_rose = drift_err > 1.5 * base_err
+
+    union = fit_set.unionByName(drift_set)
+    cents2 = similarity.kmeans_centroids(
+        union, n_centroids=8, n_iter=5, sample_rows=500
+    )
+    path2 = f"{tmp}/data2"
+    similarity.write_ivf_corpus(union, path2, cents2)
+    refit_corpus = spark.read.parquet(path2)
+    stats2 = similarity.ivf_drift_stats(refit_corpus, cents2)
+    refit_improved = stats2["mean_qerr"] < after["mean_qerr"]
+    qrow = drift_set.filter(F.col("vec_id") == 1).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    pruned = similarity.ivf_topk_pruned(refit_corpus, q, cents2, k=10, nprobe=4)
+    baseline = similarity.ivf_topk(union, q, cents2, k=10, nprobe=4)
+    matches = [tuple(r) for r in pruned.collect()] == [
+        tuple(r) for r in baseline.collect()
+    ]
+    n_appended = drift_set.count()
+    return spark.createDataFrame(
+        [(
+            after["n_vectors"], n_appended, bool(qerr_rose),
+            bool(healthy_no_refit), bool(drift_triggers),
+            bool(pq_err_rose), bool(refit_improved), bool(matches),
+        )],
+        "n_vectors bigint, n_appended bigint, qerr_rose boolean, "
+        "healthy_no_refit boolean, drift_triggers_refit boolean, "
+        "pq_err_rose boolean, refit_qerr_improved boolean, "
+        "refit_probe_matches boolean",
+    )
+
+
+X_IVF_DRIFT_SQL = """
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+       (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1) AS n_appended,
+       TRUE AS qerr_rose,
+       TRUE AS healthy_no_refit,
+       TRUE AS drift_triggers_refit,
+       TRUE AS pq_err_rose,
+       TRUE AS refit_qerr_improved,
+       TRUE AS refit_probe_matches
+"""
+
+
+def x_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over an INCREMENTAL posting log (VERDICT r11 #1):
+    the corpus arrives in three slices, each appended as a raw
+    ``(doc, term, tf, dl)`` posting delta (``save_bm25_postings`` —
+    sufficient statistics, never weights: weights depend on the global
+    N/avgdl/df that change with every append, while the statistics are
+    purely per-document and append in O(batch)); the log is then
+    COMPACTED to one version (crash-safe folds-note protocol, summed
+    scalar meta) and probed by ``bm25_topk_incremental``, which
+    recomputes the globals exactly — N/avgdl as integer sums over the
+    per-version meta scalars, df_t from the bucket-pruned posting union
+    — so scores, row set, and ranks are hash-exact against the SAME
+    from-scratch oracle as ``x_bm25_topk``. The probe plan reads only
+    the posting log (no corpus re-tokenize — the O(corpus)-refit-per-
+    change scale-killer this index removes) with the query terms'
+    ``_tb`` hash buckets pushed as PartitionFilters on every delta
+    scan; both structurally asserted in tests/test_bm25_incremental.py."""
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    # digest-keyed build-once (the x_bm25_topk_indexed convention): the
+    # three appends + compaction are paid by the first call on a given
+    # corpus content; steady-state calls measure the PROBE — the
+    # living-corpus production shape this index exists for
+    dg = art.corpus_digest(d, ["doc_id", "text"])
+    path = _artifact_dir("bm25inc", dg)
+    if not commitlog.committed_versions(path):
+        for slice_no in range(3):
+            part = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == slice_no)
+            postings, stats = text.bm25_postings_with_stats(part)
+            art.save_bm25_postings(
+                postings, path, stats=stats,
+                n_term_buckets=text._BM25_TERM_BUCKETS,
+            )
+        art.compact_bm25_postings(spark, path)
+    return text.bm25_topk_incremental(
+        spark,
+        path,
+        {"q_scan": "hash scan filter", "q_stream": "stream window watermark"},
+        k=10,
+    )
+
+
 def x_pca_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA model persistence + fresh-session reload: the fitted
     ``(components, eigenvalues, mean, total_variance)`` travel as parquet
@@ -6910,6 +7125,97 @@ FROM fused QUALIFY rank <= 10
 """
 
 
+def x_sharded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED ingest (VERDICT r11 #2 — the single-global-lease
+    throughput ceiling): two independent shard roots, documents routed
+    by their exact-dedup fingerprint hash, ticked CONCURRENTLY (two
+    threads, each claiming its own shard lease) against a SERIALIZED
+    golden run of the same batch on a twin root. Bound-checked:
+
+    - ``concurrent_equals_serialized``: the union corpus digests
+      (count + xor of xxhash64(doc_id, text)) are identical — shard
+      independence makes parallel ticking bit-equal to one-at-a-time;
+    - ``both_shards_ticked``: the batch genuinely exercised both
+      writers (routing spread it);
+    - ``renamed_dups_drop_globally``: byte-identical copies of
+      already-published docs under FRESH ids publish ZERO — content
+      routing sends a duplicate to its original's shard by
+      construction, so exact dedup is global with no shared index;
+    - ``replay_publishes_zero`` / ``replay_digest_stable``: re-running
+      the whole sharded tick is exactly-once per shard;
+    - ``compaction_preserves_union``: per-shard compaction keeps the
+      union digest.
+
+    ``n_corpus``/``n_batch`` are SQL-exact input accounting."""
+    import tempfile
+
+    from data_engineering_capstone_project__spark.plans import shards
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 200)
+    b1 = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    root = tempfile.mkdtemp(prefix="sharded_") + "/r"
+    golden = tempfile.mkdtemp(prefix="sharded_g_") + "/r"
+    shards.init_sharded_ingest(spark, corpus, root, n_shards=2)
+    shards.init_sharded_ingest(spark, corpus, golden, n_shards=2)
+
+    stats_c = shards.ingest_batch_sharded(spark, b1, root)
+    stats_s = shards.ingest_batch_sharded(spark, b1, golden, max_parallel=1)
+
+    def dig(df):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("doc_id", "text")).alias("x"),
+        ).first()
+        return (r["n"], r["x"])
+
+    a = dig(shards.read_sharded_corpus(spark, root))
+    b = dig(shards.read_sharded_corpus(spark, golden))
+    concurrent_ok = a == b
+    both_ticked = sorted(stats_c) == [0, 1] and sorted(stats_s) == [0, 1]
+
+    # byte-identical re-arrivals under fresh ids: global exact dedup
+    renamed = shards.read_sharded_corpus(spark, root).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        *[c for c in corpus.columns if c not in ("doc_id", "text")],
+    )
+    stats_dup = shards.ingest_batch_sharded(spark, renamed, root)
+    renamed_drop = all(s.n_published == 0 for s in stats_dup.values())
+
+    stats_r = shards.ingest_batch_sharded(spark, b1, root)
+    replay_zero = all(s.n_published == 0 for s in stats_r.values())
+    replay_stable = dig(shards.read_sharded_corpus(spark, root)) == a
+
+    shards.compact_sharded_ingest(spark, root)
+    compact_ok = dig(shards.read_sharded_corpus(spark, root)) == a
+
+    return spark.createDataFrame(
+        [(
+            corpus.count(), b1.count(), 2, bool(concurrent_ok),
+            bool(both_ticked), bool(renamed_drop), bool(replay_zero),
+            bool(replay_stable), bool(compact_ok),
+        )],
+        "n_corpus bigint, n_batch bigint, n_shards int, "
+        "concurrent_equals_serialized boolean, both_shards_ticked boolean, "
+        "renamed_dups_drop_globally boolean, replay_publishes_zero boolean, "
+        "replay_digest_stable boolean, compaction_preserves_union boolean",
+    )
+
+
+X_SHARDED_INGEST_SQL = """
+SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
+       (SELECT COUNT(*) FROM documents
+         WHERE doc_id >= 200 AND doc_id < 400) AS n_batch,
+       CAST(2 AS INTEGER) AS n_shards,
+       TRUE AS concurrent_equals_serialized,
+       TRUE AS both_shards_ticked,
+       TRUE AS renamed_dups_drop_globally,
+       TRUE AS replay_publishes_zero,
+       TRUE AS replay_digest_stable,
+       TRUE AS compaction_preserves_union
+"""
+
+
 def x_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ingest pipeline end-to-end (plans/ingest.py):
     bootstrap both durable dedup indexes over a corpus, run two ingest
@@ -7891,6 +8197,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_semantic_dedup": (x_semantic_dedup, X_SEMANTIC_SQL),  # bound-checked
     # round 7: durable fit artifacts + pruning + fuzzy stream guard
     "x_bm25_topk_indexed": (x_bm25_topk_indexed, X_BM25_TOPK_SQL),
+    # r12: incremental posting log — three appended slices + compaction
+    # probe hash-equal to the same from-scratch oracle (VERDICT r11 #1)
+    "x_bm25_topk_incremental": (x_bm25_topk_incremental, X_BM25_TOPK_SQL),
     "x_pca_persisted": (x_pca_persisted, X_PCA_PERSISTED_SQL),  # bound-checked
     "x_incremental_dedup_persisted": (
         x_incremental_dedup_persisted,
@@ -7913,10 +8222,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),  # bound-checked
     "x_ivf_topk_many": (x_ivf_topk_many, X_IVF_MANY_SQL),  # bound-checked
     "x_ivf_append": (x_ivf_append, X_IVF_APPEND_SQL),  # bound-checked
+    # r12: drift measurement + documented refit trigger + refit path
+    "x_ivf_drift": (x_ivf_drift, X_IVF_DRIFT_SQL),  # bound-checked
     "x_snapshot_diff": (x_snapshot_diff, X_SNAPSHOT_DIFF_SQL),
     "x_ingest_loop": (x_ingest_loop, X_INGEST_LOOP_SQL),
     "x_rrf_fusion": (x_rrf_fusion, X_RRF_SQL),
     "x_ingest_e2e": (x_ingest_e2e, X_INGEST_E2E_SQL),  # bound-checked
+    # r12: N independent shard roots, content-routed — concurrent ticks
+    # digest-equal to a serialized golden run, exact dedup global
+    "x_sharded_ingest": (x_sharded_ingest, X_SHARDED_INGEST_SQL),  # bound-checked
     "x_ingest_lifecycle": (x_ingest_lifecycle, X_INGEST_LIFECYCLE_SQL),  # bound-checked
     "x_stream_ingest": (x_stream_ingest, X_STREAM_INGEST_SQL),  # bound-checked
     # kill-at-tick-2 → checkpoint resume → replay publishes zero; corpus

@@ -127,6 +127,15 @@ HEADLINE_R7 = [
     "x_dsir_persisted",
 ]
 
+# Round-12 addition: the INCREMENTAL posting-log probe (VERDICT r11 #1
+# — O(batch)-per-tick index maintenance for a living corpus; build is
+# digest-keyed and paid by the discarded warm-up run, steady state
+# measures the partition-pruned union probe, which the gate pins
+# hash-equal to the from-scratch and snapshot-indexed paths).
+HEADLINE_R12 = [
+    "x_bm25_topk_incremental",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,7 +160,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     retried: list[str] = []
-    for name in HEADLINE + HEADLINE_R6 + HEADLINE_R7:
+    for name in HEADLINE + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R12:
         fn = qs[name]
 
         # run 1 pays codegen compile + JIT for the plan shape and is
@@ -210,7 +219,7 @@ def main() -> None:
                 # the round-6 additions (x_bm25_topk/x_weighted_sample/
                 # x_pca) and is the forward-going headline
                 "total_r5_set": total_r5_set,
-                "headline_additions": HEADLINE_R6 + HEADLINE_R7,
+                "headline_additions": HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R12,
                 "queries": timings,
                 "spread": spreads,
                 "runs_per_query": n_runs,

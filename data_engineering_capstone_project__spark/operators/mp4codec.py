@@ -178,12 +178,27 @@ def _parse_stbl(buf: bytes, stbl: tuple[int, int], timescale: int) -> dict | Non
             si += 1
     if si < n_samples:
         return None
+    # first stsd sample-entry fourcc (r12): identifies the sample
+    # CODEC — 'jpeg'/'mjpa'/'mjpb' samples are whole JPEG images the
+    # stdlib JPEG path can decode; 'avc1' etc. stay size/ts-only
+    codec = None
+    stsd = _find(buf, *stbl, b"stsd")
+    if stsd is not None and stsd[1] - stsd[0] >= 16:
+        try:
+            (n_entries,) = struct.unpack_from(">I", buf, stsd[0] + 4)
+            if n_entries >= 1:
+                codec = buf[stsd[0] + 12 : stsd[0] + 16].decode(
+                    "ascii", "replace"
+                )
+        except struct.error:
+            pass
     return {
         "timescale": timescale,
         "n_samples": n_samples,
         "dts_ms": [d * 1000 // timescale for d in dts[:n_samples]],
         "sizes": sizes,
         "offsets": offsets,
+        "codec": codec,
     }
 
 
@@ -191,6 +206,7 @@ def encode_minimal_mp4(
     samples: list[bytes],
     timescale: int = 1000,
     delta: int = 250,
+    sample_entry: bytes = b"avc1",
 ) -> bytes:
     """Deterministic MP4 fixture with REAL sample tables: ``samples``
     land concatenated in one mdat chunk; stts declares a uniform
@@ -241,7 +257,7 @@ def encode_minimal_mp4(
         b"stsd",
         b"\x00\x00\x00\x00"
         + struct.pack(">I", 1)
-        + box(b"avc1", b"\x00" * 78),
+        + box(sample_entry, b"\x00" * 78),
     )
     stts = box(
         b"stts",

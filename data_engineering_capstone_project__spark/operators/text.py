@@ -118,14 +118,27 @@ def gopher_quality(
     - ``r_stopwords``       ≥ 2 distinct required function words
 
     Scale shape: zero shuffles, zero Python — every measure is a
-    regexp count / split-filter expression over the row, so the pack
+    ``regexp_count`` / length expression over the row, so the pack
     runs AT THE SCAN like the other quality signals
     (:func:`quality_score`, :func:`repetition_score`) and composes
-    with ``plans/corpus.py``'s filter pipeline. Ratios are
-    engine-parity rounded (``pround``) and the rule comparisons run on
-    the ROUNDED values so both engines decide identically at
-    boundaries (the repo's float-parity contract). Empty/blank text
-    fails every word-based rule (ratios NULL → rule false)."""
+    with ``plans/corpus.py``'s filter pipeline. The line/word rules
+    were first written as ``F.filter`` higher-order functions — but
+    HOFs are CodegenFallback (interpreted in the JVM despite being
+    "built-ins", the pq_encode lesson), so r12 laddered both forms
+    (``tools/gopher_ladder.py``: 17.9 s HOF vs 15.7 s regexp at the
+    500k-doc rung, row-for-row identical there and on the driver
+    data — SCALING.md) and kept the regexp rewrite: bullet/ellipsis
+    lines count via multiline-anchored patterns (``(?m)`` with
+    ``[^\\S\\n]`` so whitespace can never cross a line — each line
+    yields at most one match, exactly the per-line boolean), alpha
+    words via one count of maximal non-space runs containing a letter.
+    (Java's MULTILINE anchors also treat a lone ``\\r`` as a line
+    break where a ``split('\\n')`` would not — indistinguishable on
+    any ``\\n``/``\\r\\n`` corpus.) Ratios are engine-parity rounded
+    (``pround``) and the rule comparisons run on the ROUNDED values so
+    both engines decide identically at boundaries (the repo's
+    float-parity contract). Empty/blank text fails every word-based
+    rule (ratios NULL → rule false)."""
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_words = token_count(t).cast("double")
@@ -139,25 +152,20 @@ def gopher_quality(
         + F.regexp_count(t, F.lit("…"))
     ).cast("double")
     symbol_ratio = pround(symbols / nz_words, 4)
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines).cast("double")
+    n_lines = F.size(F.split(t, "\n")).cast("double")
+    nz_lines = F.nullif(n_lines, F.lit(0.0))
     bullet_ratio = pround(
-        F.size(
-            F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
-        ).cast("double")
-        / F.nullif(n_lines, F.lit(0.0)),
+        F.regexp_count(t, F.lit(r"(?m)^[^\S\n]*[-*•]")).cast("double")
+        / nz_lines,
         4,
     )
     ellipsis_ratio = pround(
-        F.size(
-            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
-        ).cast("double")
-        / F.nullif(n_lines, F.lit(0.0)),
+        F.regexp_count(t, F.lit(r"(?m)(\.\.\.|…)[^\S\n]*$")).cast("double")
+        / nz_lines,
         4,
     )
-    words = F.filter(F.split(trimmed, _WORD_RE), lambda w: w != "")
     alpha_ratio = pround(
-        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        F.regexp_count(trimmed, F.lit(r"\S*[A-Za-z]\S*")).cast("double")
         / nz_words,
         4,
     )
@@ -626,6 +634,172 @@ def bm25_topk(
             for r in qterms.select(qbucket.alias("_qtb")).distinct().collect()
         ]
         w = w.filter(F.col("_tb").isin(buckets))
+    scores = (
+        w.join(qterms, "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("bm25").cast("decimal(20,6)")).alias("score"))
+    )
+    return top_k_per_group(
+        scores,
+        ["query_id"],
+        [F.col("score").desc(), F.col(id_col).asc()],
+        k,
+    )
+
+
+def bm25_postings_with_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, dict]:
+    """Raw BM25 sufficient statistics for one document batch:
+    ``(id_col, term, tf, dl)`` rows plus the scalar stats dict
+    (``n_docs`` including token-less docs, ``n_tok_docs``, ``sum_dl``)
+    that :func:`~...sources.artifacts.save_bm25_postings` persists in
+    the delta's meta. Tokenization, tf, and dl use the EXACT
+    subexpressions of :func:`bm25`, so an incremental probe over the
+    posting log is bit-identical to a from-scratch fit."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(_lower_terms(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = register(
+        tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    postings = tf.join(dl, id_col).select(id_col, "term", "tf", "dl")
+    n_docs = df.count()
+    row = dl.agg(
+        F.count("*").alias("ntd"), F.sum("dl").alias("sdl")
+    ).first()
+    stats = {
+        "n_docs": int(n_docs),
+        "n_tok_docs": int(row["ntd"] or 0),
+        "sum_dl": int(row["sdl"] or 0),
+    }
+    return postings, stats
+
+
+def bm25_topk_incremental(
+    spark,
+    index_path: str | list[str],
+    queries: dict[str, str] | DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval over an INCREMENTAL posting log (VERDICT r11 #1):
+    same result contract as :func:`bm25_topk` — ``(query_id, doc_id,
+    score, rn)``, rank by (score desc, doc_id asc) — but the index is
+    the append-log of raw ``(doc, term, tf, dl)`` statistics that
+    :func:`~...sources.artifacts.save_bm25_postings` maintains, so a
+    growing corpus pays O(batch) per tick instead of the O(corpus)
+    refit the digest-keyed snapshot index forces on ANY change.
+
+    Exactness: BM25's global stats are recomputed from the log, not
+    approximated — ``N``/``avgdl`` as exact integer sums over the
+    per-version meta scalars (zero scans; the single double division
+    is the same IEEE op :func:`bm25` performs), ``df_t`` by counting
+    the pruned posting union per term (a bucket holds EVERY posting of
+    every term hashing into it, so pruning never undercounts a query
+    term's df). The per-row weight expression is shared with
+    :func:`bm25` verbatim — probes are bit-identical to a from-scratch
+    fit of the full corpus, which the ``x_bm25_topk_incremental``
+    oracle gate pins.
+
+    Scale shape: the probe plan reads ONLY the posting log — never the
+    corpus (no re-tokenize; structurally asserted in
+    ``tests/test_bm25_incremental.py``) — and the union scan is
+    partition-pruned to the query terms' hash buckets across every
+    delta version at once. df_t aggregates the pruned scan (output
+    bounded by the pruned vocabulary), the query join broadcasts dict
+    queries, and the final top-k rides the WindowGroupLimit map-side
+    prune. Per-query-batch cost is O(postings in touched buckets),
+    flat in corpus version count.
+
+    ``index_path`` may be a LIST of posting-log paths (r12): GLOBAL
+    search over a SHARDED corpus (``plans/shards.py`` — pass
+    ``sharded_bm25_paths(root)``). Scalars sum across shards and df_t
+    aggregates the cross-shard union, so scores are exactly what a
+    single unsharded index of the union corpus would produce (shards
+    are document-disjoint by the routing contract)."""
+    from data_engineering_capstone_project__spark.operators.relational import (
+        top_k_per_group,
+    )
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art,
+    )
+
+    postings, meta = art.load_bm25_postings_log(spark, index_path)
+    totals = meta["totals"]
+    ntb = int(meta["n_term_buckets"])
+    id_col = meta["id_col"]
+    if isinstance(queries, DataFrame):
+        qdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_text_col).alias("_qtext"),
+        )
+        force_broadcast = False
+    else:
+        if not queries:
+            raise ValueError("bm25_topk_incremental: no queries")
+        qdf = spark.createDataFrame(
+            list(queries.items()), "query_id string, _qtext string"
+        )
+        force_broadcast = True
+    qterms = (
+        qdf.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(_lower_terms(F.col("_qtext")))
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    qbucket = F.pmod(F.xxhash64("term"), F.lit(ntb)).cast("int")
+    if force_broadcast:
+        rows = qterms.select(
+            "query_id", "term", qbucket.alias("_qtb")
+        ).collect()
+        if not rows:
+            raise ValueError("bm25_topk_incremental: no non-empty query terms")
+        buckets = sorted({r["_qtb"] for r in rows})
+        qterms = F.broadcast(
+            spark.createDataFrame(
+                [(r["query_id"], r["term"]) for r in rows],
+                "query_id string, term string",
+            )
+        )
+    else:
+        buckets = sorted(
+            r["_qtb"]
+            for r in qterms.select(qbucket.alias("_qtb")).distinct().collect()
+        )
+    # partition filter FIRST, df_t only over what survives: the prune
+    # reaches the parquet listing of every delta version in one scan
+    pruned = postings.filter(F.col("_tb").isin(buckets))
+    dfreq = pruned.groupBy("term").agg(F.count("*").alias("df_t"))
+    # globals from meta sums — exact longs, one constant-folded double
+    # division, the same IEEE op bm25()'s scalar aggregate performs
+    n_docs = F.lit(int(totals["n_docs"]))
+    avgdl = (
+        F.lit(int(totals["sum_dl"])).cast("double")
+        / F.lit(int(totals["n_tok_docs"])).cast("double")
+    )
+    idf = F.log(
+        (n_docs - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    w = pruned.join(dfreq, "term").select(
+        id_col,
+        "term",
+        pround(idf * tf_d * F.lit(k1 + 1.0) / denom, 6).alias("bm25"),
+    )
     scores = (
         w.join(qterms, "term")
         .groupBy("query_id", id_col)

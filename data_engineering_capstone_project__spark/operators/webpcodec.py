@@ -482,7 +482,10 @@ def _inv_predictor(px: np.ndarray, size_bits: int, modes: np.ndarray) -> np.ndar
                 mode = int(modes[y >> size_bits, x >> size_bits] >> 8) & 0xFF
                 l = int(out[y, x - 1])
                 t = int(out[y - 1, x])
-                tr = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y - 1, 0])
+                # At the rightmost column the spec's TR offset
+                # ((y-1)*w + x+1) wraps to (y*w + 0): the CURRENT row's
+                # leftmost pixel, which is already decoded (x > 0 here).
+                tr = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
                 tl = int(out[y - 1, x - 1])
                 pred = _predict(mode, l, t, tr, tl)
             out[y, x] = _add_argb(out[y, x], pred)

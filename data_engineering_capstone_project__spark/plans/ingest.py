@@ -49,6 +49,19 @@ from data_engineering_capstone_project__spark.streaming.stream import (
 _FP = "fingerprints"
 _MH = "minhash"
 _CORPUS = "corpus"
+# optional incremental BM25 posting log (VERDICT r11 #1): maintained
+# per tick when the bootstrap created it (init_ingest_indexes
+# bm25_index=True) — ticks self-configure from its presence
+_BM25 = "bm25"
+
+
+def _bm25_log_active(root: str) -> bool:
+    """True when the ingest root maintains an incremental BM25 posting
+    log (the bootstrap created one). Presence-keyed so ticks and
+    recovery self-configure — no flag can desync from the layout."""
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    return bool(commitlog.committed_versions(os.path.join(root, _BM25)))
 
 # selection-id semi-join broadcast ceiling (VERDICT r8 #2): k ids are a
 # few bytes each, so under this the broadcast is a handful of MB —
@@ -85,6 +98,9 @@ class IngestStats:
     # its fp admission and its publish commit (exactly-once recovery) —
     # per-tier drop attribution is then unavailable (zeros)
     recovered: bool = False
+    # delta version appended to the incremental BM25 posting log this
+    # tick, when the root maintains one (None otherwise)
+    bm25_index_version: int | None = None
 
 
 def init_ingest_indexes(
@@ -99,10 +115,23 @@ def init_ingest_indexes(
     verify_jaccard_threshold: float | None = None,
     near_dup_threshold: float = 0.8,
     baseline_j: float = 0.2,
+    bm25_index: bool = False,
 ) -> None:
     """Bootstrap: fit both dedup indexes over the existing corpus and
     publish corpus + indexes as version 1 artifacts under ``root``.
     Runs ONCE per corpus; every later tick is :func:`ingest_batch`.
+
+    ``bm25_index=True`` (VERDICT r11 #1) additionally bootstraps an
+    INCREMENTAL BM25 posting log under ``root/bm25`` — raw
+    ``(doc, term, tf, dl)`` sufficient statistics, bucketed by term
+    hash. Every later tick then appends a batch-sized posting delta
+    for its published docs under the same generation-checked
+    precommit as the dedup index deltas, so
+    ``text.bm25_topk_incremental(spark, root + '/bm25', ...)`` always
+    searches exactly the publication log — O(batch) maintenance per
+    tick instead of the O(corpus) refit a digest-keyed snapshot index
+    pays on any corpus change. Ticks self-configure from the log's
+    presence; compaction folds its deltas alongside the dedup logs.
 
     ``num_hashes``/``bands`` default to AUTO: sized from the bootstrap
     corpus count via ``auto_minhash_config`` (the count is free — it is
@@ -175,6 +204,24 @@ def init_ingest_indexes(
                 shingle_k=shingle_k,
                 jaccard_threshold=verify_jaccard_threshold,
                 corpus_digest=dg,
+            )
+        if bm25_index:
+            from data_engineering_capstone_project__spark.operators import (
+                text as text_ops,
+            )
+
+            postings, pstats = text_ops.bm25_postings_with_stats(
+                corpus, id_col=id_col, text_col=text_col
+            )
+            _check_lease_generation(root, gen)
+            art.save_bm25_postings(
+                postings,
+                os.path.join(root, _BM25),
+                id_col=id_col,
+                n_term_buckets=text_ops._BM25_TERM_BUCKETS,
+                stats=pstats,
+                corpus_digest=dg,
+                precommit=lambda: _check_lease_generation(root, gen),
             )
         _check_lease_generation(root, gen)
         bv = write_versioned(corpus, os.path.join(root, _CORPUS))
@@ -446,16 +493,31 @@ def release_ingest_lease(root: str, generation: int | None = None) -> None:
     ``generation`` given, releases ONLY a lease of that generation: a
     holder whose lease was broken and re-acquired by a successor must
     not remove the SUCCESSOR's lease file from its ``finally`` (that
-    would unlock a third writer alongside the successor)."""
+    would unlock a third writer alongside the successor).
+
+    The guard is read-then-delete, so a break + successor-acquire
+    landing BETWEEN the final read and the ``os.remove`` still loses
+    the successor's lease file — re-reading immediately before the
+    remove shrinks that window to two adjacent syscalls but cannot
+    close it on a plain filesystem; fully closing it needs a
+    conditional-delete primitive (``DeleteObject If-Match`` on an
+    object store). The residual hazard re-opens concurrent lease
+    ACQUISITION only — commits stay safe regardless, because every
+    versioned commit re-checks the lease generation
+    (:func:`_check_lease_generation`) and fencing wins."""
     path = os.path.join(root, _LEASE)
     if generation is not None:
-        try:
-            with open(path) as f:
-                payload = f.read()
-        except OSError:
-            return
-        if f"gen={generation}" not in payload.split():
-            return  # someone else's lease now — leave it
+        # check twice: the first read rejects the common stale-holder
+        # case; the second runs immediately before the remove so the
+        # TOCTOU window is as small as the primitive allows
+        for _ in range(2):
+            try:
+                with open(path) as f:
+                    payload = f.read()
+            except OSError:
+                return
+            if f"gen={generation}" not in payload.split():
+                return  # someone else's lease now — leave it
     try:
         os.remove(path)
     except FileNotFoundError:
@@ -597,6 +659,45 @@ def ingest_batch(
         release_ingest_lease(root, gen)
 
 
+def _append_bm25_delta(
+    spark: SparkSession,
+    root: str,
+    published: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_digest: str,
+    tick_meta: dict,
+    expected_gen: int | None,
+) -> int:
+    """Append one tick's BM25 posting delta (published docs only — the
+    posting log mirrors the publication log exactly, so the search
+    surface IS the corpus). Same fencing discipline as the fp/mh
+    deltas: generation check before the claim and again at the last
+    instant before the commit marker. The bucket count is threaded
+    from the log's own meta, so every delta prunes with the layout's
+    pinned hash."""
+    from data_engineering_capstone_project__spark.operators import (
+        text as text_ops,
+    )
+
+    path = os.path.join(root, _BM25)
+    ntb = art.load_artifact_meta(path)["n_term_buckets"]
+    postings, pstats = text_ops.bm25_postings_with_stats(
+        published, id_col=id_col, text_col=text_col
+    )
+    _check_lease_generation(root, expected_gen)
+    return art.save_bm25_postings(
+        postings,
+        path,
+        id_col=id_col,
+        n_term_buckets=ntb,
+        stats=pstats,
+        corpus_digest=corpus_digest,
+        extra_meta=tick_meta,
+        precommit=lambda: _check_lease_generation(root, expected_gen),
+    )
+
+
 def _complete_dangling_tick(
     spark: SparkSession,
     root: str,
@@ -683,6 +784,24 @@ def _complete_dangling_tick(
             )
     else:
         mh_v = commitlog.latest_version(mh_path)
+    # same completion rule for the BM25 posting log (when maintained):
+    # a crash between the mh admission and the bm25 append leaves the
+    # latest bm25 delta carrying a FOREIGN batch digest — rebuild it
+    # from the claimed payload (pure function of the payload, so the
+    # rebuilt delta is golden-equal to the uninterrupted tick's)
+    if _bm25_log_active(root):
+        bm_meta = art.load_artifact_meta(os.path.join(root, _BM25))
+        if bm_meta.get("batch_digest") != bdg:
+            _append_bm25_delta(
+                spark,
+                root,
+                published,
+                id_col,
+                text_col,
+                f"delta:{art.corpus_digest(published, [id_col, text_col])}",
+                {"batch_digest": bdg, "publish_version": pub_n},
+                expected_gen,
+            )
     _check_lease_generation(root, expected_gen)
     commit_versioned(corpus_path, pub_n)
     return bdg, pub_n, mh_v
@@ -990,6 +1109,15 @@ def _ingest_batch_impl(
             extra_meta=tick_meta,
             precommit=fence,
         )
+    # incremental BM25 posting delta (VERDICT r11 #1) — published docs
+    # only, same fencing as the dedup deltas; appended BEFORE the
+    # publish commit so recovery's completion rule covers it
+    bm25_v = None
+    if _bm25_log_active(root):
+        bm25_v = _append_bm25_delta(
+            spark, root, published, id_col, text_col,
+            mh_dg, tick_meta, expected_gen,
+        )
     _check_lease_generation(root, expected_gen)
     commit_versioned(corpus_path, corpus_v)
     exact_kept.unpersist()
@@ -1004,6 +1132,7 @@ def _ingest_batch_impl(
         mh_index_version=mh_v,
         corpus_version=corpus_v,
         n_select_dropped=n_select_dropped,
+        bm25_index_version=bm25_v,
     )
     return published, stats
 
@@ -1104,19 +1233,33 @@ def compact_publication_log(
         _check_lease_generation(root, gen)
         v = claim_versioned_write(full, path)
         _write_schema_note(full, path, v)
+        # the note names the leftovers TOO: a leftover L is only
+        # invisible via a PRIOR fold's note (some F1 in vs), and F1's
+        # directory is about to be GC'd below — if this compactor then
+        # crashes before removing L, the new fold's own note must still
+        # subsume L or it would become visible again alongside the fold
+        # (double-counting the union)
         with open(os.path.join(path, f"v={v}", _FOLDS_NOTE), "w") as f:
-            _json.dump(sorted(vs), f)
+            _json.dump(sorted(set(vs) | set(leftovers)), f)
         _check_lease_generation(root, gen)
         commit_versioned(path, v)
         # physical expiry is now pure garbage collection: the inputs
-        # are already invisible (fold committed + _FOLDS note)
-        for old in vs + leftovers:
+        # are already invisible (fold committed + _FOLDS note).
+        # Leftovers first — belt-and-braces with the union note above:
+        # no delete ordering can strand a committed leftover without a
+        # surviving note that subsumes it.
+        for old in leftovers + vs:
             shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
         if compact_indexes:
             art.compact_artifact_log(spark, os.path.join(root, _FP), "fps")
             art.compact_artifact_log(
                 spark, os.path.join(root, _MH), "bands", distinct=True
             )
+            if _bm25_log_active(root):
+                # bespoke fold: the folded meta must carry the SUMMED
+                # scalars (N/avgdl inputs), which the generic log
+                # compactor would copy from the last delta
+                art.compact_bm25_postings(spark, os.path.join(root, _BM25))
         return v
     finally:
         if lease:

@@ -1,0 +1,230 @@
+"""SHARDED ingest: N independent single-writer roots behind one view
+(VERDICT r11 #2 — the single-global-lease throughput ceiling).
+
+``plans/ingest.py``'s loop is single-writer by contract: one lease per
+root serializes every tick, because two simultaneous ticks each probe
+only pre-tick index versions and could both publish near-dups of each
+other's batches. Correct — and a throughput ceiling: at 100 TB one
+writer is one driver's worth of admission bandwidth.
+
+This module removes the ceiling without weakening any per-root
+guarantee: the corpus is split into ``n_shards`` INDEPENDENT ingest
+roots (``root/shard=K`` — each a full publication log + fp/mh(/bm25)
+index set with its OWN lease, generation fencing, recovery, and
+compaction), and documents route to shards by their EXACT-DEDUP
+IDENTITY — ``pmod(xxhash64(fingerprint(text)), n_shards)``, the same
+md5-over-normalized-text key the exact tier shuffles on. Routing on
+content rather than id is what makes exact dedup GLOBAL for free: a
+byte-identical (after normalization) re-arrival lands on the same shard
+as the original by construction and drops against that shard's
+fingerprint index — no shared mutable index, no cross-shard
+coordination, no blind window, under ANY concurrent interleaving of
+shard ticks.
+
+The near-dup tier is SHARD-LOCAL by default: a near-duplicate is not
+byte-identical, so it may route to a different shard and will not be
+caught there. This is the documented trade — the single-root loop
+serializes all fuzzy admissions globally; sharding trades cross-shard
+near-dup suppression for N-writer throughput, which is the standard
+posture of horizontally-scaled dedup pipelines (near-dup coverage
+within a shard stays exactly the single-root semantics, and a periodic
+global MinHash pass over the union view — ``operators.dedup`` on
+``read_sharded_corpus`` — reclaims the cross-shard stragglers offline).
+
+Because shards share NOTHING, concurrency is mechanically safe:
+``ingest_batch_sharded`` routes one batch and ticks every non-empty
+shard in PARALLEL threads (each claims its own shard lease; Spark job
+submission is thread-safe), and the result is bit-identical to ticking
+the shards one at a time — the ``x_sharded_ingest`` gate races two
+shards concurrently against a serialized golden run and requires
+digest equality. Per-shard exactly-once (crash replay, two-phase
+publish, fencing) is inherited wholesale from ``plans/ingest.py``.
+
+Scale shape: routing is one codegen projection; each shard tick is
+batch-sized against its own indexes; the union read
+(``read_sharded_corpus``) is a UNION of per-shard multi-path scans —
+plan size linear in n_shards (bounded, operator-chosen), never in
+version count (per-shard compaction bounds that).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.operators.text import fingerprint
+from data_engineering_capstone_project__spark.plans import ingest
+
+_SHARDS_NOTE = "_SHARDS.json"
+
+
+def shard_root(root: str, shard: int) -> str:
+    return os.path.join(root, f"shard={shard}")
+
+
+def shard_route(text_col: Column, n_shards: int) -> Column:
+    """A document's shard: hash of its exact-dedup fingerprint. MUST be
+    a pure function of the normalized text (never the id) so that
+    byte-identical re-arrivals co-locate with their originals and the
+    exact tier stays globally correct without any shared index."""
+    return F.pmod(F.xxhash64(fingerprint(text_col)), F.lit(n_shards)).cast(
+        "int"
+    )
+
+
+def load_shard_config(root: str) -> dict:
+    try:
+        with open(os.path.join(root, _SHARDS_NOTE)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"{root!r} is not a sharded ingest root (no {_SHARDS_NOTE}) — "
+            "bootstrap with init_sharded_ingest"
+        ) from None
+
+
+def init_sharded_ingest(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **init_kw,
+) -> None:
+    """Bootstrap ``n_shards`` independent ingest roots under ``root``:
+    the corpus splits by :func:`shard_route` and each slice bootstraps
+    its own index set (``init_ingest_indexes`` — every keyword, e.g.
+    ``verify_jaccard_threshold`` or ``bm25_index``, passes through).
+    The shard count is pinned in ``_SHARDS.json`` and immutable for the
+    root's lifetime (re-routing would strand fingerprints on their old
+    shard; resharding = bootstrap a new root from the union view)."""
+    if n_shards < 1:
+        raise ValueError("init_sharded_ingest: n_shards must be >= 1")
+    os.makedirs(root, exist_ok=True)
+    note = os.path.join(root, _SHARDS_NOTE)
+    if os.path.exists(note):
+        raise FileExistsError(
+            f"{root!r} already bootstrapped — shard count is immutable"
+        )
+    route = shard_route(F.col(text_col), n_shards)
+    for s in range(n_shards):
+        ingest.init_ingest_indexes(
+            spark,
+            corpus.filter(route == s),
+            shard_root(root, s),
+            text_col=text_col,
+            id_col=id_col,
+            **init_kw,
+        )
+    with open(note, "w") as f:
+        json.dump(
+            {"n_shards": int(n_shards), "text_col": text_col,
+             "id_col": id_col, "route": "pmod(xxhash64(fingerprint),n)"},
+            f,
+        )
+
+
+def ingest_batch_sharded(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    select_cfg: dict | None = None,
+    max_parallel: int | None = None,
+) -> dict[int, "ingest.IngestStats"]:
+    """One sharded tick: route the batch, then run every non-empty
+    shard's ``ingest_batch`` CONCURRENTLY (``max_parallel`` caps the
+    thread pool; default = shard count). Each shard tick claims its own
+    lease, so two sharded ticks of DIFFERENT batches also interleave
+    safely per shard (a busy shard raises ``ConcurrentIngestError``
+    exactly as the single-root contract specifies). Returns
+    ``{shard: IngestStats}`` for the shards that received rows.
+
+    The routed sub-batches are materialized once (persist) so each
+    shard's tick does not rescan/reroute the whole input; the published
+    sub-frames are unpersisted internally (stats carry the counts)."""
+    cfg = load_shard_config(root)
+    n = int(cfg["n_shards"])
+    route = shard_route(F.col(text_col), n)
+    routed = batch.withColumn("_shard", route).persist()
+    try:
+        present = sorted(
+            r["_shard"]
+            for r in routed.select("_shard").distinct().collect()
+        )
+
+        def tick(s: int):
+            sub = routed.filter(F.col("_shard") == s).drop("_shard")
+            pub, stats = ingest.ingest_batch(
+                spark, sub, shard_root(root, s),
+                text_col=text_col, id_col=id_col, select_cfg=select_cfg,
+            )
+            pub.unpersist()
+            return s, stats
+
+        workers = max(1, min(max_parallel or n, len(present) or 1))
+        if workers == 1:
+            results = [tick(s) for s in present]
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(tick, present))
+        return dict(results)
+    finally:
+        routed.unpersist()
+
+
+def read_sharded_corpus(spark: SparkSession, root: str) -> DataFrame:
+    """The UNION view over every shard's publication log — what a
+    consumer reads as "the corpus". Shards are disjoint by routing, so
+    the union needs no dedup."""
+    cfg = load_shard_config(root)
+    dfs = [
+        ingest.read_ingest_corpus(spark, shard_root(root, s))
+        for s in range(int(cfg["n_shards"]))
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def sharded_bm25_paths(root: str) -> list[str]:
+    """The per-shard incremental BM25 posting-log paths (present when
+    the root was bootstrapped with ``bm25_index=True``) — feed to
+    ``text.bm25_topk_incremental`` for GLOBAL search over the sharded
+    corpus: per-shard scalar stats SUM into one global (N, avgdl) and
+    df_t aggregates the cross-shard posting union, so sharded search
+    scores exactly as one unsharded index of the union would (shards
+    are document-disjoint by routing)."""
+    cfg = load_shard_config(root)
+    paths = [
+        os.path.join(shard_root(root, s), ingest._BM25)
+        for s in range(int(cfg["n_shards"]))
+    ]
+    missing = [p for p in paths if not os.path.isdir(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"sharded root {root!r} has no BM25 posting logs "
+            f"(bootstrap with bm25_index=True); missing: {missing[:3]}"
+        )
+    return paths
+
+
+def compact_sharded_ingest(
+    spark: SparkSession, root: str, **kw
+) -> dict[int, int]:
+    """Per-shard ``compact_publication_log`` (each under its own shard
+    lease); shards compact independently, so this can also run
+    concurrently with other shards' ticks. Returns
+    ``{shard: compacted_version}``."""
+    cfg = load_shard_config(root)
+    return {
+        s: ingest.compact_publication_log(spark, shard_root(root, s), **kw)
+        for s in range(int(cfg["n_shards"]))
+    }

@@ -95,6 +95,9 @@ __all__ = [
 ]
 
 _META = "_META.json"
+# fold-subsumption note — same filename and protocol as the ingest
+# publication log's (plans/ingest.py), so operators see ONE idiom
+_FOLDS = "_FOLDS.json"
 
 
 def default_artifact_root() -> str:
@@ -148,6 +151,7 @@ def save_artifact(
     meta: dict | None = None,
     partition_by: dict[str, list[str]] | None = None,
     precommit=None,
+    folds: list[int] | None = None,
 ) -> int:
     """Write a multi-part artifact as one atomic versioned snapshot.
 
@@ -171,6 +175,12 @@ def save_artifact(
     an uncommitted (and, when the break saw it, FENCED) orphan instead
     of publishing a stale delta. Raising from ``precommit`` leaves the
     artifact log exactly as it was.
+
+    ``folds`` (r12): version numbers this snapshot SUBSUMES — written
+    as a ``_FOLDS.json`` note before the commit, so the commit marker
+    is the single atomic switch from inputs-visible to fold-visible
+    (the publication-log compaction protocol, ``plans/ingest.py``).
+    Log readers resolve through :func:`visible_artifact_versions`.
     """
     for name in parts:
         if not name or any(c in name for c in "/\\. "):
@@ -183,10 +193,38 @@ def save_artifact(
         w.parquet(os.path.join(target, name))
     with open(os.path.join(target, _META), "w") as f:
         json.dump({"parts": sorted(parts), **(meta or {})}, f)
+    if folds:
+        with open(os.path.join(target, _FOLDS), "w") as f:
+            json.dump(sorted(set(int(v) for v in folds)), f)
     if precommit is not None:
         precommit()
     commitlog.commit_version(path, n)
     return n
+
+
+def _folds_note(path: str, n: int) -> list[int]:
+    """Versions that committed version ``n`` subsumes (empty for plain
+    deltas/snapshots)."""
+    try:
+        with open(os.path.join(path, f"v={n}", _FOLDS)) as f:
+            return [int(x) for x in json.load(f)]
+    except (OSError, ValueError):
+        return []
+
+
+def visible_artifact_versions(path: str) -> list[int]:
+    """Committed versions minus those a committed fold subsumes: the set
+    a LOG reader must union. Equal to ``commitlog.committed_versions``
+    except in the window between a compactor's fold commit and its
+    physical deletes (or after a compactor crash inside that window),
+    where the subsumed inputs are still on disk but must not be read —
+    double-counting folded postings/fingerprints would corrupt any
+    count-bearing log (BM25 tf/df) and waste scans on the rest."""
+    vs = commitlog.committed_versions(path)
+    folded: set[int] = set()
+    for v in vs:
+        folded.update(_folds_note(path, v))
+    return [v for v in vs if v not in folded]
 
 
 def _resolve_version(path: str, version: int | None) -> int:
@@ -241,8 +279,12 @@ def load_artifact_log(
     O(index): rewriting the full index per tick is quadratic cumulative
     I/O at corpus scale). Appenders must keep the meta consistent
     across versions (the ingest tick threads the loaded config back
-    into every save)."""
-    vs = commitlog.committed_versions(path)
+    into every save).
+
+    Resolution is FOLDS-aware (r12): versions a committed compaction
+    fold subsumes are excluded even when a compactor crash left them
+    on disk — the union is exactly-once under any crash interleaving."""
+    vs = visible_artifact_versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed version under {path!r}")
     meta = load_artifact_meta(path, vs[-1])
@@ -267,10 +309,20 @@ def compact_artifact_log(
     write unions exactly those versions, and expiry removes exactly
     those versions — a delta committed after the capture survives and
     the union is preserved under any interleaving. Returns the
-    compacted version."""
-    vs = commitlog.committed_versions(path)
+    compacted version.
+
+    Crash-safe since r12 via the ``folds`` note: the fold commits with
+    a ``_FOLDS.json`` naming every subsumed input (captured visible
+    versions AND crash leftovers from a prior compactor, whose own
+    notes are about to be GC'd), so a crash anywhere between the commit
+    and the deletes never double-counts the union; deletes run
+    leftovers-first as belt-and-braces."""
+    vs = visible_artifact_versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed version under {path!r}")
+    leftovers = [
+        v for v in commitlog.committed_versions(path) if v not in vs
+    ]
     meta = load_artifact_meta(path, vs[-1])
     df = spark.read.parquet(
         *[os.path.join(path, f"v={v}", part) for v in vs]
@@ -287,9 +339,11 @@ def compact_artifact_log(
         # current for that frame. Stamp a value that can never match a
         # real digest, forcing staleness checks to refit.
         out_meta["corpus_digest"] = f"compacted:{len(vs)}"
-    v = save_artifact(path, {part: df}, out_meta)
-    for old in vs:
-        shutil.rmtree(os.path.join(path, f"v={old}"))
+    v = save_artifact(
+        path, {part: df}, out_meta, folds=sorted(set(vs) | set(leftovers))
+    )
+    for old in leftovers + vs:
+        shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
     return v
 
 
@@ -323,7 +377,7 @@ def load_minhash_log(
         )
     keys = ("kind", "num_hashes", "bands", "shingle_k")
     want = {k: meta.get(k) for k in keys}
-    for v in commitlog.committed_versions(path):
+    for v in visible_artifact_versions(path):
         m = load_artifact_meta(path, v)
         got = {k: m.get(k) for k in keys}
         if got != want:
@@ -353,6 +407,104 @@ def expire_artifact_versions(path: str, keep: int = 1) -> list[int]:
             shutil.rmtree(os.path.join(path, f"v={v}"))
             removed.append(v)
     return removed
+
+
+def _artifact_family(dirname: str, meta: dict) -> str:
+    """Family key for retention grouping: the directory name with its
+    digest suffix stripped (the repo's digest-keyed savers append the
+    sanitized ``corpus_digest`` — ``:``→``_``, ``-``→``m`` — as the
+    final name component). Two fits of the same kind+params on
+    DIFFERENT corpus contents share a family; distinct
+    parameterizations (baked into the name before the digest) never
+    collide."""
+    dg = meta.get("corpus_digest")
+    if isinstance(dg, str) and dg:
+        safe = dg.replace(":", "_").replace("-", "m")
+        if dirname.endswith(safe):
+            return dirname[: -len(safe)].rstrip("_")
+    return dirname
+
+
+def sweep_stale_artifacts(
+    root: str,
+    current_digests: set[str] | frozenset[str] | None = None,
+    keep: int = 2,
+) -> list[str]:
+    """Retention for DIGEST-KEYED artifact directories (VERDICT r11 #5):
+    every corpus change mints a NEW digest → a NEW artifact directory
+    (``bm25_…_<digest>``, ``ivf_centroids_<digest>``, ``dsir_<digest>``,
+    …), and the superseded ones accumulate forever. This sweeps ``root``
+    (typically :func:`default_artifact_root`), grouping sibling
+    artifact dirs into FAMILIES (name minus digest suffix) and
+    deleting, per family, everything except
+
+    - any dir whose stamped ``corpus_digest`` is in ``current_digests``
+      (the caller's known-live corpora — never swept regardless of age),
+    - the ``keep`` most recently COMMITTED others (commit-marker mtime
+      of the latest version — rollback headroom).
+
+    Serialization + crash-safety: the sweep claims a put-if-absent
+    ``_SWEEP_LOCK`` under ``root`` (two concurrent sweepers could
+    otherwise each decide the other's survivor set) and releases it in
+    a ``finally``; deletion is pure GC of directories no current reader
+    resolves (digest-keyed consumers only ever open their OWN digest's
+    path), so a crash mid-sweep strands only stale directories — the
+    next sweep removes them, and every kept artifact is untouched by
+    construction (survivors are never passed to rmtree). Non-artifact
+    entries (no committed version / unreadable meta) are left alone.
+    Returns the deleted directory names."""
+    current = {d for d in (current_digests or ())}
+    lock = os.path.join(root, "_SWEEP_LOCK")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise ConcurrentSweepError(
+            f"artifact root {root!r} is being swept by another process "
+            "(stale _SWEEP_LOCK after a crash? remove it explicitly)"
+        ) from None
+    try:
+        families: dict[str, list[tuple[float, str, str]]] = {}
+        for name in sorted(os.listdir(root)):
+            p = os.path.join(root, name)
+            if not os.path.isdir(p):
+                continue
+            vs = commitlog.committed_versions(p)
+            if not vs:
+                continue  # in-flight or foreign — never touched
+            try:
+                meta = load_artifact_meta(p, vs[-1])
+            except (OSError, ValueError):
+                continue
+            try:
+                mtime = os.path.getmtime(
+                    os.path.join(p, f"v={vs[-1]}", "_COMMITTED")
+                )
+            except OSError:
+                mtime = 0.0
+            families.setdefault(_artifact_family(name, meta), []).append(
+                (mtime, name, meta.get("corpus_digest") or "")
+            )
+        removed: list[str] = []
+        for entries in families.values():
+            # current-digest dirs are pinned (excluded from the ranked
+            # list entirely); of the rest, the `keep` newest survive
+            rest = sorted(
+                (e for e in entries if e[2] not in current), reverse=True
+            )
+            for _, name, _ in rest[keep:]:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                removed.append(name)
+        return removed
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+class ConcurrentSweepError(RuntimeError):
+    """Another sweeper holds the artifact root's _SWEEP_LOCK."""
 
 
 def corpus_digest(df: DataFrame, cols: list[str] | None = None) -> str:
@@ -462,6 +614,194 @@ def load_bm25_index(
     return w
 
 
+# ------------------------------------------------- BM25 posting LOG
+
+
+def save_bm25_postings(
+    postings: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_term_buckets: int = 64,
+    stats: dict | None = None,
+    corpus_digest: str | None = None,
+    extra_meta: dict | None = None,
+    precommit=None,
+    folds: list[int] | None = None,
+) -> int:
+    """Append ONE delta version of raw BM25 sufficient statistics —
+    ``(id_col, term, tf, dl)`` rows for a batch of documents — to an
+    incremental posting LOG (VERDICT r11 #1).
+
+    The log stores SUFFICIENT STATISTICS, not final weights, because
+    every BM25 weight depends on global corpus stats (N, avgdl, df_t)
+    that change with every appended document — persisting weights would
+    force an O(corpus) refit per tick, while (tf, dl) rows are purely
+    per-document and append in O(batch). The probe
+    (``text.bm25_topk_incremental``) recomputes the globals exactly:
+    df_t from the (bucket-pruned) posting union, N/avgdl from the
+    per-version scalar ``stats`` summed across metas — so its weights
+    are BIT-IDENTICAL to a from-scratch :func:`~...operators.text.bm25`
+    fit of the full corpus.
+
+    ``stats`` MUST carry the batch's exact scalars:
+    ``n_docs`` (documents in the batch, INCLUDING token-less ones —
+    they count toward N), ``n_tok_docs`` (documents with ≥1 token) and
+    ``sum_dl`` (Σ dl over those). ``text.bm25_postings_with_stats``
+    computes all four pieces in one pass. Appenders must be disjoint in
+    ``id_col`` across versions (the ingest loop's exactly-once publish
+    guarantees this) — a doc present in two versions would double its
+    tf rows AND its scalar contribution.
+
+    Postings are directory-partitioned by the same stable term-hash
+    bucket as :func:`save_bm25_index` (``pmod(xxhash64(term), n)``), so
+    the probe partition-prunes the union scan to the query terms'
+    buckets. The bucket count is pinned by the FIRST version; appending
+    with a different count is refused at load time."""
+    if stats is None or not {"n_docs", "n_tok_docs", "sum_dl"} <= set(stats):
+        raise ValueError(
+            "save_bm25_postings: stats must carry n_docs, n_tok_docs, "
+            "sum_dl (use text.bm25_postings_with_stats)"
+        )
+    if "_tb" not in postings.columns:
+        postings = postings.withColumn(
+            "_tb",
+            F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets))).cast(
+                "int"
+            ),
+        )
+    meta = {
+        "kind": "bm25_postings",
+        "id_col": id_col,
+        "n_term_buckets": int(n_term_buckets),
+        "stats": {
+            "n_docs": int(stats["n_docs"]),
+            "n_tok_docs": int(stats["n_tok_docs"]),
+            "sum_dl": int(stats["sum_dl"]),
+        },
+        "corpus_digest": corpus_digest,
+        **(extra_meta or {}),
+    }
+    if int(stats["n_tok_docs"]) == 0:
+        # a zero-posting delta (full-dup tick, token-less batch) still
+        # needs its version: the meta carries the tick marker and the
+        # scalar n_docs. A partitionBy write of zero rows emits NO
+        # schema-bearing file, so write it flat — the reader's
+        # unionByName aligns it, and an empty scan prunes trivially.
+        return save_artifact(
+            path,
+            {"postings": postings.coalesce(1)},
+            meta,
+            precommit=precommit,
+            folds=folds,
+        )
+    return save_artifact(
+        path,
+        # ~one file per bucket directory, not one per upstream partition
+        {"postings": postings.repartition(F.col("_tb"))},
+        meta,
+        partition_by={"postings": ["_tb"]},
+        precommit=precommit,
+        folds=folds,
+    )
+
+
+def load_bm25_postings_log(
+    spark: SparkSession, path: str | list[str]
+) -> tuple[DataFrame, dict]:
+    """Union-read a BM25 posting LOG: ``(postings, meta)`` where
+    ``meta['totals']`` carries the SUMMED scalars over every visible
+    version (``n_docs``, ``n_tok_docs``, ``sum_dl`` — exact integers,
+    V tiny JSON reads, no scan) and ``meta['n_term_buckets']`` the
+    layout's bucket count. Verifies every version agrees on
+    (kind, id_col, n_term_buckets) — a mixed log would prune with the
+    wrong hash or mis-attribute documents, so it is refused.
+
+    ``path`` may be a LIST of log paths (r12): the union-of-logs read
+    for a SHARDED corpus — per-shard posting logs sum their scalars
+    into one global (N, avgdl) and the probe scores against global
+    df_t, so sharded search is exactly single-index search (shard
+    roots are disjoint in documents by the routing contract)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    if not paths:
+        raise ValueError("load_bm25_postings_log: no paths")
+    want = None
+    totals = {"n_docs": 0, "n_tok_docs": 0, "sum_dl": 0}
+    dfs = []
+    meta = None
+    keys = ("kind", "id_col", "n_term_buckets")
+    for p in paths:
+        vs = visible_artifact_versions(p)
+        if not vs:
+            raise FileNotFoundError(f"no committed version under {p!r}")
+        meta = load_artifact_meta(p, vs[-1])
+        if meta.get("kind") != "bm25_postings":
+            raise ValueError(
+                f"not a bm25_postings artifact: {p} ({meta.get('kind')})"
+            )
+        if want is None:
+            want = {k: meta.get(k) for k in keys}
+        for v in vs:
+            m = load_artifact_meta(p, v)
+            got = {k: m.get(k) for k in keys}
+            if got != want:
+                raise ValueError(
+                    f"load_bm25_postings_log: version {v} of {p} was "
+                    f"written with {got}, expected {want} — a mixed "
+                    "posting log cannot be probed"
+                )
+            s = m.get("stats") or {}
+            for k in totals:
+                totals[k] += int(s.get(k, 0))
+        # per-version reads unioned, NOT one multi-path scan: a
+        # multi-path read of directory-PARTITIONED roots fails partition
+        # inference (CONFLICTING_DIRECTORY_STRUCTURES). The _tb
+        # partition filter pushes into every branch identically, and
+        # compaction bounds the branch count, so the plan stays small
+        # where it matters.
+        dfs.extend(
+            spark.read.parquet(os.path.join(p, f"v={v}", "postings"))
+            for v in vs
+        )
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
+    out = dict(meta)
+    out["totals"] = totals
+    return df, out
+
+
+def compact_bm25_postings(
+    spark: SparkSession, path: str, n_files: int | None = None
+) -> int:
+    """Fold a BM25 posting log's visible versions into ONE — the
+    folded version's meta carries the SUMMED scalars (the generic
+    :func:`compact_artifact_log` would copy the LAST delta's scalars,
+    silently shrinking N/avgdl). Crash-safe via the ``folds`` note
+    (commit is the atomic visibility switch; deletes are pure GC), so
+    a probe straddling a compactor crash still sees the exact union."""
+    vs = visible_artifact_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version under {path!r}")
+    leftovers = [
+        v for v in commitlog.committed_versions(path) if v not in vs
+    ]
+    df, meta = load_bm25_postings_log(spark, path)
+    if n_files is not None:
+        df = df.coalesce(n_files)
+    v = save_bm25_postings(
+        df,
+        path,
+        id_col=meta["id_col"],
+        n_term_buckets=meta["n_term_buckets"],
+        stats=meta["totals"],
+        corpus_digest=f"compacted:{len(vs)}",
+        folds=sorted(set(vs) | set(leftovers)),
+    )
+    for old in leftovers + vs:
+        shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+    return v
+
+
 # ------------------------------------------------------------------ PCA
 
 
@@ -527,19 +867,28 @@ def save_centroids(
     centroids: np.ndarray,
     corpus_digest: str | None = None,
     kind: str = "centroids",
+    fit_stats: dict | None = None,
 ) -> int:
     """Persist a k-means/IVF codebook (k x dim doubles) — the fit-once
     artifact behind ``kmeans_assign``, ``ivf_topk``, and the cell-
-    partitioned corpus layout (``x_ivf_pruned``)."""
+    partitioned corpus layout (``x_ivf_pruned``). ``fit_stats``
+    optionally stamps the FIT-TIME drift baseline
+    (``operators.similarity.ivf_drift_stats`` on the fit corpus) into
+    the meta, so any later session can run the documented refit trigger
+    (``ivf_needs_refit``) against the healthy reference without
+    refitting or rescanning the original corpus."""
+    meta = {
+        "kind": kind,
+        "k": int(np.asarray(centroids).shape[0]),
+        "dim": int(np.asarray(centroids).shape[1]),
+        "corpus_digest": corpus_digest,
+    }
+    if fit_stats is not None:
+        meta["fit_stats"] = {k: v for k, v in fit_stats.items()}
     return save_artifact(
         path,
         {"centroids": _matrix_frame(spark, "centroids", centroids)},
-        {
-            "kind": kind,
-            "k": int(np.asarray(centroids).shape[0]),
-            "dim": int(np.asarray(centroids).shape[1]),
-            "corpus_digest": corpus_digest,
-        },
+        meta,
     )
 
 

@@ -240,10 +240,24 @@ def committed_versions(path: str) -> list[int]:
     ]
     if out:
         return out
+    # legacy fallback applies ONLY to pre-marker layouts: if ANY
+    # _COMMITTED marker exists, this is a marker-protocol log whose
+    # visible set is genuinely empty (e.g. every committed version was
+    # fenced) — the pointer must not resurrect fenced versions, fence
+    # wins regardless of marker ordering.
+    if any(
+        os.path.exists(os.path.join(path, f"v={v}", _COMMITTED)) for v in vs
+    ):
+        return []
     try:
         with open(os.path.join(path, LATEST)) as f:
             latest = int(f.read().strip())
-        return [v for v in vs if v <= latest]
+        return [
+            v
+            for v in vs
+            if v <= latest
+            and not os.path.exists(os.path.join(path, f"v={v}", _FENCED))
+        ]
     except (FileNotFoundError, ValueError, OSError):
         return []
 

@@ -2254,3 +2254,178 @@ def test_recover_ingest_tick_without_batch(spark, sf_dir, tmp_path, monkeypatch)
     p2, s2 = ingest.ingest_batch(spark, batch, root)
     p2.unpersist()
     assert s2.n_published == 0 and not s2.recovered
+
+
+def test_compaction_gc_crash_mid_delete_never_resurrects_leftovers(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r11 (medium): the SECOND compaction's fold note must
+    subsume the leftovers too. Scenario: fold F1 is committed with
+    leftovers L (committed-but-subsumed via F1's _FOLDS note); the next
+    compactor commits F2, then crashes having deleted F1 but NOT L —
+    F1's note is gone, so unless F2's note names L, the leftovers
+    become visible again alongside F2 (double-counting the union)."""
+    import json as _json
+    import shutil as _shutil
+
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+    p1, _ = ingest.ingest_batch(spark, b1, root)
+    p1.unpersist()
+    want = sorted(_published_ids(spark, root))
+    cpath = os.path.join(root, "corpus")
+
+    # first compaction crashes before ANY delete: fold F1 committed,
+    # v1+v2 are leftovers subsumed only via F1's note
+    real_rmtree = _shutil.rmtree
+    monkeypatch.setattr(
+        _shutil, "rmtree", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("c1"))
+    )
+    with pytest.raises(RuntimeError, match="c1"):
+        ingest.compact_publication_log(spark, root, compact_indexes=False)
+    (f1,) = ingest._visible_corpus_versions(cpath)
+    leftovers = [v for v in commitlog.committed_versions(cpath) if v != f1]
+    assert len(leftovers) == 2
+
+    # second compaction: adversarial rmtree deletes ONLY F1's directory
+    # (with its note), silently skips the leftovers, then crashes —
+    # the exact worst-case interleaving of the GC loop
+    def delete_f1_then_crash(path, *a, **k):
+        if path.endswith(f"v={f1}"):
+            real_rmtree(path, *a, **k)
+            raise RuntimeError("c2")
+
+    monkeypatch.setattr(_shutil, "rmtree", delete_f1_then_crash)
+    with pytest.raises(RuntimeError, match="c2"):
+        ingest.compact_publication_log(spark, root, compact_indexes=False)
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+
+    (f2,) = ingest._visible_corpus_versions(cpath)
+    # F2's note subsumes the leftovers even though F1's note is gone
+    with open(os.path.join(cpath, f"v={f2}", ingest._FOLDS_NOTE)) as f:
+        assert set(_json.load(f)) >= set(leftovers)
+    assert sorted(_published_ids(spark, root)) == want  # exactly-once
+    # and the next compaction sweeps everything down to one version
+    ingest.compact_publication_log(spark, root, compact_indexes=False)
+    assert sorted(_published_ids(spark, root)) == want
+    assert len(commitlog.committed_versions(cpath)) == 1
+
+
+def test_committed_versions_fallback_never_resurrects_fenced(tmp_path):
+    """ADVICE r11 (low): the legacy-LATEST fallback must respect fences.
+    (a) marker-protocol log where EVERY committed version is fenced and
+    LATEST advanced in the commit/fence race -> resolves empty, the
+    pointer must not resurrect fenced versions; (b) true legacy layout
+    (zero markers) with a fenced version -> the fallback filters it."""
+    import os as _os
+
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    # (a) modern log: commit v1 (advances LATEST), then fence it
+    path = str(tmp_path / "modern")
+    n, _ = commitlog.claim_version(path)
+    commitlog.commit_version(path, n)
+    assert commitlog.committed_versions(path) == [n]
+    commitlog.fence_version(path, n)
+    assert commitlog.committed_versions(path) == []
+    with pytest.raises(FileNotFoundError):
+        commitlog.latest_version(path)
+
+    # (b) legacy layout built by hand: v=1 and v=2, pointer says 2,
+    # v=2 fenced -> only v=1 resolves via the fallback
+    leg = str(tmp_path / "legacy")
+    for v in (1, 2):
+        _os.makedirs(_os.path.join(leg, f"v={v}"))
+    with open(_os.path.join(leg, commitlog.LATEST), "w") as f:
+        f.write("2")
+    commitlog.fence_version(leg, 2)
+    assert commitlog.committed_versions(leg) == [1]
+
+
+def test_sweep_stale_artifacts(spark, sf_dir, tmp_path, monkeypatch):
+    """Digest-keyed artifact GC (VERDICT r11 #5): superseded digests of
+    a family are swept (keep = current + N most recent), the CURRENT
+    digest survives even a crash mid-sweep, other families and
+    non-artifact dirs are untouched, and a post-sweep probe of the kept
+    index is green."""
+    import shutil as _shutil
+    import time
+
+    from data_engineering_capstone_project__spark.operators import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = str(tmp_path / "aroot")
+    os.makedirs(root)
+
+    # four corpora of one bm25 family (digest-keyed dirs), one current
+    digests = []
+    for i, hi in enumerate((50, 100, 150, 200)):
+        part = d.filter(F.col("doc_id") < hi)
+        dg = art.corpus_digest(part, ["doc_id", "text"])
+        digests.append(dg)
+        safe = dg.replace(":", "_").replace("-", "m")
+        art.save_bm25_index(
+            text.bm25(part), os.path.join(root, f"bm25_1.2_0.75_{safe}"),
+            corpus_digest=dg, n_term_buckets=8,
+        )
+        time.sleep(0.05)  # distinct commit mtimes
+    # a second family (different params) — must not count against bm25's
+    dg_other = digests[0]
+    safe_o = dg_other.replace(":", "_").replace("-", "m")
+    art.save_bm25_index(
+        text.bm25(d.filter(F.col("doc_id") < 50), k1=2.0),
+        os.path.join(root, f"bm25_2.0_0.75_{safe_o}"),
+        corpus_digest=dg_other, n_term_buckets=8,
+    )
+    # a non-artifact dir: never touched
+    os.makedirs(os.path.join(root, "not_an_artifact"))
+
+    current = digests[-1]
+    # crash mid-sweep: first rmtree dies — current + kept survive
+    real = _shutil.rmtree
+    calls = {"n": 0}
+
+    def crash_on_first(path, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real(path, *a, **k)
+            raise RuntimeError("mid-sweep crash")
+        real(path, *a, **k)
+
+    monkeypatch.setattr(_shutil, "rmtree", crash_on_first)
+    with pytest.raises(RuntimeError, match="mid-sweep"):
+        art.sweep_stale_artifacts(root, {current}, keep=1)
+    monkeypatch.setattr(_shutil, "rmtree", real)
+    # an exception releases the lock (finally) — but a HARD-killed
+    # sweeper leaves it: a concurrent/next sweep refuses until the
+    # operator removes the stale lock explicitly
+    lock = os.path.join(root, "_SWEEP_LOCK")
+    assert not os.path.exists(lock)
+    open(lock, "w").close()
+    with pytest.raises(art.ConcurrentSweepError):
+        art.sweep_stale_artifacts(root, {current}, keep=1)
+    os.remove(lock)
+    art.sweep_stale_artifacts(root, {current}, keep=1)
+
+    left = sorted(
+        n for n in os.listdir(root) if os.path.isdir(os.path.join(root, n))
+    )
+    safe_cur = current.replace(":", "_").replace("-", "m")
+    safe_keep = digests[2].replace(":", "_").replace("-", "m")
+    assert f"bm25_1.2_0.75_{safe_cur}" in left      # current pinned
+    assert f"bm25_1.2_0.75_{safe_keep}" in left     # newest non-current
+    assert f"bm25_2.0_0.75_{safe_o}" in left        # other family intact
+    assert "not_an_artifact" in left
+    assert len([n for n in left if n.startswith("bm25_1.2")]) == 2
+    # probes on the survivors stay green
+    w = art.load_bm25_index(
+        spark, os.path.join(root, f"bm25_1.2_0.75_{safe_cur}")
+    )
+    got = text.bm25_topk(None, {"q": "hash scan"}, k=5, weights=w)
+    assert got.count() == 5

@@ -89,7 +89,9 @@ def test_predictor_transform_stream():
                 m = int(modes[y >> size_bits, x >> size_bits])
                 l = int(px[y, x - 1])
                 t = int(px[y - 1, x])
-                tr = int(px[y - 1, x + 1]) if x + 1 < w else int(px[y - 1, 0])
+                # Spec TR wrap at the rightmost column: offset (y-1)*w+x+1
+                # == y*w+0, i.e. the CURRENT row's leftmost pixel.
+                tr = int(px[y - 1, x + 1]) if x + 1 < w else int(px[y, 0])
                 tl = int(px[y - 1, x - 1])
                 pred = wc._predict(m, l, t, tr, tl)
             d = 0

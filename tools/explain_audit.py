@@ -60,6 +60,7 @@ AUDIT = {
     "asof_hot_path": "skew-safe as-of join, every key routed hot (r10 — VERDICT r9 #3): the fill window's partition spec is (user_id, _abkt) — windowspecdefinition(user_id, _abkt, ...) — so NO task ever sorts a key's full history (the default plan's windowspecdefinition(user_id, ...) is exactly the skew hazard); per-bucket max_by seeds ride a map-combined ObjectHashAggregate, the hot-key census and seed-carry frames join back via BroadcastHashJoin (bounded: <= rows/threshold keys x n_time_buckets rows), and the seed carry's own window partitions the <=B-row-per-key seed frame only",
     "ivf_pq_probe": "IVF-PQ candidate+rerank (r11 — VERDICT r10 #4): BOTH scan subtrees carry PartitionFilters [ivf_cell IN (...)] (non-probed cells never listed); the CANDIDATE scan's ReadSchema is (vec_id, pq_code, v_norm) — the fp32 embedding column is NOT read for scoring (asymmetric LUT lookups); the rerank side reads (vec_id, embedding) for only the broadcast-semi-joined candidate ids",
     "bm25_bucketed_probe": "bucketed BM25 posting probe (r11 — VERDICT r10 #7): the query terms' hash buckets appear as PartitionFilters [_tb IN (...)] on the posting scan — directories no query term hashes into are pruned at listing time; broadcast query terms, decimal order-independent score sum, WindowGroupLimit top-k as before",
+    "bm25_incremental_probe": "INCREMENTAL posting-log probe (r12 — VERDICT r11 #1): ZERO corpus scans anywhere (no re-tokenize — maintenance is O(batch) per tick), every delta version's posting scan carries the query-term PartitionFilters [_tb IN (...)], df_t aggregated from the pruned union, N/avgdl folded in as literals from the per-version meta sums; same broadcast-terms + decimal-sum + WindowGroupLimit tail as the snapshot probes — and hash-equal to them by the oracle gate",
 }
 
 
@@ -213,6 +214,29 @@ def _ivf_pq_probe(spark, sf_dir):
     )
 
 
+def _bm25_incremental_probe(spark, sf_dir):
+    """The incremental posting-log probe (r12 — VERDICT r11 #1): two
+    appended delta versions, probed without any corpus scan."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.operators import text
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="explain_bm25i_") + "/idx"
+    for cond in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+        postings, stats = text.bm25_postings_with_stats(docs.filter(cond))
+        art.save_bm25_postings(postings, tmp, stats=stats)
+    return text.bm25_topk_incremental(
+        spark,
+        tmp,
+        {"q_scan": "hash scan filter", "q_stream": "stream window watermark"},
+        k=10,
+    )
+
+
 def _bm25_bucketed_probe(spark, sf_dir):
     """The partition-pruned posting probe (the x_bm25_topk_indexed
     gate's query-path plan over a bucketed index)."""
@@ -240,6 +264,7 @@ CUSTOM = {
     "ivf_pruned_probe": _ivf_pruned_probe,
     "ivf_pq_probe": _ivf_pq_probe,
     "bm25_bucketed_probe": _bm25_bucketed_probe,
+    "bm25_incremental_probe": _bm25_incremental_probe,
     "asof_hot_path": _asof_hot_path,
     "verified_probe": _verified_probe,
     "publication_log_read": _publication_log_read,
