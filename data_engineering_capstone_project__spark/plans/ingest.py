@@ -571,6 +571,7 @@ def ingest_batch(
     id_col: str = "doc_id",
     select_cfg: dict | None = None,
     lease: bool = True,
+    extra_probe_roots: list[str] | None = None,
 ) -> tuple[DataFrame, IngestStats]:
     """One ingest tick against the durable indexes under ``root``.
 
@@ -590,6 +591,16 @@ def ingest_batch(
     LIVE holder cannot publish (it raises :class:`StaleLeaseError`).
     ``lease=False`` opts out for callers that serialize ticks
     externally (no generation checks then).
+
+    ``extra_probe_roots`` (r12): other ingest roots whose COMMITTED
+    fp/mh indexes join this tick's PROBE set — admissions stay local.
+    The sharded loop's global-fuzzy option (``plans/shards.py``,
+    ``probe_all_shards=True``) and a general decontamination hook
+    (probe a benchmark root so its near-dups never publish here).
+    Banding/kind must match this root's index (refused otherwise);
+    reads take no lease — ticks only probe pre-tick committed
+    versions, and in-flight content on another root is the documented
+    cross-writer blind window.
 
     Exact tier first (cheapest: one 32-char anti join + within-batch
     min-id dedup), then the fuzzy tier on what remains — the
@@ -648,12 +659,14 @@ def ingest_batch(
     """
     if not lease:
         return _ingest_batch_impl(
-            spark, batch, root, text_col, id_col, select_cfg, None
+            spark, batch, root, text_col, id_col, select_cfg, None,
+            extra_probe_roots,
         )
     gen = acquire_ingest_lease(root)
     try:
         return _ingest_batch_impl(
-            spark, batch, root, text_col, id_col, select_cfg, gen
+            spark, batch, root, text_col, id_col, select_cfg, gen,
+            extra_probe_roots,
         )
     finally:
         release_ingest_lease(root, gen)
@@ -854,6 +867,7 @@ def _ingest_batch_impl(
     id_col: str,
     select_cfg: dict | None,
     expected_gen: int | None,
+    extra_probe_roots: list[str] | None = None,
 ) -> tuple[DataFrame, IngestStats]:
     fp_path = os.path.join(root, _FP)
     mh_path = os.path.join(root, _MH)
@@ -886,6 +900,34 @@ def _ingest_batch_impl(
             "no jaccard_threshold — re-bootstrap with "
             "init_ingest_indexes(verify_jaccard_threshold=...)"
         )
+    # cross-root PROBE extension (r12 — the sharded global-fuzzy
+    # option, also a decontamination hook): extra roots' committed
+    # indexes join the PROBE set — admissions stay local to ``root``.
+    # Banding/kind must agree with this root's index (a mixed probe
+    # would silently lose recall), which the sharded bootstrap
+    # guarantees by sizing one banding for all shards. Reads need no
+    # lease: ticks only ever probe pre-tick committed versions; a
+    # near-dup racing in on ANOTHER root mid-tick is the documented
+    # cross-writer blind window (the throughput trade).
+    if extra_probe_roots:
+        probe_keys = ("kind", "num_hashes", "bands", "shingle_k")
+        want = {k: mh_meta.get(k) for k in probe_keys}
+        for r2 in extra_probe_roots:
+            fp_idx = fp_idx.unionByName(
+                art.load_fingerprint_log(spark, os.path.join(r2, _FP))
+            )
+            mh2, meta2 = art.load_minhash_log(
+                spark, os.path.join(r2, _MH)
+            )
+            got = {k: meta2.get(k) for k in probe_keys}
+            if got != want:
+                raise ValueError(
+                    f"ingest_batch: probe root {r2!r} index was built "
+                    f"with {got}, this root's is {want} — mixed-banding "
+                    "probes lose recall silently; re-bootstrap with one "
+                    "banding"
+                )
+            mh_idx = mh_idx.unionByName(mh2)
 
     # ---- exactly-once recovery preamble (round 10) -------------------
     # The tick publishes in TWO PHASES (payload claimed before the index
@@ -954,8 +996,14 @@ def _ingest_batch_impl(
         # candidate corpus text comes from the publication log — exactly
         # the documents the index covers (bootstrap + every admitted
         # survivor); only CANDIDATE docs are fetched/shingled (at 100 TB
-        # keep the log bucketed by id so the fetch probes buckets)
+        # keep the log bucketed by id so the fetch probes buckets).
+        # With extra probe roots, their logs join the candidate text —
+        # the probe index covers their documents too.
         corpus_text = read_ingest_corpus(spark, root)
+        for r2 in extra_probe_roots or ():
+            corpus_text = corpus_text.unionByName(
+                read_ingest_corpus(spark, r2), allowMissingColumns=True
+            )
         survivors = dedup.minhash_band_probe_verified(
             exact_kept,
             mh_idx,

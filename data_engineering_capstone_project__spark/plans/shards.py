@@ -30,6 +30,12 @@ posture of horizontally-scaled dedup pipelines (near-dup coverage
 within a shard stays exactly the single-root semantics, and a periodic
 global MinHash pass over the union view — ``operators.dedup`` on
 ``read_sharded_corpus`` — reclaims the cross-shard stragglers offline).
+``ingest_batch_sharded(probe_all_shards=True)`` narrows the gap to
+in-flight content only: each shard's fuzzy probe then unions every
+other shard's COMMITTED index (admissions stay local), so a near-dup
+of anything already published anywhere drops — at the documented cost
+that concurrent-vs-serialized equality then holds only when racing
+batches don't near-duplicate each other.
 
 Because shards share NOTHING, concurrency is mechanically safe:
 ``ingest_batch_sharded`` routes one batch and ticks every non-empty
@@ -111,6 +117,27 @@ def init_sharded_ingest(
         raise FileExistsError(
             f"{root!r} already bootstrapped — shard count is immutable"
         )
+    # ONE MinHash banding for all shards, sized from the per-shard
+    # expected count (total/n): per-slice auto-sizing would give each
+    # shard a DIFFERENT banding from its slice's accidental size —
+    # harmless for today's shard-local probes but inconsistent across
+    # restarts and a hard blocker for any future cross-shard band
+    # probe (mixed-banding logs are refused by load_minhash_log).
+    if "num_hashes" not in init_kw and "bands" not in init_kw:
+        from data_engineering_capstone_project__spark.operators import (
+            dedup as dedup_mod,
+        )
+
+        thr = init_kw.get("verify_jaccard_threshold")
+        if thr is None:
+            thr = init_kw.get("near_dup_threshold", 0.8)
+        n_total = corpus.count()
+        nh, nb = dedup_mod.auto_minhash_config(
+            max(1, (n_total + n_shards - 1) // n_shards),
+            thr,
+            baseline_j=init_kw.get("baseline_j", 0.2),
+        )
+        init_kw = {**init_kw, "num_hashes": nh, "bands": nb}
     route = shard_route(F.col(text_col), n_shards)
     for s in range(n_shards):
         ingest.init_ingest_indexes(
@@ -137,6 +164,7 @@ def ingest_batch_sharded(
     id_col: str = "doc_id",
     select_cfg: dict | None = None,
     max_parallel: int | None = None,
+    probe_all_shards: bool = False,
 ) -> dict[int, "ingest.IngestStats"]:
     """One sharded tick: route the batch, then run every non-empty
     shard's ``ingest_batch`` CONCURRENTLY (``max_parallel`` caps the
@@ -145,6 +173,20 @@ def ingest_batch_sharded(
     safely per shard (a busy shard raises ``ConcurrentIngestError``
     exactly as the single-root contract specifies). Returns
     ``{shard: IngestStats}`` for the shards that received rows.
+
+    ``probe_all_shards=True`` extends each shard's FUZZY probe over
+    every other shard's committed indexes (admissions stay shard-local)
+    — a near-dup of a document already PUBLISHED on another shard now
+    drops, closing the shard-local near-dup gap for committed content.
+    The residual blind window is cross-writer in-flight content (two
+    shards concurrently admitting near-dups of each other's current
+    batches — the single-root lease serialized exactly this, and
+    probing pre-tick versions is what keeps concurrent ticks safe), so
+    with this flag concurrent-vs-serialized equality holds only when
+    racing batches don't near-duplicate each other; the default False
+    keeps shards fully independent and mechanically deterministic. The
+    sharded bootstrap sizes ONE banding for all shards, which is what
+    makes the cross-shard band union probeable at all.
 
     The routed sub-batches are materialized once (persist) so each
     shard's tick does not rescan/reroute the whole input; the published
@@ -161,9 +203,15 @@ def ingest_batch_sharded(
 
         def tick(s: int):
             sub = routed.filter(F.col("_shard") == s).drop("_shard")
+            extra = (
+                [shard_root(root, t) for t in range(n) if t != s]
+                if probe_all_shards
+                else None
+            )
             pub, stats = ingest.ingest_batch(
                 spark, sub, shard_root(root, s),
                 text_col=text_col, id_col=id_col, select_cfg=select_cfg,
+                extra_probe_roots=extra,
             )
             pub.unpersist()
             return s, stats

@@ -164,3 +164,51 @@ def test_sharded_global_bm25_search(spark, sf_dir, tmp_path):
     shards.init_sharded_ingest(spark, corpus, root2, n_shards=2)
     with pytest.raises(FileNotFoundError, match="bm25_index=True"):
         shards.sharded_bm25_paths(root2)
+
+
+def test_probe_all_shards_catches_cross_shard_near_dup(
+    spark, sf_dir, tmp_path
+):
+    """`probe_all_shards=True`: a NEAR-dup (one word changed) of a doc
+    published on shard X, arriving a tick later and routing to shard Y,
+    drops against X's committed index; with the default shard-local
+    probe the same document publishes — the documented trade, pinned
+    from both sides."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") < 300).select("doc_id", "text")
+
+    # a SPARSE-vocab source doc (the driver corpus's ~40-word vocab
+    # band-collides everything with everything, which would drop the
+    # near-dup even shard-locally and void the positive control)
+    words = [f"uniqtok{i:03d}" for i in range(60)]
+    src_text = " ".join(words)
+
+    def route_of(text):
+        return spark.createDataFrame([(text,)], "text string").select(
+            shards.shard_route(F.col("text"), 2).alias("s")
+        ).first()["s"]
+
+    src_route = route_of(src_text)
+    near = None
+    for i in range(8, 40):
+        cand = " ".join(words[:i] + ["zzzperturbzzz"] + words[i + 1:])
+        if route_of(cand) != src_route:
+            near = cand
+            break
+    assert near is not None
+
+    for name, flag, expect_published in (("local", False, 1), ("global", True, 0)):
+        root = str(tmp_path / name)
+        shards.init_sharded_ingest(spark, corpus, root, n_shards=2)
+        # tick 1 publishes the source doc on its route's shard
+        srcdf = spark.createDataFrame(
+            [(88888, src_text)], "doc_id long, text string"
+        )
+        s0 = shards.ingest_batch_sharded(spark, srcdf, root)
+        assert sum(s.n_published for s in s0.values()) == 1
+        # tick 2: the near-dup routes to the OTHER shard
+        nd = spark.createDataFrame([(99999, near)], "doc_id long, text string")
+        stats = shards.ingest_batch_sharded(
+            spark, nd, root, probe_all_shards=flag
+        )
+        assert sum(s.n_published for s in stats.values()) == expect_published, name
