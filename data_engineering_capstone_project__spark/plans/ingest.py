@@ -600,7 +600,13 @@ def ingest_batch(
     Banding/kind must match this root's index (refused otherwise);
     reads take no lease — ticks only probe pre-tick committed
     versions, and in-flight content on another root is the documented
-    cross-writer blind window.
+    cross-writer blind window. One operational caveat: a COMPACTION
+    running on a probe root concurrently can GC delta files after this
+    tick listed them — the probe scan then fails transiently
+    (FileNotFound) and the tick can simply be retried; schedule
+    cross-root compaction away from probing ticks where that matters
+    (this root's OWN compaction is lease-serialized with its ticks and
+    has no such window).
 
     Exact tier first (cheapest: one 32-char anti join + within-batch
     min-id dedup), then the fuzzy tier on what remains — the

@@ -76,9 +76,19 @@ def shard_route(text_col: Column, n_shards: int) -> Column:
     """A document's shard: hash of its exact-dedup fingerprint. MUST be
     a pure function of the normalized text (never the id) so that
     byte-identical re-arrivals co-locate with their originals and the
-    exact tier stays globally correct without any shared index."""
-    return F.pmod(F.xxhash64(fingerprint(text_col)), F.lit(n_shards)).cast(
-        "int"
+    exact tier stays globally correct without any shared index.
+
+    NULL text routes to shard 0 (self-audit r12): the hash of a NULL
+    fingerprint is NULL, and a NULL route would drop the row from
+    every shard's equality filter WITHOUT A TRACE — no tick would see
+    it, no stats would count it. Routed to shard 0 it gets exactly the
+    single-root treatment (the exact tier drops null-fingerprint docs,
+    accounted in ``n_exact_dropped`` — unit-verified identical)."""
+    return F.coalesce(
+        F.pmod(F.xxhash64(fingerprint(text_col)), F.lit(n_shards)).cast(
+            "int"
+        ),
+        F.lit(0),
     )
 
 
@@ -240,6 +250,71 @@ def read_sharded_corpus(spark: SparkSession, root: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def run_stream_ingest_sharded(
+    stream: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    select_cfg: dict | None = None,
+    compact_every: int | None = None,
+    compact_indexes: bool = True,
+    checkpoint_dir: str | None = None,
+    max_parallel: int | None = None,
+    probe_all_shards: bool = False,
+    on_tick=None,
+) -> list[dict[int, "ingest.IngestStats"]]:
+    """The CONTINUOUS form of the sharded loop: every micro-batch runs
+    one :func:`ingest_batch_sharded` tick (route → per-shard
+    exact/fuzzy/publish, shards in parallel threads) via
+    ``foreachBatch`` — the same contract as
+    ``plans/ingest.run_stream_ingest`` lifted over N shard roots.
+
+    Restartability is INHERITED per shard: with ``checkpoint_dir`` a
+    replayed micro-batch re-routes identically (routing is a pure
+    function of the text) and each shard's replay re-drops against its
+    own admitted fingerprints or completes its own dangling tick — the
+    union corpus is identical to an uninterrupted run, shard by shard.
+    ``compact_every=N`` compacts EVERY shard after each N-th non-empty
+    tick. Returns per-micro-batch ``{shard: IngestStats}`` dicts in
+    batch order."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(
+            f"run_stream_ingest_sharded: compact_every must be >= 1 or "
+            f"None (got {compact_every!r})"
+        )
+    load_shard_config(root)  # fail fast on a non-sharded root
+    collected: list[tuple[int, dict[int, "ingest.IngestStats"]]] = []
+    n_ticks = 0
+
+    def tick(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_ticks
+        if batch_df.isEmpty():
+            return
+        stats = ingest_batch_sharded(
+            batch_df.sparkSession, batch_df, root,
+            text_col=text_col, id_col=id_col, select_cfg=select_cfg,
+            max_parallel=max_parallel, probe_all_shards=probe_all_shards,
+        )
+        collected.append((batch_id, stats))
+        n_ticks += 1
+        if compact_every is not None and n_ticks % compact_every == 0:
+            compact_sharded_ingest(
+                batch_df.sparkSession, root, compact_indexes=compact_indexes
+            )
+        if on_tick is not None:
+            on_tick(stats)
+
+    writer = stream.writeStream.foreachBatch(tick)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return [s for _, s in sorted(collected, key=lambda t: t[0])]
 
 
 def sharded_bm25_paths(root: str) -> list[str]:

@@ -212,3 +212,77 @@ def test_probe_all_shards_catches_cross_shard_near_dup(
             spark, nd, root, probe_all_shards=flag
         )
         assert sum(s.n_published for s in stats.values()) == expect_published, name
+
+
+def test_run_stream_ingest_sharded_matches_batch_ticks(
+    spark, sf_dir, tmp_path
+):
+    """Streaming over shards: two micro-batches through
+    run_stream_ingest_sharded publish the same union as the same two
+    batches ticked sequentially — and cross-micro-batch duplicates are
+    suppressed shard-locally exactly as in the batch loop."""
+    import os as _os
+    import shutil as _shutil
+
+    from data_engineering_capstone_project__spark.plans.shards import (
+        run_stream_ingest_sharded,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = d.filter(F.col("doc_id") < 200)
+    a = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    b = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    for name, df, mtime in (("a", a, 1_000_000), ("b", b, 2_000_000)):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
+        dst = _os.path.join(src, f"{name}.parquet")
+        _shutil.move(_os.path.join(stage, part), dst)
+        _shutil.rmtree(stage)
+        _os.utime(dst, (mtime, mtime))
+
+    root_s = str(tmp_path / "stream_root")
+    root_g = str(tmp_path / "golden_root")
+    shards.init_sharded_ingest(spark, corpus, root_s, n_shards=2)
+    shards.init_sharded_ingest(spark, corpus, root_g, n_shards=2)
+
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stats = run_stream_ingest_sharded(stream, root_s)
+    assert len(stats) == 2  # one dict per micro-batch
+    for batch in (a, b):
+        shards.ingest_batch_sharded(spark, batch, root_g)
+    assert _dig(shards.read_sharded_corpus(spark, root_s)) == _dig(
+        shards.read_sharded_corpus(spark, root_g)
+    )
+
+
+def test_null_text_routes_to_shard_zero_and_is_accounted(
+    spark, sf_dir, tmp_path
+):
+    """Self-audit r12: NULL text must route deterministically (shard 0)
+    — a NULL route would drop the row from every shard's equality
+    filter WITHOUT A TRACE (no tick, no stats). With the coalesce fix
+    the rows reach shard 0's tick and get exactly the single-root
+    treatment (the exact tier drops null-fingerprint docs, counted in
+    n_exact_dropped — verified identical on a single-root run)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    root = str(tmp_path / "r")
+    shards.init_sharded_ingest(spark, corpus, root, n_shards=2)
+    nulls = spark.createDataFrame(
+        [(70001, None), (70002, None)], "doc_id long, text string"
+    )
+    stats = shards.ingest_batch_sharded(spark, nulls, root)
+    assert list(stats) == [0]
+    # same semantics as the single-root loop: processed AND accounted
+    assert stats[0].n_batch == 2
+    assert stats[0].n_exact_dropped == 2 and stats[0].n_published == 0
