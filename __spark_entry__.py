@@ -6098,14 +6098,28 @@ def x_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dg = art.corpus_digest(d, ["doc_id", "text"])
     path = _artifact_dir("bm25inc", dg)
     if not commitlog.committed_versions(path):
+        # STAGED build (review r12): the three appends + compaction are
+        # not atomic as a unit, so a builder killed mid-way must never
+        # leave a partial log at the final path (every later run would
+        # probe a 1/3 index), and two concurrent builders must not
+        # double-append. Build under a unique staging dir and publish
+        # with one atomic same-directory rename; the loser of a rename
+        # race discards its stage.
+        import shutil
+
+        stage = f"{path}.build{os.getpid()}"
         for slice_no in range(3):
             part = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == slice_no)
             postings, stats = text.bm25_postings_with_stats(part)
             art.save_bm25_postings(
-                postings, path, stats=stats,
+                postings, stage, stats=stats,
                 n_term_buckets=text._BM25_TERM_BUCKETS,
             )
-        art.compact_bm25_postings(spark, path)
+        art.compact_bm25_postings(spark, stage)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # concurrent winner
     return text.bm25_topk_incremental(
         spark,
         path,

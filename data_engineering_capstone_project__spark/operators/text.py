@@ -756,6 +756,12 @@ def bm25_topk_incremental(
         )
         .filter(F.col("term") != "")
     )
+    if not force_broadcast:
+        # the DataFrame path consumes qterms TWICE (bucket collect +
+        # score join) — persist so an expensive or nondeterministic
+        # upstream query source is evaluated once, and the joined
+        # terms can never disagree with the collected buckets
+        qterms = register(qterms.persist())
     qbucket = F.pmod(F.xxhash64("term"), F.lit(ntb)).cast("int")
     if force_broadcast:
         rows = qterms.select(

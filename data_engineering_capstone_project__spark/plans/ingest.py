@@ -495,29 +495,27 @@ def release_ingest_lease(root: str, generation: int | None = None) -> None:
     not remove the SUCCESSOR's lease file from its ``finally`` (that
     would unlock a third writer alongside the successor).
 
-    The guard is read-then-delete, so a break + successor-acquire
-    landing BETWEEN the final read and the ``os.remove`` still loses
-    the successor's lease file — re-reading immediately before the
-    remove shrinks that window to two adjacent syscalls but cannot
-    close it on a plain filesystem; fully closing it needs a
-    conditional-delete primitive (``DeleteObject If-Match`` on an
-    object store). The residual hazard re-opens concurrent lease
+    The guard is read-then-delete: a break + successor-acquire landing
+    between the read and the ``os.remove`` still loses the successor's
+    lease file, and no number of preceding re-reads changes that — the
+    window is always the final read-to-remove gap. Fully closing it
+    needs a conditional-delete primitive (``DeleteObject If-Match`` on
+    an object store). The residual hazard re-opens concurrent lease
     ACQUISITION only — commits stay safe regardless, because every
     versioned commit re-checks the lease generation
     (:func:`_check_lease_generation`) and fencing wins."""
     path = os.path.join(root, _LEASE)
     if generation is not None:
-        # check twice: the first read rejects the common stale-holder
-        # case; the second runs immediately before the remove so the
-        # TOCTOU window is as small as the primitive allows
-        for _ in range(2):
-            try:
-                with open(path) as f:
-                    payload = f.read()
-            except OSError:
-                return
-            if f"gen={generation}" not in payload.split():
-                return  # someone else's lease now — leave it
+        # one read, immediately before the remove — re-reading more
+        # times adds nothing (the window is always the read-to-remove
+        # gap, however many reads precede it)
+        try:
+            with open(path) as f:
+                payload = f.read()
+        except OSError:
+            return
+        if f"gen={generation}" not in payload.split():
+            return  # someone else's lease now — leave it
     try:
         os.remove(path)
     except FileNotFoundError:
@@ -877,14 +875,13 @@ def _ingest_batch_impl(
 ) -> tuple[DataFrame, IngestStats]:
     fp_path = os.path.join(root, _FP)
     mh_path = os.path.join(root, _MH)
-    # both indexes are APPEND LOGS (round 9): v1 is the bootstrap index
-    # and every later version is one tick's batch-sized delta, read back
-    # as ONE multi-path scan. The old shape re-wrote the FULL extended
-    # index every tick — O(index) admission I/O per tick, quadratic
-    # cumulative at corpus scale (the same defect class as the r8
-    # publication-log union, one level down).
-    fp_idx = art.load_fingerprint_log(spark, fp_path)
-    mh_idx, mh_meta = art.load_minhash_log(spark, mh_path)
+    # META first; the index FRAMES load after the recovery preamble
+    # below (review r12): completing a FOREIGN dangling tick APPENDS an
+    # mh delta, and a frame loaded before that append would pin the
+    # pre-recovery version list — the fuzzy probe would then miss the
+    # just-recovered docs for exactly this tick and could publish their
+    # near-dups.
+    mh_meta = art.load_artifact_meta(mh_path)
     # the fuzzy-tier MODE travels with the index artifact: a
     # ``minhash_docs`` kind selects the verified probe (exact-Jaccard
     # check against the publication log before any drop), so every tick
@@ -906,35 +903,6 @@ def _ingest_batch_impl(
             "no jaccard_threshold — re-bootstrap with "
             "init_ingest_indexes(verify_jaccard_threshold=...)"
         )
-    # cross-root PROBE extension (r12 — the sharded global-fuzzy
-    # option, also a decontamination hook): extra roots' committed
-    # indexes join the PROBE set — admissions stay local to ``root``.
-    # Banding/kind must agree with this root's index (a mixed probe
-    # would silently lose recall), which the sharded bootstrap
-    # guarantees by sizing one banding for all shards. Reads need no
-    # lease: ticks only ever probe pre-tick committed versions; a
-    # near-dup racing in on ANOTHER root mid-tick is the documented
-    # cross-writer blind window (the throughput trade).
-    if extra_probe_roots:
-        probe_keys = ("kind", "num_hashes", "bands", "shingle_k")
-        want = {k: mh_meta.get(k) for k in probe_keys}
-        for r2 in extra_probe_roots:
-            fp_idx = fp_idx.unionByName(
-                art.load_fingerprint_log(spark, os.path.join(r2, _FP))
-            )
-            mh2, meta2 = art.load_minhash_log(
-                spark, os.path.join(r2, _MH)
-            )
-            got = {k: meta2.get(k) for k in probe_keys}
-            if got != want:
-                raise ValueError(
-                    f"ingest_batch: probe root {r2!r} index was built "
-                    f"with {got}, this root's is {want} — mixed-banding "
-                    "probes lose recall silently; re-bootstrap with one "
-                    "banding"
-                )
-            mh_idx = mh_idx.unionByName(mh2)
-
     # ---- exactly-once recovery preamble (round 10) -------------------
     # The tick publishes in TWO PHASES (payload claimed before the index
     # admissions, committed after), and every admission delta carries
@@ -978,6 +946,44 @@ def _ingest_batch_impl(
     # batch normally — a replay of an already-COMMITTED batch re-drops
     # every row against its own admitted fingerprints and publishes an
     # empty version, identical to the pre-r10 behavior
+
+    # both indexes are APPEND LOGS (round 9): v1 is the bootstrap index
+    # and every later version is one tick's batch-sized delta, read back
+    # as ONE multi-path scan. The old shape re-wrote the FULL extended
+    # index every tick — O(index) admission I/O per tick, quadratic
+    # cumulative at corpus scale (the same defect class as the r8
+    # publication-log union, one level down). Loaded AFTER the recovery
+    # preamble so a just-completed foreign tick's mh delta is probed.
+    fp_idx = art.load_fingerprint_log(spark, fp_path)
+    mh_idx, _ = art.load_minhash_log(spark, mh_path)
+    # cross-root PROBE extension (r12 — the sharded global-fuzzy
+    # option, also a decontamination hook): extra roots' committed
+    # indexes join the PROBE set — admissions stay local to ``root``.
+    # Banding/kind must agree with this root's index (a mixed probe
+    # would silently lose recall), which the sharded bootstrap
+    # guarantees by sizing one banding for all shards. Reads need no
+    # lease: ticks only ever probe pre-tick committed versions; a
+    # near-dup racing in on ANOTHER root mid-tick is the documented
+    # cross-writer blind window (the throughput trade).
+    if extra_probe_roots:
+        probe_keys = ("kind", "num_hashes", "bands", "shingle_k")
+        want = {k: mh_meta.get(k) for k in probe_keys}
+        for r2 in extra_probe_roots:
+            fp_idx = fp_idx.unionByName(
+                art.load_fingerprint_log(spark, os.path.join(r2, _FP))
+            )
+            mh2, meta2 = art.load_minhash_log(
+                spark, os.path.join(r2, _MH)
+            )
+            got = {k: meta2.get(k) for k in probe_keys}
+            if got != want:
+                raise ValueError(
+                    f"ingest_batch: probe root {r2!r} index was built "
+                    f"with {got}, this root's is {want} — mixed-banding "
+                    "probes lose recall silently; re-bootstrap with one "
+                    "banding"
+                )
+            mh_idx = mh_idx.unionByName(mh2)
 
     n_batch = batch.count()
 

@@ -78,17 +78,20 @@ def shard_route(text_col: Column, n_shards: int) -> Column:
     byte-identical re-arrivals co-locate with their originals and the
     exact tier stays globally correct without any shared index.
 
-    NULL text routes to shard 0 (self-audit r12): the hash of a NULL
-    fingerprint is NULL, and a NULL route would drop the row from
-    every shard's equality filter WITHOUT A TRACE — no tick would see
-    it, no stats would count it. Routed to shard 0 it gets exactly the
-    single-root treatment (the exact tier drops null-fingerprint docs,
-    accounted in ``n_exact_dropped`` — unit-verified identical)."""
-    return F.coalesce(
+    NULL text routes to shard 0, EXPLICITLY (review r12): Spark's
+    ``xxhash64`` hashes a NULL input to its seed (42), so the
+    implementation-default route for NULL text would be
+    ``pmod(42, n_shards)`` — never a dropped row, but a value that
+    silently depends on a hash implementation detail and on
+    ``n_shards``. The explicit branch makes the documented invariant
+    (NULL → shard 0) independent of both. On shard 0 such rows get
+    exactly the single-root treatment: the exact tier drops
+    null-fingerprint docs, accounted in ``n_exact_dropped``
+    (unit-verified identical to a single-root run)."""
+    return F.when(text_col.isNull(), F.lit(0)).otherwise(
         F.pmod(F.xxhash64(fingerprint(text_col)), F.lit(n_shards)).cast(
             "int"
-        ),
-        F.lit(0),
+        )
     )
 
 
@@ -203,16 +206,24 @@ def ingest_batch_sharded(
     sub-frames are unpersisted internally (stats carry the counts)."""
     cfg = load_shard_config(root)
     n = int(cfg["n_shards"])
+    rcol = "__shard_route__"
+    if rcol in batch.columns:
+        # withColumn would silently OVERWRITE and the later drop would
+        # strip the caller's data column from every publication
+        raise ValueError(
+            f"ingest_batch_sharded: batch already carries a {rcol!r} "
+            "column — rename it before ingesting"
+        )
     route = shard_route(F.col(text_col), n)
-    routed = batch.withColumn("_shard", route).persist()
+    routed = batch.withColumn(rcol, route).persist()
     try:
         present = sorted(
-            r["_shard"]
-            for r in routed.select("_shard").distinct().collect()
+            r[rcol]
+            for r in routed.select(rcol).distinct().collect()
         )
 
         def tick(s: int):
-            sub = routed.filter(F.col("_shard") == s).drop("_shard")
+            sub = routed.filter(F.col(rcol) == s).drop(rcol)
             extra = (
                 [shard_root(root, t) for t in range(n) if t != s]
                 if probe_all_shards

@@ -416,13 +416,22 @@ def _artifact_family(dirname: str, meta: dict) -> str:
     final name component). Two fits of the same kind+params on
     DIFFERENT corpus contents share a family; distinct
     parameterizations (baked into the name before the digest) never
-    collide."""
+    collide.
+
+    When the stamped digest no longer matches the name — compaction
+    restamps a log's digest to ``compacted:N`` (review r12: without
+    this fallback every compacted log became its own singleton family
+    and the sweep never fired for exactly the artifacts it was built
+    to bound) — fall back to stripping a trailing sanitized-digest
+    PATTERN (``_<count>_<m?hash>``)."""
     dg = meta.get("corpus_digest")
     if isinstance(dg, str) and dg:
         safe = dg.replace(":", "_").replace("-", "m")
         if dirname.endswith(safe):
             return dirname[: -len(safe)].rstrip("_")
-    return dirname
+    import re
+
+    return re.sub(r"_\d+_m?\d+$", "", dirname)
 
 
 def sweep_stale_artifacts(
@@ -452,7 +461,14 @@ def sweep_stale_artifacts(
     next sweep removes them, and every kept artifact is untouched by
     construction (survivors are never passed to rmtree). Non-artifact
     entries (no committed version / unreadable meta) are left alone.
-    Returns the deleted directory names."""
+    Returns the deleted directory names.
+
+    Compacted LOGS (digest restamped ``compacted:N``) cannot be pinned
+    via ``current_digests`` — they survive only as one of the ``keep``
+    newest of their family. Safe by construction: every digest-keyed
+    artifact here is a REBUILDABLE cache (consumers rebuild on a
+    missing path), so an over-eager sweep costs one rebuild, never
+    data."""
     current = {d for d in (current_digests or ())}
     lock = os.path.join(root, "_SWEEP_LOCK")
     try:
@@ -788,6 +804,22 @@ def compact_bm25_postings(
     df, meta = load_bm25_postings_log(spark, path)
     if n_files is not None:
         df = df.coalesce(n_files)
+    # carry every NON-structural meta key from the latest delta — the
+    # same convention as compact_artifact_log. In particular the tick
+    # markers (batch_digest / publish_version) MUST survive the fold:
+    # dangling-tick recovery decides "is this tick's bm25 delta
+    # present?" by comparing the log's latest batch_digest, and a fold
+    # that dropped it would make recovery append the delta AGAIN —
+    # doubled tf/df/N for the recovered docs, permanently (review r12).
+    carried = {
+        k: val
+        for k, val in meta.items()
+        if k
+        not in (
+            "parts", "kind", "id_col", "n_term_buckets", "stats",
+            "corpus_digest", "totals",
+        )
+    }
     v = save_bm25_postings(
         df,
         path,
@@ -795,6 +827,7 @@ def compact_bm25_postings(
         n_term_buckets=meta["n_term_buckets"],
         stats=meta["totals"],
         corpus_digest=f"compacted:{len(vs)}",
+        extra_meta=carried,
         folds=sorted(set(vs) | set(leftovers)),
     )
     for old in leftovers + vs:

@@ -2429,3 +2429,59 @@ def test_sweep_stale_artifacts(spark, sf_dir, tmp_path, monkeypatch):
     )
     got = text.bm25_topk(None, {"q": "hash scan"}, k=5, weights=w)
     assert got.count() == 5
+
+
+def test_foreign_recovery_probe_sees_rebuilt_mh_delta(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Review r12 #2: batch A's tick crashes between its fp and mh
+    admissions; batch B (containing a NEAR-dup of an A doc) arrives
+    next. B's preamble completes A's tick — rebuilding A's mh delta —
+    and B's fuzzy probe must include that delta (the index frames load
+    AFTER recovery now): the near-dup drops instead of publishing."""
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art_mod,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+
+    # sparse-vocab synthetic docs (the driver corpus near-dups with
+    # everything); A0's near-dup differs by one word
+    words = [f"rtok{i:03d}" for i in range(60)]
+    a_docs = [
+        (90001, " ".join(words)),
+        (90002, " ".join(f"stok{i:03d}" for i in range(60))),
+    ]
+    near = " ".join(words[:30] + ["zzchangedzz"] + words[31:])
+    fresh = " ".join(f"utok{i:03d}" for i in range(60))
+    batch_a = spark.createDataFrame(a_docs, "doc_id long, text string")
+    batch_b = spark.createDataFrame(
+        [(91001, near), (91002, fresh)], "doc_id long, text string"
+    )
+
+    real = art_mod.save_minhash_index
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before mh admission")
+
+    monkeypatch.setattr(art_mod, "save_minhash_index", boom)
+    with pytest.raises(RuntimeError, match="mh admission"):
+        ingest.ingest_batch(spark, batch_a, root)
+    monkeypatch.setattr(art_mod, "save_minhash_index", real)
+
+    p, s = ingest.ingest_batch(spark, batch_b, root)
+    p.unpersist()
+    assert not s.recovered  # foreign completion, B processed normally
+    assert s.n_published == 1  # fresh only; the near-dup dropped
+    assert s.n_fuzzy_dropped == 1
+    # A's docs were published by the completion
+    ids = {
+        r["doc_id"]
+        for r in ingest.read_ingest_corpus(spark, root)
+        .select("doc_id").collect()
+    }
+    assert {90001, 90002, 91002} <= ids and 91001 not in ids

@@ -222,3 +222,60 @@ def test_recovery_rebuilds_missing_bm25_delta(
         )
     )
     assert a == b
+
+
+def test_compaction_before_recovery_never_doubles_bm25_delta(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Review r12 #1: a tick crashes AFTER its bm25 delta but BEFORE the
+    publish commit; the operator compacts the logs BEFORE the batch
+    replays. The fold must carry the tick markers (batch_digest /
+    publish_version) — a fold that dropped them would make recovery
+    append the bm25 delta AGAIN, doubling tf/df/N for the recovered
+    docs forever. Pinned by probe-equality with an uninterrupted twin."""
+    from data_engineering_capstone_project__spark.plans import ingest
+    from data_engineering_capstone_project__spark.sources.io import (
+        commit_versioned as real_commit,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") < 300)
+    batch = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 450))
+    root = str(tmp_path / "root")
+    root2 = str(tmp_path / "root2")
+    for r in (root, root2):
+        ingest.init_ingest_indexes(spark, corpus, r, bm25_index=True)
+
+    def boom(path, n):
+        if "corpus" in path:
+            raise RuntimeError("injected crash before publish commit")
+        return real_commit(path, n)
+
+    monkeypatch.setattr(ingest, "commit_versioned", boom)
+    with pytest.raises(RuntimeError, match="publish commit"):
+        ingest.ingest_batch(spark, batch, root)
+    monkeypatch.setattr(ingest, "commit_versioned", real_commit)
+
+    # operator compacts the (fp/mh/bm25) logs before the replay —
+    # corpus compaction itself; the uncommitted claim is untouched
+    ingest.compact_publication_log(spark, root)
+    bm_meta = art.load_artifact_meta(os.path.join(root, ingest._BM25))
+    assert bm_meta.get("batch_digest") is not None  # fold carried it
+
+    # the replay COMPLETES the dangling tick without re-appending bm25
+    p, s = ingest.ingest_batch(spark, batch, root)
+    p.unpersist()
+    assert s.recovered
+    g, _ = ingest.ingest_batch(spark, batch, root2)
+    g.unpersist()
+    a = _rows(
+        text.bm25_topk_incremental(
+            spark, os.path.join(root, ingest._BM25), Q, k=10
+        )
+    )
+    b = _rows(
+        text.bm25_topk_incremental(
+            spark, os.path.join(root2, ingest._BM25), Q, k=10
+        )
+    )
+    assert a == b

@@ -268,12 +268,19 @@ def test_run_stream_ingest_sharded_matches_batch_ticks(
 def test_null_text_routes_to_shard_zero_and_is_accounted(
     spark, sf_dir, tmp_path
 ):
-    """Self-audit r12: NULL text must route deterministically (shard 0)
-    — a NULL route would drop the row from every shard's equality
-    filter WITHOUT A TRACE (no tick, no stats). With the coalesce fix
-    the rows reach shard 0's tick and get exactly the single-root
-    treatment (the exact tier drops null-fingerprint docs, counted in
-    n_exact_dropped — verified identical on a single-root run)."""
+    """NULL text routes to shard 0 EXPLICITLY (review r12: xxhash64
+    hashes NULL to its seed 42, so the implementation-default route
+    would be pmod(42, n) — n_shards-dependent). The explicit branch
+    pins the invariant at ANY shard count, and the routed rows get
+    exactly the single-root treatment (exact tier drops
+    null-fingerprint docs, counted in n_exact_dropped — verified
+    identical on a single-root run)."""
+    # the invariant holds at shard counts where pmod(42, n) != 0 too
+    for n in (2, 4, 5):
+        row = spark.range(1).select(
+            shards.shard_route(F.lit(None).cast("string"), n).alias("s")
+        ).first()
+        assert row["s"] == 0, n
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
     root = str(tmp_path / "r")
