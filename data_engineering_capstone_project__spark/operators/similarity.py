@@ -597,8 +597,22 @@ def append_ivf_corpus(
     production ingest shape: a 100 TB index absorbs a daily batch as a
     per-cell append; probes (``ivf_topk_pruned``/``ivf_topk_many``) see
     old and new rows uniformly. Re-fit the codebook only when drift
-    degrades recall (a new fit = a new layout = a new corpus path —
-    cells are meaningless across codebooks)."""
+    degrades recall — measure it with :func:`ivf_drift_stats` /
+    :func:`ivf_needs_refit` (a new fit = a new layout = a new corpus
+    path — cells are meaningless across codebooks).
+
+    Crash-consistency DISCLOSURE (r12 self-audit): unlike the
+    commit-marker artifact logs, this is a plain ``mode('append')``
+    parquet write — its atomicity is the output committer's. With the
+    default v1 ``FileOutputCommitter`` (task outputs move from
+    ``_temporary`` at job commit) a crashed append leaves no visible
+    rows; under a v2-committer configuration (files visible at TASK
+    commit) a crashed append can leave a PARTIAL batch visible.
+    Probes stay correct per visible row either way (assignment is
+    row-local), but exactly-once batch accounting needs either the v1
+    default or the versioned-artifact route
+    (``artifacts.save_artifact`` + a union read) when appends must
+    survive arbitrary crash points."""
     out = df.withColumn(cell_col, assign_ivf_cell(F.col(vec_col), centroids))
     out.write.mode("append").partitionBy(cell_col).parquet(path)
 

@@ -279,3 +279,56 @@ def test_compaction_before_recovery_never_doubles_bm25_delta(
         )
     )
     assert a == b
+
+
+def test_fuzz_incremental_equals_from_scratch(spark, tmp_path):
+    """Seeded fuzz of the bit-parity claim on adversarial corpora:
+    random vocab sizes (dup-heavy to sparse), empty and blank docs,
+    NBSP/unicode tokens, random delta splits (including empty deltas),
+    random (k1, b), optional compaction — the incremental probe must
+    equal the from-scratch fit EXACTLY in every trial."""
+    import random as _random
+
+    rng = _random.Random(1207)
+    for trial in range(6):
+        vocab = [
+            f"w{i}" for i in range(rng.choice([5, 30, 200]))
+        ] + ["café", "a b", "xİy"]
+        docs = []
+        n_docs = rng.randint(8, 40)
+        for i in range(n_docs):
+            kind = rng.random()
+            if kind < 0.08:
+                doc_text = ""
+            elif kind < 0.12:
+                doc_text = "   "
+            else:
+                doc_text = " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(1, 60))
+                )
+            docs.append((i, doc_text))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        k1 = rng.choice([1.2, 0.9, 2.0])
+        b = rng.choice([0.75, 0.0, 1.0])
+        n_deltas = rng.randint(1, 3)
+        path = str(tmp_path / f"fuzz{trial}")
+        for s in range(n_deltas):
+            part = d.filter(F.col("doc_id") % n_deltas == s)
+            postings, stats = text.bm25_postings_with_stats(part)
+            art.save_bm25_postings(
+                postings, path, stats=stats, n_term_buckets=8
+            )
+        if rng.random() < 0.5:
+            art.compact_bm25_postings(spark, path)
+        queries = {
+            f"q{j}": " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 4))
+            )
+            for j in range(rng.randint(1, 3))
+        }
+        inc = text.bm25_topk_incremental(
+            spark, path, queries, k=5, k1=k1, b=b
+        )
+        ref = text.bm25_topk(d, queries, k=5, k1=k1, b=b, weights=None)
+        assert _rows(inc) == _rows(ref), (trial, k1, b, n_deltas)

@@ -293,3 +293,53 @@ def test_null_text_routes_to_shard_zero_and_is_accounted(
     # same semantics as the single-root loop: processed AND accounted
     assert stats[0].n_batch == 2
     assert stats[0].n_exact_dropped == 2 and stats[0].n_published == 0
+
+
+def test_fuzz_concurrent_equals_serialized(spark, tmp_path):
+    """Seeded fuzz of the shard-independence claim: random sparse
+    corpora with planted exact dups and near-dups, random shard counts,
+    two batches ticked CONCURRENTLY vs one-at-a-time on twin roots —
+    union digests must match in every trial, and replays publish zero."""
+    import random as _random
+
+    rng = _random.Random(4242)
+    for trial in range(3):
+        vocab = [f"t{trial}w{i}" for i in range(300)]
+
+        def doc():
+            return " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(10, 40))
+            )
+
+        corpus_rows = [(i, doc()) for i in range(30)]
+        batch_rows = []
+        nid = 1000
+        for _ in range(20):
+            r = rng.random()
+            if r < 0.2 and corpus_rows:  # exact dup of corpus under new id
+                batch_rows.append((nid, rng.choice(corpus_rows)[1]))
+            elif r < 0.35 and corpus_rows:  # near-dup: one word changed
+                w = rng.choice(corpus_rows)[1].split()
+                w[rng.randrange(len(w))] = "zzz"
+                batch_rows.append((nid, " ".join(w)))
+            else:
+                batch_rows.append((nid, doc()))
+            nid += 1
+        half = len(batch_rows) // 2
+        n_shards = rng.choice([2, 3])
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        b1 = spark.createDataFrame(batch_rows[:half], "doc_id long, text string")
+        b2 = spark.createDataFrame(batch_rows[half:], "doc_id long, text string")
+
+        ra = str(tmp_path / f"f{trial}a")
+        rb = str(tmp_path / f"f{trial}b")
+        shards.init_sharded_ingest(spark, corpus, ra, n_shards=n_shards)
+        shards.init_sharded_ingest(spark, corpus, rb, n_shards=n_shards)
+        for b in (b1, b2):
+            shards.ingest_batch_sharded(spark, b, ra)
+            shards.ingest_batch_sharded(spark, b, rb, max_parallel=1)
+        assert _dig(shards.read_sharded_corpus(spark, ra)) == _dig(
+            shards.read_sharded_corpus(spark, rb)
+        ), trial
+        stats = shards.ingest_batch_sharded(spark, b1, ra)
+        assert all(s.n_published == 0 for s in stats.values()), trial
