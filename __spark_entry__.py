@@ -7230,6 +7230,65 @@ SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
 """
 
 
+def x_sharded_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL retrieval over a SHARDED living corpus — the r12 flagship
+    composition: a two-shard ingest root bootstrapped with
+    ``bm25_index=True`` ticks one batch (per-shard posting deltas
+    appended under the tick's fencing), then ONE probe over all shard
+    posting logs (``sharded_bm25_paths`` + multi-log
+    ``bm25_topk_incremental``: scalar stats SUM across shards, df_t
+    aggregates the cross-shard pruned union) must equal a from-scratch
+    ``bm25_topk`` fit of the union publication log EXACTLY
+    (``search_matches_from_scratch``) — sharding and incrementality
+    both invisible to scores, rows, and ranks. ``indexed_equals_corpus``
+    additionally pins that the posting logs' summed ``n_docs`` equals
+    the union corpus count (the search surface IS the corpus).
+    ``n_corpus``/``n_batch`` are SQL-exact input accounting."""
+    import tempfile
+
+    from data_engineering_capstone_project__spark.plans import shards
+    from data_engineering_capstone_project__spark.sources import artifacts as art
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 200)
+    b1 = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    root = tempfile.mkdtemp(prefix="sharded_bm25_") + "/r"
+    shards.init_sharded_ingest(
+        spark, corpus, root, n_shards=2, bm25_index=True
+    )
+    shards.ingest_batch_sharded(spark, b1, root)
+
+    Q = {"q_scan": "hash scan filter", "q_stream": "stream window watermark"}
+    paths = shards.sharded_bm25_paths(root)
+    got = sorted(
+        map(tuple, text.bm25_topk_incremental(spark, paths, Q, k=10).collect())
+    )
+    union = shards.read_sharded_corpus(spark, root)
+    ref = sorted(
+        map(tuple, text.bm25_topk(union, Q, k=10, weights=None).collect())
+    )
+    _, meta = art.load_bm25_postings_log(spark, paths)
+    indexed_equals_corpus = meta["totals"]["n_docs"] == union.count()
+    return spark.createDataFrame(
+        [(
+            corpus.count(), b1.count(), 2,
+            bool(got == ref), bool(indexed_equals_corpus),
+        )],
+        "n_corpus bigint, n_batch bigint, n_shards int, "
+        "search_matches_from_scratch boolean, indexed_equals_corpus boolean",
+    )
+
+
+X_SHARDED_BM25_SQL = """
+SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
+       (SELECT COUNT(*) FROM documents
+         WHERE doc_id >= 200 AND doc_id < 400) AS n_batch,
+       CAST(2 AS INTEGER) AS n_shards,
+       TRUE AS search_matches_from_scratch,
+       TRUE AS indexed_equals_corpus
+"""
+
+
 def x_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ingest pipeline end-to-end (plans/ingest.py):
     bootstrap both durable dedup indexes over a corpus, run two ingest
@@ -8245,6 +8304,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # r12: N independent shard roots, content-routed — concurrent ticks
     # digest-equal to a serialized golden run, exact dedup global
     "x_sharded_ingest": (x_sharded_ingest, X_SHARDED_INGEST_SQL),  # bound-checked
+    # r12: global BM25 over shard posting logs ≡ from-scratch over the
+    # union corpus — sharding + incrementality invisible to retrieval
+    "x_sharded_bm25_search": (x_sharded_bm25_search, X_SHARDED_BM25_SQL),  # bound-checked
     "x_ingest_lifecycle": (x_ingest_lifecycle, X_INGEST_LIFECYCLE_SQL),  # bound-checked
     "x_stream_ingest": (x_stream_ingest, X_STREAM_INGEST_SQL),  # bound-checked
     # kill-at-tick-2 → checkpoint resume → replay publishes zero; corpus
