@@ -409,16 +409,29 @@ def sample_video_frames(
                         idx = min(ts * 1000 // max(usec, 1), avi["n_frames"] - 1)
                         if idx not in decoded:
                             fb = avi["frames"][idx]
-                            arr = _decode_rgb(fb)
+                            # contained like the MP4 path (ADVICE r12
+                            # #1): an undecodable frame (truncated,
+                            # arithmetic-coded) degrades to NULL pixel
+                            # stats instead of failing the job; the
+                            # frame-identity columns stay real
+                            try:
+                                arr = _decode_rgb(fb)
+                                px4 = (
+                                    int(arr.shape[1]),
+                                    int(arr.shape[0]),
+                                    int(arr.astype(np.int64).sum()),
+                                    float(arr.mean()),
+                                )
+                            except Exception:
+                                px4 = (None, None, None, None)
                             decoded[idx] = (
-                                hashlib.sha256(fb).hexdigest(),
-                                int(arr.shape[1]),
-                                int(arr.shape[0]),
-                                int(arr.astype(np.int64).sum()),
-                                float(arr.mean()),
-                                idx,
-                                len(fb),
-                                int(idx * usec // 1000),
+                                (hashlib.sha256(fb).hexdigest(),)
+                                + px4
+                                + (
+                                    idx,
+                                    len(fb),
+                                    int(idx * usec // 1000),
+                                )
                             )
                         rows.append((mid, ts) + decoded[idx])
                     continue
@@ -449,13 +462,33 @@ def sample_video_frames(
                             sample = payload[off : off + size]
                             if mjpeg:
                                 if idx not in px_cache:
-                                    arr = _decode_rgb(sample)
-                                    px_cache[idx] = (
-                                        int(arr.shape[1]),
-                                        int(arr.shape[0]),
-                                        int(arr.astype(np.int64).sum()),
-                                        float(arr.mean()),
-                                    )
+                                    # CONTAINED per-sample decode
+                                    # (ADVICE r12 #1): 'mjpb' samples
+                                    # are headerless non-interchange
+                                    # JPEG streams the stdlib decoder
+                                    # rejects, and truncated or
+                                    # arithmetic-coded samples in
+                                    # 'jpeg'/'mjpa' files raise too —
+                                    # the operator's contract is
+                                    # honestly-NULL degradation, not a
+                                    # job failure, so fall back to
+                                    # PyAV (when importable) and cache
+                                    # the None so the grid does not
+                                    # re-attempt per sampled ts.
+                                    try:
+                                        arr = _decode_rgb(sample)
+                                        px_cache[idx] = (
+                                            int(arr.shape[1]),
+                                            int(arr.shape[0]),
+                                            int(arr.astype(np.int64).sum()),
+                                            float(arr.mean()),
+                                        )
+                                    except Exception:
+                                        px_cache[idx] = (
+                                            _try_pyav_frame_stats(
+                                                payload, dts[idx]
+                                            )
+                                        )
                                 px = px_cache[idx]
                             else:
                                 px = _try_pyav_frame_stats(payload, dts[idx])

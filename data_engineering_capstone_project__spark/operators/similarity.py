@@ -749,8 +749,17 @@ def ivf_needs_refit(
         return False
     if stats["cell_skew"] > skew_threshold:
         return True
-    if baseline is not None and baseline.get("mean_qerr"):
-        return stats["mean_qerr"] > qerr_ratio * baseline["mean_qerr"]
+    # missing vs zero matters (ADVICE r12 #2): a fit-time baseline of
+    # EXACTLY 0.0 is legitimate (every vector on its centroid, e.g. a
+    # duplicate-heavy corpus with k >= distinct vectors) and is
+    # precisely the case where ANY positive post-append qerr is
+    # infinite relative drift — truthiness would silently disable the
+    # trigger for it. Only an absent/None baseline skips the rule.
+    if baseline is not None and baseline.get("mean_qerr") is not None:
+        bq = float(baseline["mean_qerr"])
+        if bq == 0.0:
+            return stats["mean_qerr"] > 0.0
+        return stats["mean_qerr"] > qerr_ratio * bq
     return False
 
 

@@ -354,8 +354,19 @@ def compact_sharded_ingest(
     spark: SparkSession, root: str, **kw
 ) -> dict[int, int]:
     """Per-shard ``compact_publication_log`` (each under its own shard
-    lease); shards compact independently, so this can also run
-    concurrently with other shards' ticks. Returns
+    lease); shards compact independently.
+
+    Concurrency (qualified — ADVICE r12 #3): with the DEFAULT
+    shard-local probe, compacting shard B is safe concurrently with
+    other shards' ticks (a tick only reads its own root, which its
+    lease serializes against its own compaction). With
+    ``probe_all_shards=True``, a tick on shard A scans shard B's
+    committed fp/mh delta files, and a concurrent compaction of shard
+    B can GC those files after A listed them — the transient
+    FileNotFound hazard ``ingest_batch``'s ``extra_probe_roots``
+    docstring discloses. Under that flag, schedule compaction away
+    from ticking (or retry the failed tick — nothing is corrupted,
+    the probe scan just raced a GC). Returns
     ``{shard: compacted_version}``."""
     cfg = load_shard_config(root)
     return {

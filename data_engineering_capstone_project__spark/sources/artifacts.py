@@ -332,6 +332,15 @@ def compact_artifact_log(
     if n_files is not None:
         df = df.coalesce(n_files)
     out_meta = {k: m for k, m in meta.items() if k != "parts"}
+    # pin the retention FAMILY before the digest restamp below erases
+    # the only way to infer it from the name (ADVICE r12 #4): computed
+    # from the pre-compaction name+meta, carried in the folded meta, so
+    # sweep_stale_artifacts groups the compacted log with its digest-
+    # keyed siblings exactly — no regex inference on restamped names
+    out_meta.setdefault(
+        "family",
+        _artifact_family(os.path.basename(os.path.normpath(path)), meta),
+    )
     if "corpus_digest" in out_meta:
         # the latest delta's digest describes THAT delta's source frame,
         # not the compacted union — re-stamping it verbatim would let an
@@ -418,12 +427,20 @@ def _artifact_family(dirname: str, meta: dict) -> str:
     parameterizations (baked into the name before the digest) never
     collide.
 
-    When the stamped digest no longer matches the name — compaction
-    restamps a log's digest to ``compacted:N`` (review r12: without
-    this fallback every compacted log became its own singleton family
-    and the sweep never fired for exactly the artifacts it was built
-    to bound) — fall back to stripping a trailing sanitized-digest
-    PATTERN (``_<count>_<m?hash>``)."""
+    Resolution order (ADVICE r12 #4): an EXPLICIT ``meta['family']``
+    wins outright — the compactors stamp it from the pre-compaction
+    name+digest at fold time, so a compacted log's family survives the
+    digest restamp without any inference. Then the stamped-digest
+    suffix strip; last, for legacy compacted logs written before the
+    family stamp, a fallback regex over the name — tightened to the
+    ACTUAL digest shape (count + xxhash magnitude: the XOR of
+    uniformly distributed int64 hashes has <6 digits with probability
+    ~1e-13), so a parameterization that happens to end in two short
+    numeric segments (e.g. ``kind_8_128``) is never mistaken for a
+    digest and merged into the wrong family."""
+    fam = meta.get("family")
+    if isinstance(fam, str) and fam:
+        return fam
     dg = meta.get("corpus_digest")
     if isinstance(dg, str) and dg:
         safe = dg.replace(":", "_").replace("-", "m")
@@ -431,7 +448,7 @@ def _artifact_family(dirname: str, meta: dict) -> str:
             return dirname[: -len(safe)].rstrip("_")
     import re
 
-    return re.sub(r"_\d+_m?\d+$", "", dirname)
+    return re.sub(r"_\d+_m?\d{6,}$", "", dirname)
 
 
 def sweep_stale_artifacts(
@@ -820,6 +837,12 @@ def compact_bm25_postings(
             "corpus_digest", "totals",
         )
     }
+    # pin the retention family across the digest restamp (ADVICE r12
+    # #4) — same convention as compact_artifact_log
+    carried.setdefault(
+        "family",
+        _artifact_family(os.path.basename(os.path.normpath(path)), meta),
+    )
     v = save_bm25_postings(
         df,
         path,

@@ -2485,3 +2485,68 @@ def test_foreign_recovery_probe_sees_rebuilt_mh_delta(
         .select("doc_id").collect()
     }
     assert {90001, 90002, 91002} <= ids and 91001 not in ids
+
+
+def test_artifact_family_explicit_and_tight_fallback(spark, sf_dir):
+    """ADVICE r13 #4: family grouping never merges distinct
+    parameterizations. (a) an explicit meta['family'] wins; (b) the
+    legacy name fallback only strips a REAL digest shape (count +
+    >=6-digit hash magnitude), so a name ending in short numeric
+    parameter segments (kind_8_128) stays its own family; (c) the
+    compactors stamp family at fold time, so a compacted log still
+    groups with its digest-keyed siblings."""
+    from data_engineering_capstone_project__spark.operators import text
+
+    fam = art._artifact_family
+    assert fam("anything", {"family": "pinned"}) == "pinned"
+    # real digest suffix stripped via the stamped digest
+    assert (
+        fam("bm25_1.2_0.75_60000_m1234567890", {"corpus_digest": "60000:-1234567890"})
+        == "bm25_1.2_0.75"
+    )
+    # parameterization that LOOKS like two numeric segments is kept
+    assert fam("kind_8_128", {}) == "kind_8_128"
+    # legacy fallback still strips a digest-magnitude suffix
+    assert fam("kind_8_128_60000_m1234567890", {}) == "kind_8_128"
+
+    # compaction stamps the family before restamping the digest
+    import os as _os
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    dg = art.corpus_digest(d, ["doc_id", "text"])
+    safe = dg.replace(":", "_").replace("-", "m")
+    root = art.default_artifact_root()
+    p = _os.path.join(root, f"famtest_{safe}")
+    import shutil as _sh
+
+    _sh.rmtree(p, ignore_errors=True)
+    try:
+        postings, pstats = text.bm25_postings_with_stats(d)
+        art.save_bm25_postings(
+            postings, p, n_term_buckets=8, stats=pstats, corpus_digest=dg
+        )
+        art.compact_bm25_postings(spark, p)
+        meta = art.load_artifact_meta(p)
+        assert meta["corpus_digest"].startswith("compacted:")
+        assert meta["family"] == "famtest"
+        assert fam(_os.path.basename(p), meta) == "famtest"
+    finally:
+        _sh.rmtree(p, ignore_errors=True)
+
+
+def test_ivf_needs_refit_zero_baseline():
+    """ADVICE r13 #2: a legitimate fit-time baseline of exactly 0.0
+    (every vector on its centroid) must not disable the qerr trigger —
+    any positive post-append qerr is infinite relative drift there."""
+    from data_engineering_capstone_project__spark.operators import (
+        similarity as sim,
+    )
+
+    base = {"mean_qerr": 0.0}
+    healthy = {"n_vectors": 10, "cell_skew": 1.0, "mean_qerr": 0.0}
+    drifted = {"n_vectors": 12, "cell_skew": 1.0, "mean_qerr": 1e-6}
+    assert not sim.ivf_needs_refit(healthy, base)
+    assert sim.ivf_needs_refit(drifted, base)
+    # absent baseline still skips the qerr rule
+    assert not sim.ivf_needs_refit(drifted, None)
+    assert not sim.ivf_needs_refit(drifted, {})

@@ -508,3 +508,68 @@ def test_mjpeg_mp4_real_pixel_decode(spark):
         assert r["frame_w"] == w and r["frame_h"] == h
         assert r["px_sum"] == int(ref.astype(np.int64).sum())
         assert r["px_mean"] == float(ref.mean())
+
+
+def test_mjpeg_decode_failure_contained(spark):
+    """ADVICE r13 #1: an undecodable MJPEG sample (headerless 'mjpb'
+    stream, truncated/garbage 'jpeg' sample) degrades THAT row to NULL
+    pixel stats instead of failing the whole sample_video_frames job —
+    the operator's documented honestly-NULL contract. Good samples in
+    the same payload still decode."""
+    import hashlib
+
+    import numpy as np
+
+    from data_engineering_capstone_project__spark.operators import (
+        jpegcodec as jc,
+        mp4codec as mc,
+    )
+
+    w, h = 8, 6
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200
+    good = jc.encode_jpeg(arr, quality=90)
+    bad = b"\x00\x01headerless-not-a-jpeg" * 4
+    payload = mc.encode_minimal_mp4(
+        [good, bad], timescale=1000, delta=500, sample_entry=b"jpeg"
+    )
+    df = spark.createDataFrame(
+        [(1, "video", payload, "video/mp4", None, None, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.sample_video_frames(df, every_ms=500, fake=False).collect()
+    assert [(r["frame_ts_ms"], r["sample_idx"]) for r in out] == [
+        (0, 0), (500, 1),
+    ]
+    ok, broken = out
+    assert ok["frame_w"] == w and ok["px_sum"] is not None
+    assert broken["frame_w"] is None and broken["px_sum"] is None
+    # frame-identity columns stay real on the contained row
+    assert broken["sha256"] == hashlib.sha256(bad).hexdigest()
+    assert broken["sample_bytes"] == len(bad)
+
+    # mjpb: every sample is headerless — all rows NULL-pixel, no raise
+    p2 = mc.encode_minimal_mp4(
+        [bad, bad], timescale=1000, delta=500, sample_entry=b"mjpb"
+    )
+    df2 = spark.createDataFrame(
+        [(2, "video", p2, "video/mp4", None, None, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    out2 = mm.sample_video_frames(df2, every_ms=500, fake=False).collect()
+    assert len(out2) == 2
+    assert all(r["frame_w"] is None for r in out2)
+
+    # AVI path: a truncated JPEG frame degrades to NULL pixels too
+    from data_engineering_capstone_project__spark.operators import (
+        avicodec as ac,
+    )
+
+    avi = ac.encode_avi_mjpeg([good[: len(good) // 2]], w, h, fps=2.0)
+    df3 = spark.createDataFrame(
+        [(3, "video", avi, "video/avi", None, None, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    out3 = mm.sample_video_frames(df3, every_ms=500, fake=False).collect()
+    assert len(out3) >= 1
+    assert all(r["frame_w"] is None for r in out3)
