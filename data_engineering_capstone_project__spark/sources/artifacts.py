@@ -92,6 +92,11 @@ __all__ = [
     "load_minhash_doc_index",
     "save_dsir_model",
     "load_dsir_model",
+    "save_ivf_delta",
+    "load_ivf_log",
+    "load_ivf_log_stats",
+    "compact_ivf_log",
+    "load_centroids_by_digest",
 ]
 
 _META = "_META.json"
@@ -858,6 +863,221 @@ def compact_bm25_postings(
     return v
 
 
+# --------------------------------------------------- IVF vector delta log
+
+
+def save_ivf_delta(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    codebook_digest: str | None = None,
+    cell_stats: list[list] | None = None,
+    corpus_digest: str | None = None,
+    extra_meta: dict | None = None,
+    precommit=None,
+    folds: list[int] | None = None,
+) -> int:
+    """Append ONE delta version of cell-assigned vectors to an
+    incremental IVF index LOG (VERDICT r12 #1 — the fenced replacement
+    for ``append_ivf_corpus``'s committer-dependent bare append).
+
+    Each version holds the batch's ``(id_col, vec_col, cell_col)``
+    rows directory-partitioned by cell, so a probe's
+    ``cell IN (probed…)`` filter prunes every delta's scan at
+    file-listing time — the same per-version ``PartitionFilters``
+    economics as the BM25 posting log's ``_tb`` buckets. The commit
+    marker is atomic (``sources.commitlog``), so a crashed append
+    leaves an invisible orphan under EVERY committer configuration —
+    no v1/v2 ``FileOutputCommitter`` caveat.
+
+    ``codebook_digest`` pins the codebook that assigned the cells:
+    cells are meaningless across codebooks, so the log loader REFUSES
+    a mixed-digest log (a refit writes a FOLD restamped with the new
+    digest — see ``plans.ingest.refit_ivf_index``).
+
+    ``cell_stats`` — ``[[cell, count, qerr_sum], …]`` for THIS delta
+    (``operators.similarity.ivf_assign_cells_with_stats``) — rides in
+    the meta so drift measurement folds V tiny JSON notes instead of
+    rescanning the corpus per check (VERDICT r12 #5); the meta also
+    carries ``n_vectors`` for scan-free accounting. Appenders must be
+    disjoint in ``id_col`` across versions (the ingest loop's
+    exactly-once publish guarantees this)."""
+    n_rows = sum(int(s[1]) for s in (cell_stats or []))
+    meta = {
+        "kind": "ivf_vectors",
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "cell_col": cell_col,
+        "codebook_digest": codebook_digest,
+        "n_vectors": n_rows,
+        "cell_stats": [
+            [int(c), int(n), float(q)] for c, n, q in (cell_stats or [])
+        ],
+        "corpus_digest": corpus_digest,
+        **(extra_meta or {}),
+    }
+    if n_rows == 0:
+        # a zero-vector delta (full-dup tick, all-NULL vec batch) still
+        # needs its version for the tick marker; a partitionBy write of
+        # zero rows emits no schema-bearing file, so write it flat
+        return save_artifact(
+            path,
+            {"vectors": vectors.coalesce(1)},
+            meta,
+            precommit=precommit,
+            folds=folds,
+        )
+    return save_artifact(
+        path,
+        # ~one file per cell directory, not one per upstream partition
+        {"vectors": vectors.repartition(F.col(cell_col))},
+        meta,
+        partition_by={"vectors": [cell_col]},
+        precommit=precommit,
+        folds=folds,
+    )
+
+
+def load_ivf_log(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Union-read an IVF vector LOG: ``(vectors, meta)`` where
+    ``meta['cell_totals']`` folds every visible version's per-cell
+    ``(count, qerr_sum)`` (V tiny JSON reads, zero scans) and
+    ``meta['n_vectors']`` their total. Refuses a log whose versions
+    disagree on (kind, id_col, vec_col, cell_col, codebook_digest) —
+    mixed-codebook cells would probe the wrong directories silently.
+
+    Per-version reads are unioned rather than one multi-path scan
+    (directory-partitioned roots fail multi-path partition inference);
+    the probe's cell filter pushes into every branch identically and
+    compaction bounds the branch count."""
+    meta, vs = load_ivf_log_stats(path)
+    dfs = [
+        spark.read.parquet(os.path.join(path, f"v={v}", "vectors"))
+        for v in vs
+    ]
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
+    return df, meta
+
+
+def load_ivf_log_stats(path: str) -> tuple[dict, list[int]]:
+    """The SCAN-FREE half of :func:`load_ivf_log`: fold every visible
+    version's meta note — per-cell ``(count, qerr_sum)`` totals,
+    ``n_vectors``, consistency validation — without touching a parquet
+    file. This is what lets the ingest tick evaluate the drift/refit
+    trigger EVERY tick at O(versions) tiny-JSON cost (VERDICT r12 #5);
+    ``operators.similarity.fold_ivf_cell_stats`` turns the totals into
+    the ``ivf_drift_stats`` dict. Returns ``(meta, versions)``."""
+    vs = visible_artifact_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version under {path!r}")
+    keys = ("kind", "id_col", "vec_col", "cell_col", "codebook_digest")
+    want = None
+    meta = load_artifact_meta(path, vs[-1])
+    if meta.get("kind") != "ivf_vectors":
+        raise ValueError(
+            f"not an ivf_vectors artifact: {path} ({meta.get('kind')})"
+        )
+    totals: dict[int, list] = {}
+    n_total = 0
+    for v in vs:
+        m = load_artifact_meta(path, v)
+        got = {k: m.get(k) for k in keys}
+        if want is None:
+            want = got
+        elif got != want:
+            raise ValueError(
+                f"load_ivf_log: version {v} of {path} was written with "
+                f"{got}, expected {want} — a mixed-codebook log cannot "
+                "be probed (refit writes a fold, never a mixed append)"
+            )
+        for c, n, q in m.get("cell_stats") or ():
+            t = totals.setdefault(int(c), [0, 0.0])
+            t[0] += int(n)
+            t[1] += float(q)
+        n_total += int(m.get("n_vectors", 0))
+    out = dict(meta)
+    out["cell_totals"] = {c: tuple(t) for c, t in totals.items()}
+    out["n_vectors"] = n_total
+    return out, vs
+
+
+def compact_ivf_log(
+    spark: SparkSession, path: str, n_files: int | None = None
+) -> int:
+    """Fold an IVF vector log's visible versions into ONE — bespoke
+    like :func:`compact_bm25_postings`: the folded meta must carry the
+    SUMMED per-cell stats (the drift fold's inputs) and the latest
+    tick markers (dangling-tick recovery compares the log's
+    ``batch_digest``), which the generic log compactor would copy from
+    the last delta alone. Crash-safe via the ``folds`` note."""
+    vs = visible_artifact_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed version under {path!r}")
+    leftovers = [
+        v for v in commitlog.committed_versions(path) if v not in vs
+    ]
+    df, meta = load_ivf_log(spark, path)
+    if n_files is not None:
+        df = df.coalesce(n_files)
+    carried = {
+        k: val
+        for k, val in meta.items()
+        if k
+        not in (
+            "parts", "kind", "id_col", "vec_col", "cell_col",
+            "codebook_digest", "n_vectors", "cell_stats",
+            "corpus_digest", "cell_totals",
+        )
+    }
+    carried.setdefault(
+        "family",
+        _artifact_family(os.path.basename(os.path.normpath(path)), meta),
+    )
+    v = save_ivf_delta(
+        df,
+        path,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+        cell_col=meta["cell_col"],
+        codebook_digest=meta["codebook_digest"],
+        cell_stats=[
+            [c, n, q] for c, (n, q) in sorted(meta["cell_totals"].items())
+        ],
+        corpus_digest=f"compacted:{len(vs)}",
+        extra_meta=carried,
+        folds=sorted(set(vs) | set(leftovers)),
+    )
+    for old in leftovers + vs:
+        shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+    return v
+
+
+def load_centroids_by_digest(
+    spark: SparkSession, path: str, digest: str
+) -> tuple[np.ndarray, dict]:
+    """Resolve the codebook VERSION whose stamped ``codebook_digest``
+    matches — how an IVF log probe finds the codebook that defined its
+    cells even after a refit appended newer codebooks (newest-first
+    scan; versions are few — one per refit). Returns
+    ``(centroids, meta)``."""
+    vs = visible_artifact_versions(path)
+    for v in reversed(vs):
+        m = load_artifact_meta(path, v)
+        if m.get("codebook_digest") == digest:
+            parts, meta = load_artifact(spark, path, v)
+            return _frame_matrix(parts["centroids"]), meta
+    raise ValueError(
+        f"no codebook version under {path!r} carries digest {digest!r} "
+        "— the log and its codebook artifact have diverged"
+    )
+
+
 # ------------------------------------------------------------------ PCA
 
 
@@ -924,6 +1144,7 @@ def save_centroids(
     corpus_digest: str | None = None,
     kind: str = "centroids",
     fit_stats: dict | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Persist a k-means/IVF codebook (k x dim doubles) — the fit-once
     artifact behind ``kmeans_assign``, ``ivf_topk``, and the cell-
@@ -941,6 +1162,8 @@ def save_centroids(
     }
     if fit_stats is not None:
         meta["fit_stats"] = {k: v for k, v in fit_stats.items()}
+    if extra_meta:
+        meta.update(extra_meta)
     return save_artifact(
         path,
         {"centroids": _matrix_frame(spark, "centroids", centroids)},

@@ -1,0 +1,282 @@
+"""Cross-shard near-dup reconciliation (VERDICT r12 #2): verified-mode
+parity, retire_docs index refolds, crash retry convergence, and the
+same-round survival rule the oracle gate can't isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_project__spark.operators import text as text_ops
+from data_engineering_capstone_project__spark.plans import ingest, shards
+from data_engineering_capstone_project__spark.sources import artifacts as art
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _dig(df):
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("doc_id", "text")).alias("x"),
+    ).first()
+    return (r["n"], r["x"])
+
+
+def _plant(corpus):
+    return corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 700001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qz")).alias("text"),
+    )
+
+
+def test_reconcile_verified_mode_matches_single_root(
+    spark, sf_dir, tmp_path
+):
+    """Verified-tier shards (exact-Jaccard drop) reconcile to the same
+    union a verified single root publishes — the adjudication inherits
+    the verification step, not just the band collision."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(_plant(corpus))
+    sroot, groot = str(tmp_path / "s"), str(tmp_path / "g")
+    kw = dict(num_hashes=32, bands=8, verify_jaccard_threshold=0.7)
+    shards.init_sharded_ingest(spark, corpus, sroot, n_shards=2, **kw)
+    ingest.init_ingest_indexes(spark, corpus, groot, **kw)
+    shards.ingest_batch_sharded(spark, batch, sroot)
+    pub, _ = ingest.ingest_batch(spark, batch, groot)
+    pub.unpersist()
+    stats = shards.reconcile_sharded_near_dups(spark, sroot)
+    assert stats["n_retired"] > 0
+    a = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
+    b = _dig(ingest.read_ingest_corpus(spark, groot).select("doc_id", "text"))
+    assert a == b
+
+
+def test_reconcile_same_round_pairs_both_survive(spark, sf_dir, tmp_path):
+    """Two FRESH docs that near-duplicate each other, arriving in the
+    same sharded tick on different shards, both survive reconciliation
+    — the tick's probe is index-only (it never dedups within a batch),
+    so neither does the adjudication (same corpus version = same
+    arrival round)."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") < 100)
+    sroot = str(tmp_path / "s")
+    shards.init_sharded_ingest(
+        spark, corpus, sroot, n_shards=2, num_hashes=32, bands=8
+    )
+    base = (
+        "a wholly synthetic reconciliation document with enough tokens "
+        "to shingle stably and no counterpart in the corpus at all"
+    )
+    twins = spark.createDataFrame(
+        [(900001, base + " alpha"), (900002, base + " beta")],
+        "doc_id bigint, text string",
+    )
+    # the twins must land on DIFFERENT shards for the test to bite;
+    # if routing co-locates them the shard-local probe doesn't drop
+    # them either (index-only), so the invariant still holds — assert
+    # the stronger cross-shard case only when routing produced it
+    shards.ingest_batch_sharded(spark, twins, sroot)
+    n_before = shards.read_sharded_corpus(spark, sroot).count()
+    stats = shards.reconcile_sharded_near_dups(spark, sroot)
+    survivors = {
+        r["doc_id"]
+        for r in shards.read_sharded_corpus(spark, sroot)
+        .filter(F.col("doc_id") >= 900000)
+        .collect()
+    }
+    assert survivors == {900001, 900002}
+    assert shards.read_sharded_corpus(spark, sroot).count() == n_before - (
+        stats["n_retired"]
+    )
+
+
+def test_retire_docs_refolds_bm25_and_ivf(spark, sf_dir, tmp_path):
+    """retire_docs keeps every search surface equal to the corpus:
+    after retirement the BM25 posting log answers exactly like a
+    from-scratch fit of the retired corpus, and the IVF log's vector
+    count equals the corpus's; fp keeps the losers (suppression)."""
+    d = _docs(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    all_docs = d.join(e, "doc_id").select("doc_id", "text", "embedding")
+    corpus = all_docs.filter(F.col("doc_id") < 200)
+    root = str(tmp_path / "r")
+    ingest.init_ingest_indexes(
+        spark, corpus, root, bm25_index=True,
+        ivf_index={
+            "vec_col": "embedding", "n_centroids": 4,
+            "sample_rows": 300, "n_iter": 4,
+        },
+    )
+    ids = [r["doc_id"] for r in corpus.limit(60).collect()][:20]
+    ingest.retire_docs(spark, root, ids)
+
+    now = ingest.read_ingest_corpus(spark, root)
+    left = {r["doc_id"] for r in now.select("doc_id").collect()}
+    assert not (left & set(ids)) and len(left) == corpus.count() - len(ids)
+
+    # BM25: incremental probe over the retired log == from-scratch fit
+    Q = {"q": "hash scan filter"}
+    got = sorted(
+        map(
+            tuple,
+            text_ops.bm25_topk_incremental(
+                spark, f"{root}/bm25", Q, k=10
+            ).collect(),
+        )
+    )
+    ref = sorted(
+        map(
+            tuple,
+            text_ops.bm25_topk(now, Q, k=10, weights=None).collect(),
+        )
+    )
+    assert got == ref
+    _, bmeta = art.load_bm25_postings_log(spark, f"{root}/bm25")
+    assert bmeta["totals"]["n_docs"] == now.count()
+
+    # IVF: surface is the corpus; probes never return retired docs
+    imeta, _ = art.load_ivf_log_stats(f"{root}/ivf")
+    assert imeta["n_vectors"] == now.count()
+
+    # fp suppression superset: a byte-identical re-arrival of a
+    # RETIRED doc still drops
+    rearrival = corpus.filter(F.col("doc_id").isin(ids[:5])).select(
+        (F.col("doc_id") + 800000).alias("doc_id"), "text", "embedding"
+    )
+    pub, st = ingest.ingest_batch(spark, rearrival, root)
+    pub.unpersist()
+    assert st.n_published == 0
+
+
+def test_retire_docs_crash_before_index_refold_retries_clean(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A crash between the corpus fold and the BM25 refold leaves the
+    posting log a SUPERSET (probes transiently see retired docs, never
+    a corrupt state); re-running retire_docs reconverges exactly —
+    the refolds are derived from the corpus, so no retry can
+    double-subtract."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") < 200)
+    root = str(tmp_path / "r")
+    ingest.init_ingest_indexes(spark, corpus, root, bm25_index=True)
+    ids = [r["doc_id"] for r in corpus.limit(10).collect()]
+
+    real = art.save_bm25_postings
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before bm25 refold")
+
+    monkeypatch.setattr(art, "save_bm25_postings", boom)
+    with pytest.raises(RuntimeError, match="bm25 refold"):
+        ingest.retire_docs(spark, root, ids)
+    monkeypatch.setattr(art, "save_bm25_postings", real)
+
+    now = ingest.read_ingest_corpus(spark, root)
+    n_now = now.count()
+    assert not (
+        {r["doc_id"] for r in now.select("doc_id").collect()} & set(ids)
+    )
+    _, bmeta = art.load_bm25_postings_log(spark, f"{root}/bm25")
+    assert bmeta["totals"]["n_docs"] == n_now + len(ids)  # superset
+
+    ingest.retire_docs(spark, root, ids)  # retry converges
+    now2 = ingest.read_ingest_corpus(spark, root)
+    assert now2.count() == n_now
+    _, bmeta2 = art.load_bm25_postings_log(spark, f"{root}/bm25")
+    assert bmeta2["totals"]["n_docs"] == now2.count()
+    Q = {"q": "hash scan filter"}
+    got = sorted(
+        map(
+            tuple,
+            text_ops.bm25_topk_incremental(
+                spark, f"{root}/bm25", Q, k=5
+            ).collect(),
+        )
+    )
+    ref = sorted(
+        map(tuple, text_ops.bm25_topk(now2, Q, k=5, weights=None).collect())
+    )
+    assert got == ref
+
+
+def test_stream_loop_sweep_cadence_bounds_artifact_root(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r12 #3: run_stream_ingest(sweep_every=1) actually calls
+    the GC — a stale digest-keyed family member in the artifact root
+    is swept during the loop while the CURRENT digest's member (pinned
+    via live_index_digests) and unrelated families survive, and a
+    probe of the kept index stays green afterward."""
+    import os
+    import shutil as _sh
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    a = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    a.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    _sh.move(os.path.join(stage, part), os.path.join(src, "a.parquet"))
+
+    root = str(tmp_path / "root")
+    ingest.init_ingest_indexes(spark, corpus, root)
+
+    # artifact root: three members of one bm25 family — one stamped
+    # with the loop's LIVE fp digest (pinned), two stale
+    aroot = str(tmp_path / "aroot")
+    os.makedirs(aroot)
+    live_dg = sorted(ingest.live_index_digests(root))[0]
+    import time
+
+    for i, dg in enumerate(("900:111111111", "901:222222222", live_dg)):
+        safe = dg.replace(":", "_").replace("-", "m")
+        art.save_bm25_index(
+            text_ops.bm25(docs.filter(F.col("doc_id") < 30 + i)),
+            os.path.join(aroot, f"bm25_1.2_0.75_{safe}"),
+            corpus_digest=dg, n_term_buckets=8,
+        )
+        time.sleep(0.05)
+    os.makedirs(os.path.join(aroot, "not_an_artifact"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stats = ingest.run_stream_ingest(
+        stream, root, sweep_every=1, sweep_keep=1,
+        sweep_artifact_root=aroot,
+    )
+    assert len(stats) == 1
+    left = sorted(
+        n for n in os.listdir(aroot)
+        if os.path.isdir(os.path.join(aroot, n))
+    )
+    safe_live = live_dg.replace(":", "_").replace("-", "m")
+    assert f"bm25_1.2_0.75_{safe_live}" in left   # pinned via live digest
+    assert "not_an_artifact" in left
+    assert len([n for n in left if n.startswith("bm25_")]) == 2  # 1 stale kept
+    # probe of the pinned index stays green
+    w = art.load_bm25_index(
+        spark, os.path.join(aroot, f"bm25_1.2_0.75_{safe_live}")
+    )
+    assert text_ops.bm25_topk(None, {"q": "hash scan"}, k=3, weights=w).count() == 3
+
+    # validation parity with compact_every
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sweep_every"):
+        ingest.run_stream_ingest(stream, root, sweep_every=0)
