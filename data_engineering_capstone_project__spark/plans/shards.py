@@ -365,6 +365,107 @@ def sharded_bm25_paths(root: str) -> list[str]:
     return paths
 
 
+def reshard(
+    spark: SparkSession,
+    root: str,
+    new_root: str,
+    n_shards: int,
+    **init_kw,
+) -> dict:
+    """Re-shard a sharded ingest root to a NEW shard count at a NEW
+    root (VERDICT r12 #4 — ``_SHARDS.json`` pins the count for a
+    root's lifetime, because re-routing in place would strand
+    fingerprints on their old shard): bootstrap ``new_root`` from the
+    union view, re-routing every document by the SAME content identity
+    (``shard_route`` is a pure function of the normalized text, so a
+    byte-identical re-arrival lands on its original's NEW shard by
+    construction — exact dedup stays global on the new layout), and
+    VERIFY union-digest equality before declaring the new root live.
+
+    What carries, and how:
+
+    - **banding** is inherited from the old root's pinned config by
+      default (probe semantics unchanged across the reshard; pass
+      ``num_hashes``/``bands`` to override deliberately);
+    - **verified-tier mode** (``verify_jaccard_threshold``) and the
+      **BM25 posting log** are inherited by presence — the new
+      per-shard logs are REBUILT from the union (a from-scratch fit of
+      the same corpus: global scores are unchanged by the incremental
+      log's exactness contract, which the ``x_reshard`` gate pins);
+    - **IVF config** is inherited by presence (vec_col + codebook
+      size from the old shard-0 artifacts); each new shard fits its
+      OWN codebook — cells are layout-local by contract.
+
+    The old root is untouched (reads/ticks keep working); callers
+    switch writers to ``new_root`` only after this returns, then
+    retire the old root on their own schedule. On digest mismatch the
+    new root is left UNDECLARED (its ``_SHARDS.json`` is removed) and
+    the call raises — a half-built reshard can never be probed as
+    live. Returns ``{"n_docs", "digest", "n_shards"}``."""
+    import json as _json
+
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art,
+    )
+
+    cfg = load_shard_config(root)
+    id_col, text_col = cfg["id_col"], cfg["text_col"]
+    s0 = shard_root(root, 0)
+    mh_meta = art.load_artifact_meta(os.path.join(s0, ingest._MH))
+    init_kw.setdefault("num_hashes", int(mh_meta["num_hashes"]))
+    init_kw.setdefault("bands", int(mh_meta["bands"]))
+    init_kw.setdefault("shingle_k", int(mh_meta["shingle_k"]))
+    if mh_meta.get("kind") == "minhash_docs":
+        init_kw.setdefault(
+            "verify_jaccard_threshold", mh_meta.get("jaccard_threshold")
+        )
+    if ingest._bm25_log_active(s0):
+        init_kw.setdefault("bm25_index", True)
+    if ingest._ivf_log_active(s0) and "ivf_index" not in init_kw:
+        imeta, _ = art.load_ivf_log_stats(os.path.join(s0, ingest._IVF))
+        _, cbm = art.load_centroids_by_digest(
+            spark, os.path.join(s0, ingest._IVF_CB),
+            imeta["codebook_digest"],
+        )
+        init_kw["ivf_index"] = {
+            "vec_col": imeta["vec_col"], "n_centroids": int(cbm["k"]),
+        }
+
+    union = read_sharded_corpus(spark, root).persist()
+    try:
+        cols = sorted(union.columns)
+        dg_old = art.corpus_digest(union, cols)
+        init_sharded_ingest(
+            spark, union, new_root, n_shards=n_shards,
+            text_col=text_col, id_col=id_col, **init_kw,
+        )
+        dg_new = art.corpus_digest(
+            read_sharded_corpus(spark, new_root), cols
+        )
+        note = os.path.join(new_root, _SHARDS_NOTE)
+        if dg_new != dg_old:
+            # never declare a diverged layout live
+            os.remove(note)
+            raise RuntimeError(
+                f"reshard: union digest diverged ({dg_old} -> {dg_new}) "
+                f"— {new_root!r} left undeclared; investigate and re-run"
+            )
+        with open(note) as f:
+            meta = _json.load(f)
+        meta.update(
+            {"resharded_from": root, "verified_digest": dg_old}
+        )
+        with open(note, "w") as f:
+            _json.dump(meta, f)
+        return {
+            "n_docs": int(dg_old.split(":")[0]),
+            "digest": dg_old,
+            "n_shards": int(n_shards),
+        }
+    finally:
+        union.unpersist()
+
+
 def sweep_sharded_artifacts(
     root: str,
     artifact_root: str | None = None,

@@ -280,3 +280,64 @@ def test_stream_loop_sweep_cadence_bounds_artifact_root(
 
     with _pytest.raises(ValueError, match="sweep_every"):
         ingest.run_stream_ingest(stream, root, sweep_every=0)
+
+
+def test_reshard_carries_modes_and_refuses_divergence(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """reshard inherits the old layout's probe semantics (verified
+    tier + threshold, banding, IVF config) and NEVER declares a
+    diverged layout live — on digest mismatch the new root's
+    _SHARDS.json is removed and the call raises."""
+    import os
+
+    d = _docs(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    all_docs = d.join(e, "doc_id").select("doc_id", "text", "embedding")
+    corpus = all_docs.filter(F.col("doc_id") < 150)
+    root = str(tmp_path / "old")
+    shards.init_sharded_ingest(
+        spark, corpus, root, n_shards=2, num_hashes=32, bands=8,
+        verify_jaccard_threshold=0.7,
+        ivf_index={
+            "vec_col": "embedding", "n_centroids": 4,
+            "sample_rows": 200, "n_iter": 3,
+        },
+    )
+    nroot = str(tmp_path / "new")
+    res = shards.reshard(spark, root, nroot, n_shards=3)
+    assert res["n_shards"] == 3
+    s0 = shards.shard_root(nroot, 0)
+    mh = art.load_artifact_meta(os.path.join(s0, "minhash"))
+    assert mh["kind"] == "minhash_docs"
+    assert mh["jaccard_threshold"] == 0.7
+    assert (mh["num_hashes"], mh["bands"]) == (32, 8)
+    assert ingest._ivf_log_active(s0)
+    imeta, _ = art.load_ivf_log_stats(os.path.join(s0, "ivf"))
+    assert imeta["vec_col"] == "embedding"
+    cfg = shards.load_shard_config(nroot)
+    assert cfg["resharded_from"] == root
+
+    # divergence: make the NEW root's union read come back one row
+    # short, so the post-bootstrap verification digest differs
+    broot = str(tmp_path / "bad")
+    real_read = shards.read_sharded_corpus
+
+    def short_read(sp, r):
+        out = real_read(sp, r)
+        if r == broot:
+            out = out.filter(F.col("doc_id") != 0)
+        return out
+
+    monkeypatch.setattr(shards, "read_sharded_corpus", short_read)
+    with pytest.raises(RuntimeError, match="digest diverged"):
+        shards.reshard(spark, root, broot, n_shards=2)
+    monkeypatch.setattr(shards, "read_sharded_corpus", real_read)
+    assert not os.path.exists(os.path.join(broot, "_SHARDS.json"))
+    with pytest.raises(FileNotFoundError):
+        shards.load_shard_config(broot)
