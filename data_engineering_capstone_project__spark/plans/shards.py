@@ -673,6 +673,58 @@ def reconcile_sharded_near_dups(
         union.unpersist()
 
 
+def ivf_topk_sharded(
+    spark: SparkSession,
+    root: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """GLOBAL ANN retrieval over a SHARDED living corpus — the vector
+    counterpart of the global BM25 probe (``sharded_bm25_paths``):
+    each shard's incremental IVF log probes under its OWN codebook
+    (cells are layout-local — every shard fit its own k-means at
+    bootstrap/reshard), and the per-shard top-k's merge into one
+    global top-k. Exactness composition: cosine is a per-row score
+    independent of any corpus statistic, and shards are
+    document-disjoint by routing, so the union of per-shard top-k's
+    CONTAINS the union's true top-k at the same per-shard probe
+    quality — global recall equals per-shard IVF recall, nothing is
+    lost in the merge (unit-pinned against a single-log twin). Plan:
+    n_shards pruned probes (each ``PartitionFilters`` on its own
+    cells) unioned, one final ``TakeOrderedAndProject`` of
+    n_shards × k rows."""
+    from data_engineering_capstone_project__spark.operators import (
+        similarity as sim,
+    )
+
+    cfg = load_shard_config(root)
+    n = int(cfg["n_shards"])
+    outs = []
+    for s in range(n):
+        sr = shard_root(root, s)
+        if not ingest._ivf_log_active(sr):
+            raise FileNotFoundError(
+                f"shard {s} of {root!r} has no IVF vector log "
+                "(bootstrap with ivf_index=...)"
+            )
+        outs.append(
+            sim.ivf_topk_log(
+                spark,
+                os.path.join(sr, ingest._IVF),
+                os.path.join(sr, ingest._IVF_CB),
+                query_vec,
+                k=k,
+                nprobe=nprobe,
+            )
+        )
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    id_col = out.columns[0]
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def compact_sharded_ingest(
     spark: SparkSession, root: str, **kw
 ) -> dict[int, int]:

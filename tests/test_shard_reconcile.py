@@ -341,3 +341,50 @@ def test_reshard_carries_modes_and_refuses_divergence(
     assert not os.path.exists(os.path.join(broot, "_SHARDS.json"))
     with pytest.raises(FileNotFoundError):
         shards.load_shard_config(broot)
+
+
+def test_ivf_topk_sharded_matches_single_root(spark, sf_dir, tmp_path):
+    """Global ANN over shard-local IVF logs: the merged per-shard
+    top-k equals brute-force exact cosine top-k over the union corpus
+    restricted to each shard's probed cells — and, with nprobe = all
+    cells, equals EXACT global top-k (per-shard probes lose nothing in
+    the merge; shards are document-disjoint)."""
+    from data_engineering_capstone_project__spark.operators import (
+        similarity as sim,
+    )
+
+    d = _docs(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    all_docs = d.join(e, "doc_id").select("doc_id", "text", "embedding")
+    corpus = all_docs.filter(F.col("doc_id") < 200)
+    batch = all_docs.filter(F.col("doc_id") >= 200)
+    root = str(tmp_path / "r")
+    shards.init_sharded_ingest(
+        spark, corpus, root, n_shards=2,
+        ivf_index={
+            "vec_col": "embedding", "n_centroids": 4,
+            "sample_rows": 300, "n_iter": 4,
+        },
+    )
+    shards.ingest_batch_sharded(spark, batch, root)
+    q = [float(x) for x in corpus.orderBy("doc_id").first()["embedding"]]
+    # nprobe >= n_centroids → per-shard probes are exact, so the merge
+    # must equal brute-force cosine top-k over the published union
+    got = shards.ivf_topk_sharded(spark, root, q, k=8, nprobe=4).collect()
+    union = shards.read_sharded_corpus(spark, root)
+    ref = sim.cosine_topk(
+        union, q, k=8, id_col="doc_id", vec_col="embedding"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+    # missing log raises a named error
+    root2 = str(tmp_path / "noivf")
+    shards.init_sharded_ingest(spark, corpus.select("doc_id", "text"),
+                               root2, n_shards=2, num_hashes=32, bands=8)
+    with pytest.raises(FileNotFoundError, match="no IVF vector log"):
+        shards.ivf_topk_sharded(spark, root2, q, k=3)
