@@ -851,6 +851,7 @@ def _append_ivf_delta(
     corpus_digest: str,
     tick_meta: dict,
     expected_gen: int | None,
+    n_published: int | None = None,
 ) -> tuple[int, bool]:
     """Append one tick's IVF vector delta (published docs only — the
     vector log mirrors the publication log, so the retrieval surface
@@ -874,10 +875,14 @@ def _append_ivf_delta(
             "with their vectors, or re-bootstrap without ivf_index"
         )
     vecs = published.select(id_col, vec_col)
-    n_null = vecs.filter(F.col(vec_col).isNull()).count()
     assigned, cell_stats = sim.ivf_assign_cells_with_stats(
         vecs, cents, vec_col=vec_col
     )
+    # NULL-vector accounting without an extra scan when the tick
+    # already counted its publication: published − indexed = NULL vecs
+    if n_published is None:
+        n_published = published.count()
+    n_null = n_published - sum(int(s[1]) for s in cell_stats)
     _check_lease_generation(root, expected_gen)
     v = art.save_ivf_delta(
         assigned,
@@ -1741,7 +1746,7 @@ def _ingest_batch_impl(
     if _ivf_log_active(root):
         ivf_v, ivf_due = _append_ivf_delta(
             spark, root, published, id_col, mh_dg, tick_meta,
-            expected_gen,
+            expected_gen, n_published=n_published,
         )
     _check_lease_generation(root, expected_gen)
     commit_versioned(corpus_path, corpus_v)

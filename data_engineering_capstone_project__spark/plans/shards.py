@@ -396,12 +396,18 @@ def reshard(
       size from the old shard-0 artifacts); each new shard fits its
       OWN codebook — cells are layout-local by contract.
 
-    The old root is untouched (reads/ticks keep working); callers
-    switch writers to ``new_root`` only after this returns, then
-    retire the old root on their own schedule. On digest mismatch the
-    new root is left UNDECLARED (its ``_SHARDS.json`` is removed) and
-    the call raises — a half-built reshard can never be probed as
-    live. Returns ``{"n_docs", "digest", "n_shards"}``."""
+    The old root is untouched; callers switch writers to ``new_root``
+    only after this returns, then retire the old root on their own
+    schedule. QUIESCE WRITERS FIRST: the union read takes no shard
+    leases, so a tick racing the reshard publishes content the new
+    root never sees, and a dangling crashed tick's claimed-but-
+    uncommitted batch is likewise invisible to the union — stop the
+    loop and run ``ingest.recover_ingest_tick`` per shard before
+    resharding (the digest verification below then pins that nothing
+    raced). On digest mismatch the new root is left UNDECLARED (its
+    ``_SHARDS.json`` is removed) and the call raises — a half-built
+    reshard can never be probed as live. Returns
+    ``{"n_docs", "digest", "n_shards"}``."""
     import json as _json
 
     from data_engineering_capstone_project__spark.sources import (
@@ -531,13 +537,19 @@ def reconcile_sharded_near_dups(
       pairs both survive (the tick's probe is index-only: it never
       dedups within a batch, so neither does reconciliation).
 
-    Caveat, disclosed: cross-shard version numbers align with arrival
-    rounds only while every sharded tick publishes on every shard (the
-    loop's common case — empty sub-batches skip a shard's version
-    clock, and adjudication then approximates arrival order for docs
-    of those rounds; the result is still deterministic and a valid
-    near-dup adjudication, just not bit-equal to a single-root replay
-    of the same history).
+    Caveats, disclosed: (a) cross-shard version numbers align with
+    arrival rounds only while every sharded tick publishes on every
+    shard (the loop's common case — empty sub-batches skip a shard's
+    version clock, and adjudication then approximates arrival order
+    for docs of those rounds; the result is still deterministic and a
+    valid near-dup adjudication, just not bit-equal to a single-root
+    replay of the same history). (b) COMPACTION FOLDS A SHARD'S
+    VERSIONS INTO ONE, erasing its arrival clock — pairs whose members
+    were folded into the same compacted version tie as "same round"
+    and BOTH survive, so cross-shard stragglers published before a
+    compaction are only reclaimable by a reconcile run BEFORE it.
+    Order the cadences reconcile-then-compact (both are offline,
+    lease-taking passes) and the leak window is one cycle.
 
     Scale shape: the pass is O(union) — the documented offline cadence
     (run it like compaction, between tick windows; it takes every

@@ -388,3 +388,24 @@ def test_ivf_topk_sharded_matches_single_root(spark, sf_dir, tmp_path):
                                root2, n_shards=2, num_hashes=32, bands=8)
     with pytest.raises(FileNotFoundError, match="no IVF vector log"):
         shards.ivf_topk_sharded(spark, root2, q, k=3)
+
+
+def test_reconcile_after_compaction_ties_survive(spark, sf_dir, tmp_path):
+    """Disclosed caveat pin: compaction folds a shard's versions into
+    one, erasing the arrival clock — a reconcile run AFTER compaction
+    finds only same-round ties and retires nothing (which is why the
+    documented cadence is reconcile-then-compact)."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(_plant(corpus))
+    sroot = str(tmp_path / "s")
+    shards.init_sharded_ingest(
+        spark, corpus, sroot, n_shards=2, num_hashes=32, bands=8
+    )
+    shards.ingest_batch_sharded(spark, batch, sroot)
+    before = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
+    shards.compact_sharded_ingest(spark, sroot)
+    stats = shards.reconcile_sharded_near_dups(spark, sroot)
+    assert stats["n_retired"] == 0
+    after = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
+    assert after == before
