@@ -609,10 +609,15 @@ def append_ivf_corpus(
     rows; under a v2-committer configuration (files visible at TASK
     commit) a crashed append can leave a PARTIAL batch visible.
     Probes stay correct per visible row either way (assignment is
-    row-local), but exactly-once batch accounting needs either the v1
-    default or the versioned-artifact route
-    (``artifacts.save_artifact`` + a union read) when appends must
-    survive arbitrary crash points."""
+    row-local).
+
+    SUPERSEDED for living corpora (r13 — VERDICT r12 #1): a corpus
+    maintained by the ingest loop should use the FENCED vector log
+    instead — ``init_ingest_indexes(ivf_index=...)`` appends each
+    tick's vectors as a commit-marker delta with exactly-once crash
+    replay, per-version drift stats, and the meta-fold refit trigger
+    (``plans.ingest``; probe via :func:`ivf_topk_log`). This bare
+    append remains for STATIC layouts built once outside the loop."""
     out = df.withColumn(cell_col, assign_ivf_cell(F.col(vec_col), centroids))
     out.write.mode("append").partitionBy(cell_col).parquet(path)
 
