@@ -278,6 +278,7 @@ def run_stream_ingest_sharded(
     sweep_every: int | None = None,
     sweep_keep: int = 2,
     sweep_artifact_root: str | None = None,
+    reconcile_every: int | None = None,
 ) -> list[dict[int, "ingest.IngestStats"]]:
     """The CONTINUOUS form of the sharded loop: every micro-batch runs
     one :func:`ingest_batch_sharded` tick (route → per-shard
@@ -294,7 +295,15 @@ def run_stream_ingest_sharded(
     tick; ``sweep_every=N`` runs :func:`sweep_sharded_artifacts` on
     the same cadence (VERDICT r12 #3 — all shards' live digests
     pinned, one sweep of the shared artifact root, per-shard codebook
-    expiry). Returns per-micro-batch ``{shard: IngestStats}`` dicts in
+    expiry); ``reconcile_every=N`` runs
+    :func:`reconcile_sharded_near_dups` on its cadence — and when a
+    tick triggers BOTH, reconciliation runs BEFORE compaction, because
+    compaction folds each shard's versions into one and erases the
+    arrival clock the adjudication orders by (the documented
+    reconcile-then-compact cadence, enforced here rather than left to
+    the operator). The loop is between ticks when either runs, so the
+    probe_all_shards compaction race cannot occur from inside this
+    loop. Returns per-micro-batch ``{shard: IngestStats}`` dicts in
     batch order."""
     if compact_every is not None and compact_every < 1:
         raise ValueError(
@@ -305,6 +314,11 @@ def run_stream_ingest_sharded(
         raise ValueError(
             f"run_stream_ingest_sharded: sweep_every must be >= 1 or "
             f"None (got {sweep_every!r})"
+        )
+    if reconcile_every is not None and reconcile_every < 1:
+        raise ValueError(
+            f"run_stream_ingest_sharded: reconcile_every must be >= 1 "
+            f"or None (got {reconcile_every!r})"
         )
     load_shard_config(root)  # fail fast on a non-sharded root
     collected: list[tuple[int, dict[int, "ingest.IngestStats"]]] = []
@@ -321,6 +335,10 @@ def run_stream_ingest_sharded(
         )
         collected.append((batch_id, stats))
         n_ticks += 1
+        # reconcile BEFORE compact: compaction erases the per-shard
+        # arrival clock the adjudication orders by
+        if reconcile_every is not None and n_ticks % reconcile_every == 0:
+            reconcile_sharded_near_dups(batch_df.sparkSession, root)
         if compact_every is not None and n_ticks % compact_every == 0:
             compact_sharded_ingest(
                 batch_df.sparkSession, root, compact_indexes=compact_indexes

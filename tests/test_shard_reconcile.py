@@ -409,3 +409,56 @@ def test_reconcile_after_compaction_ties_survive(spark, sf_dir, tmp_path):
     assert stats["n_retired"] == 0
     after = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
     assert after == before
+
+
+def test_stream_loop_reconcile_cadence(spark, sf_dir, tmp_path):
+    """reconcile_every wired into the sharded streaming loop: a
+    streamed batch with planted cross-shard near-dups ends HASH-EQUAL
+    to the same batch through a single-root tick — and with
+    compact_every on the same tick, reconciliation runs BEFORE the
+    compaction that would erase the arrival clock (the loop enforces
+    the documented cadence order)."""
+    import os
+    import shutil as _sh
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(_plant(corpus))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    batch.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    _sh.move(os.path.join(stage, part), os.path.join(src, "b.parquet"))
+
+    sroot, groot = str(tmp_path / "s"), str(tmp_path / "g")
+    shards.init_sharded_ingest(
+        spark, corpus, sroot, n_shards=2, num_hashes=32, bands=8
+    )
+    ingest.init_ingest_indexes(spark, corpus, groot, num_hashes=32, bands=8)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stats = shards.run_stream_ingest_sharded(
+        stream, sroot, reconcile_every=1, compact_every=1
+    )
+    assert len(stats) == 1
+
+    pub, _ = ingest.ingest_batch(spark, batch, groot)
+    pub.unpersist()
+    a = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
+    b = _dig(ingest.read_ingest_corpus(spark, groot).select("doc_id", "text"))
+    assert a == b
+    # compaction DID run after the reconcile: one visible version/shard
+    for s in range(2):
+        cpath = os.path.join(shards.shard_root(sroot, s), "corpus")
+        assert len(ingest._visible_corpus_versions(cpath)) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reconcile_every"):
+        shards.run_stream_ingest_sharded(stream, sroot, reconcile_every=0)
