@@ -462,3 +462,40 @@ def test_stream_loop_reconcile_cadence(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="reconcile_every"):
         shards.run_stream_ingest_sharded(stream, sroot, reconcile_every=0)
+
+
+@pytest.mark.parametrize(
+    "trial,n_shards,mod,suffix",
+    [
+        (0, 2, 7, " zq extra"),
+        (1, 3, 5, " yx"),
+        (2, 2, 3, " mutated tail token"),
+    ],
+)
+def test_reconcile_fuzz_parity(
+    spark, sf_dir, tmp_path, trial, n_shards, mod, suffix
+):
+    """Adversarial parity fuzz (the r12 BM25-fuzz pattern): varying
+    shard counts, planted-near-dup densities, and mutation shapes —
+    sharded ingest + reconciliation must end HASH-EQUAL to a
+    single-root run of the same history, every trial."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    planted = corpus.filter(F.col("doc_id") % mod == 0).select(
+        (F.col("doc_id") + 700001 + trial).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    sroot = str(tmp_path / f"s{trial}")
+    groot = str(tmp_path / f"g{trial}")
+    shards.init_sharded_ingest(
+        spark, corpus, sroot, n_shards=n_shards, num_hashes=32, bands=8
+    )
+    ingest.init_ingest_indexes(spark, corpus, groot, num_hashes=32, bands=8)
+    shards.ingest_batch_sharded(spark, batch, sroot)
+    pub, _ = ingest.ingest_batch(spark, batch, groot)
+    pub.unpersist()
+    shards.reconcile_sharded_near_dups(spark, sroot)
+    a = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
+    b = _dig(ingest.read_ingest_corpus(spark, groot).select("doc_id", "text"))
+    assert a == b
