@@ -7468,12 +7468,19 @@ def x_shard_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh id with a one-token mutation — near, not exact, so content
     routing scatters it) plus the documents table's natural dup
     density, ingested through a TWO-shard root and through a
-    single-root golden twin with the SAME pinned banding. Bound-checked:
+    single-root golden twin with the SAME pinned banding — and, NEW in
+    r14 (VERDICT r13 #3), the sharded root is COMPACTED before the
+    reconcile: the arrival clock is now a per-doc ``_arrival_round``
+    row stamp that compaction carries, so reconciliation after
+    compaction is exact (the r13 shape's version-directory clock was
+    erased by the fold, leaving only unretireable same-round ties).
+    Bound-checked:
 
-    - ``reconciled_equals_single_root``: after reconciliation the
-      sharded union is HASH-EQUAL (count + xor of xxhash64(id, text))
-      to the single-root corpus — the shard-local near-dup gap is
-      fully reclaimed, not approximately;
+    - ``reconciled_equals_single_root``: after a COMPACTION and then
+      reconciliation the sharded union is HASH-EQUAL (count + xor of
+      xxhash64(id, text)) to the single-root corpus — the shard-local
+      near-dup gap is fully reclaimed, not approximately, and the
+      r13 reconcile-before-compact ordering constraint is gone;
     - ``stragglers_retired``: the plant actually leaked (sharding
       published near-dups the single root dropped) and reconciliation
       retired a positive number — the gate cannot pass vacuously;
@@ -7510,6 +7517,9 @@ def x_shard_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pubg.unpersist()
     n_sharded_pub = sum(v.n_published for v in st.values())
 
+    # compact BEFORE reconciling (VERDICT r13 #3): the per-doc arrival
+    # stamps survive the fold, so the adjudication stays exact
+    shards.compact_sharded_ingest(spark, sroot)
     stats = shards.reconcile_sharded_near_dups(spark, sroot)
 
     def dig(df):
@@ -7654,6 +7664,119 @@ SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 200) AS n_corpus,
        TRUE AS rearrival_drops_on_new_layout,
        TRUE AS bm25_scores_unchanged,
        TRUE AS banding_carried
+"""
+
+
+def x_sharded_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL ANN over a SHARDED living corpus (VERDICT r13 #1 — the
+    one r13 surface proven by unit test alone, now oracle-gated): a
+    two-shard ingest root bootstrapped with ``ivf_index=...`` ticks one
+    embedding batch (per-shard fenced IVF vector-log deltas under each
+    shard's OWN codebook), then ``shards.ivf_topk_sharded`` merges the
+    per-shard partition-pruned probes into one global top-k.
+    Bound-checked booleans a broken composition must flip:
+
+    - ``full_probe_matches_brute``: with ``nprobe = n_centroids``
+      every per-shard probe is exact, so the merged global top-k must
+      be HASH-EQUAL to brute-force ``cosine_topk`` over the published
+      union — ids, cosines (6-dp), and order (the unit's claim, now
+      SQL-exact-accounted and driver-frozen);
+    - ``pruned_top1_is_self``: the query vector IS a corpus row's
+      embedding, whose own cell is always the nearest cell — so the
+      PRUNED probe (nprobe=2 of 4 cells per shard) must return that
+      row at rank 1 with cosine 1.0 (a deterministic recall@1=1
+      statement, not a data-dependent recall estimate);
+    - ``pruned_scores_subset_of_brute``: every (id, cosine) the pruned
+      probe returns appears in the brute-force full ranking — pruning
+      may lose candidates, never mis-score one.
+
+    Plan shape (EXPLAIN.md): n_shards pruned probes — each with
+    ``PartitionFilters`` on its own probed cells across its delta
+    versions — unioned under one TakeOrderedAndProject of
+    n_shards × k rows. ``n_corpus``/``n_batch`` are SQL-exact input
+    accounting (documents⋈embeddings, modular splits)."""
+    import tempfile
+
+    from data_engineering_capstone_project__spark.plans import shards
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    all_docs = d.join(e, "doc_id").select("doc_id", "text", "embedding")
+    corpus = all_docs.filter(F.col("doc_id") % 3 < 2)
+    b1 = all_docs.filter(F.col("doc_id") % 3 == 2)
+    root = tempfile.mkdtemp(prefix="sharded_ann_") + "/r"
+    shards.init_sharded_ingest(
+        spark, corpus, root, n_shards=2,
+        ivf_index={
+            "vec_col": "embedding", "n_centroids": 4,
+            "sample_rows": 500, "n_iter": 5,
+        },
+    )
+    shards.ingest_batch_sharded(spark, b1, root)
+
+    qrow = corpus.orderBy("doc_id").first()
+    q = [float(x) for x in qrow["embedding"]]
+    union = shards.read_sharded_corpus(spark, root)
+
+    got_full = [
+        tuple(r)
+        for r in shards.ivf_topk_sharded(
+            spark, root, q, k=10, nprobe=4
+        ).collect()
+    ]
+    ref = [
+        tuple(r)
+        for r in similarity.cosine_topk(
+            union, q, k=10, id_col="doc_id", vec_col="embedding"
+        ).collect()
+    ]
+    full_matches = got_full == ref
+
+    got_pruned = [
+        tuple(r)
+        for r in shards.ivf_topk_sharded(
+            spark, root, q, k=10, nprobe=2
+        ).collect()
+    ]
+    top1_self = bool(
+        got_pruned
+        and got_pruned[0][0] == qrow["doc_id"]
+        and abs(got_pruned[0][1] - 1.0) < 1e-9
+    )
+    brute_all = {
+        (r["doc_id"], r["cosine"])
+        for r in similarity.cosine_topk(
+            union, q, k=union.count(), id_col="doc_id",
+            vec_col="embedding",
+        ).collect()
+    }
+    pruned_subset = all(t in brute_all for t in got_pruned)
+
+    return spark.createDataFrame(
+        [(
+            corpus.count(), b1.count(), 2,
+            bool(full_matches), bool(top1_self), bool(pruned_subset),
+        )],
+        "n_corpus bigint, n_batch bigint, n_shards int, "
+        "full_probe_matches_brute boolean, pruned_top1_is_self boolean, "
+        "pruned_scores_subset_of_brute boolean",
+    )
+
+
+X_SHARDED_ANN_SQL = """
+SELECT (SELECT COUNT(*) FROM documents d JOIN embeddings e
+          ON d.doc_id = e.vec_id WHERE d.doc_id % 3 < 2) AS n_corpus,
+       (SELECT COUNT(*) FROM documents d JOIN embeddings e
+          ON d.doc_id = e.vec_id WHERE d.doc_id % 3 = 2) AS n_batch,
+       CAST(2 AS INTEGER) AS n_shards,
+       TRUE AS full_probe_matches_brute,
+       TRUE AS pruned_top1_is_self,
+       TRUE AS pruned_scores_subset_of_brute
 """
 
 
@@ -8678,6 +8801,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "x_ivf_ingest": (x_ivf_ingest, X_IVF_INGEST_SQL),  # bound-checked
     "x_shard_reconcile": (x_shard_reconcile, X_SHARD_RECONCILE_SQL),  # bound-checked
     "x_reshard": (x_reshard, X_RESHARD_SQL),  # bound-checked
+    "x_sharded_ann": (x_sharded_ann, X_SHARDED_ANN_SQL),  # bound-checked
     "x_ingest_lifecycle": (x_ingest_lifecycle, X_INGEST_LIFECYCLE_SQL),  # bound-checked
     "x_stream_ingest": (x_stream_ingest, X_STREAM_INGEST_SQL),  # bound-checked
     # kill-at-tick-2 → checkpoint resume → replay publishes zero; corpus

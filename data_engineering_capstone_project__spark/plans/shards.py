@@ -106,6 +106,79 @@ def load_shard_config(root: str) -> dict:
         ) from None
 
 
+_ROUNDS = "_ROUNDS"
+
+
+def _current_round(root: str) -> int:
+    """The latest claimed GLOBAL arrival round of a sharded root (0
+    before any claim). Resolution is max() over ``r=N`` entries, the
+    same put-if-absent ledger shape as the ingest lease generations."""
+    try:
+        entries = os.listdir(os.path.join(root, _ROUNDS))
+    except FileNotFoundError:
+        return 0
+    return max(
+        (
+            int(e[2:])
+            for e in entries
+            if e.startswith("r=") and e[2:].isdigit()
+        ),
+        default=0,
+    )
+
+
+def _claim_next_round(root: str) -> int:
+    """Claim the next GLOBAL arrival round for one sharded tick
+    (VERDICT r13 #3): every shard publish of that tick stamps THIS
+    round into its rows (``ingest_batch(arrival_round=...)``), so
+    cross-shard arrival order is a per-doc property — independent of
+    per-shard version clocks, of shards skipped by empty sub-batches,
+    and of compaction (which folds the version directories away but
+    carries the rows). Put-if-absent claims make concurrent sharded
+    ticks take distinct rounds; entries below the previous round are
+    GC'd (resolution is max())."""
+    from data_engineering_capstone_project__spark.sources.commitlog import (
+        _put_if_absent,
+    )
+
+    rdir = os.path.join(root, _ROUNDS)
+    os.makedirs(rdir, exist_ok=True)
+    n = _current_round(root)
+    while True:
+        n += 1
+        try:
+            _put_if_absent(os.path.join(rdir, f"r={n}"))
+            break
+        except FileExistsError:
+            continue
+    try:
+        for e in os.listdir(rdir):
+            if e.startswith("r=") and e[2:].isdigit() and int(e[2:]) < n - 1:
+                try:
+                    os.remove(os.path.join(rdir, e))
+                except FileNotFoundError:
+                    pass
+    except OSError:
+        pass
+    return n
+
+
+def _seed_round(root: str, n: int) -> None:
+    """Pin the round clock at ``n`` (bootstrap = 1; a reshard seeds the
+    new root at the union's max carried stamp so its next tick claims
+    a strictly later round)."""
+    from data_engineering_capstone_project__spark.sources.commitlog import (
+        _put_if_absent,
+    )
+
+    rdir = os.path.join(root, _ROUNDS)
+    os.makedirs(rdir, exist_ok=True)
+    try:
+        _put_if_absent(os.path.join(rdir, f"r={int(n)}"))
+    except FileExistsError:
+        pass
+
+
 def init_sharded_ingest(
     spark: SparkSession,
     corpus: DataFrame,
@@ -122,6 +195,7 @@ def init_sharded_ingest(
     The shard count is pinned in ``_SHARDS.json`` and immutable for the
     root's lifetime (re-routing would strand fingerprints on their old
     shard; resharding = bootstrap a new root from the union view)."""
+    _declare = init_kw.pop("_declare", True)
     if n_shards < 1:
         raise ValueError("init_sharded_ingest: n_shards must be >= 1")
     os.makedirs(root, exist_ok=True)
@@ -161,12 +235,24 @@ def init_sharded_ingest(
             id_col=id_col,
             **init_kw,
         )
-    with open(note, "w") as f:
-        json.dump(
-            {"n_shards": int(n_shards), "text_col": text_col,
-             "id_col": id_col, "route": "pmod(xxhash64(fingerprint),n)"},
-            f,
-        )
+    # seed the GLOBAL arrival-round clock (VERDICT r13 #3): a fresh
+    # bootstrap is round 1; a corpus that already carries per-doc
+    # stamps (a reshard re-routing a living corpus — the per-shard
+    # bootstraps preserved them verbatim) seeds at its max stamp so
+    # the new root's next tick claims a strictly later round
+    if ingest._ARRIVAL in corpus.columns:
+        seed = corpus.agg(F.max(ingest._ARRIVAL)).first()[0] or 1
+    else:
+        seed = 1
+    _seed_round(root, int(seed))
+    if _declare:
+        with open(note, "w") as f:
+            json.dump(
+                {"n_shards": int(n_shards), "text_col": text_col,
+                 "id_col": id_col,
+                 "route": "pmod(xxhash64(fingerprint),n)"},
+                f,
+            )
 
 
 def ingest_batch_sharded(
@@ -216,6 +302,12 @@ def ingest_batch_sharded(
         )
     route = shard_route(F.col(text_col), n)
     routed = batch.withColumn(rcol, route).persist()
+    # ONE global arrival round for every shard publish of this tick
+    # (VERDICT r13 #3): the per-doc stamp, not per-shard version
+    # clocks, is what reconciliation orders by — so empty sub-batches
+    # (a shard skipped this round) and compaction (which folds the
+    # version directories) can no longer skew cross-shard arrival order
+    rnd = _claim_next_round(root)
     try:
         present = sorted(
             r[rcol]
@@ -232,7 +324,7 @@ def ingest_batch_sharded(
             pub, stats = ingest.ingest_batch(
                 spark, sub, shard_root(root, s),
                 text_col=text_col, id_col=id_col, select_cfg=select_cfg,
-                extra_probe_roots=extra,
+                extra_probe_roots=extra, arrival_round=rnd,
             )
             pub.unpersist()
             return s, stats
@@ -248,14 +340,31 @@ def ingest_batch_sharded(
         routed.unpersist()
 
 
-def read_sharded_corpus(spark: SparkSession, root: str) -> DataFrame:
+def read_sharded_corpus(
+    spark: SparkSession, root: str, with_arrival: bool = False
+) -> DataFrame:
     """The UNION view over every shard's publication log — what a
     consumer reads as "the corpus". Shards are disjoint by routing, so
-    the union needs no dedup."""
+    the union needs no dedup. ``with_arrival=True`` keeps the per-doc
+    ``_arrival_round`` stamp (VERDICT r13 #3)."""
     cfg = load_shard_config(root)
+    return _read_union(
+        spark, root, int(cfg["n_shards"]), with_arrival=with_arrival
+    )
+
+
+def _read_union(
+    spark: SparkSession, root: str, n: int, with_arrival: bool = False
+) -> DataFrame:
+    """Union the first ``n`` shard publication logs — the config-free
+    form ``reshard`` needs to verify a NEW root's content BEFORE that
+    root is declared (its ``_SHARDS.json`` is written only after the
+    digest check passes)."""
     dfs = [
-        ingest.read_ingest_corpus(spark, shard_root(root, s))
-        for s in range(int(cfg["n_shards"]))
+        ingest.read_ingest_corpus(
+            spark, shard_root(root, s), with_arrival=with_arrival
+        )
+        for s in range(n)
     ]
     out = dfs[0]
     for d in dfs[1:]:
@@ -296,12 +405,13 @@ def run_stream_ingest_sharded(
     the same cadence (VERDICT r12 #3 — all shards' live digests
     pinned, one sweep of the shared artifact root, per-shard codebook
     expiry); ``reconcile_every=N`` runs
-    :func:`reconcile_sharded_near_dups` on its cadence — and when a
-    tick triggers BOTH, reconciliation runs BEFORE compaction, because
-    compaction folds each shard's versions into one and erases the
-    arrival clock the adjudication orders by (the documented
-    reconcile-then-compact cadence, enforced here rather than left to
-    the operator). The loop is between ticks when either runs, so the
+    :func:`reconcile_sharded_near_dups` on its cadence. The old
+    reconcile-BEFORE-compact ordering constraint is GONE (VERDICT r13
+    #3): the arrival clock now rides in the rows as a per-doc
+    ``_arrival_round`` stamp, which compaction carries like any other
+    column — this loop deliberately compacts FIRST on a tick that
+    triggers both, pinning that reconciliation after compaction is
+    exact. The loop is between ticks when either runs, so the
     probe_all_shards compaction race cannot occur from inside this
     loop. Returns per-micro-batch ``{shard: IngestStats}`` dicts in
     batch order."""
@@ -335,14 +445,16 @@ def run_stream_ingest_sharded(
         )
         collected.append((batch_id, stats))
         n_ticks += 1
-        # reconcile BEFORE compact: compaction erases the per-shard
-        # arrival clock the adjudication orders by
-        if reconcile_every is not None and n_ticks % reconcile_every == 0:
-            reconcile_sharded_near_dups(batch_df.sparkSession, root)
+        # compact FIRST, deliberately (VERDICT r13 #3): the per-doc
+        # arrival stamps survive the fold, so reconciliation no longer
+        # depends on running before compaction — this ordering is the
+        # standing proof of that
         if compact_every is not None and n_ticks % compact_every == 0:
             compact_sharded_ingest(
                 batch_df.sparkSession, root, compact_indexes=compact_indexes
             )
+        if reconcile_every is not None and n_ticks % reconcile_every == 0:
+            reconcile_sharded_near_dups(batch_df.sparkSession, root)
         if sweep_every is not None and n_ticks % sweep_every == 0:
             sweep_sharded_artifacts(
                 root, artifact_root=sweep_artifact_root, keep=sweep_keep
@@ -388,6 +500,7 @@ def reshard(
     root: str,
     new_root: str,
     n_shards: int,
+    _test_hook=None,
     **init_kw,
 ) -> dict:
     """Re-shard a sharded ingest root to a NEW shard count at a NEW
@@ -399,6 +512,21 @@ def reshard(
     byte-identical re-arrival lands on its original's NEW shard by
     construction — exact dedup stays global on the new layout), and
     VERIFY union-digest equality before declaring the new root live.
+
+    **Quiesce is ENFORCED, not documented** (VERDICT r13 #2 — the r13
+    shape told the operator to stop the loop first): the call ACQUIRES
+    EVERY OLD SHARD'S ingest lease for its whole duration, runs each
+    shard's recovery preamble (``recover_ingest_tick`` under the held
+    generation — a dangling crashed tick's claimed-but-uncommitted
+    batch would otherwise be invisible to the union read), and
+    releases the leases on completion or failure. A tick attempted
+    mid-reshard therefore raises ``ConcurrentIngestError`` instead of
+    publishing content the new root never sees; a reshard process that
+    DIES mid-flight leaves each old-shard lease behind — breakable
+    with ``break_ingest_lease`` exactly like any dead tick holder —
+    and the new root UNDECLARED (its ``_SHARDS.json`` is written only
+    AFTER the digest verification passes, so a half-built layout can
+    never be probed as live).
 
     What carries, and how:
 
@@ -412,20 +540,17 @@ def reshard(
       log's exactness contract, which the ``x_reshard`` gate pins);
     - **IVF config** is inherited by presence (vec_col + codebook
       size from the old shard-0 artifacts); each new shard fits its
-      OWN codebook — cells are layout-local by contract.
+      OWN codebook — cells are layout-local by contract;
+    - **per-doc arrival stamps** (VERDICT r13 #3) ride in the rows
+      through the re-route, and the new root's round clock seeds at
+      their max — reconciliation history survives the reshard.
 
     The old root is untouched; callers switch writers to ``new_root``
     only after this returns, then retire the old root on their own
-    schedule. QUIESCE WRITERS FIRST: the union read takes no shard
-    leases, so a tick racing the reshard publishes content the new
-    root never sees, and a dangling crashed tick's claimed-but-
-    uncommitted batch is likewise invisible to the union — stop the
-    loop and run ``ingest.recover_ingest_tick`` per shard before
-    resharding (the digest verification below then pins that nothing
-    raced). On digest mismatch the new root is left UNDECLARED (its
-    ``_SHARDS.json`` is removed) and the call raises — a half-built
-    reshard can never be probed as live. Returns
-    ``{"n_docs", "digest", "n_shards"}``."""
+    schedule. On digest mismatch the call raises with the new root
+    left undeclared. ``_test_hook`` (tests only) runs after the
+    quiesce, before the union read — the window a racing tick must be
+    excluded from. Returns ``{"n_docs", "digest", "n_shards"}``."""
     import json as _json
 
     from data_engineering_capstone_project__spark.sources import (
@@ -433,61 +558,81 @@ def reshard(
     )
 
     cfg = load_shard_config(root)
+    n_old = int(cfg["n_shards"])
     id_col, text_col = cfg["id_col"], cfg["text_col"]
-    s0 = shard_root(root, 0)
-    mh_meta = art.load_artifact_meta(os.path.join(s0, ingest._MH))
-    init_kw.setdefault("num_hashes", int(mh_meta["num_hashes"]))
-    init_kw.setdefault("bands", int(mh_meta["bands"]))
-    init_kw.setdefault("shingle_k", int(mh_meta["shingle_k"]))
-    if mh_meta.get("kind") == "minhash_docs":
-        init_kw.setdefault(
-            "verify_jaccard_threshold", mh_meta.get("jaccard_threshold")
-        )
-    if ingest._bm25_log_active(s0):
-        init_kw.setdefault("bm25_index", True)
-    if ingest._ivf_log_active(s0) and "ivf_index" not in init_kw:
-        imeta, _ = art.load_ivf_log_stats(os.path.join(s0, ingest._IVF))
-        _, cbm = art.load_centroids_by_digest(
-            spark, os.path.join(s0, ingest._IVF_CB),
-            imeta["codebook_digest"],
-        )
-        init_kw["ivf_index"] = {
-            "vec_col": imeta["vec_col"], "n_centroids": int(cbm["k"]),
-        }
-
-    union = read_sharded_corpus(spark, root).persist()
+    gens: dict[int, int] = {}
     try:
-        cols = sorted(union.columns)
-        dg_old = art.corpus_digest(union, cols)
-        init_sharded_ingest(
-            spark, union, new_root, n_shards=n_shards,
-            text_col=text_col, id_col=id_col, **init_kw,
-        )
-        dg_new = art.corpus_digest(
-            read_sharded_corpus(spark, new_root), cols
-        )
-        note = os.path.join(new_root, _SHARDS_NOTE)
-        if dg_new != dg_old:
-            # never declare a diverged layout live
-            os.remove(note)
-            raise RuntimeError(
-                f"reshard: union digest diverged ({dg_old} -> {dg_new}) "
-                f"— {new_root!r} left undeclared; investigate and re-run"
+        # ---- quiesce: lease every old shard, then drain its log ----
+        for s in range(n_old):
+            gens[s] = ingest.acquire_ingest_lease(shard_root(root, s))
+        for s in range(n_old):
+            ingest.recover_ingest_tick(
+                spark, shard_root(root, s),
+                text_col=text_col, id_col=id_col, generation=gens[s],
             )
-        with open(note) as f:
-            meta = _json.load(f)
-        meta.update(
-            {"resharded_from": root, "verified_digest": dg_old}
-        )
-        with open(note, "w") as f:
-            _json.dump(meta, f)
-        return {
-            "n_docs": int(dg_old.split(":")[0]),
-            "digest": dg_old,
-            "n_shards": int(n_shards),
-        }
+        if _test_hook is not None:
+            _test_hook()
+        s0 = shard_root(root, 0)
+        mh_meta = art.load_artifact_meta(os.path.join(s0, ingest._MH))
+        init_kw.setdefault("num_hashes", int(mh_meta["num_hashes"]))
+        init_kw.setdefault("bands", int(mh_meta["bands"]))
+        init_kw.setdefault("shingle_k", int(mh_meta["shingle_k"]))
+        if mh_meta.get("kind") == "minhash_docs":
+            init_kw.setdefault(
+                "verify_jaccard_threshold",
+                mh_meta.get("jaccard_threshold"),
+            )
+        if ingest._bm25_log_active(s0):
+            init_kw.setdefault("bm25_index", True)
+        if ingest._ivf_log_active(s0) and "ivf_index" not in init_kw:
+            imeta, _ = art.load_ivf_log_stats(os.path.join(s0, ingest._IVF))
+            _, cbm = art.load_centroids_by_digest(
+                spark, os.path.join(s0, ingest._IVF_CB),
+                imeta["codebook_digest"],
+            )
+            init_kw["ivf_index"] = {
+                "vec_col": imeta["vec_col"], "n_centroids": int(cbm["k"]),
+            }
+
+        union = _read_union(spark, root, n_old, with_arrival=True).persist()
+        try:
+            cols = sorted(union.columns)
+            dg_old = art.corpus_digest(union, cols)
+            # bootstrap UNDECLARED (_declare=False): the note that makes
+            # the root probe-able is written only after verification
+            init_sharded_ingest(
+                spark, union, new_root, n_shards=n_shards,
+                text_col=text_col, id_col=id_col, _declare=False,
+                **init_kw,
+            )
+            dg_new = art.corpus_digest(
+                _read_union(spark, new_root, n_shards, with_arrival=True),
+                cols,
+            )
+            if dg_new != dg_old:
+                raise RuntimeError(
+                    f"reshard: union digest diverged ({dg_old} -> "
+                    f"{dg_new}) — {new_root!r} left undeclared; "
+                    "investigate and re-run"
+                )
+            with open(os.path.join(new_root, _SHARDS_NOTE), "w") as f:
+                _json.dump(
+                    {"n_shards": int(n_shards), "text_col": text_col,
+                     "id_col": id_col,
+                     "route": "pmod(xxhash64(fingerprint),n)",
+                     "resharded_from": root, "verified_digest": dg_old},
+                    f,
+                )
+            return {
+                "n_docs": int(dg_old.split(":")[0]),
+                "digest": dg_old,
+                "n_shards": int(n_shards),
+            }
+        finally:
+            union.unpersist()
     finally:
-        union.unpersist()
+        for s, g in gens.items():
+            ingest.release_ingest_lease(shard_root(root, s), g)
 
 
 def sweep_sharded_artifacts(
@@ -529,15 +674,16 @@ def reconcile_sharded_near_dups(
     spark: SparkSession,
     root: str,
     max_pairs: int = 1_000_000,
+    distributed: bool | None = None,
 ) -> dict:
     """Reclaim the CROSS-SHARD near-dup stragglers the shard-local
-    fuzzy tier leaks (VERDICT r12 #2 — previously a docstring
-    suggestion, now the operator): one banded MinHash pass over the
+    fuzzy tier leaks (VERDICT r12 #2): one banded MinHash pass over the
     union view finds candidate pairs, a deterministic arrival-order
-    adjudication picks each cluster's survivor, and the losers retire
+    adjudication picks each cluster's survivors, and the losers retire
     per shard via :func:`plans.ingest.retire_docs` (fenced fold +
-    ``_RETIRED.json`` CDC note; search indexes refold from the retired
-    corpus, fp/mh keep the losers as suppression).
+    ``_RETIRED.json`` CDC note; search indexes EXCLUSION-fold —
+    O(index log), see ``_refold_indexes_excluding``; fp/mh keep the
+    losers as suppression).
 
     **Semantics mirror the single-root loop exactly** so the gate can
     demand hash-equality (``x_shard_reconcile``):
@@ -548,36 +694,46 @@ def reconcile_sharded_near_dups(
     - in VERIFIED mode (the bootstrap set ``verify_jaccard_threshold``)
       candidates are kept only at exact shingle Jaccard ≥ the
       threshold, exactly as the verified tick drops;
-    - adjudication replays SEQUENTIAL ARRIVAL: docs ordered by
-      (corpus version, shard, id) are kept unless they collide with an
-      ALREADY-KEPT doc from a STRICTLY EARLIER corpus version — a
-      later arrival drops against published content, while same-round
-      pairs both survive (the tick's probe is index-only: it never
-      dedups within a batch, so neither does reconciliation).
+    - adjudication replays SEQUENTIAL ARRIVAL on the PER-DOC
+      ``_arrival_round`` stamp (VERDICT r13 #3 — one global round per
+      sharded tick, stamped into the rows at publish): docs ordered by
+      (round, shard, id) are kept unless they collide with an
+      ALREADY-KEPT doc from a STRICTLY EARLIER round — a later arrival
+      drops against published content, while same-round pairs both
+      survive (the tick's probe is index-only: it never dedups within
+      a batch, so neither does reconciliation). Because the stamp is
+      row data, COMPACTION NO LONGER ERASES THE CLOCK and empty
+      sub-batches no longer skew alignment — both r13 caveats are
+      gone; reconcile and compact schedule freely in either order.
+      Rows published before stamping existed (legacy pre-stamp
+      versions) read as round 0 — earliest, i.e. treated as
+      already-published content.
 
-    Caveats, disclosed: (a) cross-shard version numbers align with
-    arrival rounds only while every sharded tick publishes on every
-    shard (the loop's common case — empty sub-batches skip a shard's
-    version clock, and adjudication then approximates arrival order
-    for docs of those rounds; the result is still deterministic and a
-    valid near-dup adjudication, just not bit-equal to a single-root
-    replay of the same history). (b) COMPACTION FOLDS A SHARD'S
-    VERSIONS INTO ONE, erasing its arrival clock — pairs whose members
-    were folded into the same compacted version tie as "same round"
-    and BOTH survive, so cross-shard stragglers published before a
-    compaction are only reclaimable by a reconcile run BEFORE it.
-    Order the cadences reconcile-then-compact (both are offline,
-    lease-taking passes) and the leak window is one cycle.
+    Duplicate ids across the union are REFUSED (ADVICE r13 #4: ids are
+    user-supplied and routing is by content, so one id on two shards
+    would silently mis-key the adjudication and could retire the wrong
+    shard's doc) — one countDistinct over the union, raised with the
+    offending count.
 
-    Scale shape: the pass is O(union) — the documented offline cadence
-    (run it like compaction, between tick windows; it takes every
-    shard's lease via ``retire_docs``). Candidate pairs are
-    straggler-sized; they collect to the driver for the sequential
-    adjudication, capped at ``max_pairs`` (raises with guidance —
-    a cap breach means the banding is colliding far below the
-    threshold, so re-bootstrap with a tighter config rather than
-    adjudicating noise). Returns ``{"n_pairs", "n_retired",
-    "retired_per_shard"}``."""
+    Scale shape: the banded pass is O(union) — the documented offline
+    cadence (it takes every shard's lease via ``retire_docs``). Two
+    adjudication paths, same verdicts:
+
+    - **driver** (default for ≤ ``max_pairs`` candidates): pairs
+      collect and the sequential replay runs in-process;
+    - **distributed** (``distributed=True``, or AUTO when the
+      candidate count exceeds ``max_pairs`` — the r13 shape RAISED
+      here): rounds iterate ascending and each round's losers are one
+      anti-join against the accumulated earlier losers — provably the
+      same fixpoint as the sequential replay, because a doc's verdict
+      depends only on verdicts of STRICTLY earlier rounds. Per-round
+      jobs; rounds are bounded by the ticks since the last reconcile.
+      ``distributed=False`` pins the r13 behavior (raise over cap).
+
+    Retired ids still collect (retirement is driver-sized by the
+    straggler contract); the cap governs only the PAIR relation.
+    Returns ``{"n_pairs", "n_retired", "retired_per_shard", "path"}``.
+    """
     from data_engineering_capstone_project__spark.operators import (
         dedup as dedup_mod,
     )
@@ -598,22 +754,44 @@ def reconcile_sharded_near_dups(
     thr = mh_meta.get("jaccard_threshold")
     verified = mh_meta.get("kind") == "minhash_docs"
 
-    # union view with arrival keys: (shard, corpus version) per doc
+    # union view with per-doc arrival keys: (_rnd, _shard). The stamp
+    # is row data (r13 #3), so ONE union read per shard replaces the
+    # r13 per-version plan fan-out entirely.
     parts = []
     for s in range(n):
-        cpath = os.path.join(shard_root(root, s), ingest._CORPUS)
-        for v in ingest._visible_corpus_versions(cpath):
-            parts.append(
-                ingest.read_ingest_corpus(spark, shard_root(root, s), v)
-                .select(id_col, text_col)
-                .withColumn("_shard", F.lit(s))
-                .withColumn("_cv", F.lit(v))
+        df = ingest.read_ingest_corpus(
+            spark, shard_root(root, s), with_arrival=True
+        )
+        if ingest._ARRIVAL not in df.columns:
+            df = df.withColumn(ingest._ARRIVAL, F.lit(None).cast("long"))
+        parts.append(
+            df.select(
+                id_col,
+                text_col,
+                F.coalesce(
+                    F.col(ingest._ARRIVAL).cast("long"), F.lit(0)
+                ).alias("_rnd"),
+                F.lit(s).alias("_shard"),
             )
+        )
     union = parts[0]
-    for p in parts[1:]:
-        union = union.unionByName(p)
+    for pdf in parts[1:]:
+        union = union.unionByName(pdf)
     union = union.persist()
     try:
+        # id-uniqueness validation (ADVICE r13 #4)
+        chk = union.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.col(id_col)).alias("d"),
+        ).first()
+        if chk["n"] != chk["d"]:
+            raise ValueError(
+                f"reconcile_sharded_near_dups: {chk['n'] - chk['d']} "
+                f"duplicate {id_col!r} values across the sharded union "
+                "— ids are the adjudication key, so a duplicate could "
+                "retire the wrong shard's document; deduplicate ids "
+                "upstream before reconciling"
+            )
         # banded candidate pairs over the union — the same (band,
         # bucket) relation the per-shard probe collides on
         sigs = dedup_mod.minhash_signatures(
@@ -643,64 +821,147 @@ def reconcile_sharded_near_dups(
                 union, pairs, id_col=id_col, text_col=text_col,
                 shingle_k=sk,
             ).filter(F.col("jaccard") >= thr).select("id_a", "id_b")
-        # arrival keys joined onto the PAIRS (never collected per doc —
-        # the driver sees pair-sized rows only, capped below)
+        # arrival keys joined onto the PAIRS (never collected per doc)
         ka = union.select(
             F.col(id_col).alias("id_a"),
-            F.col("_cv").alias("_cv_a"),
+            F.col("_rnd").alias("_rnd_a"),
             F.col("_shard").alias("_shard_a"),
         )
         kb = union.select(
             F.col(id_col).alias("id_b"),
-            F.col("_cv").alias("_cv_b"),
+            F.col("_rnd").alias("_rnd_b"),
             F.col("_shard").alias("_shard_b"),
         )
-        rows = (
-            pairs.join(ka, "id_a").join(kb, "id_b")
-            .limit(max_pairs + 1)
-            .collect()
-        )
-        if len(rows) > max_pairs:
-            raise RuntimeError(
-                f"reconcile_sharded_near_dups: >{max_pairs} candidate "
-                "pairs — banding collides far below the threshold; "
-                "re-bootstrap with a tighter (num_hashes, bands) "
-                "config instead of adjudicating noise"
+        keyed = pairs.join(ka, "id_a").join(kb, "id_b")
+        rows = None
+        if distributed is not True:
+            rows = keyed.limit(max_pairs + 1).collect()
+            if len(rows) > max_pairs:
+                if distributed is False:
+                    raise RuntimeError(
+                        f"reconcile_sharded_near_dups: >{max_pairs} "
+                        "candidate pairs with distributed=False — "
+                        "banding collides far below the threshold; "
+                        "re-bootstrap with a tighter (num_hashes, "
+                        "bands) config, or let the distributed "
+                        "adjudication run (distributed=None/True)"
+                    )
+                rows = None  # auto-escalate (VERDICT r13 #4)
+        if rows is not None:
+            per_shard, n_pairs, path = (
+                *_adjudicate_driver(rows), "driver",
             )
-        adj: dict = {}
-        keys: dict = {}
-        for r in rows:
-            keys[r["id_a"]] = (int(r["_cv_a"]), int(r["_shard_a"]))
-            keys[r["id_b"]] = (int(r["_cv_b"]), int(r["_shard_b"]))
-            adj.setdefault(r["id_a"], set()).add(r["id_b"])
-            adj.setdefault(r["id_b"], set()).add(r["id_a"])
-        kept: set = set()
-        losers: set = set()
-        for doc in sorted(adj, key=lambda d: (keys[d], d)):
-            cv = keys[doc][0]
-            if any(
-                nb2 in kept and keys[nb2][0] < cv for nb2 in adj[doc]
-            ):
-                losers.add(doc)
-            else:
-                kept.add(doc)
-        per_shard: dict[int, list] = {}
-        for doc in losers:
-            per_shard.setdefault(keys[doc][1], []).append(doc)
+        else:
+            per_shard, n_pairs, path = (
+                *_adjudicate_distributed(spark, keyed), "distributed",
+            )
+        n_retired = sum(len(ids) for ids in per_shard.values())
         for s, ids in sorted(per_shard.items()):
             ingest.retire_docs(
                 spark, shard_root(root, s), sorted(ids),
                 id_col=id_col, text_col=text_col,
             )
         return {
-            "n_pairs": len(rows),
-            "n_retired": len(losers),
+            "n_pairs": n_pairs,
+            "n_retired": n_retired,
             "retired_per_shard": {
                 s: len(ids) for s, ids in sorted(per_shard.items())
             },
+            "path": path,
         }
     finally:
         union.unpersist()
+
+
+def _adjudicate_driver(rows) -> tuple[dict[int, list], int]:
+    """Sequential-arrival replay over collected candidate pairs: docs
+    ordered by (round, shard, id) are kept unless they collide with an
+    already-kept doc of a STRICTLY earlier round. Returns
+    ``({shard: [loser ids]}, n_pairs)``."""
+    adj: dict = {}
+    keys: dict = {}
+    for r in rows:
+        keys[r["id_a"]] = (int(r["_rnd_a"]), int(r["_shard_a"]))
+        keys[r["id_b"]] = (int(r["_rnd_b"]), int(r["_shard_b"]))
+        adj.setdefault(r["id_a"], set()).add(r["id_b"])
+        adj.setdefault(r["id_b"], set()).add(r["id_a"])
+    kept: set = set()
+    losers: set = set()
+    for doc in sorted(adj, key=lambda d: (keys[d], d)):
+        rnd = keys[doc][0]
+        if any(
+            nb2 in kept and keys[nb2][0] < rnd for nb2 in adj[doc]
+        ):
+            losers.add(doc)
+        else:
+            kept.add(doc)
+    per_shard: dict[int, list] = {}
+    for doc in losers:
+        per_shard.setdefault(keys[doc][1], []).append(doc)
+    return per_shard, len(rows)
+
+
+def _adjudicate_distributed(
+    spark: SparkSession, keyed: DataFrame
+) -> tuple[dict[int, list], int]:
+    """The over-cap adjudication path (VERDICT r13 #4 — the r13 shape
+    raised): the sequential replay's fixpoint, computed round-by-round
+    with DataFrame joins instead of a driver pair scan.
+
+    Identity argument: a doc D at round r loses iff some banded
+    neighbor N with round(N) < r is KEPT, and N's own verdict depends
+    only on rounds < round(N) — so verdicts are well-founded by round
+    and within-round order never matters. Iterating rounds ascending,
+    round r's losers are exactly the 'later' endpoints of
+    earlier→later edges whose 'earlier' endpoint has NOT already lost
+    (same-round pairs carry no edge — both survive, mirroring the
+    tick's index-only probe). One anti-join per round; rounds are
+    bounded by the ticks since the last reconcile. Per-round loser
+    frames are localCheckpoint'd to keep the iterative plan flat, and
+    losers collect per round (retirement is driver-sized by the
+    straggler contract — only the PAIR relation is unbounded here).
+    Returns ``({shard: [loser ids]}, n_pairs)``."""
+    keyed = keyed.persist()
+    try:
+        n_pairs = keyed.count()
+        e1 = keyed.filter(F.col("_rnd_a") < F.col("_rnd_b")).select(
+            F.col("id_a").alias("e_id"),
+            F.col("id_b").alias("l_id"),
+            F.col("_rnd_b").alias("l_rnd"),
+            F.col("_shard_b").alias("l_shard"),
+        )
+        e2 = keyed.filter(F.col("_rnd_b") < F.col("_rnd_a")).select(
+            F.col("id_b").alias("e_id"),
+            F.col("id_a").alias("l_id"),
+            F.col("_rnd_a").alias("l_rnd"),
+            F.col("_shard_a").alias("l_shard"),
+        )
+        edges = e1.unionByName(e2).persist()
+        rounds = sorted(
+            r["l_rnd"]
+            for r in edges.select("l_rnd").distinct().collect()
+        )
+        lost = edges.select(F.col("e_id").alias("x_id")).limit(0)
+        per_shard: dict[int, list] = {}
+        for rnd in rounds:
+            newly = (
+                edges.filter(F.col("l_rnd") == F.lit(rnd))
+                .join(lost, F.col("e_id") == F.col("x_id"), "left_anti")
+                .select("l_id", "l_shard")
+                .distinct()
+                .localCheckpoint()
+            )
+            for row in newly.collect():
+                per_shard.setdefault(int(row["l_shard"]), []).append(
+                    row["l_id"]
+                )
+            lost = lost.unionByName(
+                newly.select(F.col("l_id").alias("x_id"))
+            )
+        edges.unpersist()
+        return per_shard, n_pairs
+    finally:
+        keyed.unpersist()
 
 
 def ivf_topk_sharded(
@@ -720,7 +981,10 @@ def ivf_topk_sharded(
     document-disjoint by routing, so the union of per-shard top-k's
     CONTAINS the union's true top-k at the same per-shard probe
     quality — global recall equals per-shard IVF recall, nothing is
-    lost in the merge (unit-pinned against a single-log twin). Plan:
+    lost in the merge (oracle-gated by ``x_sharded_ann`` — full-probe
+    hash-equality to brute-force cosine over the union, pruned-probe
+    self-recall and score-subset invariants — plus the single-log-twin
+    unit). Plan:
     n_shards pruned probes (each ``PartitionFilters`` on its own
     cells) unioned, one final ``TakeOrderedAndProject`` of
     n_shards × k rows."""

@@ -903,7 +903,25 @@ def save_ivf_delta(
     rescanning the corpus per check (VERDICT r12 #5); the meta also
     carries ``n_vectors`` for scan-free accounting. Appenders must be
     disjoint in ``id_col`` across versions (the ingest loop's
-    exactly-once publish guarantees this)."""
+    exactly-once publish guarantees this).
+
+    Absent/empty ``cell_stats`` with a NON-empty frame is REFUSED
+    (ADVICE r13): the meta's ``n_vectors`` and the write layout are
+    derived solely from the stats, so a stats-less non-empty delta
+    would silently land unpartitioned and stamped ``n_vectors=0`` —
+    corrupting the scan-free accounting, the drift fold, and probe
+    pruning for that version. The check costs one count only on the
+    degenerate (stats-less) path."""
+    if not cell_stats:
+        n_check = vectors.count()
+        if n_check:
+            raise ValueError(
+                f"save_ivf_delta: cell_stats is absent/empty but the "
+                f"frame carries {n_check} vectors — meta accounting "
+                "would silently diverge from the data; assign with "
+                "similarity.ivf_assign_cells_with_stats and pass its "
+                "stats"
+            )
     n_rows = sum(int(s[1]) for s in (cell_stats or []))
     meta = {
         "kind": "ivf_vectors",

@@ -326,21 +326,33 @@ def test_reshard_carries_modes_and_refuses_divergence(
     # divergence: make the NEW root's union read come back one row
     # short, so the post-bootstrap verification digest differs
     broot = str(tmp_path / "bad")
-    real_read = shards.read_sharded_corpus
+    real_read = shards._read_union
 
-    def short_read(sp, r):
-        out = real_read(sp, r)
+    def short_read(sp, r, n, with_arrival=False):
+        out = real_read(sp, r, n, with_arrival=with_arrival)
         if r == broot:
             out = out.filter(F.col("doc_id") != 0)
         return out
 
-    monkeypatch.setattr(shards, "read_sharded_corpus", short_read)
+    monkeypatch.setattr(shards, "_read_union", short_read)
     with pytest.raises(RuntimeError, match="digest diverged"):
         shards.reshard(spark, root, broot, n_shards=2)
-    monkeypatch.setattr(shards, "read_sharded_corpus", real_read)
+    monkeypatch.setattr(shards, "_read_union", real_read)
     assert not os.path.exists(os.path.join(broot, "_SHARDS.json"))
     with pytest.raises(FileNotFoundError):
         shards.load_shard_config(broot)
+    # a crashed/diverged reshard releases (or leaves breakable) every
+    # old-shard lease: a normal tick must succeed right afterwards
+    st = shards.ingest_batch_sharded(
+        spark,
+        corpus.limit(5).select(
+            (F.col("doc_id") + 990000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" fresh tail zz")).alias("text"),
+            "embedding",
+        ),
+        root,
+    )
+    assert sum(s.n_batch for s in st.values()) == 5
 
 
 def test_ivf_topk_sharded_matches_single_root(spark, sf_dir, tmp_path):
@@ -390,34 +402,40 @@ def test_ivf_topk_sharded_matches_single_root(spark, sf_dir, tmp_path):
         shards.ivf_topk_sharded(spark, root2, q, k=3)
 
 
-def test_reconcile_after_compaction_ties_survive(spark, sf_dir, tmp_path):
-    """Disclosed caveat pin: compaction folds a shard's versions into
-    one, erasing the arrival clock — a reconcile run AFTER compaction
-    finds only same-round ties and retires nothing (which is why the
-    documented cadence is reconcile-then-compact)."""
+def test_reconcile_after_compaction_is_exact(spark, sf_dir, tmp_path):
+    """VERDICT r13 #3: the arrival clock is a per-doc row stamp now,
+    so compaction (which folds the version DIRECTORIES away) no longer
+    erases it — a reconcile run AFTER compaction retires exactly what
+    a pre-compaction reconcile would and lands hash-equal to the
+    single-root golden run. (The r13 shape found only same-round ties
+    here and retired nothing.)"""
     d = _docs(spark, sf_dir)
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(_plant(corpus))
-    sroot = str(tmp_path / "s")
+    sroot, groot = str(tmp_path / "s"), str(tmp_path / "g")
     shards.init_sharded_ingest(
         spark, corpus, sroot, n_shards=2, num_hashes=32, bands=8
     )
+    ingest.init_ingest_indexes(spark, corpus, groot, num_hashes=32, bands=8)
     shards.ingest_batch_sharded(spark, batch, sroot)
-    before = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
+    pub, _ = ingest.ingest_batch(spark, batch, groot)
+    pub.unpersist()
     shards.compact_sharded_ingest(spark, sroot)
     stats = shards.reconcile_sharded_near_dups(spark, sroot)
-    assert stats["n_retired"] == 0
-    after = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
-    assert after == before
+    assert stats["n_retired"] > 0
+    a = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
+    b = _dig(ingest.read_ingest_corpus(spark, groot).select("doc_id", "text"))
+    assert a == b
 
 
 def test_stream_loop_reconcile_cadence(spark, sf_dir, tmp_path):
     """reconcile_every wired into the sharded streaming loop: a
     streamed batch with planted cross-shard near-dups ends HASH-EQUAL
-    to the same batch through a single-root tick — and with
-    compact_every on the same tick, reconciliation runs BEFORE the
-    compaction that would erase the arrival clock (the loop enforces
-    the documented cadence order)."""
+    to the same batch through a single-root tick — with compact_every
+    on the SAME tick and the loop deliberately compacting FIRST
+    (VERDICT r13 #3: the per-doc arrival stamps survive the fold, so
+    the old reconcile-before-compact constraint is gone and this test
+    pins its absence)."""
     import os
     import shutil as _sh
 

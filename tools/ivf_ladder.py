@@ -15,6 +15,12 @@ Claims under test:
    exactly what r13 moved out of the tick.
 3. **Refit is O(corpus)** — which is why the tick only RAISES the
    trigger and ``refit_ivf_index`` runs operator-paced.
+4. **Retirement refold is O(index log), not O(corpus)** (VERDICT r13
+   #5): ``retire_docs`` of a FIXED 200-doc retirement set
+   exclusion-folds the BM25 posting log and the IVF vector log (one
+   broadcast anti-join each, scalars re-derived) — it grows with the
+   LOG being folded, never re-tokenizes or re-encodes the corpus (the
+   r13 shape did, and it was the most expensive job in the system).
 
 Embeddings are hash-derived from doc_id (deterministic, 64-dim);
 maintenance cost depends on row count × dimensionality, not content.
@@ -81,7 +87,7 @@ def main() -> None:
     )
     print(
         f"{'rung':>8} {'tick_s':>8} {'trigger_ms':>11} "
-        f"{'fullpass_s':>11} {'refit_s':>8}"
+        f"{'fullpass_s':>11} {'refit_s':>8} {'retire_s':>8}"
     )
     for rung in rungs:
         n = int(rung)
@@ -93,7 +99,7 @@ def main() -> None:
         batch = spark.read.parquet(bpath)
         root = f"{base}/r"
         ingest.init_ingest_indexes(
-            spark, corpus, root,
+            spark, corpus, root, bm25_index=True,
             ivf_index={"vec_col": "embedding", "n_centroids": 16},
         )
 
@@ -123,9 +129,15 @@ def main() -> None:
         ingest.refit_ivf_index(spark, root)
         refit_s = time.time() - t0
 
+        # reconciliation-sized retirement: exclusion-fold both search
+        # logs (r14 bounded refold — VERDICT r13 #5)
+        t0 = time.time()
+        ingest.retire_docs(spark, root, list(range(2000, 2200)))
+        retire_s = time.time() - t0
+
         print(
             f"{rung:>8} {tick_s:>8.2f} {trigger_ms:>11.1f} "
-            f"{fullpass_s:>11.2f} {refit_s:>8.2f}"
+            f"{fullpass_s:>11.2f} {refit_s:>8.2f} {retire_s:>8.2f}"
         )
 
 
