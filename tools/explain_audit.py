@@ -61,6 +61,7 @@ AUDIT = {
     "ivf_pq_probe": "IVF-PQ candidate+rerank (r11 — VERDICT r10 #4): BOTH scan subtrees carry PartitionFilters [ivf_cell IN (...)] (non-probed cells never listed); the CANDIDATE scan's ReadSchema is (vec_id, pq_code, v_norm) — the fp32 embedding column is NOT read for scoring (asymmetric LUT lookups); the rerank side reads (vec_id, embedding) for only the broadcast-semi-joined candidate ids",
     "bm25_bucketed_probe": "bucketed BM25 posting probe (r11 — VERDICT r10 #7): the query terms' hash buckets appear as PartitionFilters [_tb IN (...)] on the posting scan — directories no query term hashes into are pruned at listing time; broadcast query terms, decimal order-independent score sum, WindowGroupLimit top-k as before",
     "bm25_incremental_probe": "INCREMENTAL posting-log probe (r12 — VERDICT r11 #1): ZERO corpus scans anywhere (no re-tokenize — maintenance is O(batch) per tick), every delta version's posting scan carries the query-term PartitionFilters [_tb IN (...)], df_t aggregated from the pruned union, N/avgdl folded in as literals from the per-version meta sums; same broadcast-terms + decimal-sum + WindowGroupLimit tail as the snapshot probes — and hash-equal to them by the oracle gate",
+    "sharded_ann_probe": "GLOBAL ANN over a SHARDED living corpus (r14 — VERDICT r13 #1, oracle-gated by x_sharded_ann): one pruned IVF-log probe per shard — each branch's vector scans carry PartitionFilters on that shard's OWN probed cells under its OWN codebook — unioned into a single TakeOrderedAndProject of n_shards x k rows; shards are document-disjoint by content routing, so the merge preserves per-shard probe recall exactly",
     "ivf_log_probe": "INCREMENTAL IVF vector-log probe (r13 — VERDICT r12 #1): the ingest tick's fenced ANN deltas probed as one union — EVERY delta version's vector scan carries PartitionFilters [ivf_cell IN (...)] (non-probed cell directories never listed, per branch), cosine + TakeOrderedAndProject over the surviving cells only; maintenance is O(batch)/tick (cell assignment is a codegen projection of the batch) and the drift trigger reads per-version metas, zero scans (tools/ivf_ladder.py) — probe hash-equal to ivf_topk of the union by the x_ivf_ingest gate",
 }
 
@@ -273,6 +274,38 @@ def _ivf_log_probe(spark, sf_dir):
     )
 
 
+def _sharded_ann_probe(spark, sf_dir):
+    """The global sharded ANN probe (r14 — the x_sharded_ann gate's
+    plan): two shard-local IVF logs, one merged top-k."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.plans import shards
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    all_docs = d.join(e, "doc_id").select("doc_id", "text", "embedding")
+    corpus = all_docs.filter(F.col("doc_id") % 3 < 2)
+    batch = all_docs.filter(F.col("doc_id") % 3 == 2)
+    root = tempfile.mkdtemp(prefix="explain_sann_") + "/r"
+    shards.init_sharded_ingest(
+        spark, corpus, root, n_shards=2,
+        ivf_index={
+            "vec_col": "embedding", "n_centroids": 4,
+            "sample_rows": 500, "n_iter": 5,
+        },
+    )
+    shards.ingest_batch_sharded(spark, batch, root)
+    q = [float(x) for x in corpus.orderBy("doc_id").first()["embedding"]]
+    return shards.ivf_topk_sharded(spark, root, q, k=10, nprobe=2)
+
+
 def _bm25_bucketed_probe(spark, sf_dir):
     """The partition-pruned posting probe (the x_bm25_topk_indexed
     gate's query-path plan over a bucketed index)."""
@@ -302,6 +335,7 @@ CUSTOM = {
     "bm25_bucketed_probe": _bm25_bucketed_probe,
     "bm25_incremental_probe": _bm25_incremental_probe,
     "ivf_log_probe": _ivf_log_probe,
+    "sharded_ann_probe": _sharded_ann_probe,
     "asof_hot_path": _asof_hot_path,
     "verified_probe": _verified_probe,
     "publication_log_read": _publication_log_read,
