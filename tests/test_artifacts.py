@@ -1705,16 +1705,21 @@ def test_ingest_exactly_once_crash_before_any_admission(
 
     docs, corpus, batch, root = _stage_ingest_root(spark, sf_dir, tmp_path)
 
-    real = ingest.claim_versioned_write
+    # the tick claims via commitlog.claim_version (r14: the arrival
+    # stamp rides in the payload, so the claim and the write are
+    # separate steps); the equivalent crash seam — payload claimed and
+    # written, nothing admitted yet — is the schema note that
+    # immediately follows the payload write
+    real = ingest._write_schema_note
 
-    def boom(df, path):
-        n = real(df, path)
+    def boom(df, path, n):
+        real(df, path, n)
         raise RuntimeError("injected crash after claim write")
 
-    monkeypatch.setattr(ingest, "claim_versioned_write", boom)
+    monkeypatch.setattr(ingest, "_write_schema_note", boom)
     with pytest.raises(RuntimeError, match="after claim write"):
         ingest.ingest_batch(spark, batch, root)
-    monkeypatch.setattr(ingest, "claim_versioned_write", real)
+    monkeypatch.setattr(ingest, "_write_schema_note", real)
 
     pub, st = ingest.ingest_batch(spark, batch, root)
     pub.unpersist()

@@ -483,20 +483,22 @@ def test_stream_loop_reconcile_cadence(spark, sf_dir, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "trial,n_shards,mod,suffix",
+    "trial,n_shards,mod,suffix,distributed",
     [
-        (0, 2, 7, " zq extra"),
-        (1, 3, 5, " yx"),
-        (2, 2, 3, " mutated tail token"),
+        (0, 2, 7, " zq extra", None),
+        (1, 3, 5, " yx", True),
+        (2, 2, 3, " mutated tail token", None),
     ],
 )
 def test_reconcile_fuzz_parity(
-    spark, sf_dir, tmp_path, trial, n_shards, mod, suffix
+    spark, sf_dir, tmp_path, trial, n_shards, mod, suffix, distributed
 ):
     """Adversarial parity fuzz (the r12 BM25-fuzz pattern): varying
-    shard counts, planted-near-dup densities, and mutation shapes —
-    sharded ingest + reconciliation must end HASH-EQUAL to a
-    single-root run of the same history, every trial."""
+    shard counts, planted-near-dup densities, mutation shapes — and,
+    r14, the adjudication path (trial 1 runs the DISTRIBUTED
+    round-iterative path) — sharded ingest + reconciliation must end
+    HASH-EQUAL to a single-root run of the same history, every
+    trial."""
     d = _docs(spark, sf_dir)
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     planted = corpus.filter(F.col("doc_id") % mod == 0).select(
@@ -513,7 +515,7 @@ def test_reconcile_fuzz_parity(
     shards.ingest_batch_sharded(spark, batch, sroot)
     pub, _ = ingest.ingest_batch(spark, batch, groot)
     pub.unpersist()
-    shards.reconcile_sharded_near_dups(spark, sroot)
+    shards.reconcile_sharded_near_dups(spark, sroot, distributed=distributed)
     a = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
     b = _dig(ingest.read_ingest_corpus(spark, groot).select("doc_id", "text"))
     assert a == b
