@@ -1019,6 +1019,40 @@ def ivf_topk_sharded(
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def recover_sharded_ingest(
+    spark: SparkSession,
+    root: str,
+    break_leases: bool = False,
+) -> dict[int, int | None]:
+    """Per-shard :func:`plans.ingest.recover_ingest_tick` over a
+    sharded root — the operator surface for restarting a sharded loop
+    whose writer died: each shard's dangling claimed-but-uncommitted
+    tick completes (the missing admissions rebuilt from the claimed
+    payload, the publish committed) and any unfinished retirement
+    heals (``_heal_pending_retirement``). ``break_leases=True`` first
+    breaks each shard's lease (``break_ingest_lease`` — fenced, safe
+    even against a live holder), the hard-killed-driver posture; the
+    default assumes the leases were released and just takes each in
+    turn. Returns ``{shard: recovered_publish_version_or_None}``.
+
+    Crash-convergence composition, unit-pinned: a reconciliation that
+    dies mid-way (some shards retired, others not — or none) simply
+    re-runs; surviving losers still collide with their kept winners,
+    so the next ``reconcile_sharded_near_dups`` retires exactly the
+    remainder and the union converges to the single-root golden."""
+    cfg = load_shard_config(root)
+    out: dict[int, int | None] = {}
+    for s in range(int(cfg["n_shards"])):
+        sr = shard_root(root, s)
+        if break_leases:
+            ingest.break_ingest_lease(sr)
+        out[s] = ingest.recover_ingest_tick(
+            spark, sr,
+            text_col=cfg["text_col"], id_col=cfg["id_col"],
+        )
+    return out
+
+
 def compact_sharded_ingest(
     spark: SparkSession, root: str, **kw
 ) -> dict[int, int]:

@@ -466,3 +466,87 @@ def test_refit_and_retire_thread_custom_cell_col(
     assert got == ref
     imeta, _ = art.load_ivf_log_stats(os.path.join(root, "ivf"))
     assert imeta["cell_col"] == "cellz"
+
+
+# --------------------------------------- reconcile crash convergence
+
+
+def test_reconcile_crash_mid_retire_converges(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A reconciliation that dies during its retirement phase (after
+    adjudication, before/between the per-shard retire_docs calls)
+    CONVERGES on re-run: surviving losers still collide with their
+    kept winners, so the next pass retires exactly the remainder and
+    the union ends hash-equal to the single-root golden — no manual
+    repair, no double-retire."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(_plant(corpus))
+    sroot, groot = str(tmp_path / "s"), str(tmp_path / "g")
+    shards.init_sharded_ingest(
+        spark, corpus, sroot, n_shards=2, num_hashes=32, bands=8
+    )
+    ingest.init_ingest_indexes(spark, corpus, groot, num_hashes=32, bands=8)
+    shards.ingest_batch_sharded(spark, batch, sroot)
+    pub, _ = ingest.ingest_batch(spark, batch, groot)
+    pub.unpersist()
+
+    real = ingest.retire_docs
+    calls = {"n": 0}
+
+    def crash_first(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before any retirement")
+
+    monkeypatch.setattr(ingest, "retire_docs", crash_first)
+    with pytest.raises(RuntimeError, match="before any retirement"):
+        shards.reconcile_sharded_near_dups(spark, sroot)
+    monkeypatch.setattr(ingest, "retire_docs", real)
+    assert calls["n"] == 1  # adjudication done, zero retirements landed
+
+    # operator restart posture: recover every shard, then reconcile
+    rec = shards.recover_sharded_ingest(spark, sroot)
+    assert set(rec) == {0, 1} and all(v is None for v in rec.values())
+    stats = shards.reconcile_sharded_near_dups(spark, sroot)
+    assert stats["n_retired"] > 0
+    a = _dig(shards.read_sharded_corpus(spark, sroot).select("doc_id", "text"))
+    b = _dig(ingest.read_ingest_corpus(spark, groot).select("doc_id", "text"))
+    assert a == b
+
+    # partial-retirement crash: retire succeeds on the FIRST shard the
+    # next reconciliation touches, dies before the second — if the
+    # adjudication spans both shards, the re-run must finish the rest
+    sroot2, groot2 = str(tmp_path / "s2"), str(tmp_path / "g2")
+    shards.init_sharded_ingest(
+        spark, corpus, sroot2, n_shards=2, num_hashes=32, bands=8
+    )
+    ingest.init_ingest_indexes(spark, corpus, groot2, num_hashes=32, bands=8)
+    shards.ingest_batch_sharded(spark, batch, sroot2)
+    pub2, _ = ingest.ingest_batch(spark, batch, groot2)
+    pub2.unpersist()
+    seen = {"n": 0}
+
+    def crash_second(sp, r, ids, **k):
+        seen["n"] += 1
+        if seen["n"] == 2:
+            raise RuntimeError("injected crash before second shard retire")
+        return real(sp, r, ids, **k)
+
+    monkeypatch.setattr(ingest, "retire_docs", crash_second)
+    try:
+        shards.reconcile_sharded_near_dups(spark, sroot2)
+        spanned_both = False  # all losers on one shard — nothing to crash
+    except RuntimeError:
+        spanned_both = True
+    monkeypatch.setattr(ingest, "retire_docs", real)
+    shards.reconcile_sharded_near_dups(spark, sroot2)
+    a2 = _dig(
+        shards.read_sharded_corpus(spark, sroot2).select("doc_id", "text")
+    )
+    b2 = _dig(
+        ingest.read_ingest_corpus(spark, groot2).select("doc_id", "text")
+    )
+    assert a2 == b2
+    # the scenario actually bit in at least one arm of this test
+    assert spanned_both or seen["n"] >= 1
