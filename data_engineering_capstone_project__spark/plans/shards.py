@@ -835,6 +835,13 @@ def reconcile_sharded_near_dups(
         keyed = pairs.join(ka, "id_a").join(kb, "id_b")
         rows = None
         if distributed is not True:
+            # persist BEFORE the cap probe: if the cap trips, the
+            # escalation path reuses the materialized pair relation
+            # instead of recomputing the whole banded pass
+            # (tools/reconcile_ladder.py: 44.6 -> 35.2 s on the 2.4M-pair
+            # rung; the residual over forced-distributed is the cap
+            # probe's max_pairs-row driver transfer)
+            keyed = keyed.persist()
             rows = keyed.limit(max_pairs + 1).collect()
             if len(rows) > max_pairs:
                 if distributed is False:
@@ -847,14 +854,17 @@ def reconcile_sharded_near_dups(
                         "adjudication run (distributed=None/True)"
                     )
                 rows = None  # auto-escalate (VERDICT r13 #4)
-        if rows is not None:
-            per_shard, n_pairs, path = (
-                *_adjudicate_driver(rows), "driver",
-            )
-        else:
-            per_shard, n_pairs, path = (
-                *_adjudicate_distributed(spark, keyed), "distributed",
-            )
+        try:
+            if rows is not None:
+                per_shard, n_pairs, path = (
+                    *_adjudicate_driver(rows), "driver",
+                )
+            else:
+                per_shard, n_pairs, path = (
+                    *_adjudicate_distributed(spark, keyed), "distributed",
+                )
+        finally:
+            keyed.unpersist()
         n_retired = sum(len(ids) for ids in per_shard.values())
         for s, ids in sorted(per_shard.items()):
             ingest.retire_docs(

@@ -1,0 +1,101 @@
+"""Measure the r14 cross-shard reconciliation paths on a synthetic
+ladder: a sharded root with planted cross-shard near-dups (1% of the
+corpus re-arrives under fresh ids with a one-token mutation), corpus
+growing 5× per rung, reconciled once per path on twin roots.
+
+Claims under test:
+
+1. **Driver path** (default): the banded pass is O(union) and the
+   adjudication is pair-sized — seconds should track the union scan,
+   with the pair collect a small constant.
+2. **Distributed path** (``distributed=True`` — the over-cap
+   auto-escalation target, VERDICT r13 #4): same banded pass plus one
+   anti-join per arrival round (two rounds here) — the per-rung DELTA
+   vs the driver path is the price of never collecting a pair, which
+   is what an over-cap corpus pays instead of raising.
+3. Both paths retire the SAME count (parity is unit/fuzz-pinned
+   elsewhere; the ladder re-checks the counts as a cheap invariant).
+
+Usage: python tools/reconcile_ladder.py [rung ...]  (default 20000 100000)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_engineering_capstone_project__spark.plans import (  # noqa: E402
+    ingest,
+    shards,
+)
+from data_engineering_capstone_project__spark.session import get_spark  # noqa: E402
+
+RUNGS = ["20000", "100000"]
+
+
+def synth(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("ladder reconciliation document body "),
+            F.col("id"),
+            F.lit(" with distinct filler tokens "),
+            F.sha2(F.col("id").cast("string"), 256),
+        ).alias("text"),
+    )
+
+
+def main() -> None:
+    rungs = sys.argv[1:] or RUNGS
+    spark = get_spark(
+        app_name="reconcile_ladder", master="local[32]",
+        shuffle_partitions=32,
+    )
+    print(
+        f"{'rung':>8} {'arm->path':>22} {'n_pairs':>9} {'n_retired':>10} "
+        f"{'reconcile_s':>12}"
+    )
+    for rung in rungs:
+        n = int(rung)
+        base = tempfile.mkdtemp(prefix=f"recl_{rung}_")
+        cpath, bpath = f"{base}/corpus", f"{base}/batch"
+        synth(spark, 0, n).write.parquet(cpath)
+        corpus = spark.read.parquet(cpath)
+        # batch: fresh docs + 1% planted near-dups of corpus content
+        fresh = synth(spark, n, n + n // 10)
+        planted = corpus.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qz")).alias("text"),
+        )
+        fresh.unionByName(planted).write.parquet(bpath)
+        batch = spark.read.parquet(bpath)
+
+        rows = []
+        for arm, dist in (("default", None), ("distributed", True)):
+            root = f"{base}/{arm}/r"
+            shards.init_sharded_ingest(spark, corpus, root, n_shards=2)
+            shards.ingest_batch_sharded(spark, batch, root)
+            t0 = time.time()
+            st = shards.reconcile_sharded_near_dups(
+                spark, root, distributed=dist
+            )
+            secs = time.time() - t0
+            # the default arm REPORTS the path it actually took — an
+            # over-cap rung auto-escalates to distributed by design
+            # (VERDICT r13 #4), which is itself a ladder observation
+            label = f"{arm}->{st['path']}"
+            rows.append((label, st["n_pairs"], st["n_retired"], secs))
+            print(
+                f"{rung:>8} {label:>22} {st['n_pairs']:>9} "
+                f"{st['n_retired']:>10} {secs:>12.2f}"
+            )
+        assert rows[0][2] == rows[1][2], "arm retirement counts diverged"
+
+
+if __name__ == "__main__":
+    main()
