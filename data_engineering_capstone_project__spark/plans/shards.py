@@ -388,6 +388,7 @@ def run_stream_ingest_sharded(
     sweep_keep: int = 2,
     sweep_artifact_root: str | None = None,
     reconcile_every: int | None = None,
+    on_reconcile_error=None,
 ) -> list[dict[int, "ingest.IngestStats"]]:
     """The CONTINUOUS form of the sharded loop: every micro-batch runs
     one :func:`ingest_batch_sharded` tick (route → per-shard
@@ -405,7 +406,17 @@ def run_stream_ingest_sharded(
     the same cadence (VERDICT r12 #3 — all shards' live digests
     pinned, one sweep of the shared artifact root, per-shard codebook
     expiry); ``reconcile_every=N`` runs
-    :func:`reconcile_sharded_near_dups` on its cadence. The old
+    :func:`reconcile_sharded_near_dups` on its cadence. A cadence
+    reconcile that REFUSES (``ValueError`` — e.g. the duplicate-id
+    check: ids are user-supplied and exact dedup keys on content
+    fingerprint, so one id re-used with different text passes ingest
+    but poisons adjudication, ADVICE r14) must not tear down a
+    long-lived loop on every Nth tick: the loop catches it, reports
+    through ``on_reconcile_error(exc)`` (default: ``warnings.warn``),
+    and keeps ingesting — near-dup reclamation is paused until the
+    operator resolves the colliding ids (retire one copy with
+    ``plans.ingest.retire_docs``, or republish under a fresh id);
+    ingest correctness is unaffected. The old
     reconcile-BEFORE-compact ordering constraint is GONE (VERDICT r13
     #3): the arrival clock now rides in the rows as a per-doc
     ``_arrival_round`` stamp, which compaction carries like any other
@@ -454,7 +465,21 @@ def run_stream_ingest_sharded(
                 batch_df.sparkSession, root, compact_indexes=compact_indexes
             )
         if reconcile_every is not None and n_ticks % reconcile_every == 0:
-            reconcile_sharded_near_dups(batch_df.sparkSession, root)
+            try:
+                reconcile_sharded_near_dups(batch_df.sparkSession, root)
+            except ValueError as exc:
+                # a REFUSED reconcile (duplicate ids across the union)
+                # is an operator problem, not an ingest fault — report
+                # and keep the loop alive (ADVICE r14)
+                if on_reconcile_error is not None:
+                    on_reconcile_error(exc)
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"reconcile skipped on tick {n_ticks}: {exc}",
+                        stacklevel=2,
+                    )
         if sweep_every is not None and n_ticks % sweep_every == 0:
             sweep_sharded_artifacts(
                 root, artifact_root=sweep_artifact_root, keep=sweep_keep
@@ -610,10 +635,26 @@ def reshard(
                 cols,
             )
             if dg_new != dg_old:
+                # remove the half-built layout (ADVICE r14): the new
+                # root is UNDECLARED by construction, so deleting its
+                # shard dirs + round ledger is safe — and leaving them
+                # would make a same-new_root re-run append SECOND
+                # bootstrap versions per shard, guaranteeing the digest
+                # check can never pass (a confusing dead end)
+                import shutil as _shutil
+
+                for s2 in range(n_shards):
+                    _shutil.rmtree(
+                        shard_root(new_root, s2), ignore_errors=True
+                    )
+                _shutil.rmtree(
+                    os.path.join(new_root, _ROUNDS), ignore_errors=True
+                )
                 raise RuntimeError(
                     f"reshard: union digest diverged ({dg_old} -> "
-                    f"{dg_new}) — {new_root!r} left undeclared; "
-                    "investigate and re-run"
+                    f"{dg_new}) — {new_root!r} left undeclared and its "
+                    "half-built shard directories removed; investigate "
+                    "and re-run"
                 )
             with open(os.path.join(new_root, _SHARDS_NOTE), "w") as f:
                 _json.dump(
@@ -675,6 +716,7 @@ def reconcile_sharded_near_dups(
     root: str,
     max_pairs: int = 1_000_000,
     distributed: bool | None = None,
+    use_band_logs: bool | None = None,
 ) -> dict:
     """Reclaim the CROSS-SHARD near-dup stragglers the shard-local
     fuzzy tier leaks (VERDICT r12 #2): one banded MinHash pass over the
@@ -715,9 +757,28 @@ def reconcile_sharded_near_dups(
     shard's doc) — one countDistinct over the union, raised with the
     offending count.
 
-    Scale shape: the banded pass is O(union) — the documented offline
-    cadence (it takes every shard's lease via ``retire_docs``). Two
-    adjudication paths, same verdicts:
+    Scale shape (VERDICT r14 #1): on VERIFIED roots the candidate
+    relation comes from the persisted id-carrying ``(band, bucket,
+    corpus_id)`` logs every tick already maintains per shard
+    (``use_band_logs`` default-auto) — a self-join of the UNION of the
+    shard logs (banding is pinned across shards by the bootstrap), so
+    candidate generation is **O(index log)**, and document TEXT is
+    read only to exact-Jaccard-verify the candidates. The r14 shape
+    re-shingled and re-MinHashed the entire union's text every cycle —
+    the largest recurring job in the system once retirement became
+    bounded. Equivalence: the log rows were produced by the same
+    ``corpus_minhash_doc_index`` on the same text under the same
+    pinned config (bootstrap writes all docs' bands; every tick
+    appends its published docs'; recovery rebuilds a crashed tick's
+    from the claimed payload — the log exactly covers the publication
+    log, the invariant the recovery units pin), restricted here to
+    LIVE ids (fp/mh keep retired docs as suppression, so the log is a
+    superset). Docs too short to shingle produce band rows in NEITHER
+    form. ``use_band_logs=False`` pins the recompute path (the only
+    path on id-less ``minhash_bands`` roots, where it remains the
+    default); both paths are unit-pinned hash-equal. The pass still
+    runs on the documented offline cadence (it takes every shard's
+    lease via ``retire_docs``). Two adjudication paths, same verdicts:
 
     - **driver** (default for ≤ ``max_pairs`` candidates): pairs
       collect and the sequential replay runs in-process;
@@ -730,9 +791,15 @@ def reconcile_sharded_near_dups(
       jobs; rounds are bounded by the ticks since the last reconcile.
       ``distributed=False`` pins the r13 behavior (raise over cap).
 
-    Retired ids still collect (retirement is driver-sized by the
-    straggler contract); the cap governs only the PAIR relation.
-    Returns ``{"n_pairs", "n_retired", "retired_per_shard", "path"}``.
+    On the DRIVER path retired ids collect (the under-cap relation is
+    driver-sized by construction); on the DISTRIBUTED path retirement
+    is frame-valued end-to-end (VERDICT r14 #5) — only per-shard loser
+    COUNTS return to the driver, so even a degenerate mass-duplication
+    event (a crawler loop, a re-uploaded dump) adjudicates and retires
+    without a driver materialization.
+    Returns ``{"n_pairs", "n_retired", "retired_per_shard", "path",
+    "candidates"}`` — candidates reports which source generated the
+    pair relation (``band_logs`` / ``recompute``).
     """
     from data_engineering_capstone_project__spark.operators import (
         dedup as dedup_mod,
@@ -792,13 +859,61 @@ def reconcile_sharded_near_dups(
                 "retire the wrong shard's document; deduplicate ids "
                 "upstream before reconciling"
             )
-        # banded candidate pairs over the union — the same (band,
-        # bucket) relation the per-shard probe collides on
-        sigs = dedup_mod.minhash_signatures(
-            union, id_col, text_col, nh, sk
-        )
-        banded = sigs.select(id_col, *dedup_mod._band_cols(nh, nb))
-        bl = dedup_mod._banded_long(banded, id_col, nb)
+        # banded candidate pairs — the same (band, bucket) relation
+        # the per-shard probe collides on, from one of two sources:
+        if use_band_logs is None:
+            use_band_logs = verified
+        if use_band_logs and not verified:
+            raise ValueError(
+                "reconcile_sharded_near_dups: use_band_logs=True needs "
+                "the verified tier's id-carrying minhash_docs logs — "
+                "this root's logs are id-less minhash_bands; use the "
+                "recompute path (use_band_logs=False/None)"
+            )
+        if use_band_logs:
+            # VERDICT r14 #1: candidates from the persisted per-shard
+            # (band, bucket, corpus_id) logs — O(index log), no text
+            # re-MinHash. Every shard's banding must equal the pinned
+            # shard-0 config (the bootstrap guarantees it; a drifted
+            # shard is refused, not silently mis-collided).
+            logs = []
+            for s in range(n):
+                rows, smeta = art.load_minhash_log(
+                    spark, os.path.join(shard_root(root, s), ingest._MH)
+                )
+                if (
+                    smeta.get("kind") != "minhash_docs"
+                    or int(smeta["num_hashes"]) != nh
+                    or int(smeta["bands"]) != nb
+                    or int(smeta["shingle_k"]) != sk
+                ):
+                    raise ValueError(
+                        f"reconcile_sharded_near_dups: shard {s} band "
+                        f"log config ({smeta.get('kind')}, "
+                        f"{smeta.get('num_hashes')}/{smeta.get('bands')}"
+                        f"/{smeta.get('shingle_k')}) diverges from the "
+                        f"pinned shard-0 banding (minhash_docs, "
+                        f"{nh}/{nb}/{sk}) — refusing a mis-collided "
+                        "candidate pass"
+                    )
+                logs.append(rows.select("band", "bucket", "corpus_id"))
+            log_u = logs[0]
+            for lf in logs[1:]:
+                log_u = log_u.unionByName(lf)
+            # restrict to LIVE ids: fp/mh keep retired and
+            # selection-rejected docs as suppression rows
+            live = union.select(F.col(id_col).alias("corpus_id"))
+            bl = (
+                log_u.join(live, "corpus_id", "left_semi")
+                .distinct()
+                .withColumnRenamed("corpus_id", id_col)
+            )
+        else:
+            sigs = dedup_mod.minhash_signatures(
+                union, id_col, text_col, nh, sk
+            )
+            banded = sigs.select(id_col, *dedup_mod._band_cols(nh, nb))
+            bl = dedup_mod._banded_long(banded, id_col, nb)
         a = bl.select(
             F.col(id_col).alias("id_a"), "band", "bucket"
         )
@@ -839,11 +954,13 @@ def reconcile_sharded_near_dups(
             # escalation path reuses the materialized pair relation
             # instead of recomputing the whole banded pass
             # (tools/reconcile_ladder.py: 44.6 -> 35.2 s on the 2.4M-pair
-            # rung; the residual over forced-distributed is the cap
-            # probe's max_pairs-row driver transfer)
+            # rung). The probe itself is a COUNT, not a collect
+            # (VERDICT r14 #3 — the r14 shape pulled max_pairs+1 rows
+            # to the driver just to discover it must go distributed):
+            # rows transfer only once the relation is known under-cap,
+            # and the collect then reads the persisted cache.
             keyed = keyed.persist()
-            rows = keyed.limit(max_pairs + 1).collect()
-            if len(rows) > max_pairs:
+            if keyed.limit(max_pairs + 1).count() > max_pairs:
                 if distributed is False:
                     raise RuntimeError(
                         f"reconcile_sharded_near_dups: >{max_pairs} "
@@ -853,31 +970,53 @@ def reconcile_sharded_near_dups(
                         "bands) config, or let the distributed "
                         "adjudication run (distributed=None/True)"
                     )
-                rows = None  # auto-escalate (VERDICT r13 #4)
+                # rows stays None — auto-escalate (VERDICT r13 #4)
+            else:
+                rows = keyed.collect()
         try:
             if rows is not None:
-                per_shard, n_pairs, path = (
-                    *_adjudicate_driver(rows), "driver",
-                )
+                per_shard, n_pairs = _adjudicate_driver(rows)
+                path = "driver"
+                counts = {
+                    s: len(ids) for s, ids in sorted(per_shard.items())
+                }
+                for s, ids in sorted(per_shard.items()):
+                    ingest.retire_docs(
+                        spark, shard_root(root, s), sorted(ids),
+                        id_col=id_col, text_col=text_col,
+                    )
             else:
-                per_shard, n_pairs, path = (
-                    *_adjudicate_distributed(spark, keyed), "distributed",
-                )
+                # FRAME-VALUED retirement end-to-end (VERDICT r14 #5):
+                # the over-cap path's loser relation never materializes
+                # on the driver — only per-shard COUNTS collect, and
+                # each shard retires from a DataFrame slice (retire_docs
+                # persists the ids durably for its heal marker)
+                losers, n_pairs = _adjudicate_distributed(spark, keyed)
+                path = "distributed"
+                counts = {
+                    int(r["l_shard"]): int(r["n"])
+                    for r in losers.groupBy("l_shard")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                for s in sorted(counts):
+                    ingest.retire_docs(
+                        spark,
+                        shard_root(root, s),
+                        losers.filter(
+                            F.col("l_shard") == F.lit(s)
+                        ).select("l_id"),
+                        id_col=id_col,
+                        text_col=text_col,
+                    )
         finally:
             keyed.unpersist()
-        n_retired = sum(len(ids) for ids in per_shard.values())
-        for s, ids in sorted(per_shard.items()):
-            ingest.retire_docs(
-                spark, shard_root(root, s), sorted(ids),
-                id_col=id_col, text_col=text_col,
-            )
         return {
             "n_pairs": n_pairs,
-            "n_retired": n_retired,
-            "retired_per_shard": {
-                s: len(ids) for s, ids in sorted(per_shard.items())
-            },
+            "n_retired": sum(counts.values()),
+            "retired_per_shard": counts,
             "path": path,
+            "candidates": "band_logs" if use_band_logs else "recompute",
         }
     finally:
         union.unpersist()
@@ -928,9 +1067,11 @@ def _adjudicate_distributed(
     tick's index-only probe). One anti-join per round; rounds are
     bounded by the ticks since the last reconcile. Per-round loser
     frames are localCheckpoint'd to keep the iterative plan flat, and
-    losers collect per round (retirement is driver-sized by the
-    straggler contract — only the PAIR relation is unbounded here).
-    Returns ``({shard: [loser ids]}, n_pairs)``."""
+    the accumulated loser relation STAYS A FRAME (VERDICT r14 #5 —
+    the r14 shape collected losers per round, which one
+    mass-duplication event would break): nothing doc-sized returns to
+    the driver. Returns ``(losers_df(l_id, l_shard), n_pairs)`` —
+    the losers frame is checkpoint-backed, valid after unpersists."""
     keyed = keyed.persist()
     try:
         n_pairs = keyed.count()
@@ -952,7 +1093,7 @@ def _adjudicate_distributed(
             for r in edges.select("l_rnd").distinct().collect()
         )
         lost = edges.select(F.col("e_id").alias("x_id")).limit(0)
-        per_shard: dict[int, list] = {}
+        losers = edges.select("l_id", "l_shard").limit(0)
         for rnd in rounds:
             newly = (
                 edges.filter(F.col("l_rnd") == F.lit(rnd))
@@ -961,15 +1102,12 @@ def _adjudicate_distributed(
                 .distinct()
                 .localCheckpoint()
             )
-            for row in newly.collect():
-                per_shard.setdefault(int(row["l_shard"]), []).append(
-                    row["l_id"]
-                )
+            losers = losers.unionByName(newly)
             lost = lost.unionByName(
                 newly.select(F.col("l_id").alias("x_id"))
             )
         edges.unpersist()
-        return per_shard, n_pairs
+        return losers, n_pairs
     finally:
         keyed.unpersist()
 
@@ -1061,6 +1199,36 @@ def recover_sharded_ingest(
             text_col=cfg["text_col"], id_col=cfg["id_col"],
         )
     return out
+
+
+def backfill_arrival_stamps(
+    spark: SparkSession, root: str, round_for_version=None
+) -> dict:
+    """One-shot arrival-stamp BACKFILL over every shard of a pre-r14
+    sharded root (VERDICT r14 #4): each shard runs
+    :func:`plans.ingest.backfill_arrival_stamp` under its own lease
+    (unstamped rows stamp with their corpus VERSION number — the
+    pre-stamp arrival clock — folding the shard's log into one
+    fully-stamped version), and the root's global round ledger is
+    seeded at the max stamp so the next sharded tick claims a strictly
+    later round. After this, a mixed legacy root adjudicates
+    IDENTICALLY to a born-stamped twin of the same history
+    (unit-pinned) — its legacy near-dup ties stop being permanently
+    mutual survivors. Idempotent: already-stamped rows are untouched.
+    Returns ``{"versions": {shard: folded_version}, "max_round": N}``.
+    """
+    cfg = load_shard_config(root)
+    out: dict[int, int] = {}
+    mx = 0
+    for s in range(int(cfg["n_shards"])):
+        v, m = ingest.backfill_arrival_stamp(
+            spark, shard_root(root, s), round_for_version
+        )
+        out[s] = v
+        mx = max(mx, m)
+    if mx > _current_round(root):
+        _seed_round(root, mx)
+    return {"versions": out, "max_round": mx}
 
 
 def compact_sharded_ingest(

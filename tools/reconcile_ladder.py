@@ -15,6 +15,12 @@ Claims under test:
    is what an over-cap corpus pays instead of raising.
 3. Both paths retire the SAME count (parity is unit/fuzz-pinned
    elsewhere; the ladder re-checks the counts as a cheap invariant).
+4. **Band-log candidate pass** (r15, VERDICT r14 #1): on VERIFIED
+   roots the candidate relation self-joins the persisted per-shard
+   (band, bucket, corpus_id) logs — O(index log) — instead of
+   re-shingling + re-MinHashing the union's text; the verified-log
+   vs verified-recompute arm pair measures exactly that delta, with
+   identical retirements as the invariant.
 
 Usage: python tools/reconcile_ladder.py [rung ...]  (default 20000 100000)
 """
@@ -76,25 +82,46 @@ def main() -> None:
         batch = spark.read.parquet(bpath)
 
         rows = []
-        for arm, dist in (("default", None), ("distributed", True)):
+        arms = (
+            ("default", None, {}),
+            ("distributed", True, {}),
+            ("ver-log", None, {"verified": True}),
+            ("ver-recompute", None, {"verified": True,
+                                     "use_band_logs": False}),
+        )
+        for arm, dist, opts in arms:
             root = f"{base}/{arm}/r"
-            shards.init_sharded_ingest(spark, corpus, root, n_shards=2)
+            init_kw = (
+                {"verify_jaccard_threshold": 0.8}
+                if opts.get("verified")
+                else {}
+            )
+            shards.init_sharded_ingest(
+                spark, corpus, root, n_shards=2, **init_kw
+            )
             shards.ingest_batch_sharded(spark, batch, root)
             t0 = time.time()
             st = shards.reconcile_sharded_near_dups(
-                spark, root, distributed=dist
+                spark, root, distributed=dist,
+                use_band_logs=opts.get("use_band_logs"),
             )
             secs = time.time() - t0
             # the default arm REPORTS the path it actually took — an
             # over-cap rung auto-escalates to distributed by design
             # (VERDICT r13 #4), which is itself a ladder observation
             label = f"{arm}->{st['path']}"
-            rows.append((label, st["n_pairs"], st["n_retired"], secs))
+            rows.append((arm, label, st["n_pairs"], st["n_retired"], secs))
             print(
                 f"{rung:>8} {label:>22} {st['n_pairs']:>9} "
                 f"{st['n_retired']:>10} {secs:>12.2f}"
             )
-        assert rows[0][2] == rows[1][2], "arm retirement counts diverged"
+        by_arm = {r[0]: r for r in rows}
+        assert (
+            by_arm["default"][3] == by_arm["distributed"][3]
+        ), "unverified arm retirement counts diverged"
+        assert (
+            by_arm["ver-log"][3] == by_arm["ver-recompute"][3]
+        ), "verified arm retirement counts diverged"
 
 
 if __name__ == "__main__":
