@@ -901,12 +901,15 @@ def reconcile_sharded_near_dups(
             for lf in logs[1:]:
                 log_u = log_u.unionByName(lf)
             # restrict to LIVE ids: fp/mh keep retired and
-            # selection-rejected docs as suppression rows
+            # selection-rejected docs as suppression rows. No distinct
+            # here — log rows are distinct by construction (per-delta
+            # distinct over disjoint docs; compaction distinct-folds)
+            # and the final pairs.distinct() guarantees the pair SET
+            # regardless, so an intermediate index-sized shuffle would
+            # buy nothing
             live = union.select(F.col(id_col).alias("corpus_id"))
-            bl = (
-                log_u.join(live, "corpus_id", "left_semi")
-                .distinct()
-                .withColumnRenamed("corpus_id", id_col)
+            bl = log_u.join(live, "corpus_id", "left_semi").withColumnRenamed(
+                "corpus_id", id_col
             )
         else:
             sigs = dedup_mod.minhash_signatures(

@@ -123,6 +123,57 @@ def main() -> None:
             by_arm["ver-log"][3] == by_arm["ver-recompute"][3]
         ), "verified arm retirement counts diverged"
 
+    # ---- candidate-pass microbench (VERDICT r14 #1) ----------------
+    # The arms above measure END-TO-END reconcile on short template
+    # text, where retirement dominates and re-MinHashing is
+    # artificially cheap. The claim under test — candidate generation
+    # O(index log), not O(union text) — needs documents whose TEXT is
+    # expensive to re-shingle and a CLEAN corpus (no planted dups), so
+    # reconcile_s ≈ the candidate pass + an empty verify. ~1.3 KB docs
+    # (LLM-pipeline scale is KBs-to-MBs; the gap grows with length).
+    print(
+        f"\n{'rung':>8} {'candidate arm':>18} {'n_pairs':>9} "
+        f"{'reconcile_s':>12}   (clean corpus, ~1.3KB docs)"
+    )
+    for rung in rungs:
+        n = int(rung)
+        base = tempfile.mkdtemp(prefix=f"reclc_{rung}_")
+        cpath = f"{base}/corpus"
+        spark.range(0, n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("candidate ladder long document body "),
+                F.col("id").cast("string"),
+                F.lit(" "),
+                # 20 distinct 64-char blocks -> ~1.3 KB of unique text
+                *[
+                    F.sha2(
+                        F.concat(
+                            F.col("id").cast("string"), F.lit(str(i))
+                        ),
+                        256,
+                    )
+                    for i in range(20)
+                ],
+            ).alias("text"),
+        ).write.parquet(cpath)
+        corpus = spark.read.parquet(cpath)
+        for arm, ubl in (("ver-log", None), ("ver-recompute", False)):
+            root = f"{base}/{arm}/r"
+            shards.init_sharded_ingest(
+                spark, corpus, root, n_shards=2,
+                verify_jaccard_threshold=0.8,
+            )
+            t0 = time.time()
+            st = shards.reconcile_sharded_near_dups(
+                spark, root, use_band_logs=ubl
+            )
+            secs = time.time() - t0
+            assert st["n_retired"] == 0, "clean corpus retired docs"
+            print(
+                f"{rung:>8} {arm:>18} {st['n_pairs']:>9} {secs:>12.2f}"
+            )
+
 
 if __name__ == "__main__":
     main()
