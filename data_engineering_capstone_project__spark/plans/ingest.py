@@ -2087,6 +2087,116 @@ def _ingest_batch_impl(
     return published, stats
 
 
+def append_published_raw(
+    spark: SparkSession,
+    root: str,
+    rows: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lease: bool = True,
+) -> int:
+    """RAW publish + admit — the MIGRATION-REPLAY surface (VERDICT r14
+    #2, snapshot-then-catchup reshard): rows that another root's tick
+    pipeline ALREADY adjudicated (dedup tiers + selection) publish here
+    verbatim and admit into every ACTIVE index log (fp, mh, BM25, IVF),
+    with their ``_arrival_round`` stamps CARRIED — ``ingest_batch``
+    refuses a stamped batch because the stamp is publisher-owned, but a
+    replay's rows ARE publisher output, stamps included.
+
+    Deliberately NO dedup and NO selection: re-running the fuzzy tier
+    under a NEW shard layout would re-adjudicate near-dups that were
+    CROSS-shard (and therefore published) under the old layout and
+    silently drop corpus content — the reshard digest gate would then
+    fail. This is not a user ingest surface; a batch that never passed
+    a tick's tiers would publish duplicates.
+
+    Crash posture: same two-phase claim/commit shape as a tick, but the
+    intended caller (``shards.reshard(catchup=True)``) targets an
+    UNDECLARED root — any crash leaves that root unprobeable and the
+    operator re-runs the reshard against a clean path, so no bespoke
+    recovery is needed here. Returns the committed corpus version."""
+    from data_engineering_capstone_project__spark.sources import commitlog
+
+    if _ARRIVAL not in rows.columns:
+        raise ValueError(
+            f"append_published_raw: rows must carry {_ARRIVAL!r} (the "
+            "replayed publisher stamps) — this is a migration surface, "
+            "not an ingest tick; use ingest_batch for new content"
+        )
+    gen = acquire_ingest_lease(root) if lease else None
+    try:
+        corpus_path = os.path.join(root, _CORPUS)
+        mh_path = os.path.join(root, _MH)
+        mh_meta = art.load_artifact_meta(mh_path)
+        verified = mh_meta.get("kind") == "minhash_docs"
+        _check_lease_generation(root, gen)
+        corpus_v, claim_target = commitlog.claim_version(corpus_path)
+        to_publish = rows.withColumn(
+            _ARRIVAL,
+            F.coalesce(F.col(_ARRIVAL).cast("long"), F.lit(0)),
+        )
+        to_publish.write.mode("overwrite").parquet(claim_target)
+        _write_schema_note(to_publish, corpus_path, corpus_v)
+        body = rows.drop(_ARRIVAL)
+        dg = f"delta:{art.corpus_digest(body, [id_col, text_col])}"
+        tick_meta = {"batch_digest": dg, "publish_version": corpus_v}
+        fence = lambda: _check_lease_generation(root, gen)  # noqa: E731
+        _check_lease_generation(root, gen)
+        art.save_fingerprint_index(
+            corpus_fingerprint_index(body, text_col=text_col),
+            os.path.join(root, _FP),
+            corpus_digest=dg,
+            extra_meta=tick_meta,
+            precommit=fence,
+        )
+        _check_lease_generation(root, gen)
+        if verified:
+            art.save_minhash_doc_index(
+                dedup.corpus_minhash_doc_index(
+                    body, id_col, text_col,
+                    int(mh_meta["num_hashes"]), int(mh_meta["bands"]),
+                    int(mh_meta["shingle_k"]),
+                ),
+                mh_path,
+                num_hashes=int(mh_meta["num_hashes"]),
+                bands=int(mh_meta["bands"]),
+                shingle_k=int(mh_meta["shingle_k"]),
+                jaccard_threshold=mh_meta.get("jaccard_threshold"),
+                corpus_digest=dg,
+                extra_meta=tick_meta,
+                precommit=fence,
+            )
+        else:
+            art.save_minhash_index(
+                dedup.corpus_minhash_band_index(
+                    body, id_col, text_col,
+                    int(mh_meta["num_hashes"]), int(mh_meta["bands"]),
+                    int(mh_meta["shingle_k"]),
+                ),
+                mh_path,
+                num_hashes=int(mh_meta["num_hashes"]),
+                bands=int(mh_meta["bands"]),
+                shingle_k=int(mh_meta["shingle_k"]),
+                corpus_digest=dg,
+                extra_meta=tick_meta,
+                precommit=fence,
+            )
+        if _bm25_log_active(root):
+            _append_bm25_delta(
+                spark, root, body, id_col, text_col, dg, tick_meta, gen
+            )
+        if _ivf_log_active(root):
+            _append_ivf_delta(
+                spark, root, body, id_col, dg, tick_meta, gen
+            )
+        _check_lease_generation(root, gen)
+        commit_versioned(corpus_path, corpus_v)
+        return corpus_v
+    finally:
+        if lease:
+            release_ingest_lease(root, gen)
+
+
 def compact_publication_log(
     spark: SparkSession,
     root: str,

@@ -520,12 +520,62 @@ def sharded_bm25_paths(root: str) -> list[str]:
     return paths
 
 
+def _inherit_reshard_config(
+    spark: SparkSession, root: str, init_kw: dict
+) -> dict:
+    """Fill ``init_kw`` defaults from the OLD root's pinned shard-0
+    config: banding (+verified threshold when the mh log is
+    id-carrying), BM25 presence, IVF config by presence. Reads only
+    committed artifact metas — safe without the leases (config is
+    pinned for a root's lifetime)."""
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art,
+    )
+
+    s0 = shard_root(root, 0)
+    mh_meta = art.load_artifact_meta(os.path.join(s0, ingest._MH))
+    init_kw.setdefault("num_hashes", int(mh_meta["num_hashes"]))
+    init_kw.setdefault("bands", int(mh_meta["bands"]))
+    init_kw.setdefault("shingle_k", int(mh_meta["shingle_k"]))
+    if mh_meta.get("kind") == "minhash_docs":
+        init_kw.setdefault(
+            "verify_jaccard_threshold", mh_meta.get("jaccard_threshold")
+        )
+    if ingest._bm25_log_active(s0):
+        init_kw.setdefault("bm25_index", True)
+    if ingest._ivf_log_active(s0) and "ivf_index" not in init_kw:
+        imeta, _ = art.load_ivf_log_stats(os.path.join(s0, ingest._IVF))
+        _, cbm = art.load_centroids_by_digest(
+            spark, os.path.join(s0, ingest._IVF_CB),
+            imeta["codebook_digest"],
+        )
+        init_kw["ivf_index"] = {
+            "vec_col": imeta["vec_col"], "n_centroids": int(cbm["k"]),
+        }
+    return init_kw
+
+
+def _cleanup_undeclared(new_root: str, n_shards: int) -> None:
+    """Remove a half-built, UNDECLARED new reshard root (ADVICE r14):
+    safe by construction (no ``_SHARDS.json``, so nothing can probe
+    it), and necessary — a same-new_root re-run would otherwise append
+    second bootstrap versions per shard and the digest check could
+    never pass."""
+    import shutil as _shutil
+
+    for s in range(n_shards):
+        _shutil.rmtree(shard_root(new_root, s), ignore_errors=True)
+    _shutil.rmtree(os.path.join(new_root, _ROUNDS), ignore_errors=True)
+
+
 def reshard(
     spark: SparkSession,
     root: str,
     new_root: str,
     n_shards: int,
     _test_hook=None,
+    catchup: bool = False,
+    _catchup_hook=None,
     **init_kw,
 ) -> dict:
     """Re-shard a sharded ingest root to a NEW shard count at a NEW
@@ -573,9 +623,42 @@ def reshard(
     The old root is untouched; callers switch writers to ``new_root``
     only after this returns, then retire the old root on their own
     schedule. On digest mismatch the call raises with the new root
-    left undeclared. ``_test_hook`` (tests only) runs after the
-    quiesce, before the union read — the window a racing tick must be
-    excluded from. Returns ``{"n_docs", "digest", "n_shards"}``."""
+    left undeclared and its half-built shard dirs removed.
+    ``_test_hook`` (tests only) runs after the quiesce, before the
+    union read — the window a racing tick must be excluded from.
+
+    **``catchup=True`` — snapshot-then-catchup** (VERDICT r14 #2: the
+    default path holds EVERY old shard's lease across the full
+    O(corpus) rebuild — route + per-shard index rebuild + k-means +
+    BM25 re-tokenize — so ingest is down for the duration, ladder-
+    measured linear in corpus size in SCALING.md). The catchup shape
+    bounds the window:
+
+    1. **Phase A, LEASELESS**: snapshot the union (its version set
+       pins at read construction) and record R0 = its max
+       ``_arrival_round``; bootstrap ``new_root`` (undeclared) from
+       the snapshot — the O(corpus) work, with ingest still running.
+    2. **Phase B, leases held**: quiesce exactly as the default path,
+       then replay only the DELTA — rows with stamp > R0, which is
+       precisely the ticks that landed during the rebuild (rounds are
+       ledger-monotone, so any mid-rebuild publish stamps > R0;
+       compaction folds carry rows+stamps so a mid-rebuild compaction
+       does not perturb the delta) — via
+       ``plans.ingest.append_published_raw`` per new shard (raw
+       publish+admit, stamps carried, NO re-dedup: the delta already
+       passed the old root's tiers, and re-running the fuzzy tier
+       under the new layout would drop content that was cross-shard
+       before), then verify the same union digest and declare.
+
+    The leased window shrinks from the full rebuild to delta replay +
+    one verification scan of the union. CAVEATS, enforced or
+    disclosed: a reconciliation/retirement that runs DURING phase A
+    removes pre-R0 rows the snapshot already captured — the digest
+    gate catches it (cleanup + raise; schedule reconcile away from a
+    catchup reshard); a leaseless phase-A read can also race a
+    concurrent compaction's physical GC (transient FileNotFound —
+    re-run). Returns ``{"n_docs", "digest", "n_shards"}`` (+
+    ``"n_catchup"`` when catchup)."""
     import json as _json
 
     from data_engineering_capstone_project__spark.sources import (
@@ -585,6 +668,11 @@ def reshard(
     cfg = load_shard_config(root)
     n_old = int(cfg["n_shards"])
     id_col, text_col = cfg["id_col"], cfg["text_col"]
+    if catchup:
+        return _reshard_catchup(
+            spark, root, new_root, n_shards, n_old, id_col, text_col,
+            _test_hook, _catchup_hook, **init_kw,
+        )
     gens: dict[int, int] = {}
     try:
         # ---- quiesce: lease every old shard, then drain its log ----
@@ -597,27 +685,7 @@ def reshard(
             )
         if _test_hook is not None:
             _test_hook()
-        s0 = shard_root(root, 0)
-        mh_meta = art.load_artifact_meta(os.path.join(s0, ingest._MH))
-        init_kw.setdefault("num_hashes", int(mh_meta["num_hashes"]))
-        init_kw.setdefault("bands", int(mh_meta["bands"]))
-        init_kw.setdefault("shingle_k", int(mh_meta["shingle_k"]))
-        if mh_meta.get("kind") == "minhash_docs":
-            init_kw.setdefault(
-                "verify_jaccard_threshold",
-                mh_meta.get("jaccard_threshold"),
-            )
-        if ingest._bm25_log_active(s0):
-            init_kw.setdefault("bm25_index", True)
-        if ingest._ivf_log_active(s0) and "ivf_index" not in init_kw:
-            imeta, _ = art.load_ivf_log_stats(os.path.join(s0, ingest._IVF))
-            _, cbm = art.load_centroids_by_digest(
-                spark, os.path.join(s0, ingest._IVF_CB),
-                imeta["codebook_digest"],
-            )
-            init_kw["ivf_index"] = {
-                "vec_col": imeta["vec_col"], "n_centroids": int(cbm["k"]),
-            }
+        init_kw = _inherit_reshard_config(spark, root, init_kw)
 
         union = _read_union(spark, root, n_old, with_arrival=True).persist()
         try:
@@ -635,21 +703,7 @@ def reshard(
                 cols,
             )
             if dg_new != dg_old:
-                # remove the half-built layout (ADVICE r14): the new
-                # root is UNDECLARED by construction, so deleting its
-                # shard dirs + round ledger is safe — and leaving them
-                # would make a same-new_root re-run append SECOND
-                # bootstrap versions per shard, guaranteeing the digest
-                # check can never pass (a confusing dead end)
-                import shutil as _shutil
-
-                for s2 in range(n_shards):
-                    _shutil.rmtree(
-                        shard_root(new_root, s2), ignore_errors=True
-                    )
-                _shutil.rmtree(
-                    os.path.join(new_root, _ROUNDS), ignore_errors=True
-                )
+                _cleanup_undeclared(new_root, n_shards)
                 raise RuntimeError(
                     f"reshard: union digest diverged ({dg_old} -> "
                     f"{dg_new}) — {new_root!r} left undeclared and its "
@@ -668,6 +722,149 @@ def reshard(
                 "n_docs": int(dg_old.split(":")[0]),
                 "digest": dg_old,
                 "n_shards": int(n_shards),
+            }
+        finally:
+            union.unpersist()
+    finally:
+        for s, g in gens.items():
+            ingest.release_ingest_lease(shard_root(root, s), g)
+
+
+def _reshard_catchup(
+    spark: SparkSession,
+    root: str,
+    new_root: str,
+    n_shards: int,
+    n_old: int,
+    id_col: str,
+    text_col: str,
+    _test_hook=None,
+    _catchup_hook=None,
+    **init_kw,
+) -> dict:
+    """The ``reshard(catchup=True)`` body — see :func:`reshard` for
+    the contract. ``_catchup_hook`` (tests only) runs between the
+    leaseless snapshot bootstrap and the lease acquisition: the
+    window where a mid-rebuild tick lands, whose content the delta
+    replay must carry into the verified new root."""
+    import json as _json
+
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art,
+    )
+
+    init_kw = _inherit_reshard_config(spark, root, init_kw)
+    # ---- phase A: LEASELESS snapshot bootstrap (the O(corpus) part).
+    # The union's version set pins at construction; ticks landing
+    # after this line publish NEW versions the snapshot never reads.
+    snap = _read_union(spark, root, n_old, with_arrival=True)
+    if ingest._ARRIVAL in snap.columns:
+        stamp0 = F.coalesce(
+            F.col(ingest._ARRIVAL).cast("long"), F.lit(0)
+        )
+        r0 = int(snap.agg(F.max(stamp0)).first()[0] or 0)
+    else:
+        r0 = 0  # wholly-legacy root: every snapshot row reads round 0
+    init_sharded_ingest(
+        spark, snap, new_root, n_shards=n_shards,
+        text_col=text_col, id_col=id_col, _declare=False, **init_kw,
+    )
+    if _catchup_hook is not None:
+        _catchup_hook()
+    # ---- phase B: leases held only for delta replay + verification
+    import time as _time
+
+    t_leased = _time.monotonic()
+    gens: dict[int, int] = {}
+    try:
+        for s in range(n_old):
+            gens[s] = ingest.acquire_ingest_lease(shard_root(root, s))
+        for s in range(n_old):
+            ingest.recover_ingest_tick(
+                spark, shard_root(root, s),
+                text_col=text_col, id_col=id_col, generation=gens[s],
+            )
+        if _test_hook is not None:
+            _test_hook()
+        union = _read_union(spark, root, n_old, with_arrival=True)
+        # digest columns BEFORE any stamp synthesis: on a wholly-legacy
+        # root the new bootstrap stamps round 1 where the old union has
+        # no column at all — comparing on the old union's own columns
+        # keeps the gate about CONTENT (same posture as the default
+        # path)
+        raw_cols = sorted(union.columns)
+        if ingest._ARRIVAL not in union.columns:
+            union = union.withColumn(
+                ingest._ARRIVAL, F.lit(None).cast("long")
+            )
+        union = union.persist()
+        try:
+            stamp = F.coalesce(
+                F.col(ingest._ARRIVAL).cast("long"), F.lit(0)
+            )
+            # the delta IS "stamp > R0": rounds are ledger-monotone,
+            # so every mid-rebuild publish stamped strictly later
+            # than anything the snapshot captured; compaction folds
+            # carry rows+stamps, so a mid-rebuild compaction neither
+            # adds nor removes delta rows
+            delta = union.filter(stamp > F.lit(r0))
+            routed = delta.withColumn(
+                "_cu_shard", shard_route(F.col(text_col), n_shards)
+            ).persist()
+            counts = {
+                int(r["_cu_shard"]): int(r["n"])
+                for r in routed.groupBy("_cu_shard")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for s in sorted(counts):
+                ingest.append_published_raw(
+                    spark,
+                    shard_root(new_root, s),
+                    routed.filter(F.col("_cu_shard") == F.lit(s)).drop(
+                        "_cu_shard"
+                    ),
+                    text_col=text_col,
+                    id_col=id_col,
+                )
+            routed.unpersist()
+            dg_old = art.corpus_digest(union, raw_cols)
+            dg_new = art.corpus_digest(
+                _read_union(spark, new_root, n_shards, with_arrival=True),
+                raw_cols,
+            )
+            if dg_new != dg_old:
+                _cleanup_undeclared(new_root, n_shards)
+                raise RuntimeError(
+                    f"reshard(catchup): union digest diverged ({dg_old}"
+                    f" -> {dg_new}) — content changed during the "
+                    f"leaseless rebuild in a way the delta replay "
+                    f"cannot express (a reconciliation/retirement ran "
+                    f"mid-rebuild?); {new_root!r} left undeclared and "
+                    "its half-built shard directories removed — "
+                    "schedule reconcile away from the reshard and "
+                    "re-run"
+                )
+            mx = int(union.agg(F.max(stamp)).first()[0] or 1)
+            _seed_round(new_root, mx)
+            with open(os.path.join(new_root, _SHARDS_NOTE), "w") as f:
+                _json.dump(
+                    {"n_shards": int(n_shards), "text_col": text_col,
+                     "id_col": id_col,
+                     "route": "pmod(xxhash64(fingerprint),n)",
+                     "resharded_from": root, "verified_digest": dg_old,
+                     "catchup": True},
+                    f,
+                )
+            return {
+                "n_docs": int(dg_old.split(":")[0]),
+                "digest": dg_old,
+                "n_shards": int(n_shards),
+                "n_catchup": sum(counts.values()),
+                # the ingest-downtime window this shape exists to
+                # shrink (SCALING.md reshard ladder): lease
+                # acquisition → declaration
+                "leased_s": round(_time.monotonic() - t_leased, 3),
             }
         finally:
             union.unpersist()

@@ -518,3 +518,122 @@ def test_reconcile_band_logs_refused_on_unverified_root(
         shards.reconcile_sharded_near_dups(spark, root, use_band_logs=True)
     out = shards.reconcile_sharded_near_dups(spark, root)  # recompute path
     assert out["n_retired"] == 0
+
+
+# ------------------------------------------- snapshot-then-catchup
+
+
+def test_reshard_catchup_carries_midrebuild_tick(spark, sf_dir, tmp_path):
+    """VERDICT r14 #2: reshard(catchup=True) bootstraps the new root
+    LEASELESSLY from a snapshot and takes the leases only to replay
+    the delta — a tick published mid-rebuild (inside _catchup_hook,
+    the post-snapshot pre-lease window) must be present in the
+    verified new root, ticks are still excluded during the leased
+    phase, and the new root is immediately tickable."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") < 150)
+    mid = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 190))
+    fresh = d.filter((F.col("doc_id") >= 190) & (F.col("doc_id") < 220))
+    root = str(tmp_path / "old")
+    shards.init_sharded_ingest(
+        spark, corpus, root, n_shards=2, num_hashes=32, bands=8,
+        bm25_index=True,
+    )
+
+    published_mid = {}
+
+    def catchup_hook():
+        st = shards.ingest_batch_sharded(spark, mid, root)
+        published_mid["n"] = sum(s.n_published for s in st.values())
+
+    raced = {}
+
+    def leased_hook():
+        with pytest.raises(ingest.ConcurrentIngestError):
+            shards.ingest_batch_sharded(spark, fresh, root)
+        raced["hit"] = True
+
+    nroot = str(tmp_path / "new")
+    res = shards.reshard(
+        spark, root, nroot, n_shards=3, catchup=True,
+        _catchup_hook=catchup_hook, _test_hook=leased_hook,
+    )
+    assert raced.get("hit")
+    assert published_mid["n"] > 0
+    assert res["n_catchup"] == published_mid["n"]
+    assert res["n_shards"] == 3
+
+    def dig(df):
+        return (
+            df.agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("doc_id", "text")).alias("x"),
+            ).first()
+        )
+
+    old_u = shards.read_sharded_corpus(spark, root).select("doc_id", "text")
+    new_u = shards.read_sharded_corpus(spark, nroot).select("doc_id", "text")
+    assert dig(old_u) == dig(new_u)
+    # global BM25 over the new logs matches the old (delta postings
+    # appended raw, scalars exact by the incremental-log contract)
+    Q = {"q": "hash scan filter"}
+    olds = sorted(
+        map(
+            tuple,
+            text_ops.bm25_topk_incremental(
+                spark, shards.sharded_bm25_paths(root), Q, k=10
+            ).collect(),
+        )
+    )
+    news = sorted(
+        map(
+            tuple,
+            text_ops.bm25_topk_incremental(
+                spark, shards.sharded_bm25_paths(nroot), Q, k=10
+            ).collect(),
+        )
+    )
+    assert olds == news
+    # declared and immediately tickable; re-arrivals of ANY published
+    # content (bootstrap + mid-rebuild delta) drop on the new layout
+    st = shards.ingest_batch_sharded(
+        spark, corpus.unionByName(mid).unionByName(fresh), nroot
+    )
+    n_pub = sum(s.n_published for s in st.values())
+    st_fresh_only = shards.ingest_batch_sharded(spark, fresh, nroot)
+    assert sum(s.n_published for s in st_fresh_only.values()) == 0
+    assert n_pub <= fresh.count()  # corpus+mid all dropped as dups
+
+
+def test_reshard_catchup_divergence_cleans_and_raises(
+    spark, sf_dir, tmp_path
+):
+    """The catchup digest gate: content REMOVED during the leaseless
+    rebuild (a retirement — something the delta replay cannot express)
+    fails verification, removes the half-built new root, and raises
+    with the reconcile-scheduling guidance."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") < 150)
+    root = str(tmp_path / "old")
+    shards.init_sharded_ingest(
+        spark, corpus, root, n_shards=2, num_hashes=32, bands=8
+    )
+    victim = [
+        r["doc_id"]
+        for r in ingest.read_ingest_corpus(
+            spark, shards.shard_root(root, 0)
+        ).limit(1).collect()
+    ]
+
+    def retire_mid_rebuild():
+        ingest.retire_docs(spark, shards.shard_root(root, 0), victim)
+
+    nroot = str(tmp_path / "new")
+    with pytest.raises(RuntimeError, match="digest diverged"):
+        shards.reshard(
+            spark, root, nroot, n_shards=3, catchup=True,
+            _catchup_hook=retire_mid_rebuild,
+        )
+    assert not os.path.exists(os.path.join(nroot, "_SHARDS.json"))
+    for s in range(3):
+        assert not os.path.exists(shards.shard_root(nroot, s))
