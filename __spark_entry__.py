@@ -3785,6 +3785,13 @@ def x_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       lossless so the sum is the array's own closed form:
       30·Σ2x + 33·Σ3y + 110·Σ5c = 3300 + 4455 + 1650 = 9405
       (subtract-green transform + backrefs exercised in-stream)
+    - r15 additions (capabilities CPython's external imghdr fixtures
+      exposed as gaps — the fixtures themselves cross-check in
+      ``tests/test_external_fixtures.py``, where PNG/BMP/PPM decode
+      PIXEL-IDENTICAL across three independent codec paths):
+      BI_BITFIELDS 32bpp BMP 4×3 constant (10,20,30): sum = 12·60=720;
+      P5 PGM 3×2 gray [0..50 step 10] ×3 channels:    sum = 450;
+      P4 PBM 10×2 alternating (5 white/row, 1=black): sum = 7650.
     """
     import struct as _struct
 
@@ -3837,12 +3844,31 @@ def x_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         warr, use_backrefs=True, transform="subtract_green"
     )
 
+    # r15: BI_BITFIELDS 32bpp BMP (compression=3, masks after the
+    # 40-byte header → data at 66) — constant BGRA words 0x00FF1E140A
+    # is (A=0,R=10,G=20,B=30) under byte-width masks, no rescale
+    bfh, bfw = 3, 4
+    bf_words = _struct.pack("<I", (10 << 16) | (20 << 8) | 30) * (bfw * bfh)
+    bf_payload = (
+        b"BM"
+        + _struct.pack("<IHHI", 66 + len(bf_words), 0, 0, 66)
+        + _struct.pack("<IiiHHIIiiII", 40, bfw, bfh, 1, 32, 3,
+                       len(bf_words), 2835, 2835, 0, 0)
+        + _struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+        + bf_words
+    )
+    pgm_payload = b"P5\n3 2\n255\n" + bytes([0, 10, 20, 30, 40, 50])
+    # P4: width 10 → 2 bytes/row; 0xAA 0x80 = 1010101010 (5 black)
+    pbm_payload = b"P4\n10 2\n" + bytes([0xAA, 0x80, 0xAA, 0x80])
     rows = [
         (1, "image", png_payload, "image/png", w, h, None),
         (2, "image", bmp_payload, "image/bmp", bw_, bh, None),
         (3, "image", ppm_payload, "image/x-portable-pixmap", 2, 2, None),
         (4, "image", jpg_payload, "image/jpeg", 24, 16, None),
         (5, "image", webp_payload, "image/webp", ww, wh, None),
+        (6, "image", bf_payload, "image/bmp", bfw, bfh, None),
+        (7, "image", pgm_payload, "image/x-portable-graymap", 3, 2, None),
+        (8, "image", pbm_payload, "image/x-portable-bitmap", 10, 2, None),
     ]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     return mm.image_pixel_stats(media).select(
@@ -3856,7 +3882,10 @@ SELECT * FROM (VALUES
   (2, 7, 5, 5250),
   (3, 2, 2, {17 * sum([15, 0, 7, 3, 1, 2, 4, 5, 6, 8, 9, 10])}),
   (4, 24, 16, {24 * 16 * 3 * 137}),
-  (5, 11, 10, 9405)
+  (5, 11, 10, 9405),
+  (6, 4, 3, 720),
+  (7, 3, 2, 450),
+  (8, 10, 2, 7650)
 ) AS t(media_id, width, height, pixel_sum)
 """
 

@@ -180,7 +180,15 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed 24/32-bit BI_RGB BMP → (H, W, 3) uint8 RGB."""
+    """BMP → (H, W, 3) uint8 RGB: uncompressed 24/32-bit BI_RGB, plus
+    16/32-bit BI_BITFIELDS (compression=3 — the channel-mask layout
+    32bpp BGRA files in the wild overwhelmingly use; found live by
+    CPython's external ``python.bmp`` fixture, which is 32bpp
+    BITFIELDS, round 15). Masks sit at file offset 54 for every header
+    ≥ BITMAPINFOHEADER: a 40-byte header is followed by three DWORD
+    masks, and the V4/V5 headers embed their RGBA masks at the same
+    byte positions. Each channel extracts by mask+shift and rescales
+    its mask width to 0-255 (round-half-up, Netpbm-style)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack_from("<I", payload, 10)
@@ -190,7 +198,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", payload, 18)
     _planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if compression != 0 or bpp not in (24, 32):
+    if not (
+        (compression == 0 and bpp in (24, 32))
+        or (compression == 3 and bpp in (16, 32))
+    ):
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     bottom_up = height > 0
     height = abs(height)
@@ -199,20 +210,49 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=height * stride, offset=data_off
     ).reshape(height, stride)
-    px = rows[:, : width * nbytes].reshape(height, width, nbytes)
-    rgb = px[:, :, 2::-1]  # BGR(A) → RGB
+    if compression == 3:
+        rm, gm, bm = struct.unpack_from("<III", payload, 54)
+        if rm == 0 or gm == 0 or bm == 0:
+            raise ValueError("BI_BITFIELDS BMP with a zero channel mask")
+        words = np.ascontiguousarray(rows[:, : width * nbytes]).view(
+            np.uint16 if bpp == 16 else np.uint32
+        ).reshape(height, width).astype(np.uint32)
+
+        def chan(mask: int) -> np.ndarray:
+            shift = (mask & -mask).bit_length() - 1
+            maxv = mask >> shift
+            v = (words & np.uint32(mask)) >> np.uint32(shift)
+            if maxv != 255:
+                v = (v * 255 + maxv // 2) // maxv
+            return v.astype(np.uint8)
+
+        rgb = np.dstack([chan(rm), chan(gm), chan(bm)])
+    else:
+        px = rows[:, : width * nbytes].reshape(height, width, nbytes)
+        rgb = px[:, :, 2::-1]  # BGR(A) → RGB
     if bottom_up:
         rgb = rgb[::-1]
     return np.ascontiguousarray(rgb)
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6, maxval ≤ 255) → (H, W, 3) uint8 RGB."""
-    if payload[:2] != b"P6":
-        raise ValueError("not a binary PPM")
-    # header: P6 <w> <h> <maxval> with comments/whitespace, then raster
+    """Netpbm family → (H, W, 3) uint8 RGB.
+
+    The full anymap set (r15 — CPython's external ``python.pgm`` /
+    ``python.pbm`` fixtures exposed the P6-only gap): binary P6 (RGB),
+    P5 (gray, replicated to RGB), P4 (bilevel, 8 packed pixels/byte,
+    1 = BLACK per PBM semantics), and the ASCII forms P3/P2/P1.
+    maxval ≤ 255; samples rescale as fractions of maxval
+    (round-half-up) per Netpbm semantics."""
+    magic = payload[:2]
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        raise ValueError("not a PNM (P1–P6)")
+    kind = int(magic[1:2])
+    bilevel = kind in (1, 4)
+    n_fields = 2 if bilevel else 3  # PBM has no maxval
+    # header: magic <w> <h> [<maxval>] with comments/whitespace
     fields, pos = [], 2
-    while len(fields) < 3:
+    while len(fields) < n_fields:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
         if payload[pos : pos + 1] == b"#":  # comment to EOL
@@ -223,19 +263,50 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(payload[start:pos]))
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = fields
+    if bilevel:
+        w, h = fields
+        maxval = 1
+    else:
+        w, h, maxval = fields
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM unsupported")
-    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-    px = px.reshape(h, w, 3)
-    if maxval != 255:
+        raise NotImplementedError("16-bit PNM unsupported")
+    if kind in (1, 2, 3):
+        # ASCII rasters: whitespace-separated sample values (P1 allows
+        # unseparated digit runs; split() handles both since each P1
+        # sample is a single character — split per-token then flatten)
+        toks = payload[pos:].split()
+        if kind == 1:
+            vals = [int(c) for t in toks for c in t.decode("ascii")]
+        else:
+            vals = [int(t) for t in toks]
+        n = w * h * (3 if kind == 3 else 1)
+        px = np.array(vals[:n], dtype=np.uint32)
+    elif kind == 4:
+        pos += 1  # single whitespace after the last header field
+        rowbytes = (w + 7) // 8
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=h * rowbytes, offset=pos
+        ).reshape(h, rowbytes)
+        bits = np.unpackbits(raw, axis=1)[:, :w]
+        px = bits.astype(np.uint32).reshape(-1)
+    else:  # P5 / P6 binary
+        pos += 1  # single whitespace after maxval
+        n = w * h * (3 if kind == 6 else 1)
+        px = np.frombuffer(
+            payload, dtype=np.uint8, count=n, offset=pos
+        ).astype(np.uint32)
+    if bilevel:
+        # PBM: 1 = black, 0 = white
+        px = np.where(px != 0, np.uint32(0), np.uint32(255))
+    elif maxval != 255:
         # Netpbm semantics: samples are fractions of maxval — rescale to
         # 0-255 with round-half-up so e.g. maxval=15 white stays white
-        px = ((px.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(
-            np.uint8
-        )
-    return px.copy()
+        px = (px * 255 + maxval // 2) // maxval
+    px = px.astype(np.uint8)
+    if kind in (3, 6):
+        return px.reshape(h, w, 3).copy()
+    gray = px.reshape(h, w)
+    return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
 
 
 def sniff_format(payload: bytes) -> str | None:
@@ -244,8 +315,13 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
-    if payload[:2] == b"P6":
-        return "ppm"
+    if (
+        len(payload) > 2
+        and payload[0:1] == b"P"
+        and payload[1:2] in b"123456"
+        and payload[2:3].isspace()
+    ):
+        return "ppm"  # whole Netpbm family routes to decode_ppm
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":

@@ -1,0 +1,84 @@
+"""External-fixture cross-checks (VERDICT r11 #7 carry-over, closed
+r15): CPython ships the SAME source image exported through many
+formats as its imghdr/email test data — externally-produced files
+none of this repo's encoders wrote. The three lossless RGB forms
+(PNG, BMP, PPM) must decode PIXEL-IDENTICAL through three fully
+independent codec paths; the grayscale/bilevel forms and JPEG decode
+with the right geometry; the lossy-VP8 WebP pins the honest
+NotImplementedError boundary. Skipped (visibly) when no fixture dir
+exists on the host.
+
+These fixtures also FOUND two real gaps this round: python.bmp is
+32bpp BI_BITFIELDS (now decoded) and python.pgm/pbm exposed the
+P6-only Netpbm support (now the full P1–P6 family)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from data_engineering_capstone_project__spark.operators import (
+    imagecodec as ic,
+)
+
+_CANDIDATES = sorted(
+    glob.glob("/root/.pyenv/versions/3.*/lib/python3.*/test/imghdrdata")
+)
+
+pytestmark = pytest.mark.skipif(
+    not _CANDIDATES, reason="no CPython imghdrdata fixture dir on host"
+)
+
+
+def _fixture(name: str) -> bytes:
+    for d in _CANDIDATES:
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return f.read()
+    pytest.skip(f"fixture {name} absent from every candidate dir")
+
+
+def test_lossless_rgb_formats_decode_pixel_identical():
+    png = ic.decode_image_bytes(_fixture("python.png"))
+    bmp = ic.decode_image_bytes(_fixture("python.bmp"))
+    ppm = ic.decode_image_bytes(_fixture("python.ppm"))
+    assert png.shape == bmp.shape == ppm.shape == (16, 16, 3)
+    assert np.array_equal(png, bmp)
+    assert np.array_equal(png, ppm)
+
+
+def test_grayscale_and_bilevel_fixtures_decode():
+    pgm = ic.decode_image_bytes(_fixture("python.pgm"))
+    pbm = ic.decode_image_bytes(_fixture("python.pbm"))
+    assert pgm.shape == (16, 16, 3)
+    assert pbm.shape == (16, 16, 3)
+    # gray replicates to identical channels; bilevel is pure 0/255
+    assert np.array_equal(pgm[:, :, 0], pgm[:, :, 1])
+    assert np.array_equal(pgm[:, :, 0], pgm[:, :, 2])
+    assert set(np.unique(pbm)) <= {0, 255}
+
+
+def test_external_jpegs_decode_with_correct_geometry():
+    for name in ("python.jpg", "python-raw.jpg"):
+        arr = ic.decode_image_bytes(_fixture(name))
+        assert arr.shape == (16, 16, 3)
+        # lossy: same scene as the lossless forms, so the mean must be
+        # close but need not be equal — a wide band, shape is the pin
+        ref = ic.decode_image_bytes(_fixture("python.png"))
+        assert abs(float(arr.mean()) - float(ref.mean())) < 16.0
+
+
+def test_external_webp_pins_lossy_vp8_boundary():
+    with pytest.raises(NotImplementedError, match="VP8"):
+        ic.decode_image_bytes(_fixture("python.webp"))
+
+
+def test_unsupported_external_formats_raise_value_error():
+    for name in ("python.gif", "python.tiff", "python.ras", "python.sgi",
+                 "python.xbm"):
+        with pytest.raises(ValueError):
+            ic.decode_image_bytes(_fixture(name))

@@ -637,3 +637,31 @@ def test_reshard_catchup_divergence_cleans_and_raises(
     assert not os.path.exists(os.path.join(nroot, "_SHARDS.json"))
     for s in range(3):
         assert not os.path.exists(shards.shard_root(nroot, s))
+
+
+def test_partially_stamped_root_reads_and_reshards(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r14 (first low): a root where only SOME shards carry
+    _arrival_round (one shard stripped to simulate a pre-stamp
+    publisher) must read with with_arrival=True (missing column fills
+    NULL via allowMissingColumns) and reshard cleanly — stripped rows
+    land round-0 semantics, stamped rows carry verbatim."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") < 150)
+    root = str(tmp_path / "r")
+    shards.init_sharded_ingest(
+        spark, corpus, root, n_shards=2, num_hashes=32, bands=8
+    )
+    _strip_stamps(spark, shards.shard_root(root, 0))
+
+    u = shards.read_sharded_corpus(spark, root, with_arrival=True)
+    assert "_arrival_round" in u.columns
+    assert u.count() == corpus.count()
+    n_null = u.filter(F.col("_arrival_round").isNull()).count()
+    assert 0 < n_null < corpus.count()  # genuinely mixed
+
+    nroot = str(tmp_path / "n")
+    res = shards.reshard(spark, root, nroot, n_shards=3)
+    assert res["n_shards"] == 3
+    assert shards.read_sharded_corpus(spark, nroot).count() == corpus.count()
