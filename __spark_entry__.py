@@ -3791,7 +3791,9 @@ def x_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       PIXEL-IDENTICAL across three independent codec paths):
       BI_BITFIELDS 32bpp BMP 4×3 constant (10,20,30): sum = 12·60=720;
       P5 PGM 3×2 gray [0..50 step 10] ×3 channels:    sum = 450;
-      P4 PBM 10×2 alternating (5 white/row, 1=black): sum = 7650.
+      P4 PBM 10×2 alternating (5 white/row, 1=black): sum = 7650;
+      GIF 6×5 palette p(x,y)=((x+y)%4)·10, channels (p,p+1,p+2):
+      residue counts (8,8,7,7) → Σp=430, sum = 3·430 + 3·30 = 1380.
     """
     import struct as _struct
 
@@ -3860,6 +3862,13 @@ def x_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pgm_payload = b"P5\n3 2\n255\n" + bytes([0, 10, 20, 30, 40, 50])
     # P4: width 10 → 2 bytes/row; 0xAA 0x80 = 1010101010 (5 black)
     pbm_payload = b"P4\n10 2\n" + bytes([0xAA, 0x80, 0xAA, 0x80])
+    gh, gw = 5, 6
+    garr = _np.zeros((gh, gw, 3), dtype=_np.uint8)
+    for c in range(3):
+        garr[:, :, c] = (
+            (_np.arange(gw)[None, :] + _np.arange(gh)[:, None]) % 4
+        ) * 10 + c
+    gif_payload = ic.encode_gif_minimal(garr)
     rows = [
         (1, "image", png_payload, "image/png", w, h, None),
         (2, "image", bmp_payload, "image/bmp", bw_, bh, None),
@@ -3869,6 +3878,7 @@ def x_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (6, "image", bf_payload, "image/bmp", bfw, bfh, None),
         (7, "image", pgm_payload, "image/x-portable-graymap", 3, 2, None),
         (8, "image", pbm_payload, "image/x-portable-bitmap", 10, 2, None),
+        (9, "image", gif_payload, "image/gif", gw, gh, None),
     ]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     return mm.image_pixel_stats(media).select(
@@ -3885,7 +3895,8 @@ SELECT * FROM (VALUES
   (5, 11, 10, 9405),
   (6, 4, 3, 720),
   (7, 3, 2, 450),
-  (8, 10, 2, 7650)
+  (8, 10, 2, 7650),
+  (9, 6, 5, 1380)
 ) AS t(media_id, width, height, pixel_sum)
 """
 

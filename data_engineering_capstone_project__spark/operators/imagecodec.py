@@ -309,6 +309,187 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
 
 
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, expected: int
+) -> np.ndarray:
+    """GIF-variant LZW → palette-index array of length ``expected``.
+    Codes pack LSB-first into the byte stream; the table resets on
+    CLEAR and code width grows at 2^width up to 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    # table as list of tuples; entries < clear are literals
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                # truncated stream: tolerate, like most consumers
+                return np.array(out[:expected], dtype=np.uint16)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if len(out) >= expected:
+            break
+    return np.array(out[:expected], dtype=np.uint16)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a FIRST FRAME → (H, W, 3) uint8 RGB (r15 — closes the
+    ValueError boundary CPython's external ``python.gif`` fixture sat
+    behind): logical-screen canvas, global/local color tables, the
+    full LZW decode (LSB-first packing, CLEAR resets, KwKwK), and
+    4-pass interlace reordering. Extensions (including GCE
+    transparency) are skipped — the first frame renders its palette
+    colors as stored, animation frames beyond the first are ignored
+    (single-image semantics, the corpus-pipeline contract)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    W, H = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((H, W, 3), dtype=np.uint8)
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"corrupt GIF (block 0x{b0:02x})")
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+        if len(idx) < w * h:  # truncated raster: pad with index 0
+            idx = np.concatenate(
+                [idx, np.zeros(w * h - len(idx), dtype=np.uint16)]
+            )
+        rows = np.clip(idx.reshape(h, w), 0, len(pal) - 1)
+        if ipacked & 0x40:  # interlaced: reorder the 4 passes
+            ordered = np.empty_like(rows)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                n_rows = len(range(start, h, step))
+                ordered[start::step] = rows[src : src + n_rows]
+                src += n_rows
+            rows = ordered
+        frame = pal[rows]
+        canvas[top : top + h, left : left + w] = frame
+        return canvas  # FIRST frame only, by contract
+    raise ValueError("GIF with no image data")
+
+
+def encode_gif_minimal(arr: np.ndarray) -> bytes:
+    """Test-support GIF89a encoder: palette built from the array's
+    distinct colors (≤ 256), raster emitted as 'uncompressed' LZW
+    (a CLEAR before every literal keeps the code width fixed — valid
+    LZW any decoder accepts). Exists so gates/tests can round-trip
+    deterministic closed-form images; not a production write path."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_gif_minimal wants (H, W, 3) uint8")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("more than 256 distinct colors")
+    bits = max(2, int(len(colors) - 1).bit_length())
+    table_n = 1 << bits
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    out = [
+        b"GIF89a",
+        struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0),
+        pal.tobytes(),
+        b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0),
+        bytes([bits]),
+    ]
+    clear, eoi = 1 << bits, (1 << bits) + 1
+    code_size = bits + 1
+    acc = nbits = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for v in idx:
+        emit(int(v))
+        emit(clear)  # keep the table (and code width) fixed
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(bytes([len(chunk)]) + bytes(chunk))
+    out.append(b"\x00\x3b")
+    return b"".join(out)
+
+
 def sniff_format(payload: bytes) -> str | None:
     """Identify the payload's image container from magic bytes."""
     if payload.startswith(_PNG_SIG):
@@ -324,6 +505,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"  # whole Netpbm family routes to decode_ppm
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
     return None
@@ -383,6 +566,8 @@ def decode_image_bytes(payload: bytes, prefer: str = "stdlib") -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
     if fmt == "jpeg":
         from data_engineering_capstone_project__spark.operators import (
             jpegcodec,

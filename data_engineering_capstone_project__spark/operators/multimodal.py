@@ -101,7 +101,7 @@ def _decode_rgb(payload: bytes) -> np.ndarray:
     for the variants they can't do (lossy-VP8 webp, arithmetic-coded
     jpeg). Raises NotImplementedError when neither path applies."""
     fmt = imagecodec.sniff_format(payload or b"")
-    if fmt in ("png", "bmp", "ppm", "jpeg", "webp"):
+    if fmt in ("png", "bmp", "ppm", "gif", "jpeg", "webp"):
         try:
             return imagecodec.decode_image_bytes(payload)
         except NotImplementedError:
@@ -110,7 +110,7 @@ def _decode_rgb(payload: bytes) -> np.ndarray:
     elif not HAS_PIL:
         raise NotImplementedError(
             f"image format {fmt!r} needs Pillow (not importable here); "
-            "stdlib codecs cover png/bmp/ppm/baseline-jpeg"
+            "stdlib codecs cover png/bmp/pnm/gif/baseline-jpeg/vp8l-webp"
         )
     return np.asarray(
         _PILImage.open(io.BytesIO(payload)).convert("RGB"), dtype=np.uint8

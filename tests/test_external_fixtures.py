@@ -77,8 +77,18 @@ def test_external_webp_pins_lossy_vp8_boundary():
         ic.decode_image_bytes(_fixture("python.webp"))
 
 
+def test_external_gif_decodes():
+    """GIF decode (r15): CPython's python.gif — same scene,
+    palette-quantized, so geometry is exact and the mean sits in a
+    band around the lossless reference."""
+    gif = ic.decode_image_bytes(_fixture("python.gif"))
+    assert gif.shape == (16, 16, 3)
+    ref = ic.decode_image_bytes(_fixture("python.png"))
+    assert abs(float(gif.mean()) - float(ref.mean())) < 16.0
+
+
 def test_unsupported_external_formats_raise_value_error():
-    for name in ("python.gif", "python.tiff", "python.ras", "python.sgi",
+    for name in ("python.tiff", "python.ras", "python.sgi",
                  "python.xbm"):
         with pytest.raises(ValueError):
             ic.decode_image_bytes(_fixture(name))

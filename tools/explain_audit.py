@@ -62,6 +62,7 @@ AUDIT = {
     "bm25_bucketed_probe": "bucketed BM25 posting probe (r11 — VERDICT r10 #7): the query terms' hash buckets appear as PartitionFilters [_tb IN (...)] on the posting scan — directories no query term hashes into are pruned at listing time; broadcast query terms, decimal order-independent score sum, WindowGroupLimit top-k as before",
     "bm25_incremental_probe": "INCREMENTAL posting-log probe (r12 — VERDICT r11 #1): ZERO corpus scans anywhere (no re-tokenize — maintenance is O(batch) per tick), every delta version's posting scan carries the query-term PartitionFilters [_tb IN (...)], df_t aggregated from the pruned union, N/avgdl folded in as literals from the per-version meta sums; same broadcast-terms + decimal-sum + WindowGroupLimit tail as the snapshot probes — and hash-equal to them by the oracle gate",
     "sharded_ann_probe": "GLOBAL ANN over a SHARDED living corpus (r14 — VERDICT r13 #1, oracle-gated by x_sharded_ann): one pruned IVF-log probe per shard — each branch's vector scans carry PartitionFilters on that shard's OWN probed cells under its OWN codebook — unioned into a single TakeOrderedAndProject of n_shards x k rows; shards are document-disjoint by content routing, so the merge preserves per-shard probe recall exactly",
+    "reconcile_band_log_candidates": "r15 reconcile candidate pass (VERDICT r14 #1, gated by x_shard_reconcile's band_log_equals_single_root): the pair relation reads the persisted per-shard (band, bucket, corpus_id) index logs — parquet scans + one left-semi against the live id projection + a (band,bucket) self-join — with NO shingle explode / xxhash signature aggregate / text column ANYWHERE in the plan (compare verified_probe's text-side branch); candidate generation is O(index log), flat in document length, and text is read only by the later candidate-sized Jaccard verification",
     "ivf_log_probe": "INCREMENTAL IVF vector-log probe (r13 — VERDICT r12 #1): the ingest tick's fenced ANN deltas probed as one union — EVERY delta version's vector scan carries PartitionFilters [ivf_cell IN (...)] (non-probed cell directories never listed, per branch), cosine + TakeOrderedAndProject over the surviving cells only; maintenance is O(batch)/tick (cell assignment is a codegen projection of the batch) and the drift trigger reads per-version metas, zero scans (tools/ivf_ladder.py) — probe hash-equal to ivf_topk of the union by the x_ivf_ingest gate",
 }
 
@@ -306,6 +307,59 @@ def _sharded_ann_probe(spark, sf_dir):
     return shards.ivf_topk_sharded(spark, root, q, k=10, nprobe=2)
 
 
+def _reconcile_band_log_candidates(spark, sf_dir):
+    """The r15 reconcile candidate relation (VERDICT r14 #1): pairs
+    from the persisted id-carrying band logs of a verified sharded
+    root — the pair construction `reconcile_sharded_near_dups` runs
+    before verification/adjudication, audited for the ABSENCE of any
+    text subtree."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_project__spark.plans import (
+        ingest as ing,
+        shards,
+    )
+    from data_engineering_capstone_project__spark.sources import (
+        artifacts as art,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="explain_recl_") + "/r"
+    shards.init_sharded_ingest(
+        spark, corpus, root, n_shards=2, num_hashes=32, bands=8,
+        verify_jaccard_threshold=0.8,
+    )
+    shards.ingest_batch_sharded(spark, batch, root)
+    logs = []
+    for s in range(2):
+        rows, _ = art.load_minhash_log(
+            spark,
+            shards.shard_root(root, s) + "/" + ing._MH,
+        )
+        logs.append(rows.select("band", "bucket", "corpus_id"))
+    log_u = logs[0].unionByName(logs[1])
+    live = shards.read_sharded_corpus(spark, root).select(
+        F.col("doc_id").alias("corpus_id")
+    )
+    bl = log_u.join(live, "corpus_id", "left_semi").withColumnRenamed(
+        "corpus_id", "doc_id"
+    )
+    a = bl.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = bl.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def _bm25_bucketed_probe(spark, sf_dir):
     """The partition-pruned posting probe (the x_bm25_topk_indexed
     gate's query-path plan over a bucketed index)."""
@@ -330,6 +384,7 @@ def _bm25_bucketed_probe(spark, sf_dir):
 
 
 CUSTOM = {
+    "reconcile_band_log_candidates": _reconcile_band_log_candidates,
     "ivf_pruned_probe": _ivf_pruned_probe,
     "ivf_pq_probe": _ivf_pq_probe,
     "bm25_bucketed_probe": _bm25_bucketed_probe,
