@@ -11,12 +11,14 @@ Decode tiers (probed at import, never a hard dependency):
   (RMS, zero-crossing rate, 14 log-spectral band energies).
 - **audio/other formats**: ``soundfile``/``librosa`` if importable,
   else ``NotImplementedError``.
-- **image/PNG+BMP+PPM**: REAL decode with the stdlib ``zlib`` + numpy
-  (``operators.imagecodec`` — full PNG filter set, palette/alpha color
-  types) → 48-dim area-mean features; real nearest-neighbor resize +
-  PNG re-encode. No optional dependency.
-- **image/JPEG+WebP**: Pillow if importable (lossy codecs), else
-  ``NotImplementedError``.
+- **image/PNG+BMP+PNM+GIF+JPEG+VP8L-WebP**: REAL decode with the
+  stdlib + numpy (``operators.imagecodec`` / ``jpegcodec`` /
+  ``webpcodec`` — full PNG filter set, BI_BITFIELDS BMP, the whole
+  Netpbm P1–P6 family, GIF LZW+interlace, baseline+progressive JPEG,
+  lossless WebP) → 48-dim area-mean features; real nearest-neighbor
+  resize + PNG re-encode. No optional dependency.
+- **image/lossy-VP8 WebP, arithmetic JPEG**: Pillow if importable,
+  else ``NotImplementedError`` naming the variant.
 - **video**: real MP4 container duration probe (stdlib box walk) drives
   frame sampling; pixel-level frame extraction needs a decoder the
   container lacks.
@@ -96,8 +98,8 @@ def _require_payload(payload: bytes | None, media_id=None) -> bytes:
 
 
 def _decode_rgb(payload: bytes) -> np.ndarray:
-    """Payload → (H, W, 3) uint8: stdlib codecs first (png/bmp/ppm +
-    baseline/progressive jpeg + lossless webp since r11), Pillow only
+    """Payload → (H, W, 3) uint8: stdlib codecs first (png/bmp/pnm +
+    gif since r15 + baseline/progressive jpeg + lossless webp), Pillow only
     for the variants they can't do (lossy-VP8 webp, arithmetic-coded
     jpeg). Raises NotImplementedError when neither path applies."""
     fmt = imagecodec.sniff_format(payload or b"")
@@ -120,10 +122,11 @@ def _decode_rgb(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Image payload → 48-dim float features (4×4 RGB downsample / 255).
 
-    Real path: stdlib codecs for PNG/BMP/PPM/baseline-JPEG
-    (``operators.imagecodec`` / ``jpegcodec`` — no optional deps;
-    area-mean 4×4 downsample), Pillow for the rest when importable.
-    ``fake=True`` forces the deterministic stub (8-dim).
+    Real path: stdlib codecs for PNG/BMP/PNM/GIF/JPEG/VP8L-WebP
+    (``operators.imagecodec`` / ``jpegcodec`` / ``webpcodec`` — no
+    optional deps; area-mean 4×4 downsample), Pillow for the rest
+    when importable. ``fake=True`` forces the deterministic stub
+    (8-dim).
     """
     if fake:
         return _fake_decode(payload)
@@ -222,7 +225,7 @@ IMAGE_PIXEL_STATS_SCHEMA = (
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL pixel decode → integer-exact per-image stats.
 
-    Decodes each payload with the stdlib codec (png/bmp/ppm; Pillow for
+    Decodes each payload with the stdlib codec (png/bmp/pnm/gif/jpeg/vp8l-webp; Pillow for
     lossy formats when present) and emits decoded ``width``/``height``,
     the exact ``pixel_sum`` over all RGB samples, and the sha256 of the
     raw RGB byte buffer. Every output is integer/text — no float path —
@@ -521,7 +524,7 @@ def resize_images(
 ) -> DataFrame:
     """Resize plumbing: payload → payload at (target_w, target_h).
 
-    Real path: stdlib decode (png/bmp/ppm) → deterministic nearest-
+    Real path: stdlib decode (png/bmp/pnm/gif/jpeg/vp8l-webp) → deterministic nearest-
     neighbor resample → PNG re-encode; Pillow only for lossy inputs. The
     stub keeps the payload bytes and rewrites the size metadata + content
     hash deterministically. Output schema is again MEDIA-shaped so resize
