@@ -131,13 +131,16 @@ def add_row_id(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
 
+    from data_engineering_capstone_project__spark.session import no_aqe
+
     numeric = {"int", "bigint", "smallint", "tinyint", "double", "float", "date", "timestamp"}
     dtypes = dict(df.dtypes)
     if len(order_cols) == 1 and dtypes[order_cols[0]] in numeric:
         key = order_cols[0]
         kc = F.col(key).cast("double")
         probs = [i / n for i in range(1, n)]
-        bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
+        with no_aqe(spark):
+            bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
         pid = F.lit(0)
         for b in bounds:
             pid = pid + F.when(kc > F.lit(float(b)), 1).otherwise(0)
@@ -161,7 +164,8 @@ def add_row_id(
             .persist()
         )
     # partition sizes -> cumulative offsets (metadata-sized collect: one row per partition)
-    sizes = parted.groupBy("_pid").count().collect()
+    with no_aqe(spark):
+        sizes = parted.groupBy("_pid").count().collect()
     offsets, run = {}, 0
     for row in sorted(sizes, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = run
@@ -249,12 +253,15 @@ def _expression_pid(df: DataFrame, order_cols: Sequence[str], n: int) -> Column:
     (asc_nulls_first) because both the encoding and Spark's struct
     comparison are lexicographic.
     """
+    from data_engineering_capstone_project__spark.session import no_aqe
+
     dtypes = dict(df.dtypes)
-    cnt = df.count()
-    if cnt == 0:
-        return F.lit(0)
-    frac = min(1.0, (n * 128) / cnt)
-    rows = df.select(*order_cols).sample(fraction=frac, seed=42).collect()
+    with no_aqe(df.sparkSession):
+        cnt = df.count()
+        if cnt == 0:
+            return F.lit(0)
+        frac = min(1.0, (n * 128) / cnt)
+        rows = df.select(*order_cols).sample(fraction=frac, seed=42).collect()
     if not rows:
         return F.lit(0)
 

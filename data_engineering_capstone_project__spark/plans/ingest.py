@@ -431,7 +431,11 @@ def read_ingest_corpus(
     paths = [os.path.join(path, f"v={v}") for v in vs]
     hashes = {_schema_note_hash(path, v) for v in vs}
     if len(hashes) == 1:
-        return _strip(spark.read.parquet(*paths))
+        from data_engineering_capstone_project__spark.sources.io import (
+            read_parquet_cached,
+        )
+
+        return _strip(read_parquet_cached(spark, *paths))
     return _strip(spark.read.option("mergeSchema", True).parquet(*paths))
 
 

@@ -10,6 +10,7 @@ pandas-UDF slow path.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -61,3 +62,33 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def no_aqe(spark: SparkSession):
+    """Disable adaptive query execution around a METADATA-SIZED action.
+
+    AQE materializes each exchange as its own Spark job before
+    re-optimizing — the right trade for corpus-scale queries (runtime
+    skew/coalesce decisions), pure overhead for the engine's tiny
+    bounded-output actions (scalar digests, partition-size collects,
+    quantile probes): their final aggregate is a single/tiny partition
+    by construction, so there is nothing for AQE to re-plan, and the
+    extra stage-job costs a scheduler round trip per call (measured
+    ~2× the latency of the same action without AQE on this harness).
+
+    Scope discipline: wrap ONLY driver-side metadata actions, never a
+    data-path query. The flag is session-scoped, so another thread
+    planning a query inside this window would plan it without AQE —
+    correct but less adaptive; the engine's own operators only call
+    this around short synchronous collects.
+    """
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if prev == "false":
+        yield
+        return
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_capstone_project__spark.sources import commitlog
+from data_engineering_capstone_project__spark.sources import io
 
 __all__ = [
     "default_artifact_root",
@@ -256,7 +257,7 @@ def load_artifact(
     with open(os.path.join(base, _META)) as f:
         meta = json.load(f)
     parts = {
-        name: spark.read.parquet(os.path.join(base, name))
+        name: io.read_parquet_cached(spark, os.path.join(base, name))
         for name in meta["parts"]
     }
     return parts, meta
@@ -293,8 +294,8 @@ def load_artifact_log(
     if not vs:
         raise FileNotFoundError(f"no committed version under {path!r}")
     meta = load_artifact_meta(path, vs[-1])
-    df = spark.read.parquet(
-        *[os.path.join(path, f"v={v}", part) for v in vs]
+    df = io.read_parquet_cached(
+        spark, *[os.path.join(path, f"v={v}", part) for v in vs]
     )
     return df, meta
 
@@ -551,11 +552,17 @@ def corpus_digest(df: DataFrame, cols: list[str] | None = None) -> str:
     One scan, scalar aggregate — cheap enough to run per load to decide
     fit-vs-reload. XOR is commutative/associative, so the digest is
     independent of partitioning and row order."""
+    from data_engineering_capstone_project__spark.session import no_aqe
+
     cs = cols or df.columns
-    row = df.agg(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64(*[F.col(c) for c in cs])).alias("x"),
-    ).first()
+    # single-row output: AQE's stage-materialization job is pure
+    # overhead here (optimization r15 — digest runs on every
+    # steady-state index load, so its per-call cost is a hot path)
+    with no_aqe(df.sparkSession):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in cs])).alias("x"),
+        ).first()
     return f"{row['n']}:{row['x']}"
 
 
@@ -797,7 +804,7 @@ def load_bm25_postings_log(
         # compaction bounds the branch count, so the plan stays small
         # where it matters.
         dfs.extend(
-            spark.read.parquet(os.path.join(p, f"v={v}", "postings"))
+            io.read_parquet_cached(spark, os.path.join(p, f"v={v}", "postings"))
             for v in vs
         )
     df = dfs[0]
@@ -974,7 +981,7 @@ def load_ivf_log(
     compaction bounds the branch count."""
     meta, vs = load_ivf_log_stats(path)
     dfs = [
-        spark.read.parquet(os.path.join(path, f"v={v}", "vectors"))
+        io.read_parquet_cached(spark, os.path.join(path, f"v={v}", "vectors"))
         for v in vs
     ]
     df = dfs[0]

@@ -23,7 +23,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (nanos ts handled as in
     ``sources.io.load_events``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from data_engineering_capstone_project__spark.sources.io import (
+        read_parquet_cached,
+    )
+
+    batch = read_parquet_cached(spark, f"{sf_dir}/events.parquet")
     # readStream needs a directory source; glob-filter to the events file
     stream = (
         spark.readStream.schema(batch.schema)
@@ -145,7 +149,11 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the documents parquet (schema from the batch
     reader; glob-filtered directory source, one file per micro-batch) —
     the ingest shape of a continuously-arriving training-data feed."""
-    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from data_engineering_capstone_project__spark.sources.io import (
+        read_parquet_cached,
+    )
+
+    batch = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     return (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
