@@ -408,8 +408,26 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
     )
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    # ONE exchange for the whole query (optimization r15, guide §2.4):
+    # hash-repartition the pruned lineitem columns by l_partkey once —
+    # the (l_partkey, l_suppkey) aggregation's ClusteredDistribution is
+    # satisfied by the subset partitioning (no second exchange), the
+    # broadcast join preserves it, and the per-part window min runs in
+    # place with a local sort. The r14 shape paid two exchanges (partial
+    # agg by (partkey, suppkey), then re-shuffle of the aggregate by
+    # partkey for the window); both plans shuffle the same pruned
+    # columns, so this halves shuffled bytes at scale. Skew exposure is
+    # per-part instead of per-(part, supplier) — acceptable for a
+    # supply-catalog shape where parts are the natural unit.
+    ps = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supply_cost"
+            )
+        )
     )
     eu = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -417,8 +435,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
-    # per-part min as a window over l_partkey: one shuffle, no
-    # aggregate-then-self-join (which would re-shuffle ps_eu a second time)
     w_min = Window.partitionBy("l_partkey")
     return (
         ps_eu.withColumn("_min_cost", F.min("supply_cost").over(w_min))
@@ -2919,7 +2935,11 @@ FROM nation GROUP BY n_regionkey
 
 def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed top-k per group with deterministic tiebreak."""
-    li = _t(spark, sf_dir, "lineitem")
+    # spread (optimization r15): a small parquet file scans as ONE
+    # partition, so the map-side WindowGroupLimit sort would run the
+    # whole table in a single task; spread() parallelizes it and is a
+    # no-op once the scan itself is parallel (real scale)
+    li = spread(_t(spark, sf_dir, "lineitem"))
     out = top_k_per_group(
         li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
         ["l_returnflag"],

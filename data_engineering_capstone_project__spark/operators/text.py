@@ -1407,8 +1407,19 @@ def dsir_fit(
             raw, id_col, text_col, n_buckets, salt
         )
     tgt_grams = hashed_ngram_buckets(target, id_col, text_col, n_buckets, salt)
-    raw_cnt = raw_grams.groupBy("bucket").agg(F.count("*").alias("_cq"))
-    tgt_cnt = tgt_grams.groupBy("bucket").agg(F.count("*").alias("_ct"))
+    # the bucket-count tables feed TWO consumers each (the ratio join
+    # and their own total scalar) and Spark shares no subplans across
+    # branches — unpersisted, the TARGET corpus would be featurized
+    # (scan + split + explode + md5 + agg) twice per fit (optimization
+    # r15, plan-audited: two full target subtrees in the physical
+    # plan). They are ≤ n_buckets rows, the cheapest possible persist;
+    # the corpus-sized gram streams are never cached here.
+    raw_cnt = register(
+        raw_grams.groupBy("bucket").agg(F.count("*").alias("_cq")).persist()
+    )
+    tgt_cnt = register(
+        tgt_grams.groupBy("bucket").agg(F.count("*").alias("_ct")).persist()
+    )
     # raw totals/target totals as 1-row broadcast scalars (house style)
     tq = raw_cnt.agg(F.sum("_cq").alias("_tq"))
     tt = tgt_cnt.agg(F.sum("_ct").alias("_tt"))
