@@ -368,6 +368,50 @@ def upsert(
     return kept.unionByName(updates)
 
 
+_WGL_MEMO: dict[tuple, bool] = {}
+
+
+def _window_group_limit_fires(spark, k: int) -> bool:
+    """True when the optimizer's WindowGroupLimit rewrite fires for the
+    ``row_number().over(partitionBy+orderBy)`` + ``filter(rank <= k)``
+    shape :func:`top_k_per_group` constructs. The rule is a logical-plan
+    pattern match — data- and child-independent — so a 3-node synthetic
+    plan of the same shape answers for every real plan at the same
+    (runtime, threshold conf, k); memoized per session."""
+    try:
+        thr = spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold", None)
+    except Exception:  # noqa: BLE001 — conf surface varies across runtimes
+        thr = None
+    key = (id(spark.sparkContext), spark.version, thr, int(k))
+    hit = _WGL_MEMO.get(key)
+    if hit is None:
+        # distinct, non-equal expressions for the partition and order
+        # keys (equal attributes let the optimizer simplify the window
+        # away), and a child whose known maxRows exceeds k (the rule
+        # skips when the limit provably covers the input — real scans
+        # have unknown maxRows, so the big-child probe mirrors them)
+        probe = (
+            spark.range(int(k) + 100)
+            .select(
+                (F.col("id") % 2).alias("_g"),
+                (F.col("id") + 1).alias("_v"),
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_g").orderBy("_v")
+                ),
+            )
+            .filter(F.col("_rn") <= k)
+        )
+        hit = (
+            "WindowGroupLimit"
+            in probe._jdf.queryExecution().executedPlan().toString()
+        )
+        _WGL_MEMO[key] = hit
+    return hit
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -411,8 +455,23 @@ def top_k_per_group(
     )
     if not two_phase:
         return naive
-    # plan-shape probe — planning only, no job: did the optimizer already
-    # install the map-side Partial WindowGroupLimit prune?
+    # plan-shape probe. Whether the optimizer installs the map-side
+    # Partial WindowGroupLimit prune for THIS construction (one
+    # row_number window expression, non-empty orderBy, adjacent
+    # rank-limit filter) depends only on the runtime version, the
+    # optimizer.windowGroupLimitThreshold conf, and k — never on the child
+    # plan or the data — so since r15 the probe plans a 3-node
+    # SYNTHETIC query of the same shape once per (session, conf, k)
+    # and memoizes, instead of physically planning the caller's full
+    # tree on every call (measured 0.33 s per probe on the BM25
+    # retrieval plans; the probe's planning work was discarded —
+    # the write action re-plans from the logical plan anyway).
+    # tests/test_r15_optimization.py pins synthetic ≡ real on
+    # representative shapes.
+    if _window_group_limit_fires(df.sparkSession, k):
+        return naive
+    # conservative fallback (rule did not fire on the synthetic twin):
+    # inspect the real plan before paying the explicit two-phase shape
     plan = naive._jdf.queryExecution().executedPlan().toString()
     if "WindowGroupLimit" in plan:
         return naive
