@@ -3398,7 +3398,12 @@ def x_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     explained = float(np.sum(eig))
     explained_bounded = bool(0.0 < explained <= total_var * (1.0 + 1e-9))
     top_beats_axis = bool(eig[0] >= max(axis_vars) * (1.0 - 1e-9))
-    proj = similarity.pca_transform(base, comps, mean, vec_col="embedding")
+    # guide §4: the projection-stats pass reads only the projected
+    # column, and the transform kernel is opaque to column pruning —
+    # ship just the vector across the Arrow boundary
+    proj = similarity.pca_transform(
+        base.select("embedding"), comps, mean, vec_col="embedding"
+    )
     with no_aqe(proj.sparkSession):
         pstats = (
             proj.select(F.posexplode("pca").alias("_pos", "_y"))
@@ -6236,7 +6241,12 @@ def x_pca_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    proj = similarity.pca_transform(base_f, comps, mean, vec_col="embedding")
+    # guide §4: the projection-stats pass reads only the projected
+    # column, and the transform kernel is opaque to column pruning —
+    # ship just the vector across the Arrow boundary
+    proj = similarity.pca_transform(
+        base_f.select("embedding"), comps, mean, vec_col="embedding"
+    )
     with no_aqe(proj.sparkSession):
         pstats = (
             proj.select(F.posexplode("pca").alias("_pos", "_y"))

@@ -212,8 +212,13 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    return df.filter(F.col("kind") == "image").mapInPandas(
-        batches, schema=IMAGE_FEATURES_SCHEMA
+    # guide §4: ship only the columns the kernel reads across the
+    # Arrow boundary — an opaque function over the full row disables
+    # column pruning at the scan and moves every byte twice
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
     )
 
 
@@ -255,8 +260,13 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
                 columns=["media_id", "width", "height", "pixel_sum", "rgb_sha256"],
             )
 
-    return df.filter(F.col("kind") == "image").mapInPandas(
-        batches, schema=IMAGE_PIXEL_STATS_SCHEMA
+    # guide §4: ship only the columns the kernel reads across the
+    # Arrow boundary — an opaque function over the full row disables
+    # column pruning at the scan and moves every byte twice
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=IMAGE_PIXEL_STATS_SCHEMA)
     )
 
 
@@ -514,8 +524,13 @@ def sample_video_frames(
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.filter(F.col("kind") == "video").mapInPandas(
-        batches, schema=VIDEO_FRAME_SCHEMA
+    # guide §4: ship only the columns the kernel reads across the
+    # Arrow boundary — an opaque function over the full row disables
+    # column pruning at the scan and moves every byte twice
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
     )
 
 
@@ -594,6 +609,14 @@ def extract_audio_features(
                 rows, columns=["media_id", "window_start_ms", "feat"]
             )
 
-    return df.filter(F.col("kind") == "audio").mapInPandas(
-        batches, schema="media_id long, window_start_ms long, feat array<float>"
+    # guide §4: ship only the columns the kernel reads across the
+    # Arrow boundary — an opaque function over the full row disables
+    # column pruning at the scan and moves every byte twice
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(
+            batches,
+            schema="media_id long, window_start_ms long, feat array<float>",
+        )
     )
