@@ -19,7 +19,7 @@ AUDIT = {
     "q3_shipping_priority": "date filters pushed to scans; filtered customer broadcast; top-k via TakeOrderedAndProject",
     "q7_volume_shipping": "nation-filtered supplier/customer broadcast; one SMJ lineitem⋈orders",
     "q13_order_distribution": "orders aggregated to 1 row/customer BEFORE the customer join",
-    "q2_min_cost_supplier": "per-part min as window over one shuffle; dims broadcast. (r7 watch item CLOSED as host noise: the isolated +27% read 1.33s once; driver r8 has it back at 1.059s, inside the r4-r6 band 0.987-1.09 — no plan change was ever involved)",
+    "q2_min_cost_supplier": "ONE data exchange for the whole query (r15, guide §2.4): pruned lineitem hash-repartitioned by l_partkey once — the (partkey,suppkey) aggregation's ClusteredDistribution is satisfied by the subset partitioning, the broadcast dim join preserves it, and the per-part window min runs in place (the r14 plan re-shuffled the aggregate a second time for the window); dims broadcast as before",
     "j4_linkage_join": "expression-key equi-join (SMJ), distinct rides the same partitioning",
     "w1_row_number": "no single-partition window: quantile pids + broadcast offsets",
     "x_tf_idf": "doc-frequency as groupBy(term)+join-back (NO per-term window — skew-safe); explode cached once (InMemoryTableScan feeds both branches)",
@@ -30,7 +30,7 @@ AUDIT = {
     "x_weighted_sample": "A-ES weighted top-k: md5→uniform→priority all codegen'd at the scan; global k via TakeOrderedAndProject (per-partition partial top-k + k-bounded merge — NEVER a full Sort+Exchange)",
     "x_bm25_topk": "weights joined to BROADCAST query terms (map-side hash join, no corpus shuffle beyond bm25's aggs); per-query top-k through the WindowGroupLimit map-side prune; decimal score sum is order-independent",
     "x_clean_corpus": "filters+mask fused into one scan project; dedup adds one shuffle",
-    "x_topk_per_group": "native WindowGroupLimit plan (probe-selected): Partial map-side prune to k rows per (group, input partition), ONE exchange of pruned rows, Final prune + window",
+    "x_topk_per_group": "native WindowGroupLimit plan (selected by the r15 memoized synthetic probe — no per-call physical planning of this tree): spread() parallelizes the map-side Partial prune sort on a small single-file scan (no-op at real scale), ONE exchange of k-per-partition pruned rows, Final prune + window",
     "x_unigram_logprob": "tf cached once (InMemoryTableScan both branches); corpus counts agg+join-back (no per-term window); decimal contributions -> order-independent per-doc sum",
     "x_mix_sources": "per-source thresholds baked as literals -> shuffle-free codegen'd md5 filter at the scan, then one aggregation",
     "x_embedding_near_dups": "multi-table SRP-LSH equi-join on (tbl,bucket) — NO BroadcastNestedLoopJoin/CartesianProduct anywhere",
@@ -51,7 +51,7 @@ AUDIT = {
     "x_snapshot_diff": "exceptAll both directions: hash aggregates over one exchange per side, union of tagged results — no join, no key assumption",
     "x_rrf_fusion": "hybrid fusion: both source top-k's are already k-per-query sized before the union; one hash agg on (query,doc) of decimal contributions (order-independent), final rank via WindowGroupLimit",
     "x_ingest_loop": "two-round fingerprint loop: each round is one batch-side groupBy(min) + join-back + LEFT ANTI against the (index-sized) fingerprint relation; the admit step is a union+distinct of 32-char keys, never text",
-    "x_dsir_select": "DSIR: hashed n-gram featurization is pure codegen at the scan (split + indexed transform + explode + md5/conv); the ≤n_buckets-row log-ratio table rides a BroadcastHashJoin onto the gram stream; the ONLY corpus-sized exchange is the per-doc sum (hashpartitioning(doc_id), map-side partials); Gumbel-top-k via TakeOrderedAndProject — audit: no SortMergeJoin, no global Sort",
+    "x_dsir_select": "DSIR: hashed n-gram featurization is pure codegen at the scan (split + indexed transform + explode + md5/conv); the two bucket-count tables are PERSISTED (r15 — ≤n_buckets rows; each feeds the ratio join AND its total scalar, so the unpersisted plan featurized the TARGET corpus twice — audit: exactly one target subtree remains); the ≤n_buckets-row log-ratio table rides a BroadcastHashJoin onto the gram stream; the ONLY corpus-sized exchange is the per-doc sum (hashpartitioning(doc_id), map-side partials); Gumbel-top-k via TakeOrderedAndProject — audit: no SortMergeJoin, no global Sort",
     "x_dsir_persisted": "PERSISTED-model DSIR (the production steady state): the ratio table comes from a parquet scan of the saved artifact — NO target-corpus subtree and NO raw bucket-count/fit subtree anywhere in the plan (compare x_dsir_select: two count branches + scalar cross-joins); one raw featurization pass, broadcast ratio join, doc-keyed sum, TakeOrderedAndProject",
     "verified_probe": "verified fuzzy decontamination kernel (the x_stream_decontaminate_verified gate wraps it in driver-side set comparisons): batch signatures via explode+groupBy min-hashes; candidate pairs from the (band,bucket) equi-join against the id-carrying index; verify_jaccard shingles ONLY candidate docs (left-semi before the explode; sort-merge pinned for the corpus-sized shingle-array join — never broadcast); final routing is one LEFT ANTI on id",
     "publication_log_read": "ingest publication-log read after bootstrap + 3 ticks (4 committed versions): ONE multi-path parquet relation — a single Scan node whose plan is FLAT in tick count, where the r8 per-version unionByName fold re-analyzed a T-way Union every tick (r9 #1); the verified tick's candidate text fetch semi-joins into this one scan",
