@@ -380,9 +380,13 @@ def _window_group_limit_fires(spark, k: int) -> bool:
     (runtime, threshold conf, k); memoized per session."""
     try:
         thr = spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold", None)
+        # a session that excludes optimizer rules can suppress the
+        # rewrite at any threshold — key the memo on that conf too so a
+        # sibling session's probe result is never served to it
+        excl = spark.conf.get("spark.sql.optimizer.excludedRules", None)
     except Exception:  # noqa: BLE001 — conf surface varies across runtimes
-        thr = None
-    key = (id(spark.sparkContext), spark.version, thr, int(k))
+        thr = excl = None
+    key = (id(spark.sparkContext), spark.version, thr, excl, int(k))
     hit = _WGL_MEMO.get(key)
     if hit is None:
         # distinct, non-equal expressions for the partition and order

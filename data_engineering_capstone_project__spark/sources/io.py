@@ -81,6 +81,22 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 # unchanged by definition); schema-EVOLVING readers
 # (``read_parquet_evolving``) bypass the cache entirely.
 _SCHEMA_CACHE: dict[tuple, StructType] = {}
+# bound the metadata cache: append-log readers key on the full version
+# tuple, so a long-lived driver would otherwise retain one never-hit
+# tuple per tick; a clear-on-overflow keeps it O(1) in process lifetime
+_SCHEMA_CACHE_MAX = 256
+
+# session confs parquet schema INFERENCE depends on — a schema inferred
+# under one setting must not be served to a session with another
+# (review r15: load_events' nanosAsLong=true would otherwise leak a
+# ts:bigint schema into sessions that never set the legacy conf)
+_SCHEMA_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.binaryAsString",
+    "spark.sql.parquet.int96AsTimestamp",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.caseSensitive",
+)
 
 
 def _schema_key(path: str) -> tuple | None:
@@ -96,15 +112,21 @@ def read_parquet_cached(spark: SparkSession, *paths: str) -> DataFrame:
     write-once paths (see ``_SCHEMA_CACHE``). Accepts multiple paths
     (one multi-path scan, the append-log shape). Falls back to a plain
     inferring read when a path cannot be stat'd (remote FS) or on
-    first contact."""
+    first contact. Keyed by file identity AND the inference-affecting
+    session confs, so sessions with different parquet-reader settings
+    never share an inferred schema."""
     keys = tuple(_schema_key(p) for p in paths)
     if any(k is None for k in keys):
         return spark.read.parquet(*paths)
-    schema = _SCHEMA_CACHE.get(keys)
+    confs = tuple(spark.conf.get(c, None) for c in _SCHEMA_CONFS)
+    cache_key = (keys, confs)
+    schema = _SCHEMA_CACHE.get(cache_key)
     if schema is not None:
         return spark.read.schema(schema).parquet(*paths)
     df = spark.read.parquet(*paths)
-    _SCHEMA_CACHE[keys] = df.schema
+    if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+        _SCHEMA_CACHE.clear()
+    _SCHEMA_CACHE[cache_key] = df.schema
     return df
 
 

@@ -60,6 +60,42 @@ def test_schema_cached_read_multi_path(spark, tmp_path):
     assert u2.schema == u1.schema
 
 
+def test_schema_cache_keys_on_inference_confs(spark, tmp_path):
+    """A schema inferred under one parquet-reader conf must not be
+    served to a session running another: the cache key carries the
+    inference-affecting confs (the nanosAsLong/binaryAsString family)."""
+    from data_engineering_capstone_project__spark.sources.io import (
+        _SCHEMA_CACHE,
+        _SCHEMA_CONFS,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(4).write.parquet(p)
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    assert conf in _SCHEMA_CONFS
+    prev = spark.conf.get(conf, None)
+    try:
+        spark.conf.set(conf, "false")
+        a = read_parquet_cached(spark, p)
+        n_after_first = len(
+            [k for k in _SCHEMA_CACHE if k[0][0][0] == str(tmp_path / "t.parquet")]
+        )
+        spark.conf.set(conf, "true")
+        b = read_parquet_cached(spark, p)
+        n_after_second = len(
+            [k for k in _SCHEMA_CACHE if k[0][0][0] == str(tmp_path / "t.parquet")]
+        )
+        # same file, different conf → a distinct cache entry (fresh
+        # inference), never a cross-conf hit
+        assert n_after_second == n_after_first + 1
+        assert a.count() == b.count() == 4
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
 def test_wgl_synthetic_probe_matches_real_plan(spark, sf_dir):
     """The memoized synthetic probe must agree with the real physical
     plan on a representative top_k_per_group shape: when the probe says
@@ -138,6 +174,11 @@ def test_dsir_fit_counts_persisted_once(spark):
     tgt = docs.filter(F.col("doc_id") < 10)
     nb = 64
     ratio = dsir_fit(raw, tgt, n_buckets=nb, alpha=1.0, salt="s")
+    # the persist itself is the optimization: the physical plan must
+    # consume the count tables through InMemoryTableScan (one target
+    # featurization), not recompute them per branch
+    plan = ratio._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
     got = {r["bucket"]: r["_lr"] for r in ratio.collect()}
     assert len(got) == nb
     # recompute one populated bucket's ratio directly

@@ -20,6 +20,9 @@ from data_engineering_capstone_project__spark.session import get_spark
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print("usage: python tools/dump_plans.py OUTDIR SUFFIX [query ...]")
+        return 2
     outdir, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:] or (
         bench.HEADLINE + bench.HEADLINE_R6 + bench.HEADLINE_R7 + bench.HEADLINE_R12

@@ -82,7 +82,9 @@ def main() -> int:
                 }
             )
         steady = sorted(samples[1:], key=lambda s: s["total_s"]) or samples
-        med = steady[len(steady) // 2]
+        # lower-middle for even-length lists: with the default 3 runs
+        # the upper-middle would report the SLOWEST steady sample
+        med = steady[(len(steady) - 1) // 2]
         results[name] = {
             "build_s": round(med["build_s"], 3),
             "noop_s": round(med["noop_s"], 3),
