@@ -3362,10 +3362,14 @@ def x_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from an INDEPENDENT posexplode aggregation (Σ_d var_d), and
     positive; (d) the top component captures at least as much variance as
     the best coordinate axis (PCA optimality vs any axis-aligned
-    projection); (e) the PROJECTED corpus — a second distributed pass
-    through pca_transform — reproduces each eigenvalue as its empirical
+    projection); (e) the PROJECTED corpus — a distributed pass through
+    pca_transform — reproduces each eigenvalue as its empirical
     per-column variance at 1e-6 relative and has per-column mean ≈ 0
-    (centering survived the matmul). n_points and dim are SQL-exact."""
+    (centering survived the matmul). n_points and dim are SQL-exact.
+    Since r16 the (c)/(d) axis-variance aggregation and the (e)
+    projection stats share one corpus pass (the transform kernel is
+    passthrough, so raw and projected values ride the same rows); the
+    bounds remain independent of the fit's sufficient statistics."""
     e = _t(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
@@ -3379,44 +3383,53 @@ def x_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram = comps @ comps.T
     orthonormal = bool(np.abs(gram - np.eye(k)).max() < 1e-9)
     eigs_desc = bool(np.all(np.diff(eig) <= 1e-12))
-    # independent total/per-axis variance: one exploded aggregation, the
-    # same shape x_kmeans uses for its single-centroid optimum
+    # guide §4: the transform kernel is opaque to column pruning — ship
+    # just the vector across the Arrow boundary. The kernel is
+    # passthrough, so the raw embedding rides back alongside pca anyway;
+    # the two verification aggregates (axis variances for (c)/(d),
+    # projected-column stats for (e)) therefore share ONE corpus pass
+    # (optimization r16, VERDICT r15 #7): arrays_zip pads pca (k wide)
+    # with nulls up to dim, and the per-stream counts use count(col) so
+    # the padding contributes nothing. The bounds stay independent of
+    # the fit — still a plain SQL aggregation over raw/projected values,
+    # never the fit's sufficient statistics — and one full corpus
+    # scan+aggregation drops out of the query (4 driver jobs → 3).
+    proj = similarity.pca_transform(
+        base.select("embedding"), comps, mean, vec_col="embedding"
+    )
     with no_aqe(spark):
-        vstats = (
-            base.select(F.posexplode("embedding").alias("_pos", "_x"))
+        stats = (
+            proj.select(
+                F.posexplode(F.arrays_zip("embedding", "pca")).alias(
+                    "_pos", "_z"
+                )
+            )
             .groupBy("_pos")
             .agg(
-                F.sum("_x").alias("sx"),
-                F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
-                F.count("*").alias("n"),
+                F.sum("_z.embedding").alias("sx"),
+                F.sum(F.col("_z.embedding") * F.col("_z.embedding")).alias(
+                    "sxx"
+                ),
+                F.count("_z.embedding").alias("n"),
+                F.sum("_z.pca").alias("sy"),
+                F.sum(F.col("_z.pca") * F.col("_z.pca")).alias("syy"),
+                F.count("_z.pca").alias("ny"),
             )
             .collect()
         )
-    n_points = vstats[0]["n"]
-    axis_vars = [(r["sxx"] - r["sx"] * r["sx"] / r["n"]) / r["n"] for r in vstats]
+    by_pos = {r["_pos"]: r for r in stats}
+    n_points = by_pos[0]["n"]
+    axis_vars = [(r["sxx"] - r["sx"] * r["sx"] / r["n"]) / r["n"] for r in stats]
     total_var = sum(axis_vars)
     explained = float(np.sum(eig))
     explained_bounded = bool(0.0 < explained <= total_var * (1.0 + 1e-9))
     top_beats_axis = bool(eig[0] >= max(axis_vars) * (1.0 - 1e-9))
-    # guide §4: the projection-stats pass reads only the projected
-    # column, and the transform kernel is opaque to column pruning —
-    # ship just the vector across the Arrow boundary
-    proj = similarity.pca_transform(
-        base.select("embedding"), comps, mean, vec_col="embedding"
-    )
-    with no_aqe(proj.sparkSession):
-        pstats = (
-            proj.select(F.posexplode("pca").alias("_pos", "_y"))
-            .groupBy("_pos")
-            .agg(
-                F.sum("_y").alias("sy"),
-                F.sum(F.col("_y") * F.col("_y")).alias("syy"),
-                F.count("*").alias("n"),
-            )
-            .collect()
-        )
-    pvar = {r["_pos"]: (r["syy"] - r["sy"] * r["sy"] / r["n"]) / r["n"] for r in pstats}
-    pmean = {r["_pos"]: r["sy"] / r["n"] for r in pstats}
+    pvar = {
+        p: (r["syy"] - r["sy"] * r["sy"] / r["ny"]) / r["ny"]
+        for p, r in by_pos.items()
+        if r["ny"]
+    }
+    pmean = {p: r["sy"] / r["ny"] for p, r in by_pos.items() if r["ny"]}
     scale = max(total_var / dim, 1e-12)
     proj_var_ok = all(
         abs(pvar[i] - float(eig[i])) <= 1e-6 * max(float(eig[i]), scale)

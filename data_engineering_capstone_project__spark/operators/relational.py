@@ -386,7 +386,14 @@ def _window_group_limit_fires(spark, k: int) -> bool:
         excl = spark.conf.get("spark.sql.optimizer.excludedRules", None)
     except Exception:  # noqa: BLE001 — conf surface varies across runtimes
         thr = excl = None
-    key = (id(spark.sparkContext), spark.version, thr, excl, int(k))
+    # applicationId, not id(sparkContext) (review r15): a Python id can
+    # alias a new context after the old one is GC'd; the applicationId
+    # string is unique per started context
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — stopped context: don't memoize wrong
+        app = object()  # unmatchable key component
+    key = (app, spark.version, thr, excl, int(k))
     hit = _WGL_MEMO.get(key)
     if hit is None:
         # distinct, non-equal expressions for the partition and order
@@ -471,7 +478,15 @@ def top_k_per_group(
     # retrieval plans; the probe's planning work was discarded —
     # the write action re-plans from the logical plan anyway).
     # tests/test_r15_optimization.py pins synthetic ≡ real on
-    # representative shapes.
+    # representative shapes. Review r15 asked whether a
+    # NON-DETERMINISTIC order expression (e.g. rand()) breaks the
+    # transfer — InferWindowGroupLimit requires deterministic window
+    # expressions — but it cannot for this construction: the analyzer
+    # extracts any non-deterministic order expression into a Project
+    # BELOW the window (``rand(7) AS _w0``), so by optimization time the
+    # window's sort key is a plain attribute and the rule fires exactly
+    # as on the synthetic twin (pinned empirically by
+    # tests/test_r16_optimization.py::test_wgl_fires_for_nondeterministic_order).
     if _window_group_limit_fires(df.sparkSession, k):
         return naive
     # conservative fallback (rule did not fire on the synthetic twin):

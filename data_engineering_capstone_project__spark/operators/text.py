@@ -44,6 +44,74 @@ def _lower_terms(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), _WORD_RE)
 
 
+def _inline_rows(spark, cols: list[str], rows: list[tuple]) -> DataFrame:
+    """A small driver-resident relation as a true ``LocalRelation`` (inline
+    ``VALUES`` with bind parameters), NOT the RDD-backed relation
+    ``createDataFrame`` builds. The difference is pure scheduler overhead:
+    a ``LocalRelation`` collects via ``executeCollect`` and feeds a
+    ``BroadcastExchange`` build with ZERO Spark jobs, while the
+    ``LogicalRDD`` shape pays one job per action on the steady-state query
+    path (guide §1/§2 — per-call driver round trips). All values are bound
+    as NAMED parameters — never spliced into the SQL text, and never
+    positional ``?`` markers, whose binding order does NOT follow their
+    textual order inside an inline VALUES list (verified empirically:
+    the positional form scrambles row values) — and cast to string,
+    matching the previous ``createDataFrame(..., "a string, b string")``
+    schema exactly."""
+    args: dict[str, object] = {}
+    tuples = []
+    for i, row in enumerate(rows):
+        marks = []
+        for j, v in enumerate(row):
+            name = f"p{i}_{j}"
+            args[name] = v
+            marks.append(f"CAST(:{name} AS STRING)")
+        tuples.append("(" + ", ".join(marks) + ")")
+    sql = (
+        f"SELECT * FROM VALUES {', '.join(tuples)} "
+        f"AS q({', '.join(cols)})"
+    )
+    return spark.sql(sql, args=args)
+
+
+def _query_terms_local(
+    spark, qitems: list[tuple], ntb: int | None
+) -> list[tuple]:
+    """Tokenize a driver-resident query dict into unique ``(query_id,
+    term, bucket)`` triples (``bucket`` is None when ``ntb`` is) at ZERO
+    Spark jobs.
+
+    The terms come from the engine's own Catalyst expression
+    (:func:`_lower_terms`, plus the writer's exact ``pmod(xxhash64)``
+    bucket hash) evaluated over an inline-``VALUES`` ``LocalRelation``:
+    ``ConvertToLocalRelation`` folds the projection driver-side, so the
+    ``collect()`` never launches a job — unlike the previous
+    ``explode``-based shape, whose ``Generate`` node blocked the fold and
+    cost one scheduler round trip per query batch (OPTIMIZATION_r15
+    deferred #1). Evaluating the SAME expressions keeps the round-5 #6
+    parity guarantee: query-side tokenization can never diverge from the
+    corpus side (Java vs Python ``\\s``/casing differences are moot
+    because Python never tokenizes)."""
+    qdf = _inline_rows(spark, ["query_id", "_qtext"], qitems)
+    arr = F.array_distinct(_lower_terms(F.col("_qtext")))
+    cols = [F.col("query_id"), arr.alias("_terms")]
+    if ntb:
+        cols.append(
+            F.transform(
+                arr,
+                lambda t: F.pmod(F.xxhash64(t), F.lit(int(ntb))).cast("int"),
+            ).alias("_tbs")
+        )
+    out = []
+    for r in qdf.select(*cols).collect():
+        terms = r["_terms"] or []
+        tbs = r["_tbs"] if ntb else [None] * len(terms)
+        for t, bkt in zip(terms, tbs or []):
+            if t != "":
+                out.append((r["query_id"], t, bkt))
+    return out
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count; empty/blank text counts 0.
 
@@ -571,28 +639,6 @@ def bm25_topk(
         w = weights
     else:
         w = bm25(df, id_col=id_col, text_col=text_col, k1=k1, b=b)
-    if isinstance(queries, DataFrame):
-        qdf = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_text_col).alias("_qtext"),
-        )
-        force_broadcast = False
-    else:
-        if not queries:
-            raise ValueError("bm25_topk: no queries")
-        qdf = w.sparkSession.createDataFrame(
-            list(queries.items()), "query_id string, _qtext string"
-        )
-        force_broadcast = True
-    # array_distinct keeps per-query terms unique without a shuffle; the
-    # empty-string slot (split of blank text) is filtered after explode
-    qterms = (
-        qdf.select(
-            "query_id",
-            F.explode(F.array_distinct(_lower_terms(F.col("_qtext")))).alias("term"),
-        )
-        .filter(F.col("term") != "")
-    )
     # bucketed posting layout (VERDICT r10 #7): the query terms' hash
     # buckets — recomputed with the WRITER's exact hash expression, so
     # pruning can never drop a matching term — push down as a PARTITION
@@ -602,38 +648,56 @@ def bm25_topk(
     # load_bm25_index); a weights frame without it probes unpruned.
     ntb = getattr(w, "_bm25_n_term_buckets", None)
     bucketed = bool(ntb) and "_tb" in w.columns
-    qbucket = (
-        F.pmod(F.xxhash64("term"), F.lit(int(ntb))).cast("int")
-        if bucketed
-        else F.lit(None)
-    )
-    if force_broadcast:
-        # dict queries are driver-bounded: ONE tiny LocalTableScan job
-        # yields terms + their buckets together (the previous shape
-        # paid separate isEmpty and bucket-distinct jobs — pure
-        # scheduler overhead on the steady-state query path)
-        rows = qterms.select("query_id", "term", qbucket.alias("_qtb")).collect()
-        if not rows:
+    if not isinstance(queries, DataFrame):
+        # dict queries are driver-bounded: tokenize + bucket them at ZERO
+        # Spark jobs (inline-VALUES LocalRelation, Catalyst-evaluated —
+        # see _query_terms_local) and broadcast-join a LocalRelation of
+        # the pairs, whose BroadcastExchange build is also job-free. The
+        # previous shape paid one LocalTableScan+Generate job per query
+        # batch on the steady-state path.
+        if not queries:
+            raise ValueError("bm25_topk: no queries")
+        triples = _query_terms_local(
+            w.sparkSession, list(queries.items()), int(ntb) if bucketed else None
+        )
+        if not triples:
             raise ValueError("bm25_topk: no non-empty query terms")
         if bucketed:
-            w = w.filter(
-                F.col("_tb").isin(sorted({r["_qtb"] for r in rows}))
-            )
+            w = w.filter(F.col("_tb").isin(sorted({b for _, _, b in triples})))
         qterms = F.broadcast(
-            w.sparkSession.createDataFrame(
-                [(r["query_id"], r["term"]) for r in rows],
-                "query_id string, term string",
+            _inline_rows(
+                w.sparkSession,
+                ["query_id", "term"],
+                [(q, t) for q, t, _ in triples],
             )
         )
-    elif bucketed:
-        # DataFrame query set: distinct buckets from one aggregate over
-        # the QUERY frame (output bounded by the bucket count, never
-        # the query count), never the index
-        buckets = [
-            r["_qtb"]
-            for r in qterms.select(qbucket.alias("_qtb")).distinct().collect()
-        ]
-        w = w.filter(F.col("_tb").isin(buckets))
+    else:
+        qdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_text_col).alias("_qtext"),
+        )
+        # array_distinct keeps per-query terms unique without a shuffle;
+        # the empty-string slot (split of blank text) is filtered after
+        # explode
+        qterms = (
+            qdf.select(
+                "query_id",
+                F.explode(
+                    F.array_distinct(_lower_terms(F.col("_qtext")))
+                ).alias("term"),
+            )
+            .filter(F.col("term") != "")
+        )
+        if bucketed:
+            # DataFrame query set: distinct buckets from one aggregate
+            # over the QUERY frame (output bounded by the bucket count,
+            # never the query count), never the index
+            qbucket = F.pmod(F.xxhash64("term"), F.lit(int(ntb))).cast("int")
+            buckets = [
+                r["_qtb"]
+                for r in qterms.select(qbucket.alias("_qtb")).distinct().collect()
+            ]
+            w = w.filter(F.col("_tb").isin(buckets))
     scores = (
         w.join(qterms, "term")
         .groupBy("query_id", id_col)
@@ -734,49 +798,40 @@ def bm25_topk_incremental(
     totals = meta["totals"]
     ntb = int(meta["n_term_buckets"])
     id_col = meta["id_col"]
-    if isinstance(queries, DataFrame):
+    if not isinstance(queries, DataFrame):
+        # dict queries: job-free tokenize + bucket + broadcast relation
+        # (same shape as bm25_topk — see _query_terms_local)
+        if not queries:
+            raise ValueError("bm25_topk_incremental: no queries")
+        triples = _query_terms_local(spark, list(queries.items()), ntb)
+        if not triples:
+            raise ValueError("bm25_topk_incremental: no non-empty query terms")
+        buckets = sorted({b for _, _, b in triples})
+        qterms = F.broadcast(
+            _inline_rows(
+                spark, ["query_id", "term"], [(q, t) for q, t, _ in triples]
+            )
+        )
+    else:
         qdf = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_text_col).alias("_qtext"),
         )
-        force_broadcast = False
-    else:
-        if not queries:
-            raise ValueError("bm25_topk_incremental: no queries")
-        qdf = spark.createDataFrame(
-            list(queries.items()), "query_id string, _qtext string"
+        qterms = (
+            qdf.select(
+                "query_id",
+                F.explode(
+                    F.array_distinct(_lower_terms(F.col("_qtext")))
+                ).alias("term"),
+            )
+            .filter(F.col("term") != "")
         )
-        force_broadcast = True
-    qterms = (
-        qdf.select(
-            "query_id",
-            F.explode(
-                F.array_distinct(_lower_terms(F.col("_qtext")))
-            ).alias("term"),
-        )
-        .filter(F.col("term") != "")
-    )
-    if not force_broadcast:
         # the DataFrame path consumes qterms TWICE (bucket collect +
         # score join) — persist so an expensive or nondeterministic
         # upstream query source is evaluated once, and the joined
         # terms can never disagree with the collected buckets
         qterms = register(qterms.persist())
-    qbucket = F.pmod(F.xxhash64("term"), F.lit(ntb)).cast("int")
-    if force_broadcast:
-        rows = qterms.select(
-            "query_id", "term", qbucket.alias("_qtb")
-        ).collect()
-        if not rows:
-            raise ValueError("bm25_topk_incremental: no non-empty query terms")
-        buckets = sorted({r["_qtb"] for r in rows})
-        qterms = F.broadcast(
-            spark.createDataFrame(
-                [(r["query_id"], r["term"]) for r in rows],
-                "query_id string, term string",
-            )
-        )
-    else:
+        qbucket = F.pmod(F.xxhash64("term"), F.lit(ntb)).cast("int")
         buckets = sorted(
             r["_qtb"]
             for r in qterms.select(qbucket.alias("_qtb")).distinct().collect()

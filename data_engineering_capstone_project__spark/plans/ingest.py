@@ -1804,7 +1804,9 @@ def _ingest_batch_impl(
             published = published.drop(_ARRIVAL)
         published = published.persist()
         stats = IngestStats(
-            n_batch=batch.count(),
+            # the batch digest's aggregate already counted the rows —
+            # no separate count job (optimization r16)
+            n_batch=art.digest_count(bdg),
             # per-tier attribution died with the crashed tick; the
             # recovered stats carry only what is ground truth
             n_exact_dropped=0,
@@ -1859,7 +1861,10 @@ def _ingest_batch_impl(
                 )
             mh_idx = mh_idx.unionByName(mh2)
 
-    n_batch = batch.count()
+    # the batch digest above already paid for count(*) — parsing it
+    # replaces a full per-tick count job (optimization r16); the value
+    # also sizes the broadcast flip below
+    n_batch = art.digest_count(bdg)
 
     # bounded_batch: with the tick's batch under the broadcast ceiling,
     # the probe broadcasts the batch's fingerprints and the corpus-scale
@@ -1915,11 +1920,14 @@ def _ingest_batch_impl(
             keep="clean",
             bounded_batch=fuzzy_bounded,
         ).persist()
-    n_dedup = survivors.count()
 
     published = survivors
-    n_select_dropped = 0
+    # n_dedup is needed EAGERLY only on the selection path (it sizes k
+    # and the early-exit branches); the plain tick derives it job-free
+    # from the admission delta's digest below (optimization r16)
+    n_dedup: int | None = None
     if select_cfg is not None:
+        n_dedup = survivors.count()
         from data_engineering_capstone_project__spark.operators import text
 
         ratio, mcfg = art.load_dsir_model(spark, select_cfg["dsir_path"])
@@ -1950,10 +1958,8 @@ def _ingest_batch_impl(
             if k <= _SELECT_BROADCAST_MAX_IDS:
                 sel_ids = F.broadcast(sel_ids)
             published = survivors.join(sel_ids, id_col, "left_semi").persist()
-        n_published = published.count()
-        n_select_dropped = n_dedup - n_published
-    else:
-        n_published = n_dedup
+    # n_published is derived job-free from the mh admission digest after
+    # the publish write (optimization r16) — it is not needed earlier
 
     # TWO-PHASE publish (round 10 — exactly-once): the payload is
     # written under a CLAIMED, uncommitted version BEFORE the index
@@ -2020,6 +2026,16 @@ def _ingest_batch_impl(
         if published is survivors
         else f"delta:{art.corpus_digest(published, [id_col, text_col])}"
     )
+    # contract stats, job-free: the fp delta digest counted the
+    # survivors and the mh delta digest counted the published docs
+    # (optimization r16 — previously two extra full count jobs per
+    # tick). The values are identical by construction: each digest's
+    # aggregate runs count(*) over exactly the frame the old code
+    # counted.
+    if n_dedup is None:
+        n_dedup = art.digest_count(dg)
+    n_published = art.digest_count(mh_dg)
+    n_select_dropped = n_dedup - n_published
     _check_lease_generation(root, expected_gen)
     if verified:
         mh_v = art.save_minhash_doc_index(

@@ -10,11 +10,16 @@ pandas-UDF slow path.
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_APP = "data_engineering_capstone_project__spark"
+
+# serializes no_aqe windows across driver threads (review r15) — RLock so
+# an operator that nests no_aqe (directly or via a callee) cannot deadlock
+_NO_AQE_LOCK = threading.RLock()
 
 
 def get_spark(
@@ -55,6 +60,15 @@ def get_spark(
         # min-aggregates) stay inside whole-stage codegen; the default
         # cap of 100 fields silently drops them to interpreted eval
         .config("spark.sql.codegen.maxFields", "400")
+        # zstd for every parquet the engine writes (guide §6: smaller
+        # than snappy at similar read speed — artifact/index/publication
+        # reads are the steady-state cost at scale). Transparent to all
+        # readers (including DuckDB oracles); env-overridable so a
+        # deployment can pick its own codec without a code change.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
@@ -81,14 +95,18 @@ def no_aqe(spark: SparkSession):
     data-path query. The flag is session-scoped, so another thread
     planning a query inside this window would plan it without AQE —
     correct but less adaptive; the engine's own operators only call
-    this around short synchronous collects.
+    this around short synchronous collects. Overlapping ``no_aqe``
+    windows from several driver threads are serialized by a module
+    lock (review r15): interleaved restore ordering could otherwise
+    leave AQE off after the last window exits.
     """
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    if prev == "false":
-        yield
-        return
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _NO_AQE_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        if prev == "false":
+            yield
+            return
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)

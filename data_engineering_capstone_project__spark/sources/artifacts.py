@@ -566,6 +566,16 @@ def corpus_digest(df: DataFrame, cols: list[str] | None = None) -> str:
     return f"{row['n']}:{row['x']}"
 
 
+def digest_count(digest: str) -> int:
+    """Row count embedded in a :func:`corpus_digest` string
+    (``[prefix:]n:x`` — the first field of the digest proper). The
+    digest's scalar aggregate already paid for ``count(*)``, so a caller
+    holding a digest never needs a separate ``df.count()`` job
+    (optimization r16: the ingest tick's contract stats parse their
+    counts from the digests the fencing protocol computes anyway)."""
+    return int(digest.rsplit(":", 2)[-2])
+
+
 def is_current(path: str, digest: str, version: int | None = None) -> bool:
     """True when a committed artifact exists at ``path`` and its stamped
     ``corpus_digest`` equals ``digest`` (refit trigger otherwise)."""

@@ -11,6 +11,8 @@ stance, ``:42``), and column-name sanitation is driver-side Python.
 from __future__ import annotations
 
 import os
+import stat as stat_mod
+from collections import OrderedDict
 from collections.abc import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,10 +82,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 # a same-schema append cannot make a stale hit wrong (the schema is
 # unchanged by definition); schema-EVOLVING readers
 # (``read_parquet_evolving``) bypass the cache entirely.
-_SCHEMA_CACHE: dict[tuple, StructType] = {}
+_SCHEMA_CACHE: "OrderedDict[tuple, StructType]" = OrderedDict()
 # bound the metadata cache: append-log readers key on the full version
 # tuple, so a long-lived driver would otherwise retain one never-hit
-# tuple per tick; a clear-on-overflow keeps it O(1) in process lifetime
+# tuple per tick; LRU eviction (review r15 — the old clear-on-overflow
+# dumped all entries at once, forcing one full re-inference wave)
 _SCHEMA_CACHE_MAX = 256
 
 # session confs parquet schema INFERENCE depends on — a schema inferred
@@ -100,11 +103,30 @@ _SCHEMA_CONFS = (
 
 
 def _schema_key(path: str) -> tuple | None:
+    """File-identity key for one path: (realpath, mtime_ns, size) of the
+    target plus a digest of the DIRECT children's (name, mtime_ns, size)
+    when it is a directory. ``realpath`` (not ``abspath`` — review r15)
+    means a repointed symlink can never alias an old key, and the child
+    listing catches writes that leave the top-level stat unchanged:
+    in-place rewrites of member files and commits confined to nested
+    partition subdirectories (e.g. a ``_tb=N`` bucket dir — creating a
+    file there bumps that child dir's mtime). One local scandir per
+    read; the inference job it replaces is a Spark job over the files."""
+    real = os.path.realpath(path)
     try:
-        st = os.stat(path)
+        st = os.stat(real)
+        listing = 0
+        if stat_mod.S_ISDIR(st.st_mode):
+            entries = []
+            with os.scandir(real) as it:
+                for e in it:
+                    est = e.stat()
+                    entries.append((e.name, est.st_mtime_ns, est.st_size))
+            # order-independent digest, small constant-size key
+            listing = hash(tuple(sorted(entries)))
     except OSError:
         return None
-    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    return (real, st.st_mtime_ns, st.st_size, listing)
 
 
 def read_parquet_cached(spark: SparkSession, *paths: str) -> DataFrame:
@@ -122,10 +144,11 @@ def read_parquet_cached(spark: SparkSession, *paths: str) -> DataFrame:
     cache_key = (keys, confs)
     schema = _SCHEMA_CACHE.get(cache_key)
     if schema is not None:
+        _SCHEMA_CACHE.move_to_end(cache_key)
         return spark.read.schema(schema).parquet(*paths)
     df = spark.read.parquet(*paths)
-    if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
-        _SCHEMA_CACHE.clear()
+    while len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+        _SCHEMA_CACHE.popitem(last=False)
     _SCHEMA_CACHE[cache_key] = df.schema
     return df
 
