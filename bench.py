@@ -71,6 +71,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from data_engineering_capstone_project__spark.session import get_spark
+from pyspark.sql import Window
+from pyspark.sql import functions as F
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -140,11 +142,13 @@ HEADLINE_R12 = [
 # five rounds of the shared-host signature (r8–r12 — uniform inflation
 # across UNTOUCHED code paths) forced every judge since r8 to separate
 # plan regressions from machine drift by cross-referencing git diffs.
-# The harness measures TWO PINNED queries of different plan shapes —
+# The harness measures TWO PINNED workloads of different plan shapes —
 # q6_revenue_forecast (scan+filter+agg) and w1_row_number
-# (window-heavy) — both plan- and code-unchanged since round 1,
-# immediately BEFORE and AFTER the suite, against their committed
-# BENCH_r01 steady-state medians at sf0.1. calibration_ratio =
+# (window-heavy) — as FROZEN round-1 twins (see _CAL_TWINS below;
+# re-pinned in r16 after the r15 optimizations made the live queries
+# faster than their r1 baselines), immediately BEFORE and AFTER the
+# suite, against their committed BENCH_r01 steady-state medians at
+# sf0.1. calibration_ratio =
 # geometric mean over the two queries of mean(pre, post)/r1_baseline —
 # the host's current slowdown factor on provably constant workloads,
 # no longer single-point (a shape-specific regression in one
@@ -162,6 +166,82 @@ _CALIBRATION = [
     ("q6_revenue_forecast", 0.23),
     ("w1_row_number", 1.037),
 ]
+
+
+# Round-16 re-pin (VERDICT r15 #2): the r15 optimization pass made the
+# two calibration queries faster ON THEIR OWN MERITS (parquet schema
+# cache, no_aqe metadata collects), so measuring the LIVE queries
+# against their r1 medians made calibration_ratio self-referential — it
+# understated host drift by exactly the engine's improvement. The
+# calibration workload is therefore FROZEN: the two functions below are
+# verbatim copies of the round-1 tree's implementations (commit
+# `20e60a9`: `__spark_entry__.q6_revenue_forecast` / `w1_row_number`,
+# `_t`, `fx.pround`, and `relational.add_row_id`'s single-numeric-key
+# fast path), inlined so they bypass every post-r1 engine module — the
+# bare `spark.read.parquet` (schema inference job per call, as in r1),
+# AQE left on for the metadata collects (as in r1). Their plans and
+# driver-side work are constant by construction, so the committed
+# BENCH_r01 medians in _CALIBRATION stay valid and calibration_ratio
+# measures HOST drift again. The benched headline queries and the
+# measurement methodology are untouched; only the calibration bracket's
+# workload source changed (BASELINE.md round-16 amendment).
+
+
+def _cal_q6_r1_twin(spark, sf_dir: str):
+    """Frozen r1 q6_revenue_forecast: pure scan-filter-agg."""
+    scale = F.lit(float(10**2))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        (
+            F.floor(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")) * scale
+                + F.lit(0.5)
+            )
+            / scale
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _cal_w1_r1_twin(spark, sf_dir: str):
+    """Frozen r1 w1_row_number: two-phase global row id (quantile
+    boundaries → per-partition row_number + broadcast offset join)."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    n = 16
+    kc = F.col("o_orderkey").cast("double")
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.stat.approxQuantile("o_orderkey", probs, 0.001)))
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(kc > F.lit(float(b)), 1).otherwise(0)
+    parted = df.withColumn("_pid", pid)
+    sizes = parted.groupBy("_pid").count().collect()
+    offsets, run = {}, 0
+    for row in sorted(sizes, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = run
+        run += row["count"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("o_orderkey"))
+    return (
+        parted.withColumn("_local", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("row_num", (F.col("_local") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+_CAL_TWINS = {
+    "q6_revenue_forecast": _cal_q6_r1_twin,
+    "w1_row_number": _cal_w1_r1_twin,
+}
 
 
 def main() -> None:
@@ -195,8 +275,9 @@ def main() -> None:
         steady = sorted(samples[1:]) if len(samples) > 1 else samples
         return steady[len(steady) // 2], steady[-1] - steady[0]
 
-    # calibration bracket, PRE (VERDICT r12 #6 / r13 #6: two shapes)
-    cal_pre = {q: _measure_one(qs[q])[0] for q, _ in _CALIBRATION}
+    # calibration bracket, PRE (VERDICT r12 #6 / r13 #6: two shapes;
+    # frozen r1 twins since r16 — see _CAL_TWINS)
+    cal_pre = {q: _measure_one(_CAL_TWINS[q])[0] for q, _ in _CALIBRATION}
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -225,8 +306,8 @@ def main() -> None:
                 med, spr = med2, spr2
         timings[name] = round(med, 3)
         spreads[name] = round(spr, 3)
-    # calibration bracket, POST
-    cal_post = {q: _measure_one(qs[q])[0] for q, _ in _CALIBRATION}
+    # calibration bracket, POST (frozen r1 twins — see _CAL_TWINS)
+    cal_post = {q: _measure_one(_CAL_TWINS[q])[0] for q, _ in _CALIBRATION}
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     is_sf01 = isinstance(sf_val, float) and abs(sf_val - 0.1) < 1e-9
     per_query = []
@@ -259,6 +340,11 @@ def main() -> None:
         # host slowdown factor on plans unchanged since round 1;
         # non-sf0.1 runs have no committed baseline → post/pre only
         "calibration_ratio": round(gmean, 3),
+        # since r16 the bracket measures verbatim copies of the r1
+        # implementations (schema inference per call, AQE metadata
+        # collects), NOT the live optimized queries — so the committed
+        # r1 baselines stay valid and the ratio is pure host drift
+        "workload": "frozen_r1_twins",
     }
     total = round(sum(timings.values()), 3)
     total_r5_set = round(sum(timings[n] for n in HEADLINE), 3)
