@@ -735,6 +735,7 @@ def test_ingest_empty_batch_tick(spark, sf_dir, tmp_path):
 # --------------------------------------- verified fuzzy decontamination
 
 
+@pytest.mark.slow
 def test_minhash_band_probe_verified_semantics(spark, sf_dir):
     """The verified tier's decision semantics ARE the batch cross-corpus
     ``minhash_lsh_join``'s at the same config/threshold: kept = probe
@@ -1145,6 +1146,7 @@ def test_select_semi_join_broadcast_gated_by_k(spark, sf_dir, tmp_path, monkeypa
     assert ids_a == ids_b  # the hint is a strategy, never a semantics
 
 
+@pytest.mark.slow
 def test_compact_publication_log_bounded_versions(spark, sf_dir, tmp_path):
     """VERDICT r8 missing #3: T ticks + compaction leave a BOUNDED version
     count (corpus and index artifacts) with identical corpus content, and

@@ -365,6 +365,7 @@ def test_decontaminate_stream_routes_by_fingerprint(spark, tmp_path):
         decontaminate_stream(stream, idx, keep="nope")
 
 
+@pytest.mark.slow
 def test_asof_join_hot_key_path_row_identical(spark):
     """Skew-safe as-of (VERDICT r9 #3): a planted 90%-one-key distribution
     routed through the bucketed two-phase plan returns ROW-IDENTICAL

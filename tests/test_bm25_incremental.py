@@ -15,6 +15,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from _profile import prof
+
 from data_engineering_capstone_project__spark.operators import text
 from data_engineering_capstone_project__spark.sources import artifacts as art
 from data_engineering_capstone_project__spark.sources import commitlog
@@ -224,6 +226,7 @@ def test_recovery_rebuilds_missing_bm25_delta(
     assert a == b
 
 
+@pytest.mark.slow
 def test_compaction_before_recovery_never_doubles_bm25_delta(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -290,7 +293,8 @@ def test_fuzz_incremental_equals_from_scratch(spark, tmp_path):
     import random as _random
 
     rng = _random.Random(1207)
-    for trial in range(6):
+    # fast profile: 2 seeded trials; full restores the 6-trial sweep
+    for trial in range(prof(2, 6)):
         vocab = [
             f"w{i}" for i in range(rng.choice([5, 30, 200]))
         ] + ["café", "a b", "xİy"]

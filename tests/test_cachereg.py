@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from _profile import FULL
+
 from data_engineering_capstone_project__spark import cachereg
 from data_engineering_capstone_project__spark.operators import dedup, similarity, text
 
@@ -62,6 +64,10 @@ def test_release_intermediates_clears_all_caches(spark):
             max_array_shingles=10,
         ).collect(),
     ]
+    # fast profile: one consumer per operator family (minhash-LSH,
+    # span-dedup, text weights, outlier-routed verify); full runs all 9
+    if not FULL:
+        consumers = [consumers[0], consumers[2], consumers[6], consumers[8]]
     for consume in consumers:
         consume()
         released = cachereg.release_intermediates()

@@ -2,6 +2,8 @@
 template 1, only in 2, in both (priority), NULL clean name, NOT USED, and a
 clean name mapped from two raw names (excluded from rename)."""
 
+import pytest
+
 from data_engineering_capstone_project__spark.plans.cleaner import (
     apply_clean_plan,
     build_clean_plan,
@@ -134,6 +136,7 @@ def test_clean_corpus_pipeline(spark):
     assert rep["n_input"] == 5 and rep["n_cleaned"] == len(ids)
 
 
+@pytest.mark.slow
 def test_clean_corpus_near_dedup_path(spark):
     from data_engineering_capstone_project__spark.plans.corpus import (
         CorpusConfig,

@@ -11,6 +11,8 @@ import random
 
 import pytest
 
+from _profile import prof
+
 from data_engineering_capstone_project__spark.operators.relational import (
     fuzzy_candidate_pairs,
     fuzzy_linkage_join,
@@ -46,7 +48,7 @@ def typo_tables(spark):
     return left, right
 
 
-@pytest.mark.parametrize("d", [1, 2])
+@pytest.mark.parametrize("d", prof([2], [1, 2]))
 def test_segment_path_matches_scan(spark, typo_tables, d):
     left, right = typo_tables
     scan = fuzzy_linkage_join(

@@ -169,6 +169,7 @@ def test_multistate_end_to_end(spark, manifest_dir):
     assert a0["NCES ID"] == "000100"
 
 
+@pytest.mark.slow
 def test_multistate_qa_rollup_and_exit(spark, manifest_dir, capsys):
     """Golden QA: passing states PASS; a seeded mismatch FAILs the run with
     non-zero exit and a printed qa_diff sample naming the bad row."""

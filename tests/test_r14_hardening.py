@@ -97,6 +97,7 @@ def test_reshard_quiesce_excludes_ticks_and_crash_leaves_undeclared(
     assert sum(s.n_batch for s in st.values()) == fresh.count()
 
 
+@pytest.mark.slow
 def test_reshard_carries_arrival_stamps_and_round_clock(
     spark, sf_dir, tmp_path
 ):
@@ -151,6 +152,7 @@ def _build_sharded(spark, d, root, n_shards=2):
     return corpus, batch
 
 
+@pytest.mark.slow
 def test_distributed_adjudication_matches_driver(spark, sf_dir, tmp_path):
     """VERDICT r13 #4: the round-iterative distributed adjudication
     emits EXACTLY the driver replay's retirements — same per-shard
@@ -257,6 +259,7 @@ def _assert_surface_is_corpus(spark, root):
     assert got == ref
 
 
+@pytest.mark.slow
 def test_retire_heal_window_after_corpus_commit(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -294,6 +297,7 @@ def test_retire_heal_window_after_corpus_commit(
     _assert_surface_is_corpus(spark, root)
 
 
+@pytest.mark.slow
 def test_retire_heal_window_between_refolds(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -323,6 +327,7 @@ def test_retire_heal_window_between_refolds(
     _assert_surface_is_corpus(spark, root)
 
 
+@pytest.mark.slow
 def test_retire_heal_window_before_corpus_commit(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -471,6 +476,7 @@ def test_refit_and_retire_thread_custom_cell_col(
 # --------------------------------------- reconcile crash convergence
 
 
+@pytest.mark.slow
 def test_reconcile_crash_mid_retire_converges(
     spark, sf_dir, tmp_path, monkeypatch
 ):

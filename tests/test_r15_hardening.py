@@ -78,6 +78,7 @@ def _assert_surface_is_corpus(spark, root):
 # ------------------------------------------- frame-valued retirement
 
 
+@pytest.mark.slow
 def test_retire_docs_frame_valued_over_broadcast_cap(
     spark, sf_dir, tmp_path
 ):
@@ -146,6 +147,7 @@ def test_retire_frame_marker_heals_from_crash(
     _assert_surface_is_corpus(spark, root)
 
 
+@pytest.mark.slow
 def test_reconcile_distributed_retires_frame_valued(
     spark, sf_dir, tmp_path
 ):
@@ -193,6 +195,7 @@ def test_reconcile_distributed_retires_frame_valued(
 # --------------------------------------------- heal marker error posture
 
 
+@pytest.mark.slow
 def test_heal_marker_torn_write_clears_without_refold(
     spark, sf_dir, tmp_path
 ):
@@ -211,6 +214,7 @@ def test_heal_marker_torn_write_clears_without_refold(
     _assert_surface_is_corpus(spark, root)
 
 
+@pytest.mark.slow
 def test_heal_marker_read_oserror_reraises_and_preserves_marker(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -374,6 +378,7 @@ def _strip_stamps(spark, shard_root_path):
         ingest._write_schema_note(spark.read.parquet(vdir), cpath, v)
 
 
+@pytest.mark.slow
 def test_backfill_arrival_stamps_converges_legacy_root(
     spark, sf_dir, tmp_path
 ):
@@ -438,6 +443,7 @@ def test_backfill_arrival_stamps_converges_legacy_root(
 # ---------------------------------------- band-log candidate generation
 
 
+@pytest.mark.slow
 def test_reconcile_band_log_candidates_match_recompute(
     spark, sf_dir, tmp_path
 ):
@@ -523,6 +529,7 @@ def test_reconcile_band_logs_refused_on_unverified_root(
 # ------------------------------------------- snapshot-then-catchup
 
 
+@pytest.mark.slow
 def test_reshard_catchup_carries_midrebuild_tick(spark, sf_dir, tmp_path):
     """VERDICT r14 #2: reshard(catchup=True) bootstraps the new root
     LEASELESSLY from a snapshot and takes the leases only to replay
@@ -605,6 +612,7 @@ def test_reshard_catchup_carries_midrebuild_tick(spark, sf_dir, tmp_path):
     assert n_pub <= fresh.count()  # corpus+mid all dropped as dups
 
 
+@pytest.mark.slow
 def test_reshard_catchup_divergence_cleans_and_raises(
     spark, sf_dir, tmp_path
 ):

@@ -5,6 +5,8 @@ same-round survival rule the oracle gate can't isolate."""
 from __future__ import annotations
 
 import pytest
+
+from _profile import prof
 from pyspark.sql import functions as F
 
 from data_engineering_capstone_project__spark.operators import text as text_ops
@@ -33,6 +35,7 @@ def _plant(corpus):
     )
 
 
+@pytest.mark.slow
 def test_reconcile_verified_mode_matches_single_root(
     spark, sf_dir, tmp_path
 ):
@@ -95,6 +98,7 @@ def test_reconcile_same_round_pairs_both_survive(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_retire_docs_refolds_bm25_and_ivf(spark, sf_dir, tmp_path):
     """retire_docs keeps every search surface equal to the corpus:
     after retirement the BM25 posting log answers exactly like a
@@ -210,6 +214,7 @@ def test_retire_docs_crash_before_index_refold_retries_clean(
     assert got == ref
 
 
+@pytest.mark.slow
 def test_stream_loop_sweep_cadence_bounds_artifact_root(
     spark, sf_dir, tmp_path
 ):
@@ -282,6 +287,7 @@ def test_stream_loop_sweep_cadence_bounds_artifact_root(
         ingest.run_stream_ingest(stream, root, sweep_every=0)
 
 
+@pytest.mark.slow
 def test_reshard_carries_modes_and_refuses_divergence(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -355,6 +361,7 @@ def test_reshard_carries_modes_and_refuses_divergence(
     assert sum(s.n_batch for s in st.values()) == 5
 
 
+@pytest.mark.slow
 def test_ivf_topk_sharded_matches_single_root(spark, sf_dir, tmp_path):
     """Global ANN over shard-local IVF logs: the merged per-shard
     top-k equals brute-force exact cosine top-k over the union corpus
@@ -402,6 +409,7 @@ def test_ivf_topk_sharded_matches_single_root(spark, sf_dir, tmp_path):
         shards.ivf_topk_sharded(spark, root2, q, k=3)
 
 
+@pytest.mark.slow
 def test_reconcile_after_compaction_is_exact(spark, sf_dir, tmp_path):
     """VERDICT r13 #3: the arrival clock is a per-doc row stamp now,
     so compaction (which folds the version DIRECTORIES away) no longer
@@ -428,6 +436,7 @@ def test_reconcile_after_compaction_is_exact(spark, sf_dir, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_stream_loop_reconcile_cadence(spark, sf_dir, tmp_path):
     """reconcile_every wired into the sharded streaming loop: a
     streamed batch with planted cross-shard near-dups ends HASH-EQUAL
@@ -482,13 +491,18 @@ def test_stream_loop_reconcile_cadence(spark, sf_dir, tmp_path):
         shards.run_stream_ingest_sharded(stream, sroot, reconcile_every=0)
 
 
+_FUZZ_PARITY_CASES = [
+    (0, 2, 7, " zq extra", None),
+    (1, 3, 5, " yx", True),
+    (2, 2, 3, " mutated tail token", None),
+]
+
+
 @pytest.mark.parametrize(
     "trial,n_shards,mod,suffix,distributed",
-    [
-        (0, 2, 7, " zq extra", None),
-        (1, 3, 5, " yx", True),
-        (2, 2, 3, " mutated tail token", None),
-    ],
+    # fast profile: one case (2 shards, mutated-tail near-dups); the
+    # 3-shard + DISTRIBUTED-adjudication case and the rest run in full
+    prof(_FUZZ_PARITY_CASES[2:3], _FUZZ_PARITY_CASES),
 )
 def test_reconcile_fuzz_parity(
     spark, sf_dir, tmp_path, trial, n_shards, mod, suffix, distributed

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from data_engineering_capstone_project__spark.plans import ingest, shards
 
+from _profile import prof
+
 
 def _dig(df):
     r = df.agg(
@@ -85,6 +87,7 @@ def test_shard_lease_independence(spark, sf_dir, tmp_path):
         ingest.release_ingest_lease(shards.shard_root(root, 1), gen)
 
 
+@pytest.mark.slow
 def test_sharded_lifecycle_replay_and_compaction(spark, sf_dir, tmp_path):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = d.filter(F.col("doc_id") < 200)
@@ -130,6 +133,7 @@ def test_shard_config_pinned_and_required(spark, sf_dir, tmp_path):
     assert sum(per.values()) == corpus.count()
 
 
+@pytest.mark.slow
 def test_sharded_global_bm25_search(spark, sf_dir, tmp_path):
     """Global search over a sharded corpus (r12 composition of the two
     headline features): per-shard posting logs probe as ONE index —
@@ -166,6 +170,7 @@ def test_sharded_global_bm25_search(spark, sf_dir, tmp_path):
         shards.sharded_bm25_paths(root2)
 
 
+@pytest.mark.slow
 def test_probe_all_shards_catches_cross_shard_near_dup(
     spark, sf_dir, tmp_path
 ):
@@ -214,6 +219,7 @@ def test_probe_all_shards_catches_cross_shard_near_dup(
         assert sum(s.n_published for s in stats.values()) == expect_published, name
 
 
+@pytest.mark.slow
 def test_run_stream_ingest_sharded_matches_batch_ticks(
     spark, sf_dir, tmp_path
 ):
@@ -295,6 +301,7 @@ def test_null_text_routes_to_shard_zero_and_is_accounted(
     assert stats[0].n_exact_dropped == 2 and stats[0].n_published == 0
 
 
+@pytest.mark.slow
 def test_fuzz_concurrent_equals_serialized(spark, tmp_path):
     """Seeded fuzz of the shard-independence claim: random sparse
     corpora with planted exact dups and near-dups, random shard counts,
@@ -303,7 +310,9 @@ def test_fuzz_concurrent_equals_serialized(spark, tmp_path):
     import random as _random
 
     rng = _random.Random(4242)
-    for trial in range(3):
+    # fast profile: 1 trial (same planted-dup mix and assertions per
+    # trial); full profile restores the 3-seed sweep
+    for trial in range(prof(1, 3)):
         vocab = [f"t{trial}w{i}" for i in range(300)]
 
         def doc():

@@ -1,5 +1,7 @@
 from pyspark.sql import functions as F
 
+from _profile import prof
+
 from data_engineering_capstone_project__spark.operators import dedup, text
 
 
@@ -539,8 +541,10 @@ def test_simhash_dense_block_guard_lossless(spark, sf_dir):
     (max_block=1) — double pigeonhole is lossless: a pair at distance ≤ d
     matching block i has ≤ d differing remainder bits, so one of the d+1
     remainder sub-blocks matches too."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
-    for d in (2, 3, 8):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+        prof(40, 80)
+    )
+    for d in prof((2, 8), (2, 3, 8)):
         plain = {
             (r["id_a"], r["id_b"], r["hamming"])
             for r in dedup.simhash_pairs(docs, max_hamming=d, max_block=None).collect()
@@ -655,7 +659,9 @@ def test_verify_jaccard_outlier_routing_identical(spark, sf_dir):
     mixed pairs (one outlier side, one normal side) and zero-intersection
     pairs, which the inner intersection join drops and the left-join must
     restore as 0.0."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+        prof(24, 40)
+    )
     ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
     all_pairs = spark.createDataFrame(
         [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
